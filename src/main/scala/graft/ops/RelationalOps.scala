@@ -1,0 +1,493 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Every SQL-expressible operator from SURVEY.md §2, re-expressed as a
+  * declarative Spark query over the driver-provided tables, each with a
+  * DuckDB oracle (see `oracleSql`). Names are prefixed with the SURVEY §2
+  * operator id they exercise.
+  *
+  * Conventions (driver compare = column-name sort + row hash):
+  *   - timestamps leave the query as *formatted strings* in both engines, so
+  *     tz-annotation / precision differences between a Spark-written parquet
+  *     and DuckDB's in-memory result can never skew the compare;
+  *   - no raw-double SUMs: money-like doubles are cast to DECIMAL(18,2)
+  *     before aggregation in both engines (order-independent exact sums;
+  *     double summation order differs between engines);
+  *   - every query and its oracle carry the same deterministic ORDER BY with
+  *     a unique tiebreaker.
+  *
+  * The `events` table stands in for the reference's billing-export source
+  * (`ts` = the `export_time` watermark column, reference:
+  * pulse_billing_etl_service/core/services/billing_etl.py:280-281);
+  * `customer` stands in for the `billing_alerts_setting` config table
+  * (reference: core/database/billing_etl_db.py:63-89).
+  */
+object RelationalOps {
+
+  /** Output format for timestamp columns (micros, zero-padded). */
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val IsoFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+  private val DuckTsFmt = "%Y-%m-%d %H:%M:%S.%f"
+  private val DuckIsoFmt = "%Y-%m-%dT%H:%M:%S.%f"
+
+  // Fixed extraction window inside the events table's Jan-2024 span
+  // (all scale factors cover it; see TESTDATA.md).
+  private val W0 = "2024-01-10 00:00:00"
+  private val W1 = "2024-01-20 00:00:00"
+  private val Mid = "2024-01-15 00:00:00"
+  private val Epoch = "1970-01-01 00:00:00"
+
+  private def fmt(c: Column): Column = date_format(c, TsFmt)
+  private def ts(lit_ : String): Column = to_timestamp(lit(lit_))
+
+  private def events(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "events")
+  private def customer(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "customer")
+  private def orders(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "orders")
+  private def lineitem(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "lineitem")
+  private def documents(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
+
+  /** Star projection of the incremental window, P1 + S1 + F1
+    * (reference: billing_etl.py:270-298). Filter is pushed to the parquet
+    * scan by Catalyst; at 100 TB this becomes partition pruning when the
+    * source is laid out by date(ts).
+    */
+  private def s1(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .where(col("ts") >= ts(W0) && col("ts") < ts(W1))
+      .select(col("event_id"), fmt(col("ts")).as("ts_iso"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy(col("event_id"))
+
+  private def s2(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .where(col("ts") >= ts(W0) && col("ts") < ts(W1))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Config point-lookup, S3 + P2 + F3 (reference: billing_etl_db.py:63-89). */
+  private def s3(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .where(col("c_custkey") === 71)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+  /** Checkpoint top-1 read as MAX, S4 + F2 + A2-shape
+    * (reference: billing_etl_db.py:45-61).
+    */
+  private def s4(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .where(col("user_id") === 7 && col("event_type") === "purchase")
+      .agg(fmt(max(col("ts"))).as("end_date_time"))
+
+  private def p3(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .where(col("user_id") === 3)
+      .select(fmt(col("ts")).as("end_date_time"))
+      .orderBy(col("end_date_time"))
+
+  /** ISO-8601 row serialization, P4 + C5 (reference: billing_etl.py:35-40). */
+  private def p4(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .where(col("ts") >= ts(W0) && col("ts") < ts(W1))
+      .select(col("event_id"), date_format(col("ts"), IsoFmt).as("ts_iso8601"))
+      .orderBy(col("event_id"))
+
+  /** Null-dropping projection, P5 (reference: billing_etl_db.py:29). */
+  private def p5(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("v", when(col("value") >= 50, col("value")))
+      .na.drop(Seq("v"))
+      .select(col("event_id"), col("v"))
+      .orderBy(col("event_id"))
+
+  /** Half-open boundary semantics, F1: the `>=` side re-admits the previous
+    * watermark row, the `<` side excludes the window end
+    * (reference: billing_etl.py:280-281; SURVEY N1).
+    */
+  private def f1(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    // Driver-side 1-row checkpoint read -- the reference's own resume pattern.
+    val wm = ev.where(col("ts") < ts(Mid)).agg(max(col("ts"))).first().getTimestamp(0)
+    ev.where(col("ts") >= lit(wm) && col("ts") < ts(Mid))
+      .select(col("event_id"), fmt(col("ts")).as("ts_iso"))
+      .orderBy(col("event_id"))
+  }
+
+  private def f3(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .where(col("event_id") === 421)
+      .select(col("event_id"), fmt(col("ts")).as("ts_iso"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+
+  private def f5(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .where(col("event_type").isin("signup", "error"))
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id"))
+
+  /** Null/missing-field guards, F6 (reference: main.py:21-26). */
+  private def f6(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .where(col("props").isNotNull &&
+        get_json_object(col("props"), "$.missing").isNull &&
+        get_json_object(col("props"), "$.k").isNotNull)
+      .agg(count(lit(1)).as("valid_rows"))
+
+  /** Config lookup join, J1 (reference: billing_etl.py:64-127). The dim side
+    * is broadcast -- at 100 TB the fact scan never shuffles for this join.
+    */
+  private def j1(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .where(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("o_orderkey"))
+
+  /** Missing-config error channel as an anti join, J1's null branch
+    * (reference: billing_etl_db.py:82-84).
+    */
+  private def j1Anti(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .join(broadcast(customer(s, dir).where(col("c_custkey") % 10 < 3)),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select(col("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+
+  private def a1(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .where(col("ts") >= ts(W0) && col("ts") < ts(W1) && col("value") > 100)
+      .agg(count(lit(1)).as("cnt"))
+
+  private def a2(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).agg(fmt(max(col("ts"))).as("watermark"))
+
+  /** Top-1 per key (argmax), A3 generalized to all keys via window row_number
+    * (reference: billing_etl_db.py:46-51 does the single-key form).
+    */
+  private def a3(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), fmt(col("ts")).as("ts_iso"))
+      .orderBy(col("user_id"))
+  }
+
+  private def a4(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .orderBy(col("event_type"))
+
+  private def o1(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(1)
+      .select(col("event_id"), fmt(col("ts")).as("ts_iso"))
+
+  /** LIMIT/OFFSET pagination -- deterministic only under a total order,
+    * which the reference's version lacks (SURVEY N2); ours sorts first.
+    */
+  private def o2(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .orderBy(col("ts"), col("event_id"))
+      .offset(50)
+      .limit(100)
+      .select(col("event_id"))
+
+  private def c1(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"),
+        unbase64(base64(col("props").cast("binary"))).cast("string").as("payload"))
+      .orderBy(col("event_id"))
+
+  private def c3(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy(col("event_id"))
+
+  private def c4(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"),
+        to_json(struct(col("event_id"), col("event_type"))).as("js"))
+      .orderBy(col("event_id"))
+
+  private def c6(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .where(col("ts") >= to_timestamp(lit("2024-01-15 12:00:00")))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Epoch default when no checkpoint exists, C7 + W1's first-run branch
+    * (reference: billing_etl.py:138-139).
+    */
+  private def c7(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .where(col("user_id") === -1)
+      .agg(coalesce(max(col("ts")), ts(Epoch)).as("wm"))
+      .select(fmt(col("wm")).as("watermark"))
+
+  private def c8(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("user_id")).distinct()
+      .select(col("user_id"),
+        format_string("org_%d_standard_export_table", col("user_id")).as("ident"))
+      .orderBy(col("user_id"))
+
+  private def c9(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("source")).distinct()
+      .select(col("source"),
+        element_at(split(concat(lit("proj.ds."), col("source")), "\\."), 3).as("dataset_id"))
+      .orderBy(col("source"))
+
+  private def c10(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"),
+        floor(col("value")).cast("int").as("v_int"),
+        col("user_id").cast("string").cast("int").as("org_id"))
+      .orderBy(col("event_id"))
+
+  private def c12(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .where(col("event_type").contains("rror"))
+      .select(col("event_id"))
+      .orderBy(col("event_id"))
+
+  /** Deterministic part of the backoff schedule, C13
+    * (reference: billing_etl.py:205 `2 ** attempt`; jitter excluded).
+    */
+  private def c13(s: SparkSession, dir: String): DataFrame =
+    s.range(4)
+      .select(col("id").cast("int").as("attempt"),
+        pow(lit(2.0), col("id")).cast("int").as("delay_s"))
+      .orderBy(col("attempt"))
+
+  private def w1(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .where(col("event_type") === "purchase" && col("user_id") === 5)
+      .agg(coalesce(max(col("ts")), ts(Epoch)).as("wm"))
+      .select(fmt(col("wm")).as("watermark"))
+
+  /** Persisted watermark = max(export_time) of the extracted batch, W2
+    * (reference: billing_etl.py:160-168) -- NOT the query-window end.
+    */
+  private def w2(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .where(col("ts") >= ts(W0) && col("ts") < ts(W1))
+      .agg(fmt(max(col("ts"))).as("persisted_watermark"))
+
+  /** Tumbling-by-day windows over the stream table, W3 generalization. */
+  private def w3(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_trunc("DAY", col("ts")).as("win"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(fmt(col("win")).as("window_start"), col("n"), col("total_value"))
+      .orderBy(col("window_start"))
+
+  /** At-least-once boundary duplication, W5/N1: the rows the next run
+    * re-reads because its predicate is `>= watermark`
+    * (reference: billing_etl.py:280).
+    */
+  private def w5(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val wm = ev.where(col("ts") < ts(Mid)).agg(max(col("ts"))).first().getTimestamp(0)
+    ev.where(col("ts") >= lit(wm))
+      .select(col("event_id"), fmt(col("ts")).as("ts_iso"), col("event_type"))
+      .where(col("ts") < ts(Mid))
+      .orderBy(col("event_id"))
+  }
+
+  /** No-data short-circuit, W7: empty window => watermark jumps to job time
+    * (reference: billing_etl.py:160-164).
+    */
+  private def w7(s: SparkSession, dir: String): DataFrame = {
+    val n = events(s, dir).where(col("ts") >= ts("2090-01-01 00:00:00")).count()
+    s.range(1).select(
+      (if (n == 0) lit("JUMP_TO_NOW") else lit("ADVANCE")).as("action"),
+      lit(n).as("extracted_rows"))
+  }
+
+  /** Headline pricing-summary aggregate (bench q1 shape). l_quantity is
+    * integer-valued so its double SUM is order-independent; money columns go
+    * through DECIMAL.
+    */
+  private def q1(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Headline join+agg (bench shape): fact-to-dim broadcast join then group. */
+  private def q2(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_incremental_scan" -> (s1 _),
+    "s2_count_scan" -> (s2 _),
+    "s3_config_point_lookup" -> (s3 _),
+    "s4_checkpoint_top1" -> (s4 _),
+    "p3_single_column_projection" -> (p3 _),
+    "p4_iso_serialization" -> (p4 _),
+    "p5_null_dropping_projection" -> (p5 _),
+    "f1_halfopen_boundary" -> (f1 _),
+    "f3_point_equality" -> (f3 _),
+    "f5_membership" -> (f5 _),
+    "f6_null_guards" -> (f6 _),
+    "j1_config_lookup_join" -> (j1 _),
+    "j1_missing_config_anti" -> (j1Anti _),
+    "a1_count_where" -> (a1 _),
+    "a2_max_watermark" -> (a2 _),
+    "a3_top1_per_key" -> (a3 _),
+    "a4_count_per_key" -> (a4 _),
+    "o1_orderby_desc_limit1" -> (o1 _),
+    "o2_limit_offset" -> (o2 _),
+    "c1_base64_roundtrip" -> (c1 _),
+    "c3_json_parse" -> (c3 _),
+    "c4_json_serialize" -> (c4 _),
+    "c6_timestamp_construction" -> (c6 _),
+    "c7_epoch_default" -> (c7 _),
+    "c8_identifier_concat" -> (c8 _),
+    "c9_split_last" -> (c9 _),
+    "c10_int_cast" -> (c10 _),
+    "c12_substring_match" -> (c12 _),
+    "c13_backoff_math" -> (c13 _),
+    "w1_resume_watermark" -> (w1 _),
+    "w2_window_bound" -> (w2 _),
+    "w3_tumbling_windows" -> (w3 _),
+    "w5_boundary_duplicates" -> (w5 _),
+    "w7_no_data_short_circuit" -> (w7 _),
+    "q1_pricing_summary" -> (q1 _),
+    "q2_segment_revenue" -> (q2 _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_incremental_scan" ->
+      s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, event_type, value, props
+         |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
+         |ORDER BY event_id""".stripMargin,
+    "s2_count_scan" ->
+      s"SELECT count(*) AS cnt FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'",
+    "s3_config_point_lookup" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer WHERE c_custkey = 71",
+    "s4_checkpoint_top1" ->
+      s"SELECT strftime(max(ts), '$DuckTsFmt') AS end_date_time FROM events WHERE user_id = 7 AND event_type = 'purchase'",
+    "p3_single_column_projection" ->
+      s"SELECT strftime(ts, '$DuckTsFmt') AS end_date_time FROM events WHERE user_id = 3 ORDER BY 1",
+    "p4_iso_serialization" ->
+      s"""SELECT event_id, strftime(ts, '$DuckIsoFmt') AS ts_iso8601
+         |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1' ORDER BY event_id""".stripMargin,
+    "p5_null_dropping_projection" ->
+      "SELECT event_id, value AS v FROM events WHERE value >= 50 ORDER BY event_id",
+    "f1_halfopen_boundary" ->
+      s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso FROM events
+         |WHERE ts >= (SELECT max(ts) FROM events WHERE ts < TIMESTAMP '$Mid')
+         |  AND ts < TIMESTAMP '$Mid' ORDER BY event_id""".stripMargin,
+    "f3_point_equality" ->
+      s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, event_type, value, props
+         |FROM events WHERE event_id = 421""".stripMargin,
+    "f5_membership" ->
+      "SELECT event_id, event_type FROM events WHERE event_type IN ('signup', 'error') ORDER BY event_id",
+    "f6_null_guards" ->
+      """SELECT count(*) AS valid_rows FROM events
+        |WHERE props IS NOT NULL
+        |  AND json_extract_string(props, '$.missing') IS NULL
+        |  AND json_extract_string(props, '$.k') IS NOT NULL""".stripMargin,
+    "j1_config_lookup_join" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'O' ORDER BY o_orderkey""".stripMargin,
+    "j1_missing_config_anti" ->
+      """SELECT o_orderkey FROM orders
+        |LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 10 < 3) c ON o_custkey = c_custkey
+        |WHERE c_custkey IS NULL ORDER BY o_orderkey""".stripMargin,
+    "a1_count_where" ->
+      s"SELECT count(*) AS cnt FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1' AND value > 100",
+    "a2_max_watermark" ->
+      s"SELECT strftime(max(ts), '$DuckTsFmt') AS watermark FROM events",
+    "a3_top1_per_key" ->
+      s"""SELECT user_id, event_id, strftime(ts, '$DuckTsFmt') AS ts_iso FROM events
+         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+         |ORDER BY user_id""".stripMargin,
+    "a4_count_per_key" ->
+      """SELECT event_type, count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "o1_orderby_desc_limit1" ->
+      s"SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso FROM events ORDER BY ts DESC, event_id DESC LIMIT 1",
+    "o2_limit_offset" ->
+      "SELECT event_id FROM events ORDER BY ts, event_id LIMIT 100 OFFSET 50",
+    "c1_base64_roundtrip" ->
+      "SELECT event_id, decode(from_base64(to_base64(encode(props)))) AS payload FROM events ORDER BY event_id",
+    "c3_json_parse" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events ORDER BY event_id",
+    "c4_json_serialize" ->
+      """SELECT event_id,
+        |  to_json(struct_pack(event_id := event_id, event_type := event_type))::VARCHAR AS js
+        |FROM events ORDER BY event_id""".stripMargin,
+    "c6_timestamp_construction" ->
+      "SELECT count(*) AS cnt FROM events WHERE ts >= TIMESTAMP '2024-01-15 12:00:00'",
+    "c7_epoch_default" ->
+      s"""SELECT strftime(coalesce(max(ts), TIMESTAMP '$Epoch'), '$DuckTsFmt') AS watermark
+         |FROM events WHERE user_id = -1""".stripMargin,
+    "c8_identifier_concat" ->
+      """SELECT user_id, 'org_' || CAST(user_id AS VARCHAR) || '_standard_export_table' AS ident
+        |FROM (SELECT DISTINCT user_id FROM events) ORDER BY user_id""".stripMargin,
+    "c9_split_last" ->
+      """SELECT source, split_part('proj.ds.' || source, '.', 3) AS dataset_id
+        |FROM (SELECT DISTINCT source FROM documents) ORDER BY source""".stripMargin,
+    "c10_int_cast" ->
+      """SELECT event_id, CAST(FLOOR(value) AS INTEGER) AS v_int,
+        |  CAST(CAST(user_id AS VARCHAR) AS INTEGER) AS org_id
+        |FROM events ORDER BY event_id""".stripMargin,
+    "c12_substring_match" ->
+      "SELECT event_id FROM events WHERE contains(event_type, 'rror') ORDER BY event_id",
+    "c13_backoff_math" ->
+      """SELECT CAST(attempt AS INTEGER) AS attempt, CAST(POWER(2, attempt) AS INTEGER) AS delay_s
+        |FROM (SELECT range AS attempt FROM range(0, 4)) ORDER BY attempt""".stripMargin,
+    "w1_resume_watermark" ->
+      s"""SELECT strftime(coalesce(max(ts), TIMESTAMP '$Epoch'), '$DuckTsFmt') AS watermark
+         |FROM events WHERE event_type = 'purchase' AND user_id = 5""".stripMargin,
+    "w2_window_bound" ->
+      s"""SELECT strftime(max(ts), '$DuckTsFmt') AS persisted_watermark
+         |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'""".stripMargin,
+    "w3_tumbling_windows" ->
+      s"""SELECT strftime(date_trunc('day', ts), '$DuckTsFmt') AS window_start,
+         |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w5_boundary_duplicates" ->
+      s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, event_type FROM events
+         |WHERE ts >= (SELECT max(ts) FROM events WHERE ts < TIMESTAMP '$Mid')
+         |  AND ts < TIMESTAMP '$Mid' ORDER BY event_id""".stripMargin,
+    "w7_no_data_short_circuit" ->
+      """SELECT CASE WHEN cnt = 0 THEN 'JUMP_TO_NOW' ELSE 'ADVANCE' END AS action,
+        |  cnt AS extracted_rows
+        |FROM (SELECT count(*) AS cnt FROM events WHERE ts >= TIMESTAMP '2090-01-01 00:00:00')""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_segment_revenue" ->
+      """SELECT c_mktsegment, count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}
