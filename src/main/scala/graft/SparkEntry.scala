@@ -10,17 +10,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the §7.1 end-to-end incremental ETL slice on sf0.001
+    * (two watermarked runs over `events`; driver smoke-checks rows>0).
+    */
   def entry(spark: SparkSession): DataFrame =
-    ops.RelationalOps.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    ops.EtlOps.queries("etl_run_dest")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.RelationalOps.queries
+    ops.RelationalOps.queries ++ ops.EtlOps.queries ++ ops.MessageOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] =
-    ops.RelationalOps.oracleSql
+    ops.RelationalOps.oracleSql ++ ops.EtlOps.oracleSql ++ ops.MessageOps.oracleSql
 }

@@ -1,0 +1,154 @@
+package graft.etl
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.sql.Timestamp
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{ClientBillingConfig, EtlStatus, StepStatus}
+
+/** Control-plane store: the engine's stand-in for the reference's MySQL
+  * tables (`billing_alerts_setting`, `billing_etl_status`,
+  * `user_stepper_form_step_status` — reference:
+  * core/database/billing_etl_db.py:12-162, README.md:186-210).
+  *
+  * Three tables under one root directory:
+  *   - `config`  — small, read-mostly; UPDATE (S9) is read-modify-overwrite
+  *   - `stepper` — same overwrite pattern (S10)
+  *   - `status`  — append-only log (S8); never rewritten
+  *
+  * Vanilla Spark tables have no in-place UPDATE, so overwrites are
+  * implemented as **versioned snapshots with an atomically-swapped CURRENT
+  * pointer** (write the new snapshot dir in full, then atomic-rename a tiny
+  * pointer file): readers either see the old version or the new one, never a
+  * half-written table. This is the write-temp-then-swap pattern of SURVEY
+  * §7.4.5 and gives last-writer-wins under concurrent updaters. Control
+  * tables are tiny (one row per org), so rewriting them whole is O(orgs),
+  * not O(data) — this never becomes a bottleneck at 100 TB of *billing*
+  * data because config/status volume scales with tenants, not rows.
+  */
+final class MetaStore(val root: String)(implicit spark: SparkSession) {
+  import spark.implicits._
+
+  private val configDir = s"$root/config"
+  private val stepperDir = s"$root/stepper"
+  private val statusDir = s"$root/status/data"
+
+  // ---------------------------------------------------------------- versions
+
+  private def currentPointer(tableDir: String): Path = Paths.get(tableDir, "CURRENT")
+
+  private def currentVersion(tableDir: String): Option[String] = {
+    val p = currentPointer(tableDir)
+    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  }
+
+  /** Write `df` as a fresh snapshot, then atomically repoint CURRENT. */
+  private def overwriteVersioned(tableDir: String, df: DataFrame): Unit = {
+    val v = s"v_${UUID.randomUUID().toString.take(8)}"
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$tableDir/$v")
+    val tmp = Paths.get(tableDir, s".CURRENT.${UUID.randomUUID().toString.take(8)}")
+    Files.createDirectories(Paths.get(tableDir))
+    Files.writeString(tmp, v)
+    Files.move(tmp, currentPointer(tableDir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readVersioned(tableDir: String): Option[DataFrame] =
+    currentVersion(tableDir).map(v => spark.read.parquet(s"$tableDir/$v"))
+
+  // ------------------------------------------------------------------ config
+
+  /** Seed/replace the whole config table (test fixture path). */
+  def putConfigs(rows: Seq[ClientBillingConfig]): Unit =
+    overwriteVersioned(configDir, rows.toDF())
+
+  def configs: Dataset[ClientBillingConfig] =
+    readVersioned(configDir)
+      .map(_.as[ClientBillingConfig])
+      .getOrElse(spark.emptyDataset[ClientBillingConfig])
+
+  /** Config point-lookup, S3/P2/F3 (reference: billing_etl_db.py:63-89).
+    * Driver-side single-row fetch — the table is tiny by construction.
+    */
+  def configFor(orgId: Int): Option[ClientBillingConfig] =
+    configs.where($"org_id" === orgId).head(1).headOption
+
+  /** Config UPDATE sink, S9 (reference: billing_etl_db.py:122-162).
+    * Mirrors the reference's whitelist: only `pulsebillingdataset` and
+    * `pulsetableid` are updatable (billing_etl_db.py:126-129); other keys
+    * are ignored. Returns the number of rows affected.
+    */
+  def updateConfig(orgId: Int, projectId: String, fields: Map[String, String]): Long = {
+    val allowed = fields.view.filterKeys(Set("pulsebillingdataset", "pulsetableid")).toMap
+    if (allowed.isEmpty) return 0L
+    val cur = configs
+    val hit = $"org_id" === orgId && $"projectid" === projectId
+    val affected = cur.where(hit).count()
+    if (affected > 0) {
+      val updated = allowed.foldLeft(cur.toDF()) { case (df, (k, v)) =>
+        df.withColumn(k, when(hit, lit(v)).otherwise(col(k)))
+      }
+      overwriteVersioned(configDir, updated.as[ClientBillingConfig].toDF())
+    }
+    affected
+  }
+
+  // ----------------------------------------------------------------- stepper
+
+  def putSteps(rows: Seq[StepStatus]): Unit =
+    overwriteVersioned(stepperDir, rows.toDF())
+
+  def steps: Dataset[StepStatus] =
+    readVersioned(stepperDir)
+      .map(_.as[StepStatus])
+      .getOrElse(spark.emptyDataset[StepStatus])
+
+  /** Step-status UPDATE sink, S10 (reference: billing_etl_db.py:91-120).
+    * Returns rows_affected, as the reference surfaces via `.rowcount`.
+    */
+  def updateStepCompleted(stepId: Int, orgId: Int, completed: Boolean): Long = {
+    val cur = steps
+    val hit = $"stepid" === stepId && $"org_id" === orgId
+    val affected = cur.where(hit).count()
+    if (affected > 0) {
+      val updated = cur.toDF()
+        .withColumn("step_completed", when(hit, lit(completed)).otherwise(col("step_completed")))
+      overwriteVersioned(stepperDir, updated.as[StepStatus].toDF())
+    }
+    affected
+  }
+
+  // ------------------------------------------------------------------ status
+
+  /** Status append sink, S8 (reference: billing_etl_db.py:12-43). `seq` is
+    * orchestrator-assigned so the append-only log has a deterministic total
+    * order regardless of parquet file enumeration order.
+    */
+  def appendStatus(seq: Long, s: EtlStatus): Unit =
+    Seq((seq, s.org_id, s.project_id, s.status, s.end_date_time.orNull))
+      .toDF("seq", "org_id", "project_id", "status", "end_date_time")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(statusDir)
+
+  def statusLog: DataFrame =
+    if (Files.exists(Paths.get(statusDir)))
+      spark.read.parquet(statusDir)
+    else
+      Seq.empty[(Long, Int, String, String, Timestamp)]
+        .toDF("seq", "org_id", "project_id", "status", "end_date_time")
+
+  /** Checkpoint top-1 read, S4/F2/O1/A3 (reference: billing_etl_db.py:45-61):
+    * latest SUCCESS watermark for (org, project), None on first run.
+    */
+  def lastSuccessWatermark(orgId: Int, projectId: String): Option[Timestamp] =
+    statusLog
+      .where($"org_id" === orgId && $"project_id" === projectId &&
+        $"status" === EtlStatus.Success)
+      .agg(max($"end_date_time"))
+      .head(1).headOption.flatMap(r => Option(r.getTimestamp(0)))
+
+  def nextStatusSeq: Long =
+    statusLog.agg(coalesce(max($"seq"), lit(0L))).head().getLong(0) + 1L
+}

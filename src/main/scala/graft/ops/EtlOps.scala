@@ -1,0 +1,149 @@
+package graft.ops
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.etl.{CatalogOps, EtlJob, MetaStore}
+import graft.model.{ClientBillingConfig, EngineError, EtlJobMessage, StepStatus}
+
+/** Oracle-checkable queries that exercise the end-to-end ETL slice
+  * (SURVEY §7.1): two consecutive incremental runs over the `events` table
+  * (standing in for the billing-export source; `ts` = `export_time`), the
+  * resulting status log, the missing-config error channel, and the
+  * provisioning saga's S9/S10 write-backs.
+  *
+  * Each query is self-contained: it builds a fresh MetaStore + destination
+  * under a temp dir, runs the job(s) with FIXED job times (determinism — the
+  * reference uses now(), we inject), and returns a sorted, formatted result
+  * the DuckDB oracle can reproduce from `events` alone.
+  */
+object EtlOps {
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val DuckTsFmt = "%Y-%m-%d %H:%M:%S.%f"
+
+  // Two-run schedule: run1 consumes [epoch, Mid), run2 [wm1, End).
+  private val Mid = "2024-01-15 00:00:00"
+  private val End = "2024-01-20 00:00:00"
+
+  private def utcTs(s: String): Timestamp =
+    Timestamp.from(java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC))
+
+  private def fmt(c: org.apache.spark.sql.Column) = date_format(c, TsFmt)
+
+  /** Run the two-run ETL schedule into fresh temp storage; return (meta, destDir). */
+  private def runTwice(spark: SparkSession, dir: String): (MetaStore, String) = {
+    implicit val s: SparkSession = spark
+    val tmp = Files.createTempDirectory("graft_etl_").toString
+    val meta = new MetaStore(s"$tmp/meta")
+    meta.putConfigs(Seq(ClientBillingConfig(7, "proj_7", "client_ds", "client_tbl", None, None, None)))
+    val dest = s"$tmp/dest"
+    val src = Tables.load(spark, dir, "events")
+    val msg = EtlJobMessage(7)
+    val r1 = EtlJob.run(spark, meta, src, "ts", dest, msg, utcTs(Mid), sleeper = _ => ())
+    val r2 = EtlJob.run(spark, meta, src, "ts", dest, msg, utcTs(End), sleeper = _ => ())
+    require(r1.isRight && r2.isRight, s"etl runs failed: $r1 / $r2")
+    (meta, dest)
+  }
+
+  /** Destination multiset after two incremental runs — asserts W1 resume, F1
+    * half-open bounds, S7 append, and the N1 boundary duplicate (the row at
+    * `ts == watermark1` is loaded by BOTH runs, exactly as the reference's
+    * `>=` predicate replays it).
+    */
+  private def etlRunDest(spark: SparkSession, dir: String): DataFrame = {
+    val (_, dest) = runTwice(spark, dir)
+    EtlJob.readDestination(spark, dest)
+      .select(col("event_id"), fmt(col("ts")).as("ts_iso"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Status log after two runs: IN_PROGRESS/SUCCESS ×2 with the persisted
+    * watermarks (W2: max(ts) of each batch, not the window end).
+    */
+  private def etlRunStatus(spark: SparkSession, dir: String): DataFrame = {
+    val (meta, _) = runTwice(spark, dir)
+    meta.statusLog
+      .select(col("seq"), col("org_id"), col("project_id"), col("status"),
+        fmt(col("end_date_time")).as("end_date_time"))
+      .orderBy(col("seq"))
+  }
+
+  /** Missing-config error channel (reference: billing_etl_db.py:82-84). */
+  private def etlMissingConfig(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val tmp = Files.createTempDirectory("graft_etl_").toString
+    val meta = new MetaStore(s"$tmp/meta")
+    meta.putConfigs(Seq(ClientBillingConfig(7, "proj_7", "ds", "t", None, None, None)))
+    val res = EtlJob.run(spark, meta, Tables.load(spark, dir, "events"), "ts",
+      s"$tmp/dest", EtlJobMessage(999999), utcTs(Mid), sleeper = _ => ())
+    val code = res match {
+      case Left(_: EngineError.MissingConfig) => "MISSING_CONFIG"
+      case other => s"UNEXPECTED:$other"
+    }
+    import s.implicits._
+    Seq((code, 999999)).toDF("error", "org_id")
+  }
+
+  /** Provisioning saga D1–D5: namespace + table created, then the S9 config
+    * write-back and S10 stepper update are visible in the control tables.
+    */
+  private def etlProvisionSaga(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val tmp = Files.createTempDirectory("graft_prov_").toString
+    val meta = new MetaStore(s"$tmp/meta")
+    meta.putConfigs(Seq(ClientBillingConfig(901, "proj_901", "ds", "t", None, None, None)))
+    meta.putSteps(Seq(StepStatus(3, 901, step_completed = false)))
+    val res = CatalogOps.provision(spark, meta, 901, "proj_901", sleeper = _ => ())
+    require(res.isRight, s"provision failed: $res")
+    val out = meta.configs.toDF()
+      .join(meta.steps.toDF().where(col("stepid") === 3), "org_id")
+      .select(col("org_id"), col("pulsebillingdataset"), col("pulsetableid"),
+        col("step_completed"))
+    val materialized = out.collect() // capture before compensating the catalog
+    CatalogOps.dropNamespaceCascade(spark, CatalogOps.datasetName(901))
+    spark.createDataFrame(spark.sparkContext.parallelize(materialized.toSeq), out.schema)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_run_dest" -> (etlRunDest _),
+    "etl_run_status" -> (etlRunStatus _),
+    "etl_missing_config" -> (etlMissingConfig _),
+    "etl_provision_saga" -> (etlProvisionSaga _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "etl_run_dest" ->
+      s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, event_type, value, props
+         |FROM events WHERE ts < TIMESTAMP '$Mid'
+         |UNION ALL
+         |SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, event_type, value, props
+         |FROM events
+         |WHERE ts >= (SELECT max(ts) FROM events WHERE ts < TIMESTAMP '$Mid')
+         |  AND ts < TIMESTAMP '$End'
+         |ORDER BY event_id""".stripMargin,
+    "etl_run_status" ->
+      s"""SELECT CAST(seq AS BIGINT) AS seq, CAST(7 AS INTEGER) AS org_id,
+         |  'proj_7' AS project_id, status,
+         |  strftime(CASE WHEN seq <= 2
+         |    THEN (SELECT max(ts) FROM events WHERE ts < TIMESTAMP '$Mid')
+         |    ELSE (SELECT max(ts) FROM events WHERE ts < TIMESTAMP '$End') END,
+         |    '$DuckTsFmt') AS end_date_time
+         |FROM (VALUES (1, 'IN_PROGRESS'), (2, 'SUCCESS'),
+         |             (3, 'IN_PROGRESS'), (4, 'SUCCESS')) AS t(seq, status)
+         |ORDER BY seq""".stripMargin,
+    "etl_missing_config" ->
+      "SELECT 'MISSING_CONFIG' AS error, CAST(999999 AS INTEGER) AS org_id",
+    "etl_provision_saga" ->
+      """SELECT CAST(901 AS INTEGER) AS org_id,
+        |  'org_901_standard_export' AS pulsebillingdataset,
+        |  'org_901_standard_export_table' AS pulsetableid,
+        |  CAST(true AS BOOLEAN) AS step_completed""".stripMargin
+  )
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.etl.MessageFrontEnd
+
+/** Oracle-checkable exercise of the message front-end (S11/U2): a fixture of
+  * Pub/Sub push bodies — valid envelopes derived from `events.user_id` plus
+  * one literal probe per error class in the reference's taxonomy
+  * (main.py:15-38) — pushed through the columnar decode chain.
+  */
+object MessageOps {
+
+  private def fixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val valid = Tables.load(s, dir, "events")
+      .select(col("user_id")).distinct()
+      .select(
+        concat(lit("ok_"), col("user_id")).as("case_id"),
+        concat(
+          lit("{\"message\": {\"data\": \""),
+          base64(concat(lit("{\"org_id\": "), col("user_id"), lit("}")).cast("binary")),
+          lit("\", \"messageId\": \"m1\"}, \"subscription\": \"s\"}")).as("raw"))
+    val b64 = (p: String) =>
+      java.util.Base64.getEncoder.encodeToString(p.getBytes("UTF-8"))
+    val probes = Seq(
+      // unparseable envelope → the reference's uncaught json.loads → 500
+      ("e500_badjson", "this is not json"),
+      // {"foo":1} parses but has no message → 400 (main.py:21-22)
+      ("e400_nomsg", """{"foo": 1}"""),
+      // message without data → 400 (main.py:25-26)
+      ("e400_nodata", """{"message": {"messageId": "m2"}}"""),
+      // data not base64/utf8-json → 400 (main.py:29-34)
+      ("e400_badb64", """{"message": {"data": "%%%not-base64%%%"}}"""),
+      ("e400_badinner", s"""{"message": {"data": "${b64("not json at all")}"}}"""),
+      // valid JSON payload failing pydantic validation → 400 (main.py:36-38)
+      ("e400_noorg", s"""{"message": {"data": "${b64("""{"foo": 1}""")}"}}"""),
+      ("e400_orgstr", s"""{"message": {"data": "${b64("""{"org_id": "abc"}""")}"}}"""),
+      // pydantic coerces numeric strings: "123" → 123 → 200
+      ("ok_coerce", s"""{"message": {"data": "${b64("""{"org_id": "123"}""")}"}}"""))
+      .toDF("case_id", "raw")
+    valid.unionByName(probes)
+  }
+
+  private def s11(s: SparkSession, dir: String): DataFrame =
+    MessageFrontEnd.decode(fixture(s, dir))
+      .select(col("case_id"), col("org_id"), col("status_code"), col("error_class"))
+      .orderBy(col("case_id"))
+
+  /** The U2 quarantine channel: rejects grouped by class. */
+  private def u2(s: SparkSession, dir: String): DataFrame =
+    MessageFrontEnd.quarantined(MessageFrontEnd.decode(fixture(s, dir)))
+      .groupBy(col("status_code"), col("error_class"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("status_code"), col("error_class"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_message_decode" -> (s11 _),
+    "u2_validation_quarantine" -> (u2 _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s11_message_decode" ->
+      """SELECT case_id, org_id, status_code, error_class FROM (
+        |  SELECT 'ok_' || CAST(user_id AS VARCHAR) AS case_id,
+        |         CAST(user_id AS INTEGER) AS org_id,
+        |         CAST(200 AS INTEGER) AS status_code,
+        |         CAST(NULL AS VARCHAR) AS error_class
+        |  FROM (SELECT DISTINCT user_id FROM events)
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    ('e500_badjson',   CAST(NULL AS INTEGER), CAST(500 AS INTEGER), 'ENVELOPE_PARSE'),
+        |    ('e400_nomsg',     NULL, 400, 'MISSING_MESSAGE'),
+        |    ('e400_nodata',    NULL, 400, 'MISSING_DATA'),
+        |    ('e400_badb64',    NULL, 400, 'BAD_DATA'),
+        |    ('e400_badinner',  NULL, 400, 'BAD_DATA'),
+        |    ('e400_noorg',     NULL, 400, 'VALIDATION'),
+        |    ('e400_orgstr',    NULL, 400, 'VALIDATION'),
+        |    ('ok_coerce',      123,  200, NULL)
+        |  ) AS t(case_id, org_id, status_code, error_class)
+        |) ORDER BY case_id""".stripMargin,
+    "u2_validation_quarantine" ->
+      """SELECT status_code, error_class, n FROM (VALUES
+        |  (CAST(400 AS INTEGER), 'BAD_DATA',        CAST(2 AS BIGINT)),
+        |  (400, 'MISSING_DATA',    1),
+        |  (400, 'MISSING_MESSAGE', 1),
+        |  (400, 'VALIDATION',      2),
+        |  (500, 'ENVELOPE_PARSE',  1)
+        |) AS t(status_code, error_class, n)
+        |ORDER BY status_code, error_class""".stripMargin
+  )
+}
