@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (`vec_id`, `embedding:
+  * array<float>`, `label`) — the ANN component of the LLM-pipeline operator
+  * set.
+  *
+  * Three tiers:
+  *   - `embed_neardup_cosine` — near-duplicate detection, sign-LSH bucketed
+  *     candidates → exact-cosine verify (the embedding member of the dedup
+  *     family);
+  *   - `ann_bruteforce_topk` — exact top-k for a broadcast query set: one
+  *     linear scan of the corpus, the correctness baseline;
+  *   - `ann_lsh_topk` — the 100 TB path: multi-probe sign-LSH restricts
+  *     each query to its signature bucket neighborhood, so per-query work
+  *     is O(bucket) not O(corpus). Hash-dependent → rows-only check here;
+  *     its recall against the brute-force truth is asserted in ScalaTest.
+  */
+object SimilarityOps {
+
+  private val Dim = 64
+  private val TopK = 10
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Corpus plus injected scaled duplicates (×2 per 50th vector — cosine
+    * exactly 1 with the original; the raw corpus has no pair above 0.8).
+    */
+  private def withScaledDups(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding")).unionByName(
+      e.where(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+
+  /** Embedding near-dup: sign-LSH bucket join (NO cartesian — scaling
+    * preserves the signature, so true duplicates always collide), then
+    * exact cosine ≥ 0.99 verification of candidates only.
+    */
+  private def embedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val fx = withScaledDups(embeddings(s, dir))
+      .withColumn("sig", signLshSignature(col("embedding"), nPlanes = 12, dim = Dim))
+    val a = fx.select(col("vec_id").as("a_id"), col("embedding").as("a_e"), col("sig"))
+    val b = fx.select(col("vec_id").as("b_id"), col("embedding").as("b_e"), col("sig"))
+    a.join(b, Seq("sig")).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), round(cosine(col("a_e"), col("b_e")), 6).as("c"))
+      .where(col("c") >= 0.99)
+      .distinct()
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Query vectors: every 100th id — present at every scale factor. */
+  private def querySet(e: DataFrame): DataFrame =
+    e.where(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_e"))
+
+  /** Exact top-k cosine for a small broadcast query set: the corpus is
+    * scanned ONCE (no shuffle of embeddings), cosines are codegen'd, and
+    * only (q × corpus) score rows reach the per-query top-k window.
+    */
+  private def annBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val scored = e.crossJoin(broadcast(querySet(e)))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_e"), col("embedding")), 6).as("c"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= TopK)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** The bucketed ANN path: candidates = corpus vectors whose 8-bit sign-LSH
+    * signature is within hamming ≤ 1 of the query's (multi-probe, 9 probes)
+    * — an equality join on probe keys, never a cross join. Top-k then ranks
+    * candidates only.
+    */
+  private def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val nPlanes = 8
+    val e = embeddings(s, dir)
+      .withColumn("sig", signLshSignature(col("embedding"), nPlanes, Dim))
+    val q = querySet(e.select(col("vec_id"), col("embedding")))
+      .withColumn("sig", signLshSignature(col("q_e"), nPlanes, Dim))
+    // probe keys: own signature + each 1-bit flip
+    val probes = q.select(col("q_id"), col("q_e"),
+      explode(array(col("sig") +: (0 until nPlanes).map(p =>
+        col("sig").bitwiseXOR(lit(1L << p))): _*)).as("probe_sig"))
+    val candidates = e.join(broadcast(probes), col("sig") === col("probe_sig"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_e"), col("embedding")), 6).as("c"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+    candidates.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= TopK)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_neardup_cosine" -> (embedNeardup _),
+    "ann_bruteforce_topk" -> (annBruteforce _),
+    "ann_lsh_topk" -> (annLsh _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "embed_neardup_cosine" ->
+      """WITH fx AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(embedding, x -> x * 2)
+        |  FROM embeddings WHERE vec_id % 50 = 0)
+        |SELECT a_id, b_id, c FROM (
+        |  SELECT a.vec_id a_id, b.vec_id b_id,
+        |    round(list_cosine_similarity(a.embedding, b.embedding), 6) c
+        |  FROM fx a JOIN fx b ON a.vec_id < b.vec_id)
+        |WHERE c >= 0.99 ORDER BY a_id, b_id""".stripMargin,
+    "ann_bruteforce_topk" ->
+      """WITH q AS (SELECT vec_id q_id, embedding q_e FROM embeddings WHERE vec_id % 100 = 7)
+        |SELECT q_id, vec_id, c, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT q_id, e.vec_id,
+        |    round(list_cosine_similarity(q_e, e.embedding), 6) c,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(list_cosine_similarity(q_e, e.embedding), 6) DESC, e.vec_id) rn
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q_id)
+        |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+    // ann_lsh_topk: hash-dependent candidate set → rows-only check; recall
+    // vs ann_bruteforce_topk is asserted in SimilaritySpec.
+  )
+}
