@@ -19,12 +19,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.RelationalOps.queries ++ ops.EtlOps.queries ++ ops.MessageOps.queries ++
-      ops.DedupOps.queries ++ ops.SimilarityOps.queries ++ ops.TextAnalysisOps.queries
+      ops.DedupOps.queries ++ ops.SimilarityOps.queries ++ ops.TextAnalysisOps.queries ++
+      ops.MultimodalOps.queries ++ ops.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] =
     ops.RelationalOps.oracleSql ++ ops.EtlOps.oracleSql ++ ops.MessageOps.oracleSql ++
-      ops.DedupOps.oracleSql ++ ops.SimilarityOps.oracleSql ++ ops.TextAnalysisOps.oracleSql
+      ops.DedupOps.oracleSql ++ ops.SimilarityOps.oracleSql ++ ops.TextAnalysisOps.oracleSql ++
+      ops.MultimodalOps.oracleSql ++ ops.StreamingOps.oracleSql
 }

@@ -1,0 +1,29 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.streaming.StreamingIngest
+
+/** Streaming queries, oracle-checked against the same DuckDB SQL as their
+  * batch twins (the streaming engine must converge to the batch answer at
+  * AvailableNow drain).
+  */
+object StreamingOps {
+
+  private val TsFmt = "%Y-%m-%d %H:%M:%S.%f"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_daily" -> ((s, dir) => StreamingIngest.tumblingDaily(s, dir)),
+    "stream_user_watermark" -> ((s, dir) => StreamingIngest.statefulUserWatermark(s, dir))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_tumbling_daily" ->
+      s"""SELECT strftime(date_trunc('day', ts), '$TsFmt') AS window_start,
+         |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_user_watermark" ->
+      s"""SELECT user_id, strftime(max(ts), '$TsFmt') AS watermark
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}
