@@ -87,10 +87,12 @@ object SimilarityOps {
       .withColumn("sig", signLshSignature(col("embedding"), nPlanes, Dim))
     val q = querySet(e.select(col("vec_id"), col("embedding")))
       .withColumn("sig", signLshSignature(col("q_e"), nPlanes, Dim))
-    // probe keys: own signature + each 1-bit flip
+    // probe keys: own signature + every 1- and 2-bit flip (multi-probe)
+    val flips: Seq[Long] = (0 until nPlanes).map(p => 1L << p) ++
+      (for (p <- 0 until nPlanes; r <- p + 1 until nPlanes) yield (1L << p) | (1L << r))
     val probes = q.select(col("q_id"), col("q_e"),
-      explode(array(col("sig") +: (0 until nPlanes).map(p =>
-        col("sig").bitwiseXOR(lit(1L << p))): _*)).as("probe_sig"))
+      explode(array(col("sig") +: flips.map(f =>
+        col("sig").bitwiseXOR(lit(f))): _*)).as("probe_sig"))
     val candidates = e.join(broadcast(probes), col("sig") === col("probe_sig"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.{EtlJob, IncrementalExtract, MetaStore}
+import graft.model.{ClientBillingConfig, EngineError, EtlJobMessage, EtlStatus}
+
+/** End-to-end semantics of the incremental ETL job (SURVEY §2.9 W1–W7 and
+  * the N1 boundary-duplicate parity trap).
+  */
+class EtlJobSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private implicit lazy val s: org.apache.spark.sql.SparkSession = spark
+
+  private def freshMeta(orgs: Int*): (MetaStore, String) = {
+    val root = tmpDir("etl_spec_")
+    val meta = new MetaStore(s"$root/meta")
+    meta.putConfigs(orgs.map(o => ClientBillingConfig(o, s"proj_$o", "ds", "t", None, None, None)))
+    (meta, root)
+  }
+
+  private def events: DataFrame = Tables.load(spark, Sf0001, "events")
+
+  test("missing config surfaces the MissingConfig error channel") {
+    val (meta, root) = freshMeta(7)
+    val res = EtlJob.run(spark, meta, events, "ts", s"$root/dest",
+      EtlJobMessage(424242), utcTs("2024-01-15 00:00:00"), sleeper = _ => ())
+    assert(res == Left(EngineError.MissingConfig(424242)))
+    assert(meta.statusLog.count() == 0, "no status rows for an unconfigured org")
+  }
+
+  test("first run resumes from epoch and loads the full window") {
+    val (meta, root) = freshMeta(7)
+    val mid = utcTs("2024-01-15 00:00:00")
+    val res = EtlJob.run(spark, meta, events, "ts", s"$root/dest",
+      EtlJobMessage(7), mid, sleeper = _ => ())
+    val expected = events.where(col("ts") < lit(mid)).count()
+    assert(res.toOption.get.rowsExtracted == expected)
+    assert(EtlJob.readDestination(spark, s"$root/dest").count() == expected)
+    // W2: persisted watermark is max(ts) of the batch, not the window end
+    val wm = meta.lastSuccessWatermark(7, "proj_7").get
+    val maxTs = events.where(col("ts") < lit(mid)).agg(max("ts")).head().getTimestamp(0)
+    assert(wm == maxTs)
+  }
+
+  test("second run re-reads the boundary row (N1 at-least-once parity)") {
+    val (meta, root) = freshMeta(7)
+    val mid = utcTs("2024-01-15 00:00:00")
+    val end = utcTs("2024-01-20 00:00:00")
+    EtlJob.run(spark, meta, events, "ts", s"$root/dest", EtlJobMessage(7), mid, sleeper = _ => ())
+    val wm1 = meta.lastSuccessWatermark(7, "proj_7").get
+    EtlJob.run(spark, meta, events, "ts", s"$root/dest", EtlJobMessage(7), end, sleeper = _ => ())
+    val dest = EtlJob.readDestination(spark, s"$root/dest")
+    val boundaryCopies = dest.where(col("ts") === lit(wm1)).count()
+    assert(boundaryCopies == 2, "the `>=` predicate must replay the watermark row")
+    val expected = events.where(col("ts") < lit(end)).count() + 1 // + the duplicate
+    assert(dest.count() == expected)
+  }
+
+  test("W7: empty window jumps the watermark to job time, writes nothing") {
+    val (meta, root) = freshMeta(7)
+    val future = utcTs("2090-01-01 00:00:00")
+    val emptySource = events.where(col("user_id") === -1) // no such rows
+    val r = EtlJob.run(spark, meta, emptySource, "ts", s"$root/dest", EtlJobMessage(7),
+      future, sleeper = _ => ())
+    assert(r.toOption.get.rowsExtracted == 0)
+    assert(meta.lastSuccessWatermark(7, "proj_7").get == future,
+      "zero-row window must jump the watermark to job time (billing_etl.py:160-164)")
+    assert(!new java.io.File(s"$root/dest").exists(), "nothing may be written")
+  }
+
+  test("N1 is inherent: a run after catch-up still re-reads the boundary row") {
+    val (meta, root) = freshMeta(7)
+    EtlJob.run(spark, meta, events, "ts", s"$root/dest", EtlJobMessage(7),
+      utcTs("2024-06-01 00:00:00"), sleeper = _ => ())
+    val r2 = EtlJob.run(spark, meta, events, "ts", s"$root/dest", EtlJobMessage(7),
+      utcTs("2090-01-01 00:00:00"), sleeper = _ => ())
+    assert(r2.toOption.get.rowsExtracted == 1,
+      "the `>=` resume predicate re-admits exactly the watermark row")
+  }
+
+  test("watermark never regresses across runs (monotonicity)") {
+    val (meta, root) = freshMeta(7)
+    val times = Seq("2024-01-08 00:00:00", "2024-01-16 00:00:00", "2024-01-16 00:00:00",
+      "2024-02-01 00:00:00").map(utcTs)
+    var prev = IncrementalExtract.Epoch
+    times.foreach { t =>
+      EtlJob.run(spark, meta, events, "ts", s"$root/dest", EtlJobMessage(7), t, sleeper = _ => ())
+      val wm = meta.lastSuccessWatermark(7, "proj_7").get
+      assert(!wm.before(prev), s"watermark went backwards: $prev -> $wm")
+      prev = wm
+    }
+  }
+
+  test("all attempts failing writes FAILED and returns the error channel") {
+    val (meta, root) = freshMeta(7)
+    var calls = 0
+    val boom: DataFrame => DataFrame = { _ => calls += 1; throw new RuntimeException("load blew up") }
+    val res = EtlJob.run(spark, meta, events, "ts", s"$root/dest", EtlJobMessage(7),
+      utcTs("2024-01-15 00:00:00"), transform = boom, maxRetries = 3, sleeper = _ => ())
+    assert(res.isLeft)
+    assert(calls == 3, "job-level retry must attempt exactly maxRetries times")
+    val statuses = meta.statusLog.orderBy("seq").select("status")
+      .collect().map(_.getString(0)).toSeq
+    assert(statuses.count(_ == EtlStatus.InProgress) == 3)
+    assert(statuses.last == EtlStatus.Failed)
+    // N4 fix: FAILED carries the last computed watermark, never crashes
+    assert(meta.statusLog.where(col("status") === EtlStatus.Failed).count() == 1)
+  }
+
+  test("transient failure recovers on retry (attempts counted)") {
+    val (meta, root) = freshMeta(7)
+    var calls = 0
+    val flaky: DataFrame => DataFrame = { df =>
+      calls += 1
+      if (calls == 1) throw new RuntimeException("transient")
+      df
+    }
+    val res = EtlJob.run(spark, meta, events, "ts", s"$root/dest", EtlJobMessage(7),
+      utcTs("2024-01-15 00:00:00"), transform = flaky, sleeper = _ => ())
+    assert(res.toOption.get.attempts == 2)
+    assert(meta.lastSuccessWatermark(7, "proj_7").isDefined)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.MessageFrontEnd
+
+/** U2/S11: the reference's HTTP error taxonomy (main.py:15-52), row by row. */
+class MessageFrontEndSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+  private def classify(raw: String): (Option[Int], Int, Option[String]) = {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import sp.implicits._
+    val row = MessageFrontEnd.decode(Seq(raw).toDF("raw"))
+      .select("org_id", "status_code", "error_class").collect().head
+    (Option(row.get(0)).map(_.asInstanceOf[Int]), row.getInt(1),
+      Option(row.get(2)).map(_.toString))
+  }
+
+  test("valid envelope decodes org_id with 200") {
+    val raw = s"""{"message": {"data": "${b64("""{"org_id": 42}""")}"}}"""
+    assert(classify(raw) == ((Some(42), 200, None)))
+  }
+
+  test("pydantic parity: numeric-string org_id coerces") {
+    val raw = s"""{"message": {"data": "${b64("""{"org_id": "42"}""")}"}}"""
+    assert(classify(raw) == ((Some(42), 200, None)))
+  }
+
+  test("unparseable envelope is the 500 path") {
+    assert(classify("definitely not json") == ((None, 500, Some("ENVELOPE_PARSE"))))
+  }
+
+  test("missing message field → 400") {
+    assert(classify("""{"nope": 1}""") == ((None, 400, Some("MISSING_MESSAGE"))))
+  }
+
+  test("missing data field → 400") {
+    assert(classify("""{"message": {"messageId": "x"}}""") ==
+      ((None, 400, Some("MISSING_DATA"))))
+  }
+
+  test("non-JSON payload inside valid base64 → 400 BAD_DATA") {
+    val raw = s"""{"message": {"data": "${b64("plain text")}"}}"""
+    assert(classify(raw) == ((None, 400, Some("BAD_DATA"))))
+  }
+
+  test("payload without org_id → 400 VALIDATION") {
+    val raw = s"""{"message": {"data": "${b64("""{"other": 1}""")}"}}"""
+    assert(classify(raw) == ((None, 400, Some("VALIDATION"))))
+  }
+
+  test("non-coercible org_id → 400 VALIDATION") {
+    val raw = s"""{"message": {"data": "${b64("""{"org_id": "abc"}""")}"}}"""
+    assert(classify(raw) == ((None, 400, Some("VALIDATION"))))
+  }
+}
