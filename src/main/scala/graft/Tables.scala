@@ -19,8 +19,11 @@ object Tables {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
     // default (PARQUET_TYPE_ILLEGAL). Read nanos as long, then rescale to a
     // micros TimestampType column (test data is micro-precision, so the
-    // narrowing is lossless).
+    // narrowing is lossless). NanosTimestampPushdown rewrites watermark
+    // predicates on the derived column back onto the raw long so parquet
+    // row-group skipping still works.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.plans.NanosTimestampPushdown.register(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

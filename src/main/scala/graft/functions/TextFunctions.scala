@@ -35,13 +35,35 @@ object TextFunctions {
       .otherwise(size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)).cast("double"))
 
-  /** MinHash signature of a shingle set: k independent hash slots, slot i =
-    * min over shingles of xxhash64(shingle # i). One column expression —
-    * k×|shingles| hashes, all codegen'd, no shuffle.
+  /** Hash each shingle once — the input to the MinHash permutation family.
+    * Materialize this as its own column so the k permutations below reuse
+    * it instead of re-hashing strings k times.
     */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles, s => xxhash64(concat(s, lit("#"), i.cast("string"))))))
+  def shingleHashes(shingles: Column): Column = transform(shingles, s => xxhash64(s))
+
+  /** MinHash signature from pre-hashed shingles: slot i = min over shingles
+    * of an xorshift permutation keyed by a_i. Shift/xor only — a few cheap
+    * codegen'd ops per element (no string rehash per slot, and no multiply,
+    * which would throw under Spark 4's default ANSI overflow checking).
+    */
+  /** Xorshift permutation of a 64-bit hash, keyed by `a`. Shift/xor only —
+    * cheap, codegen-friendly, and immune to ANSI overflow checks.
+    */
+  def xorshift(h: Column, a: Long): Column = {
+    val x1 = h.bitwiseXOR(lit(a))
+    val x2 = x1.bitwiseXOR(shiftrightunsigned(x1, 12))
+    val x3 = x2.bitwiseXOR(shiftleft(x2, 25))
+    x3.bitwiseXOR(shiftrightunsigned(x3, 27))
+  }
+
+  /** Deterministic permutation keys for the k MinHash slots. */
+  def minhashKeys(k: Int, seed: Long = 42L): IndexedSeq[Long] = {
+    val rnd = new scala.util.Random(seed)
+    IndexedSeq.fill(k)(rnd.nextLong())
+  }
+
+  def minhashSignature(hashes: Column, k: Int, seed: Long = 42L): Column =
+    array(minhashKeys(k, seed).map(a => array_min(transform(hashes, h => xorshift(h, a)))): _*)
 
   /** LSH band hashes of a minhash signature: `bands` buckets of `rowsPerBand`
     * consecutive slots, each band summarized by one 64-bit hash. Two docs
@@ -56,19 +78,20 @@ object TextFunctions {
     * signed long). Per token, xxhash64 supplies the bit pattern; each bit
     * position accumulates +1/−1 and the sign becomes the output bit.
     */
-  def simhash60(toks: Column): Column = {
-    // shiftright/shiftleft by a *column* amount only exist as SQL functions.
-    def shr(v: Column, n: Column) = call_function("shiftright", v, n)
-    def shl(v: Column, n: Column) = call_function("shiftleft", v, n)
-    val counts = aggregate(
-      toks,
-      array_repeat(lit(0L), 60),
-      (acc, w) => zip_with(acc, sequence(lit(0), lit(59)),
-        (c, i) => c + when(shr(xxhash64(w), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(counts, sequence(lit(0), lit(59)),
-        (c, i) => when(c >= 0, shl(lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (s, x) => s + x)
+  def simhash60(toks: Column): Column =
+    simhash60FromHashes(transform(toks, w => xxhash64(w)))
+
+  /** SimHash from pre-hashed tokens: 60 flat bit-count aggregates (one
+    * multiply-free pass per bit, no per-token array allocation), sign of
+    * each count becomes the output bit.
+    */
+  def simhash60FromHashes(hashes: Column): Column = {
+    val bits = (0 until 60).map { i =>
+      val count = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(count >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
   }
 
   /** Hamming distance between two simhash longs. */
@@ -85,5 +108,21 @@ object TextFunctions {
     val mask = (1L << width) - 1
     transform(sequence(lit(0), lit(blocks - 1)),
       b => call_function("shiftright", sim, b * width).bitwiseAND(mask))
+  }
+
+  /** Block-PAIR probe keys: one key per unordered block pair (i<j), each the
+    * concatenation of the two block values. h bit errors dirty at most h
+    * blocks, so two hashes within hamming ≤ blocks−2 share at least one
+    * clean pair → equality join on (pair_idx, key) finds them. Doubling the
+    * key width (vs single blocks) makes buckets ~2^width times sparser —
+    * the difference between O(n²/64) and O(n²/4096) candidate pairs.
+    */
+  def simhashPairBlockKeys(sim: Column, blocks: Int): Column = {
+    val width = 60 / blocks
+    val mask = (1L << width) - 1
+    def block(b: Int): Column = shiftright(sim, b * width).bitwiseAND(mask)
+    val keys = for (i <- 0 until blocks; j <- i + 1 until blocks)
+      yield shiftleft(block(i), width).bitwiseOR(block(j))
+    array(keys: _*)
   }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that make these operators survive a
+  * 100× scale-up, asserted so a regression fails CI, not a cluster.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def physical(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("watermark predicates on the rescaled nanos column push down to parquet") {
+    val q = Tables.load(spark, Sf0001, "events")
+      .where(col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+        col("ts") < to_timestamp(lit("2024-01-20 00:00:00")))
+    val plan = physical(q)
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      s"NanosTimestampPushdown must restore scan-level pushdown\n$plan")
+    assert(plan.contains("LessThan(ts,"), plan)
+    // and the rewrite must not change results vs the un-rewritten predicate
+    val expected = Tables.load(spark, Sf0001, "events")
+      .collect().count { r =>
+        val t = r.getAs[java.sql.Timestamp]("ts")
+        !t.before(utcTs("2024-01-10 00:00:00")) && t.before(utcTs("2024-01-20 00:00:00"))
+      }
+    assert(q.count() == expected)
+  }
+
+  test("config lookup join broadcasts the dim side (no fact shuffle)") {
+    val plan = physical(ops.RelationalOps.queries("j1_config_lookup_join")(spark, Sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"dim join must not sort-merge\n$plan")
+  }
+
+  test("pricing summary aggregates partially before the shuffle") {
+    val plan = physical(ops.RelationalOps.queries("q1_pricing_summary")(spark, Sf0001))
+    assert(plan.contains("partial_sum"),
+      s"map-side partial aggregation expected before the exchange\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("column-list projection prunes the parquet read schema") {
+    val q = Tables.load(spark, Sf0001, "customer").select("c_custkey", "c_name")
+    val plan = physical(q)
+    assert(plan.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"),
+      s"scan must read only projected columns\n$plan")
+  }
+
+  test("top-1 sort-limit plans as TakeOrderedAndProject, not a full sort") {
+    val plan = physical(ops.RelationalOps.queries("o1_orderby_desc_limit1")(spark, Sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("minhash LSH candidate join is a hash-bucket equality join, not cartesian") {
+    val plan = physical(ops.DedupOps.queries("dedup_minhash_lsh")(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"),
+      s"bucketed dedup must never plan a cartesian product\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      s"candidate generation must be an equality join\n$plan")
+  }
+}

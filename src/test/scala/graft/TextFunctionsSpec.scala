@@ -61,7 +61,8 @@ class TextFunctionsSpec extends AnyFunSuite {
     val df = Seq(
       (Seq("a b c", "b c d", "c d e"), Seq("a b c", "b c d", "c d e", "a b c")))
       .toDF("x", "y")
-      .select(minhashSignature(col("x"), 16).as("sx"), minhashSignature(col("y"), 16).as("sy"))
+      .select(minhashSignature(shingleHashes(col("x")), 16).as("sx"),
+        minhashSignature(shingleHashes(col("y")), 16).as("sy"))
     val r = df.collect().head
     assert(r.getSeq[Long](0).toList.size == 16)
     assert(r.getSeq[Long](0).toList == r.getSeq[Long](1).toList,
