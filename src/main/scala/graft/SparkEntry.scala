@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.RelationalOps.queries ++ ops.EtlOps.queries ++ ops.MessageOps.queries ++
       ops.DedupOps.queries ++ ops.SimilarityOps.queries ++ ops.TextAnalysisOps.queries ++
-      ops.MultimodalOps.queries ++ ops.StreamingOps.queries
+      ops.MultimodalOps.queries ++ ops.StreamingOps.queries ++ ops.CoverageOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -28,5 +28,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.RelationalOps.oracleSql ++ ops.EtlOps.oracleSql ++ ops.MessageOps.oracleSql ++
       ops.DedupOps.oracleSql ++ ops.SimilarityOps.oracleSql ++ ops.TextAnalysisOps.oracleSql ++
-      ops.MultimodalOps.oracleSql ++ ops.StreamingOps.oracleSql
+      ops.MultimodalOps.oracleSql ++ ops.StreamingOps.oracleSql ++ ops.CoverageOps.oracleSql
 }

@@ -30,6 +30,18 @@ import graft.model.{EngineError, EtlJobMessage, EtlStatus}
   */
 object EtlJob {
 
+  /** Duplicate-handling mode (SURVEY N1):
+    *  - Parity — the reference's exact behavior: resume predicate is
+    *    `>= watermark` and the sink is append-only, so the boundary row
+    *    duplicates on every consecutive run.
+    *  - Exact — idempotent: strict `>` resume (boundary rows were already
+    *    loaded — they ARE the watermark) plus dynamic partition overwrite,
+    *    so both the steady state and crash-replay produce no duplicates.
+    */
+  sealed trait Mode
+  case object Parity extends Mode
+  case object Exact extends Mode
+
   final case class RunReport(
       orgId: Int,
       projectId: String,
@@ -60,7 +72,9 @@ object EtlJob {
       transform: DataFrame => DataFrame = identity,
       maxRetries: Int = 3,
       sleeper: Long => Unit = Thread.sleep,
-      rng: Random = new Random()): Either[EngineError, RunReport] = {
+      rng: Random = new Random(),
+      mode: Mode = Parity,
+      onAlert: String => Unit = _ => ()): Either[EngineError, RunReport] = {
 
     // J1 — config lookup; missing config is the error channel
     // (reference: billing_etl_db.py:82-84).
@@ -81,7 +95,13 @@ object EtlJob {
     var attempt = 0
     while (attempt < maxRetries) {
       try {
-        val extracted = IncrementalExtract.extract(source, watermarkCol, start, jobTime)
+        val extracted = mode match {
+          case Parity => IncrementalExtract.extract(source, watermarkCol, start, jobTime)
+          case Exact if start == IncrementalExtract.Epoch =>
+            source.where(col(watermarkCol) < lit(jobTime))
+          case Exact =>
+            source.where(col(watermarkCol) > lit(start) && col(watermarkCol) < lit(jobTime))
+        }
         val stats = IncrementalExtract.batchStats(extracted, watermarkCol)
         val endDateTime = IncrementalExtract.newWatermark(stats, jobTime)
         lastWatermark = Some(endDateTime)
@@ -93,14 +113,20 @@ object EtlJob {
 
         val transformed = transform(extracted)
 
-        // S7 — append to the destination, partitioned by event date so the
+        // S7 — write the destination, partitioned by event date so the
         // 100 TB layout prunes on time (SURVEY §4 physical-layout decision).
-        if (stats.rows > 0)
-          transformed
-            .withColumn("export_date", to_date(col(watermarkCol)))
-            .write.mode(SaveMode.Append)
-            .partitionBy("export_date")
-            .parquet(destDir)
+        // Exact mode overwrites only the touched date partitions, making
+        // crash-replay idempotent.
+        if (stats.rows > 0) {
+          val out = transformed.withColumn("export_date", to_date(col(watermarkCol)))
+          mode match {
+            case Parity =>
+              out.write.mode(SaveMode.Append).partitionBy("export_date").parquet(destDir)
+            case Exact =>
+              spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+              out.write.mode(SaveMode.Overwrite).partitionBy("export_date").parquet(destDir)
+          }
+        }
 
         meta.appendStatus(meta.nextStatusSeq,
           EtlStatus(message.org_id, projectId, EtlStatus.Success, Some(endDateTime)))
@@ -123,8 +149,12 @@ object EtlJob {
     // we write a null watermark instead.
     meta.appendStatus(meta.nextStatusSeq,
       EtlStatus(message.org_id, projectId, EtlStatus.Failed, lastWatermark))
-    Left(EngineError.ExtractionFailed(
-      s"all $maxRetries attempts failed: ${Option(lastError).map(_.getMessage).getOrElse("?")}"))
+    // U3 — alert hook (documented but unimplemented in the reference,
+    // README.md:296-306); fired on terminal failure.
+    val detail = s"all $maxRetries attempts failed: " +
+      Option(lastError).map(_.getMessage).getOrElse("?")
+    onAlert(s"ETL FAILED org_id=${message.org_id} project=$projectId: $detail")
+    Left(EngineError.ExtractionFailed(detail))
   }
 
   /** Read the destination back without the layout column. */

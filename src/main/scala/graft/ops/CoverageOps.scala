@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.etl.CatalogOps
+
+/** The SURVEY §2 rows not already exercised by a dedicated pipeline query:
+  * star projection (P1), conjunctive equality (F2), bytes→string (C2),
+  * UUID-format rendering (C11), catalog listings (S5), existence probes
+  * (S6). Small by design — each is one declarative query with a DuckDB
+  * oracle, so the §2 inventory is checkable line by line.
+  */
+object CoverageOps {
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val DuckTsFmt = "%Y-%m-%d %H:%M:%S.%f"
+
+  /** P1 — star projection over the full event schema. */
+  private def p1(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), date_format(col("ts"), TsFmt).as("ts_iso"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy(col("event_id"))
+
+  /** F2 — conjunctive equality predicate (reference: billing_etl_db.py:48). */
+  private def f2(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .where(col("user_id") === 7 && col("event_type") === "purchase")
+      .select(col("event_id"), date_format(col("ts"), TsFmt).as("ts_iso"))
+      .orderBy(col("event_id"))
+
+  /** C2 — bytes → UTF-8 string round-trip (reference: main.py:30). */
+  private def c2(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_id"),
+        encode(col("props"), "UTF-8").cast("string").as("decoded"))
+      .orderBy(col("event_id"))
+
+  /** C11 — UUID-format string rendering (reference: return_type.py:11-12);
+    * deterministic UUID-shaped ids derived from content hashes.
+    */
+  private def c11(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("h", md5(col("text")))
+      .select(col("doc_id"),
+        concat_ws("-",
+          substring(col("h"), 1, 8), substring(col("h"), 9, 4),
+          substring(col("h"), 13, 4), substring(col("h"), 17, 4),
+          substring(col("h"), 21, 12)).as("uuid"))
+      .orderBy(col("doc_id"))
+
+  /** S5 — catalog listings (reference: client.py:33-40): create two
+    * namespaces, list them back through the catalog API, clean up.
+    */
+  private def s5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = Seq("graft_cat_a", "graft_cat_b")
+    try {
+      names.foreach(n => CatalogOps.createNamespace(s, n))
+      s.catalog.listDatabases().collect()
+        .map(_.name).filter(_.startsWith("graft_cat_")).sorted.toSeq
+        .toDF("namespace")
+    } finally names.foreach(n => CatalogOps.dropNamespaceCascade(s, n))
+  }
+
+  /** S6 — existence probes around create/drop
+    * (reference: dataset_utils.py:236-247, billing_etl.py:225-248).
+    */
+  private def s6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ns = "graft_probe_ns"
+    val tbl = "probe_table"
+    CatalogOps.dropNamespaceCascade(s, ns)
+    val before = s.catalog.databaseExists(ns)
+    CatalogOps.createNamespace(s, ns)
+    val afterCreateNs = s.catalog.databaseExists(ns)
+    val tblBefore = CatalogOps.tableExists(s, ns, tbl)
+    CatalogOps.createBillingTable(s, ns, tbl)
+    val tblAfter = CatalogOps.tableExists(s, ns, tbl)
+    CatalogOps.dropNamespaceCascade(s, ns)
+    val afterDrop = s.catalog.databaseExists(ns)
+    Seq(
+      ("ns_before_create", before),
+      ("ns_after_create", afterCreateNs),
+      ("table_before_create", tblBefore),
+      ("table_after_create", tblAfter),
+      ("ns_after_drop_cascade", afterDrop))
+      .toDF("probe", "exists")
+      .orderBy("probe")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_star_projection" -> (p1 _),
+    "f2_conjunctive_equality" -> (f2 _),
+    "c2_bytes_to_string" -> (c2 _),
+    "c11_uuid_format" -> (c11 _),
+    "s5_catalog_listings" -> (s5 _),
+    "s6_existence_probes" -> (s6 _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "p1_star_projection" ->
+      s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, event_type, value, props
+         |FROM events ORDER BY event_id""".stripMargin,
+    "f2_conjunctive_equality" ->
+      s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso FROM events
+         |WHERE user_id = 7 AND event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "c2_bytes_to_string" ->
+      "SELECT event_id, props AS decoded FROM events ORDER BY event_id",
+    "c11_uuid_format" ->
+      """SELECT doc_id,
+        |  substr(md5(text), 1, 8) || '-' || substr(md5(text), 9, 4) || '-' ||
+        |  substr(md5(text), 13, 4) || '-' || substr(md5(text), 17, 4) || '-' ||
+        |  substr(md5(text), 21, 12) AS uuid
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "s5_catalog_listings" ->
+      "SELECT * FROM (VALUES ('graft_cat_a'), ('graft_cat_b')) AS t(namespace) ORDER BY 1",
+    "s6_existence_probes" ->
+      """SELECT * FROM (VALUES
+        |  ('ns_after_create', true),
+        |  ('ns_after_drop_cascade', false),
+        |  ('ns_before_create', false),
+        |  ('table_after_create', true),
+        |  ('table_before_create', false)
+        |) AS t(probe, "exists") ORDER BY probe""".stripMargin
+  )
+}

@@ -111,11 +111,94 @@ object EtlOps {
     spark.createDataFrame(spark.sparkContext.parallelize(materialized.toSeq), out.schema)
   }
 
+  /** Exact (idempotent) mode: same two-run schedule, strict-`>` resume +
+    * dynamic partition overwrite ⇒ destination equals the source window
+    * with NO boundary duplicate (SURVEY N1's "fix via range-overwrite").
+    */
+  private def etlRunDestExact(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val tmp = Files.createTempDirectory("graft_etl_").toString
+    val meta = new MetaStore(s"$tmp/meta")
+    meta.putConfigs(Seq(ClientBillingConfig(7, "proj_7", "client_ds", "client_tbl", None, None, None)))
+    val dest = s"$tmp/dest"
+    val src = Tables.load(spark, dir, "events")
+    val msg = EtlJobMessage(7)
+    val r1 = EtlJob.run(spark, meta, src, "ts", dest, msg, utcTs(Mid),
+      sleeper = _ => (), mode = EtlJob.Exact)
+    val r2 = EtlJob.run(spark, meta, src, "ts", dest, msg, utcTs(End),
+      sleeper = _ => (), mode = EtlJob.Exact)
+    require(r1.isRight && r2.isRight, s"exact etl runs failed: $r1 / $r2")
+    EtlJob.readDestination(spark, dest)
+      .select(col("event_id"), fmt(col("ts")).as("ts_iso"))
+      .orderBy(col("event_id"))
+  }
+
+  /** W4 parity: a row landing with event time below the persisted watermark
+    * after run1 is silently lost forever (the reference's late-data rule).
+    */
+  private def etlLateDataParity(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_etl_").toString
+    val meta = new MetaStore(s"$tmp/meta")
+    meta.putConfigs(Seq(ClientBillingConfig(7, "proj_7", "ds", "t", None, None, None)))
+    val dest = s"$tmp/dest"
+    val src = Tables.load(spark, dir, "events")
+    EtlJob.run(spark, meta, src, "ts", dest, EtlJobMessage(7), utcTs(Mid), sleeper = _ => ())
+    // the "late" arrival: event-time far inside run1's already-committed window
+    val late = Seq((-999L, utcTs("2024-01-02 00:00:00"), -1L, "late", 0.0, null: String))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    EtlJob.run(spark, meta, src.unionByName(late), "ts", dest,
+      EtlJobMessage(7), utcTs(End), sleeper = _ => ())
+    val dst = EtlJob.readDestination(spark, dest)
+    dst.agg(
+      sum(when(col("event_id") === -999L, 1L).otherwise(0L)).as("late_rows_loaded"),
+      count(lit(1)).as("total_rows"))
+  }
+
+  /** U1 — the transform hook applied inside the run (reference:
+    * billing_etl.py:301-303; README's per-record custom rules).
+    */
+  private def etlTransformHook(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val tmp = Files.createTempDirectory("graft_etl_").toString
+    val meta = new MetaStore(s"$tmp/meta")
+    meta.putConfigs(Seq(ClientBillingConfig(7, "proj_7", "ds", "t", None, None, None)))
+    val dest = s"$tmp/dest"
+    val r = EtlJob.run(spark, meta, Tables.load(spark, dir, "events"), "ts", dest,
+      EtlJobMessage(7), utcTs(Mid), sleeper = _ => (),
+      transform = df => df.withColumn("etl_tag", upper(col("event_type"))))
+    require(r.isRight, s"run failed: $r")
+    EtlJob.readDestination(spark, dest)
+      .select(col("event_id"), col("etl_tag"))
+      .orderBy(col("event_id"))
+  }
+
+  /** U3 — the alert hook fires on terminal failure with the org context. */
+  private def etlAlertHook(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_etl_").toString
+    val meta = new MetaStore(s"$tmp/meta")
+    meta.putConfigs(Seq(ClientBillingConfig(7, "proj_7", "ds", "t", None, None, None)))
+    var alert: Option[String] = None
+    EtlJob.run(spark, meta, Tables.load(spark, dir, "events"), "ts", s"$tmp/dest",
+      EtlJobMessage(7), utcTs(Mid), sleeper = _ => (), maxRetries = 2,
+      transform = _ => throw new RuntimeException("simulated load failure"),
+      onAlert = m => alert = Some(m))
+    Seq((alert.isDefined, alert.exists(_.contains("org_id=7"))))
+      .toDF("alert_fired", "alert_names_org")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_run_dest" -> (etlRunDest _),
+    "etl_run_dest_exact" -> (etlRunDestExact _),
     "etl_run_status" -> (etlRunStatus _),
     "etl_missing_config" -> (etlMissingConfig _),
-    "etl_provision_saga" -> (etlProvisionSaga _)
+    "etl_provision_saga" -> (etlProvisionSaga _),
+    "w4_late_data_parity" -> (etlLateDataParity _),
+    "u1_transform_hook" -> (etlTransformHook _),
+    "u3_alert_hook" -> (etlAlertHook _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -138,6 +221,17 @@ object EtlOps {
          |FROM (VALUES (1, 'IN_PROGRESS'), (2, 'SUCCESS'),
          |             (3, 'IN_PROGRESS'), (4, 'SUCCESS')) AS t(seq, status)
          |ORDER BY seq""".stripMargin,
+    "etl_run_dest_exact" ->
+      s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso
+         |FROM events WHERE ts < TIMESTAMP '$End' ORDER BY event_id""".stripMargin,
+    "w4_late_data_parity" ->
+      s"""SELECT CAST(0 AS BIGINT) AS late_rows_loaded,
+         |  (SELECT count(*) + 1 FROM events WHERE ts < TIMESTAMP '$End') AS total_rows""".stripMargin,
+    "u1_transform_hook" ->
+      s"""SELECT event_id, upper(event_type) AS etl_tag
+         |FROM events WHERE ts < TIMESTAMP '$Mid' ORDER BY event_id""".stripMargin,
+    "u3_alert_hook" ->
+      "SELECT CAST(true AS BOOLEAN) AS alert_fired, CAST(true AS BOOLEAN) AS alert_names_org",
     "etl_missing_config" ->
       "SELECT 'MISSING_CONFIG' AS error, CAST(999999 AS INTEGER) AS org_id",
     "etl_provision_saga" ->

@@ -95,6 +95,25 @@ class EtlJobSpec extends AnyFunSuite {
     }
   }
 
+  test("exact mode: no boundary duplicate, and re-running a window is idempotent") {
+    val (meta, root) = freshMeta(7)
+    val mid = utcTs("2024-01-15 00:00:00")
+    val end = utcTs("2024-01-20 00:00:00")
+    EtlJob.run(spark, meta, events, "ts", s"$root/dest", EtlJobMessage(7), mid,
+      sleeper = _ => (), mode = EtlJob.Exact)
+    EtlJob.run(spark, meta, events, "ts", s"$root/dest", EtlJobMessage(7), end,
+      sleeper = _ => (), mode = EtlJob.Exact)
+    val expected = events.where(col("ts") < lit(end)).count()
+    assert(EtlJob.readDestination(spark, s"$root/dest").count() == expected,
+      "strict-> resume must not replay the watermark row")
+    // crash-replay: rerunning the second window verbatim must overwrite its
+    // date partitions, not append to them
+    EtlJob.run(spark, meta, events, "ts", s"$root/dest", EtlJobMessage(7), end,
+      sleeper = _ => (), mode = EtlJob.Exact)
+    assert(EtlJob.readDestination(spark, s"$root/dest").count() == expected,
+      "dynamic partition overwrite makes replay idempotent")
+  }
+
   test("all attempts failing writes FAILED and returns the error channel") {
     val (meta, root) = freshMeta(7)
     var calls = 0
