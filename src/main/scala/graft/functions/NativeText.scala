@@ -1,0 +1,126 @@
+package graft.functions
+
+import java.util.Locale
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native (codegen'd) text hashing for the dedup hot path.
+  *
+  * The composable formulation — `array_distinct(transform(sequence(...),
+  * i -> concat_ws(...)))` then `transform(..., xxhash64)` — is correct but
+  * pays Spark's interpreted-lambda tax on every element AND materializes a
+  * trigram *string* per position just to hash it. These expressions do
+  * tokenize → hash → position-tagged shingle mix in one compiled pass with
+  * zero intermediate strings: text in, long array out. `doGenCode` emits a
+  * direct static call, so the whole stage stays in generated code.
+  *
+  * Token semantics match [[TextFunctions.tokens]] exactly (lowercase,
+  * split `\s+`, drop empties); shingle-set cardinalities match
+  * [[TextFunctions.trigrams]] (words contain no spaces, so string trigrams
+  * and token triples are in bijection) — which is what keeps the DuckDB
+  * oracles valid modulo 64-bit hash collisions.
+  */
+object NativeText {
+
+  private final val Seed = 42L
+
+  private def hashWord(w: String): Long = {
+    val u = UTF8String.fromString(w)
+    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, Seed)
+  }
+
+  private def tokenHashArray(s: UTF8String): Array[Long] = {
+    val words = s.toString.toLowerCase(Locale.ROOT).split("\\s+")
+    var n = 0
+    var i = 0
+    while (i < words.length) { if (words(i).nonEmpty) n += 1; i += 1 }
+    val out = new Array[Long](n)
+    var j = 0
+    i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) { out(j) = hashWord(words(i)); j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  /** Lowercased-token xxhash64s, in document order (bag semantics). */
+  def tokenHashes(s: UTF8String): ArrayData =
+    new GenericArrayData(tokenHashArray(s))
+
+  /** Distinct position-mixed trigram hashes (sorted; set semantics). */
+  def shingleHashes(s: UTF8String): ArrayData = {
+    val th = tokenHashArray(s)
+    if (th.length < 3) return new GenericArrayData(Array.empty[Long])
+    val mixed = new Array[Long](th.length - 2)
+    var i = 0
+    while (i < th.length - 2) {
+      // chained xxhash rounds: non-linear in each slot (a GF(2)-linear mix
+      // like xor-shift collides on small vocabularies where a^c == d^e)
+      mixed(i) = XXH64.hashLong(th(i + 2),
+        XXH64.hashLong(th(i + 1), XXH64.hashLong(th(i), Seed)))
+      i += 1
+    }
+    java.util.Arrays.sort(mixed)
+    var uniq = 1
+    i = 1
+    while (i < mixed.length) { if (mixed(i) != mixed(i - 1)) uniq += 1; i += 1 }
+    val out = new Array[Long](uniq)
+    out(0) = mixed(0)
+    var j = 1
+    i = 1
+    while (i < mixed.length) {
+      if (mixed(i) != mixed(i - 1)) { out(j) = mixed(i); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Idempotently register both expressions as SQL functions on a session
+    * (`graft_token_hashes(text)`, `graft_shingle_hashes(text)`), usable from
+    * `expr(...)` on any caller-provided SparkSession.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_token_hashes",
+      exprs => TokenHashesExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      exprs => ShingleHashesExpr(exprs.head), "built-in")
+  }
+}
+
+abstract class NativeTextExpr extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  protected def methodName: String
+  override protected def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  protected def compute(s: UTF8String): ArrayData
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeText$$.MODULE$$.$methodName($c)")
+}
+
+case class TokenHashesExpr(child: Expression) extends NativeTextExpr {
+  override protected def methodName: String = "tokenHashes"
+  override protected def compute(s: UTF8String): ArrayData = NativeText.tokenHashes(s)
+  override def prettyName: String = "graft_token_hashes"
+  override protected def withNewChildInternal(newChild: Expression): TokenHashesExpr =
+    copy(child = newChild)
+}
+
+case class ShingleHashesExpr(child: Expression) extends NativeTextExpr {
+  override protected def methodName: String = "shingleHashes"
+  override protected def compute(s: UTF8String): ArrayData = NativeText.shingleHashes(s)
+  override def prettyName: String = "graft_shingle_hashes"
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}

@@ -55,12 +55,13 @@ object DedupOps {
       .select(col("keep_doc_id"), col("n_copies"))
       .orderBy(col("keep_doc_id"))
 
-  /** Shared doc → distinct-trigram-set projection (plus the once-computed
-    * shingle hashes that the MinHash permutation family reuses).
+  /** Shared doc → distinct-shingle-hash projection, via the native codegen
+    * expression (one compiled tokenize→hash→mix pass, no trigram strings).
     */
-  private def shingled(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), trigrams(tokens(col("text"))).as("shingles"))
-      .withColumn("sh_hashes", shingleHashes(col("shingles")))
+  private def shingled(docs: DataFrame): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("graft_shingle_hashes(text)").as("sh_hashes"))
+  }
 
   /** Exact n-gram Jaccard, brute-force on a deterministic 1/4 sample — the
     * ground-truth verifier (and the oracle shape for the LSH paths). Kept
@@ -126,8 +127,9 @@ object DedupOps {
     * conditional sums, one row per document out of the shuffle).
     */
   private def simhashes(docs: DataFrame): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
     val exploded = docs.select(col("doc_id"),
-      explode(transform(tokens(col("text")), w => xxhash64(w))).as("h"))
+      explode(expr("graft_token_hashes(text)")).as("h"))
     val bitAggs = (0 until 60).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i"))
     exploded.groupBy(col("doc_id"))
