@@ -74,7 +74,10 @@ object EtlJob {
       sleeper: Long => Unit = Thread.sleep,
       rng: Random = new Random(),
       mode: Mode = Parity,
-      onAlert: String => Unit = _ => ()): Either[EngineError, RunReport] = {
+      onAlert: String => Unit = _ => (),
+      // test seam for W5: invoked after the load, before the SUCCESS commit —
+      // throwing here simulates a crash in the load-then-commit gap
+      onBeforeCommit: () => Unit = () => ()): Either[EngineError, RunReport] = {
 
     // J1 — config lookup; missing config is the error channel
     // (reference: billing_etl_db.py:82-84).
@@ -127,6 +130,8 @@ object EtlJob {
               out.write.mode(SaveMode.Overwrite).partitionBy("export_date").parquet(destDir)
           }
         }
+
+        onBeforeCommit()
 
         meta.appendStatus(meta.nextStatusSeq,
           EtlStatus(message.org_id, projectId, EtlStatus.Success, Some(endDateTime)))
