@@ -104,10 +104,49 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** The IVF (inverted-file) ANN path: a fixed set of coarse centroids
+    * partitions the corpus into posting lists; each query probes only its
+    * `nprobe` nearest lists. Per-query work is O(corpus/nlists × nprobe):
+    * at 100 TB the posting lists are the partition key and a query touches
+    * 2 of 16+ partitions instead of all of them. Centroids here are a
+    * deterministic corpus sample (vec_id ≤ 15 — present at every sf);
+    * a production build would k-means them, which only changes centroid
+    * quality, not the plan shape.
+    */
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val nprobe = 2
+    val e = embeddings(s, dir)
+    val cent = e.where(col("vec_id") <= 15)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))
+    // assignment: every vector → nearest centroid (one broadcast pass)
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("ac").desc, col("c_id"))
+    val assign = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        cosine(col("embedding"), col("c_e")).as("ac"))
+      .withColumn("rn", row_number().over(aw)).where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id"))
+    // queries probe their nprobe nearest posting lists
+    val qw = Window.partitionBy(col("q_id")).orderBy(col("qc").desc, col("c_id"))
+    val probes = querySet(e).crossJoin(broadcast(cent))
+      .select(col("q_id"), col("q_e"), col("c_id"), cosine(col("q_e"), col("c_e")).as("qc"))
+      .withColumn("rn", row_number().over(qw)).where(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_e"), col("c_id"))
+    val candidates = assign.join(broadcast(probes), Seq("c_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_e"), col("embedding")), 6).as("c"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+    candidates.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= TopK)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_neardup_cosine" -> (embedNeardup _),
     "ann_bruteforce_topk" -> (annBruteforce _),
-    "ann_lsh_topk" -> (annLsh _)
+    "ann_lsh_topk" -> (annLsh _),
+    "ann_ivf_topk" -> (annIvf _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -131,7 +170,8 @@ object SimilarityOps {
         |      ORDER BY round(list_cosine_similarity(q_e, e.embedding), 6) DESC, e.vec_id) rn
         |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q_id)
         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
-    // ann_lsh_topk: hash-dependent candidate set → rows-only check; recall
-    // vs ann_bruteforce_topk is asserted in SimilaritySpec.
+    // ann_lsh_topk / ann_ivf_topk: bucket-dependent candidate sets →
+    // rows-only checks; recall vs ann_bruteforce_topk asserted in
+    // SimilaritySpec.
   )
 }

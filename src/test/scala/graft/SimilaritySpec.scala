@@ -29,6 +29,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e > 10, "sanity: corpus bigger than k")
   }
 
+  test("IVF top-k recalls a usable fraction and respects the k bound") {
+    val exact = ops.SimilarityOps.queries("ann_bruteforce_topk")(spark, Sf0001)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = ops.SimilarityOps.queries("ann_ivf_topk")(spark, Sf0001)
+    val pairs = ivf.select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pairs).size.toDouble / exact.size
+    assert(recall >= 0.1, s"nprobe=2 of 16 lists should recall some true neighbors, got $recall")
+    assert(ivf.groupBy("q_id").count().collect().forall(_.getLong(1) <= 10))
+  }
+
   test("embedding near-dup catches every injected scaled duplicate") {
     val pairs = ops.SimilarityOps.queries("embed_neardup_cosine")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
