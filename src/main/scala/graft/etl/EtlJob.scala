@@ -126,8 +126,36 @@ object EtlJob {
             case Parity =>
               out.write.mode(SaveMode.Append).partitionBy("export_date").parquet(destDir)
             case Exact =>
+              // The window may start mid-partition (a run boundary is rarely
+              // date-aligned), and dynamic overwrite replaces WHOLE
+              // partitions — so rows of the boundary partition loaded by
+              // earlier runs (ts <= start) must be carried into the rewrite
+              // or they would be lost. They are staged through a temp path
+              // because Spark cannot overwrite a path it is lazily reading.
+              val boundary = java.nio.file.Files.exists(java.nio.file.Paths.get(destDir)) && {
+                val existing = spark.read.parquet(destDir)
+                  .where(col("export_date") >= to_date(lit(start)) &&
+                    col(watermarkCol) <= lit(start))
+                !existing.isEmpty
+              }
+              val carried = if (boundary) {
+                val stage = java.nio.file.Files
+                  .createTempDirectory("graft_exact_boundary_").toString
+                spark.read.parquet(destDir)
+                  .where(col("export_date") >= to_date(lit(start)) &&
+                    col(watermarkCol) <= lit(start))
+                  .write.mode(SaveMode.Overwrite).parquet(stage)
+                Some(spark.read.parquet(stage))
+              } else None
+              val full = carried.fold(out)(c => out.unionByName(c))
+              val prevMode = spark.conf
+                .getOption("spark.sql.sources.partitionOverwriteMode")
               spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-              out.write.mode(SaveMode.Overwrite).partitionBy("export_date").parquet(destDir)
+              try full.write.mode(SaveMode.Overwrite).partitionBy("export_date").parquet(destDir)
+              finally prevMode match {
+                case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+                case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+              }
           }
         }
 

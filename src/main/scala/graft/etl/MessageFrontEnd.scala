@@ -56,8 +56,12 @@ object MessageFrontEnd {
     val orgId: Column = expr("try_cast(__mfe_org_raw AS INT)")
 
     // PERMISSIVE from_json yields a struct of nulls (not a null root) on
-    // malformed input, so envelope-JSON validity needs its own probe.
-    val rawValid: Column = get_json_object(col(rawCol), "$").isNotNull
+    // malformed input, so envelope-JSON validity needs its own probe. A
+    // valid-but-non-object body ("123", "[1]") must ALSO be the 500 path:
+    // the reference's `"message" not in envelope` raises TypeError there
+    // (main.py:21), which falls through to the generic 500 handler.
+    val rawValid: Column = get_json_object(col(rawCol), "$").isNotNull &&
+      ltrim(col(rawCol)).startsWith("{")
 
     raw
       .withColumn("__mfe_raw_valid", rawValid)

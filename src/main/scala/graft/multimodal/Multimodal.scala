@@ -69,10 +69,13 @@ object Multimodal {
   def sampleFrames(media: DataFrame, payloadCol: String, frameBytes: Int): DataFrame =
     media.select(col("media_id"),
       posexplode(
-        transform(
-          sequence(lit(0),
-            floor((length(col(payloadCol)) - 1) / frameBytes).cast("int")),
-          i => md5(substring_index_bytes(col(payloadCol), i, frameBytes))))
+        // guard the empty payload: sequence(0, -1) would DESCEND ([0, -1])
+        // and emit two phantom frames
+        when(length(col(payloadCol)) === 0, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0),
+              floor((length(col(payloadCol)) - 1) / frameBytes).cast("int")),
+            i => md5(substring_index_bytes(col(payloadCol), i, frameBytes)))))
         .as(Seq("frame_idx", "frame_md5")))
 
   // substring on binary with 1-based offset; split out for readability

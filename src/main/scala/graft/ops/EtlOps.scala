@@ -225,8 +225,13 @@ object EtlOps {
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso
          |FROM events WHERE ts < TIMESTAMP '$End' ORDER BY event_id""".stripMargin,
     "w4_late_data_parity" ->
+      // boundary replays counted tie-safely: ALL rows at the run-1 watermark
+      // are re-read, not exactly one
       s"""SELECT CAST(0 AS BIGINT) AS late_rows_loaded,
-         |  (SELECT count(*) + 1 FROM events WHERE ts < TIMESTAMP '$End') AS total_rows""".stripMargin,
+         |  (SELECT count(*) FROM events WHERE ts < TIMESTAMP '$End')
+         |  + (SELECT count(*) FROM events
+         |     WHERE ts = (SELECT max(ts) FROM events WHERE ts < TIMESTAMP '$Mid'))
+         |  AS total_rows""".stripMargin,
     "u1_transform_hook" ->
       s"""SELECT event_id, upper(event_type) AS etl_tag
          |FROM events WHERE ts < TIMESTAMP '$Mid' ORDER BY event_id""".stripMargin,

@@ -28,6 +28,8 @@ object MessageOps {
     val probes = Seq(
       // unparseable envelope → the reference's uncaught json.loads → 500
       ("e500_badjson", "this is not json"),
+      // valid scalar JSON → reference's `"message" not in 123` TypeError → 500
+      ("e500_scalar", "123"),
       // {"foo":1} parses but has no message → 400 (main.py:21-22)
       ("e400_nomsg", """{"foo": 1}"""),
       // message without data → 400 (main.py:25-26)
@@ -72,6 +74,7 @@ object MessageOps {
         |  UNION ALL
         |  SELECT * FROM (VALUES
         |    ('e500_badjson',   CAST(NULL AS INTEGER), CAST(500 AS INTEGER), 'ENVELOPE_PARSE'),
+        |    ('e500_scalar',    NULL, 500, 'ENVELOPE_PARSE'),
         |    ('e400_nomsg',     NULL, 400, 'MISSING_MESSAGE'),
         |    ('e400_nodata',    NULL, 400, 'MISSING_DATA'),
         |    ('e400_badb64',    NULL, 400, 'BAD_DATA'),
@@ -87,7 +90,7 @@ object MessageOps {
         |  (400, 'MISSING_DATA',    1),
         |  (400, 'MISSING_MESSAGE', 1),
         |  (400, 'VALIDATION',      2),
-        |  (500, 'ENVELOPE_PARSE',  1)
+        |  (500, 'ENVELOPE_PARSE',  2)
         |) AS t(status_code, error_class, n)
         |ORDER BY status_code, error_class""".stripMargin
   )

@@ -28,6 +28,12 @@ object ScaleOps {
       rightKey: Column,
       saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
+    // right/full-outer would emit one row per salt replica for unmatched
+    // right rows — multiset-wrong. Salting only composes with join types
+    // that never preserve unmatched RIGHT rows.
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(normalized),
+      s"saltedJoin does not support joinType=$joinType (unmatched right rows would replicate)")
     val salted = left.withColumn("__salt",
       pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltFactor)))
     val replicated = right.withColumn("__salt",

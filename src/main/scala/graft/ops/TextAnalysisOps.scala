@@ -52,9 +52,7 @@ object TextAnalysisOps {
         (size(array_distinct(col("w"))).cast("double") /
           greatest(size(col("w")), lit(1)).cast("double")).as("ttr"),
         (stopwordCount(col("w")).cast("double") /
-          greatest(size(col("w")), lit(1)).cast("double")).as("stop_ratio"),
-        (col("n_chars").cast("double") /
-          greatest(size(col("w")), lit(1)).cast("double")).as("chars_per_word"))
+          greatest(size(col("w")), lit(1)).cast("double")).as("stop_ratio"))
       .withColumn("quality",
         round(col("ttr") * 0.5 + col("stop_ratio") * 0.3 +
           when(col("n_words") >= 30, 0.2).otherwise(0.0), 6))
@@ -115,9 +113,8 @@ object TextAnalysisOps {
          |  SELECT doc_id, len(w) AS n_words,
          |    len(list_distinct(w))::DOUBLE / greatest(len(w), 1)::DOUBLE AS ttr,
          |    len(list_filter(w, x -> list_contains($duckStop, x)))::DOUBLE /
-         |      greatest(len(w), 1)::DOUBLE AS stop_ratio,
-         |    n_chars::DOUBLE / greatest(len(w), 1)::DOUBLE AS chars_per_word
-         |  FROM (SELECT doc_id, n_chars, $duckToks w FROM documents))
+         |      greatest(len(w), 1)::DOUBLE AS stop_ratio
+         |  FROM (SELECT doc_id, $duckToks w FROM documents))
          |ORDER BY doc_id""".stripMargin,
     "ta_token_count" ->
       s"""SELECT doc_id, CAST(len($duckToks) AS INTEGER) AS ws_tokens,

@@ -72,6 +72,25 @@ class EtlJobSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$root/dest").exists(), "nothing may be written")
   }
 
+  test("exact mode: mid-partition run boundary preserves earlier same-day rows") {
+    val (meta, root) = freshMeta(7)
+    val noon = utcTs("2024-01-15 12:00:00")
+    val nextDay = utcTs("2024-01-16 00:00:00")
+    EtlJob.run(spark, meta, events, "ts", s"$root/dest", EtlJobMessage(7), noon,
+      sleeper = _ => (), mode = EtlJob.Exact)
+    val morning = events
+      .where(col("ts") >= lit(utcTs("2024-01-15 00:00:00")) && col("ts") < lit(noon)).count()
+    assert(morning > 0, "sanity: the boundary partition must have pre-noon rows")
+    EtlJob.run(spark, meta, events, "ts", s"$root/dest", EtlJobMessage(7), nextDay,
+      sleeper = _ => (), mode = EtlJob.Exact)
+    val dest = EtlJob.readDestination(spark, s"$root/dest")
+    assert(dest.count() == events.where(col("ts") < lit(nextDay)).count(),
+      "the dynamic partition overwrite must carry the boundary partition's " +
+        "earlier rows, not drop them")
+    assert(dest.where(col("ts") < lit(noon) &&
+      col("ts") >= lit(utcTs("2024-01-15 00:00:00"))).count() == morning)
+  }
+
   test("N1 is inherent: a run after catch-up still re-reads the boundary row") {
     val (meta, root) = freshMeta(7)
     EtlJob.run(spark, meta, events, "ts", s"$root/dest", EtlJobMessage(7),

@@ -44,6 +44,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.width == 160 && out.height == 120)
   }
 
+  test("frame sampling of an empty payload emits zero frames") {
+    import sp.implicits._
+    val df = Seq(media(Array.empty[Byte], 1L), media(Array.fill(65)(1.toByte), 2L))
+      .toDS().toDF()
+    val frames = Multimodal.sampleFrames(df, "payload", 64)
+    val byId = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!byId.contains(1L), "empty payload must produce no frames")
+    assert(byId(2L) == 2L, "65 bytes at 64-byte frames = 2 frames")
+  }
+
   test("empty payload does not divide by zero") {
     import sp.implicits._
     val f = Multimodal.extractFeatures(Seq(media(Array.empty[Byte])).toDS()).collect().head

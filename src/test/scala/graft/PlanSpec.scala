@@ -58,8 +58,8 @@ class PlanSpec extends AnyFunSuite {
     val plan = physical(ops.DedupOps.queries("dedup_minhash_lsh")(spark, Sf0001))
     assert(!plan.contains("CartesianProduct"),
       s"bucketed dedup must never plan a cartesian product\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin") || plan.contains("SortMergeJoin") ||
-      plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
-      s"candidate generation must be an equality join\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"every join in the LSH path is an equi-join; a nested-loop join means " +
+        s"candidate generation regressed to all-pairs\n$plan")
   }
 }
