@@ -39,7 +39,7 @@ object EtlOps {
   /** Run the two-run ETL schedule into fresh temp storage; return (meta, destDir). */
   private def runTwice(spark: SparkSession, dir: String): (MetaStore, String) = {
     implicit val s: SparkSession = spark
-    val tmp = Files.createTempDirectory("graft_etl_").toString
+    val tmp = graft.util.TempDirs.create("graft_etl_")
     val meta = new MetaStore(s"$tmp/meta")
     meta.putConfigs(Seq(ClientBillingConfig(7, "proj_7", "client_ds", "client_tbl", None, None, None)))
     val dest = s"$tmp/dest"
@@ -78,7 +78,7 @@ object EtlOps {
   /** Missing-config error channel (reference: billing_etl_db.py:82-84). */
   private def etlMissingConfig(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val tmp = Files.createTempDirectory("graft_etl_").toString
+    val tmp = graft.util.TempDirs.create("graft_etl_")
     val meta = new MetaStore(s"$tmp/meta")
     meta.putConfigs(Seq(ClientBillingConfig(7, "proj_7", "ds", "t", None, None, None)))
     val res = EtlJob.run(spark, meta, Tables.load(spark, dir, "events"), "ts",
@@ -96,7 +96,7 @@ object EtlOps {
     */
   private def etlProvisionSaga(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val tmp = Files.createTempDirectory("graft_prov_").toString
+    val tmp = graft.util.TempDirs.create("graft_prov_")
     val meta = new MetaStore(s"$tmp/meta")
     meta.putConfigs(Seq(ClientBillingConfig(901, "proj_901", "ds", "t", None, None, None)))
     meta.putSteps(Seq(StepStatus(3, 901, step_completed = false)))
@@ -117,7 +117,7 @@ object EtlOps {
     */
   private def etlRunDestExact(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val tmp = Files.createTempDirectory("graft_etl_").toString
+    val tmp = graft.util.TempDirs.create("graft_etl_")
     val meta = new MetaStore(s"$tmp/meta")
     meta.putConfigs(Seq(ClientBillingConfig(7, "proj_7", "client_ds", "client_tbl", None, None, None)))
     val dest = s"$tmp/dest"
@@ -139,7 +139,7 @@ object EtlOps {
   private def etlLateDataParity(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import s.implicits._
-    val tmp = Files.createTempDirectory("graft_etl_").toString
+    val tmp = graft.util.TempDirs.create("graft_etl_")
     val meta = new MetaStore(s"$tmp/meta")
     meta.putConfigs(Seq(ClientBillingConfig(7, "proj_7", "ds", "t", None, None, None)))
     val dest = s"$tmp/dest"
@@ -161,7 +161,7 @@ object EtlOps {
     */
   private def etlTransformHook(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val tmp = Files.createTempDirectory("graft_etl_").toString
+    val tmp = graft.util.TempDirs.create("graft_etl_")
     val meta = new MetaStore(s"$tmp/meta")
     meta.putConfigs(Seq(ClientBillingConfig(7, "proj_7", "ds", "t", None, None, None)))
     val dest = s"$tmp/dest"
@@ -178,7 +178,7 @@ object EtlOps {
   private def etlAlertHook(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import s.implicits._
-    val tmp = Files.createTempDirectory("graft_etl_").toString
+    val tmp = graft.util.TempDirs.create("graft_etl_")
     val meta = new MetaStore(s"$tmp/meta")
     meta.putConfigs(Seq(ClientBillingConfig(7, "proj_7", "ds", "t", None, None, None)))
     var alert: Option[String] = None

@@ -30,7 +30,7 @@ object StreamingIngest {
     // The file source wants a directory of files (its real-world shape:
     // a landing zone receiving parquet drops). Stage the single-table file
     // into one via symlink.
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream_events_")
+    val stage = java.nio.file.Paths.get(graft.util.TempDirs.create("graft_stream_events_"))
     java.nio.file.Files.createSymbolicLink(
       stage.resolve("events.parquet"), java.nio.file.Paths.get(path))
     val schema = spark.read.parquet(path).schema
