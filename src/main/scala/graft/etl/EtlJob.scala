@@ -139,8 +139,7 @@ object EtlJob {
                 !existing.isEmpty
               }
               val carried = if (boundary) {
-                val stage = java.nio.file.Files
-                  .createTempDirectory("graft_exact_boundary_").toString
+                val stage = graft.util.TempDirs.create("graft_exact_boundary_")
                 spark.read.parquet(destDir)
                   .where(col("export_date") >= to_date(lit(start)) &&
                     col(watermarkCol) <= lit(start))
