@@ -30,6 +30,26 @@ object SimilarityOps {
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Sign-LSH signatures the codegen way (same reasoning as the dedup
+    * signatures: HOF lambdas are interpreted, explode + aggregate is not):
+    * posexplode the vector, weight each component by the deterministic
+    * hyperplane coefficient, and reduce nPlanes projection sums per id.
+    * Formula matches [[graft.functions.VectorFunctions.signLshSignature]]
+    * (modulo float-sum order, irrelevant at these margins).
+    */
+  private def signatures(e: DataFrame, idCol: String, vecCol: String, nPlanes: Int): DataFrame = {
+    val exploded = e.select(col(idCol), posexplode(col(vecCol)).as(Seq("j", "x")))
+    val aggs = (0 until nPlanes).map { p =>
+      val w = (pmod(xxhash64(concat(lit(s"hp_${p}_"), col("j").cast("string"))),
+        lit(1000001L)).cast("double") / 500000.0) - 1.0
+      sum(col("x").cast("double") * w).as(s"proj$p")
+    }
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        (0 until nPlanes).map(p =>
+          when(col(s"proj$p") >= 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _).as("sig"))
+  }
+
   /** Corpus plus injected scaled duplicates (×2 per 50th vector — cosine
     * exactly 1 with the original; the raw corpus has no pair above 0.8).
     */
@@ -44,8 +64,8 @@ object SimilarityOps {
     * exact cosine ≥ 0.99 verification of candidates only.
     */
   private def embedNeardup(s: SparkSession, dir: String): DataFrame = {
-    val fx = withScaledDups(embeddings(s, dir))
-      .withColumn("sig", signLshSignature(col("embedding"), nPlanes = 12, dim = Dim))
+    val base = withScaledDups(embeddings(s, dir))
+    val fx = base.join(signatures(base, "vec_id", "embedding", nPlanes = 12), "vec_id").cache()
     val a = fx.select(col("vec_id").as("a_id"), col("embedding").as("a_e"), col("sig"))
     val b = fx.select(col("vec_id").as("b_id"), col("embedding").as("b_e"), col("sig"))
     a.join(b, Seq("sig")).where(col("a_id") < col("b_id"))
@@ -83,10 +103,11 @@ object SimilarityOps {
     */
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     val nPlanes = 8
-    val e = embeddings(s, dir)
-      .withColumn("sig", signLshSignature(col("embedding"), nPlanes, Dim))
-    val q = querySet(e.select(col("vec_id"), col("embedding")))
-      .withColumn("sig", signLshSignature(col("q_e"), nPlanes, Dim))
+    val e0 = embeddings(s, dir)
+    val sigs = signatures(e0, "vec_id", "embedding", nPlanes).cache()
+    val e = e0.join(sigs, "vec_id")
+    val q = querySet(e0).join(
+      sigs.withColumnRenamed("vec_id", "q_id"), "q_id")
     // probe keys: own signature + every 1- and 2-bit flip (multi-probe)
     val flips: Seq[Long] = (0 until nPlanes).map(p => 1L << p) ++
       (for (p <- 0 until nPlanes; r <- p + 1 until nPlanes) yield (1L << p) | (1L << r))
