@@ -179,16 +179,20 @@ object SimilarityOps {
         |  FROM embeddings WHERE vec_id % 50 = 0)
         |SELECT a_id, b_id, c FROM (
         |  SELECT a.vec_id a_id, b.vec_id b_id,
-        |    round(list_cosine_similarity(a.embedding, b.embedding), 6) c
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) c
         |  FROM fx a JOIN fx b ON a.vec_id < b.vec_id)
         |WHERE c >= 0.99 ORDER BY a_id, b_id""".stripMargin,
+    // DOUBLE[] casts in both oracles matter: duckdb's float-list cosine
+    // accumulates in float (~1e-7 error), which crosses 6-decimal rounding
+    // boundaries that the engine's double-precision cosine does not.
     "ann_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id q_id, embedding q_e FROM embeddings WHERE vec_id % 100 = 7)
         |SELECT q_id, vec_id, c, CAST(rn AS INTEGER) AS rn FROM (
         |  SELECT q_id, e.vec_id,
-        |    round(list_cosine_similarity(q_e, e.embedding), 6) c,
+        |    round(list_cosine_similarity(q_e::DOUBLE[], e.embedding::DOUBLE[]), 6) c,
         |    row_number() OVER (PARTITION BY q_id
-        |      ORDER BY round(list_cosine_similarity(q_e, e.embedding), 6) DESC, e.vec_id) rn
+        |      ORDER BY round(list_cosine_similarity(q_e::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC,
+        |        e.vec_id) rn
         |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q_id)
         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
     // ann_lsh_topk / ann_ivf_topk: bucket-dependent candidate sets →
