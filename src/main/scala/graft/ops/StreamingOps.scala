@@ -14,7 +14,15 @@ object StreamingOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_daily" -> ((s, dir) => StreamingIngest.tumblingDaily(s, dir)),
-    "stream_user_watermark" -> ((s, dir) => StreamingIngest.statefulUserWatermark(s, dir))
+    "stream_user_watermark" -> ((s, dir) => StreamingIngest.statefulUserWatermark(s, dir)),
+    "stream_etl_dest" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      StreamingIngest.streamEtlToParquet(s, dir)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_iso"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .orderBy(col("event_id"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -24,6 +32,9 @@ object StreamingOps {
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_user_watermark" ->
       s"""SELECT user_id, strftime(max(ts), '$TsFmt') AS watermark
-         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_etl_dest" ->
+      s"""SELECT event_id, strftime(ts, '$TsFmt') AS ts_iso, user_id, event_type, value, props
+         |FROM events ORDER BY event_id""".stripMargin
   )
 }

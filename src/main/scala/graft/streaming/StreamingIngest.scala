@@ -67,6 +67,31 @@ object StreamingIngest {
       .orderBy(col("window_start"))
   }
 
+  /** The full ETL slice as a streaming pipeline with a PARQUET sink: file
+    * source → transform → date-partitioned parquet + checkpointLocation.
+    * This is the production shape — the checkpoint's WAL/commit log gives
+    * exactly-once file-sink semantics, replacing both the hand-rolled
+    * watermark table AND the N1 boundary duplicate in one move (offsets are
+    * file-granular, so nothing is ever re-read). Returns the drained
+    * destination.
+    */
+  def streamEtlToParquet(spark: SparkSession, dir: String): DataFrame = {
+    val stage = graft.util.TempDirs.create("graft_stream_etl_")
+    val dest = s"$stage/dest"
+    val q = eventsStream(spark, dir)
+      .withColumn("export_date", to_date(col("ts")))
+      .writeStream
+      .format("parquet")
+      .option("path", dest)
+      .option("checkpointLocation", s"$stage/checkpoint")
+      .partitionBy("export_date")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(dest).drop("export_date")
+  }
+
   final case class KeyedEvent(user_id: Long, ts: Timestamp)
   final case class UserWatermark(user_id: Long, watermark: Timestamp)
 

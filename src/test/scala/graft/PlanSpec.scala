@@ -54,6 +54,22 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("date-partitioned destination prunes partitions on a time filter") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val root = tmpDir("prune_")
+    val meta = new graft.etl.MetaStore(s"$root/meta")
+    meta.putConfigs(Seq(graft.model.ClientBillingConfig(7, "p", "d", "t", None, None, None)))
+    graft.etl.EtlJob.run(spark, meta, Tables.load(spark, Sf0001, "events"), "ts",
+      s"$root/dest", graft.model.EtlJobMessage(7), utcTs("2024-02-01 00:00:00"),
+      sleeper = _ => ())
+    val q = spark.read.parquet(s"$root/dest")
+      .where(col("export_date") === to_date(lit("2024-01-15")))
+    val plan = physical(q)
+    assert(plan.contains("PartitionFilters: [isnotnull(export_date"),
+      s"the export_date layout must drive partition pruning\n$plan")
+    assert(q.count() > 0)
+  }
+
   test("minhash LSH candidate join is a hash-bucket equality join, not cartesian") {
     val plan = physical(ops.DedupOps.queries("dedup_minhash_lsh")(spark, Sf0001))
     assert(!plan.contains("CartesianProduct"),
