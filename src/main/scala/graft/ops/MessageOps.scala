@@ -15,8 +15,10 @@ object MessageOps {
 
   private def fixture(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // every 7th org id: a deterministic, sf-stable slice — the operator
+    // under test is the decode chain, not a full-corpus distinct
     val valid = Tables.load(s, dir, "events")
-      .select(col("user_id")).distinct()
+      .select(col("user_id")).where(col("user_id") % 7 === 0).distinct()
       .select(
         concat(lit("ok_"), col("user_id")).as("case_id"),
         concat(
@@ -70,7 +72,7 @@ object MessageOps {
         |         CAST(user_id AS INTEGER) AS org_id,
         |         CAST(200 AS INTEGER) AS status_code,
         |         CAST(NULL AS VARCHAR) AS error_class
-        |  FROM (SELECT DISTINCT user_id FROM events)
+        |  FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0)
         |  UNION ALL
         |  SELECT * FROM (VALUES
         |    ('e500_badjson',   CAST(NULL AS INTEGER), CAST(500 AS INTEGER), 'ENVELOPE_PARSE'),
