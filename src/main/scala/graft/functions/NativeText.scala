@@ -82,6 +82,67 @@ object NativeText {
     new GenericArrayData(out)
   }
 
+  /** 60-bit SimHash in one compiled pass (same token hashes as
+    * `graft_token_hashes`, so identical to the explode+aggregate
+    * formulation — minus its shuffle).
+    */
+  def simhash60(s: UTF8String): Long = simhash60Of(tokenHashArray(s))
+
+  /** SimHash over TRIGRAM features: unigram features barely discriminate on
+    * small-vocabulary corpora (similar word frequencies → similar signs →
+    * candidate explosion); shingles encode order and make unrelated docs
+    * land ~30 bits apart while true near-dups stay within a few bits.
+    */
+  def simhash60Shingles(s: UTF8String): Long =
+    simhash60Of(shingleHashes(s).toLongArray())
+
+  private def simhash60Of(th: Array[Long]): Long = {
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < th.length) {
+      val h = th(i)
+      var b = 0
+      while (b < 60) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) { if (counts(b) >= 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** 64-slot MinHash signature in one compiled pass over the shingle
+    * hashes, using the SAME xorshift permutation keys as
+    * [[TextFunctions.minhashKeys]] — signatures (and therefore LSH bands
+    * and candidates) are bit-identical to the aggregate formulation.
+    */
+  private lazy val MinhashA: Array[Long] = TextFunctions.minhashKeys(64).toArray
+
+  def minhashSig64(s: UTF8String): ArrayData = {
+    val sh = shingleHashes(s).toLongArray()
+    val out = new Array[Long](64)
+    var k = 0
+    while (k < 64) {
+      val a = MinhashA(k)
+      var best = Long.MaxValue
+      var i = 0
+      while (i < sh.length) {
+        var x = sh(i) ^ a
+        x ^= (x >>> 12)
+        x ^= (x << 25)
+        x ^= (x >>> 27)
+        if (x < best) best = x
+        i += 1
+      }
+      out(k) = best
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Idempotently register both expressions as SQL functions on a session
     * (`graft_token_hashes(text)`, `graft_shingle_hashes(text)`), usable from
     * `expr(...)` on any caller-provided SparkSession.
@@ -92,6 +153,12 @@ object NativeText {
       exprs => TokenHashesExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_hashes",
       exprs => ShingleHashesExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash60",
+      exprs => Simhash60Expr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash60_shingles",
+      exprs => Simhash60ShinglesExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig64",
+      exprs => MinhashSig64Expr(exprs.head), "built-in")
   }
 }
 
@@ -122,5 +189,43 @@ case class ShingleHashesExpr(child: Expression) extends NativeTextExpr {
   override protected def compute(s: UTF8String): ArrayData = NativeText.shingleHashes(s)
   override def prettyName: String = "graft_shingle_hashes"
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+case class MinhashSig64Expr(child: Expression) extends NativeTextExpr {
+  override protected def methodName: String = "minhashSig64"
+  override protected def compute(s: UTF8String): ArrayData = NativeText.minhashSig64(s)
+  override def prettyName: String = "graft_minhash_sig64"
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig64Expr =
+    copy(child = newChild)
+}
+
+case class Simhash60ShinglesExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    NativeText.simhash60Shingles(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeText$$.MODULE$$.simhash60Shingles($c)")
+  override def prettyName: String = "graft_simhash60_shingles"
+  override protected def withNewChildInternal(newChild: Expression): Simhash60ShinglesExpr =
+    copy(child = newChild)
+}
+
+case class Simhash60Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    NativeText.simhash60(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeText$$.MODULE$$.simhash60($c)")
+  override def prettyName: String = "graft_simhash60"
+  override protected def withNewChildInternal(newChild: Expression): Simhash60Expr =
     copy(child = newChild)
 }

@@ -78,34 +78,25 @@ object DedupOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** MinHash signatures the codegen way: higher-order-function lambdas are
-    * interpreted per element in Spark, so a 64-slot HOF signature pays
-    * ~k×|shingles| boxed evals per document. Exploding the pre-hashed
-    * shingles and computing the k slots as `min` aggregates keeps the whole
-    * thing inside whole-stage codegen with map-side partial aggregation —
-    * the shuffle carries one 64-long row per document.
-    */
-  private def signatures(sh: DataFrame): DataFrame = {
-    val exploded = sh.select(col("doc_id"), explode(col("sh_hashes")).as("h"))
-    val keys = minhashKeys(MinhashK)
-    val aggs = keys.zipWithIndex.map { case (a, i) => min(xorshift(col("h"), a)).as(s"m$i") }
-    exploded.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), array(keys.indices.map(i => col(s"m$i")): _*).as("sig"))
-  }
-
   /** MinHash + banded LSH near-dup detection, then exact-Jaccard
     * verification of candidates only. Candidate generation is an equality
     * self-join on (band_idx, band_hash) — a hash-partitioned shuffle, NO
     * cartesian — and the verify join touches only colliding pairs.
+    *
+    * Signatures come from the native one-pass expression
+    * (`graft_minhash_sig64`): a map-only projection, no explode, no
+    * signature shuffle at all. Docs with an empty shingle set are excluded
+    * up front — they can never verify above threshold, and a shared
+    * degenerate signature would otherwise make them all collide.
     */
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeText.register(s)
     val sh = shingled(documents(s, dir)).cache()
-    // cache: the self-join below would otherwise recompute the signature
-    // aggregation for each side
-    val banded = signatures(sh)
+    // cache: the self-join below would otherwise recompute signatures per side
+    val banded = documents(s, dir)
+      .where(size(expr("graft_shingle_hashes(text)")) > 0)
       .select(col("doc_id"),
-        posexplode(bandHashes(col("sig"), Bands, RowsPerBand))
+        posexplode(bandHashes(expr("graft_minhash_sig64(text)"), Bands, RowsPerBand))
           .as(Seq("band_idx", "band_hash")))
       .cache()
     val candidates = banded.as("x")
@@ -123,20 +114,15 @@ object DedupOps {
     * blocks by pigeonhole; the 12-bit keys keep buckets sparse), hamming
     * prefilter, exact-Jaccard verify. Same bucketed-join shape as MinHash.
     */
-  /** SimHash via the same explode-and-aggregate shape (60 codegen'd
-    * conditional sums, one row per document out of the shuffle).
+  /** SimHash via the native one-pass expression — a map-only projection
+    * over TRIGRAM features (unigram features cluster on a small-vocabulary
+    * corpus and explode the candidate set). Shingleless docs excluded: see
+    * the MinHash note.
     */
   private def simhashes(docs: DataFrame): DataFrame = {
     graft.functions.NativeText.register(docs.sparkSession)
-    val exploded = docs.select(col("doc_id"),
-      explode(expr("graft_token_hashes(text)")).as("h"))
-    val bitAggs = (0 until 60).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i"))
-    exploded.groupBy(col("doc_id"))
-      .agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("doc_id"),
-        (0 until 60).map(i => when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("sim"))
+    docs.where(size(expr("graft_shingle_hashes(text)")) > 0)
+      .select(col("doc_id"), expr("graft_simhash60_shingles(text)").as("sim"))
   }
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
