@@ -132,20 +132,24 @@ object EtlJob {
               // earlier runs (ts <= start) must be carried into the rewrite
               // or they would be lost. They are staged through a temp path
               // because Spark cannot overwrite a path it is lazily reading.
-              val boundary = java.nio.file.Files.exists(java.nio.file.Paths.get(destDir)) && {
-                val existing = spark.read.parquet(destDir)
-                  .where(col("export_date") >= to_date(lit(start)) &&
-                    col(watermarkCol) <= lit(start))
-                !existing.isEmpty
-              }
-              val carried = if (boundary) {
-                val stage = graft.util.TempDirs.create("graft_exact_boundary_")
-                spark.read.parquet(destDir)
-                  .where(col("export_date") >= to_date(lit(start)) &&
-                    col(watermarkCol) <= lit(start))
-                  .write.mode(SaveMode.Overwrite).parquet(stage)
-                Some(spark.read.parquet(stage))
-              } else None
+              // one scan of dest: stage the carry rows unconditionally,
+              // then decide from the (tiny) staged result
+              val carried =
+                if (java.nio.file.Files.exists(java.nio.file.Paths.get(destDir))) {
+                  val stage = graft.util.TempDirs.create("graft_exact_boundary_")
+                  spark.read.parquet(destDir)
+                    .where(col("export_date") >= to_date(lit(start)) &&
+                      col(watermarkCol) <= lit(start))
+                    .write.mode(SaveMode.Overwrite).parquet(stage)
+                  // an empty filter may write no part files at all, and a
+                  // fileless dir fails schema inference on read-back
+                  val hasFiles = {
+                    val s = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+                    try s.anyMatch(p => p.toString.endsWith(".parquet"))
+                    finally s.close()
+                  }
+                  if (hasFiles) Some(spark.read.parquet(stage)) else None
+                } else None
               val full = carried.fold(out)(c => out.unionByName(c))
               val prevMode = spark.conf
                 .getOption("spark.sql.sources.partitionOverwriteMode")

@@ -56,12 +56,15 @@ object MessageFrontEnd {
     val orgId: Column = expr("try_cast(__mfe_org_raw AS INT)")
 
     // PERMISSIVE from_json yields a struct of nulls (not a null root) on
-    // malformed input, so envelope-JSON validity needs its own probe. A
-    // valid-but-non-object body ("123", "[1]") must ALSO be the 500 path:
-    // the reference's `"message" not in envelope` raises TypeError there
-    // (main.py:21), which falls through to the generic 500 handler.
+    // malformed input, so envelope-JSON validity needs its own probe.
+    // Non-object bodies split by the reference's Python semantics at
+    // `"message" not in envelope` (main.py:21): dicts/lists/strings support
+    // `in` → falls through to 400 "message field missing"; scalars
+    // (123/true/null) raise TypeError → generic 500 handler. First
+    // character of the trimmed body distinguishes the container kinds.
+    val head: Column = substring(ltrim(col(rawCol)), 1, 1)
     val rawValid: Column = get_json_object(col(rawCol), "$").isNotNull &&
-      ltrim(col(rawCol)).startsWith("{")
+      (head === "{" || head === "[" || head === "\"")
 
     raw
       .withColumn("__mfe_raw_valid", rawValid)

@@ -92,9 +92,13 @@ object NativeText {
     * small-vocabulary corpora (similar word frequencies → similar signs →
     * candidate explosion); shingles encode order and make unrelated docs
     * land ~30 bits apart while true near-dups stay within a few bits.
+    * Null for docs with no shingles — there is no meaningful signature, and
+    * a degenerate shared value would make every such doc collide.
     */
-  def simhash60Shingles(s: UTF8String): Long =
-    simhash60Of(shingleHashes(s).toLongArray())
+  def simhash60ShinglesBoxed(s: UTF8String): java.lang.Long = {
+    val sh = shingleHashes(s).toLongArray()
+    if (sh.isEmpty) null else java.lang.Long.valueOf(simhash60Of(sh))
+  }
 
   private def simhash60Of(th: Array[Long]): Long = {
     val counts = new Array[Int](60)
@@ -123,6 +127,7 @@ object NativeText {
 
   def minhashSig64(s: UTF8String): ArrayData = {
     val sh = shingleHashes(s).toLongArray()
+    if (sh.isEmpty) return null // no shingles → no signature (see simhash note)
     val out = new Array[Long](64)
     var k = 0
     while (k < 64) {
@@ -196,6 +201,12 @@ case class MinhashSig64Expr(child: Expression) extends NativeTextExpr {
   override protected def methodName: String = "minhashSig64"
   override protected def compute(s: UTF8String): ArrayData = NativeText.minhashSig64(s)
   override def prettyName: String = "graft_minhash_sig64"
+  override def nullable: Boolean = true
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.NativeText$$.MODULE$$.minhashSig64($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
   override protected def withNewChildInternal(newChild: Expression): MinhashSig64Expr =
     copy(child = newChild)
 }
@@ -206,10 +217,17 @@ case class Simhash60ShinglesExpr(child: Expression) extends UnaryExpression {
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string column, got ${child.dataType.catalogString}")
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
-    NativeText.simhash60Shingles(input.asInstanceOf[UTF8String])
+    NativeText.simhash60ShinglesBoxed(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.NativeText$$.MODULE$$.simhash60Shingles($c)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("sim")
+      s"""
+      java.lang.Long $tmp = graft.functions.NativeText$$.MODULE$$.simhash60ShinglesBoxed($c);
+      if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+      """
+    })
   override def prettyName: String = "graft_simhash60_shingles"
   override protected def withNewChildInternal(newChild: Expression): Simhash60ShinglesExpr =
     copy(child = newChild)

@@ -97,9 +97,10 @@ object DedupOps {
     val sh = shingled(documents(s, dir)).cache()
     // cache: the self-join below would otherwise recompute signatures per side
     val banded = documents(s, dir)
-      .where(size(expr("graft_shingle_hashes(text)")) > 0)
+      .select(col("doc_id"), expr("graft_minhash_sig64(text)").as("sig"))
+      .where(col("sig").isNotNull) // shingleless docs have no signature
       .select(col("doc_id"),
-        posexplode(bandHashes(expr("graft_minhash_sig64(text)"), Bands, RowsPerBand))
+        posexplode(bandHashes(col("sig"), Bands, RowsPerBand))
           .as(Seq("band_idx", "band_hash")))
       .cache()
     val candidates = banded.as("x")
@@ -113,8 +114,8 @@ object DedupOps {
   }
 
   /** SimHash near-dup detection: 60-bit signatures bucketed by block-PAIR
-    * keys (any two hashes within hamming ≤ blocks−2 share a clean pair of
-    * blocks by pigeonhole; the 12-bit keys keep buckets sparse), hamming
+    * keys (any two hashes within hamming ≤ blocks−2 = 10 share a clean pair
+    * of blocks by pigeonhole; the 10-bit keys keep buckets sparse), hamming
     * prefilter, exact-Jaccard verify. Same bucketed-join shape as MinHash.
     */
   /** SimHash via the native one-pass expression — a map-only projection
@@ -124,8 +125,8 @@ object DedupOps {
     */
   private def simhashes(docs: DataFrame): DataFrame = {
     graft.functions.NativeText.register(docs.sparkSession)
-    docs.where(size(expr("graft_shingle_hashes(text)")) > 0)
-      .select(col("doc_id"), expr("graft_simhash60_shingles(text)").as("sim"))
+    docs.select(col("doc_id"), expr("graft_simhash60_shingles(text)").as("sim"))
+      .where(col("sim").isNotNull) // shingleless docs have no signature
   }
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {

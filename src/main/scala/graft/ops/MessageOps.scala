@@ -32,6 +32,9 @@ object MessageOps {
       ("e500_badjson", "this is not json"),
       // valid scalar JSON → reference's `"message" not in 123` TypeError → 500
       ("e500_scalar", "123"),
+      // lists/strings support Python's `in` → fall through to 400 (main.py:21)
+      ("e400_array", "[1, 2]"),
+      ("e400_jsonstr", "\"just a string\""),
       // {"foo":1} parses but has no message → 400 (main.py:21-22)
       ("e400_nomsg", """{"foo": 1}"""),
       // message without data → 400 (main.py:25-26)
@@ -77,6 +80,8 @@ object MessageOps {
         |  SELECT * FROM (VALUES
         |    ('e500_badjson',   CAST(NULL AS INTEGER), CAST(500 AS INTEGER), 'ENVELOPE_PARSE'),
         |    ('e500_scalar',    NULL, 500, 'ENVELOPE_PARSE'),
+        |    ('e400_array',     NULL, 400, 'MISSING_MESSAGE'),
+        |    ('e400_jsonstr',   NULL, 400, 'MISSING_MESSAGE'),
         |    ('e400_nomsg',     NULL, 400, 'MISSING_MESSAGE'),
         |    ('e400_nodata',    NULL, 400, 'MISSING_DATA'),
         |    ('e400_badb64',    NULL, 400, 'BAD_DATA'),
@@ -90,7 +95,7 @@ object MessageOps {
       """SELECT status_code, error_class, n FROM (VALUES
         |  (CAST(400 AS INTEGER), 'BAD_DATA',        CAST(2 AS BIGINT)),
         |  (400, 'MISSING_DATA',    1),
-        |  (400, 'MISSING_MESSAGE', 1),
+        |  (400, 'MISSING_MESSAGE', 3),
         |  (400, 'VALIDATION',      2),
         |  (500, 'ENVELOPE_PARSE',  2)
         |) AS t(status_code, error_class, n)

@@ -97,9 +97,9 @@ object SimilarityOps {
   }
 
   /** The bucketed ANN path: candidates = corpus vectors whose 8-bit sign-LSH
-    * signature is within hamming ≤ 1 of the query's (multi-probe, 9 probes)
-    * — an equality join on probe keys, never a cross join. Top-k then ranks
-    * candidates only.
+    * signature is within hamming ≤ 2 of the query's (multi-probe: the
+    * signature itself plus every 1- and 2-bit flip, 37 probes) — an equality
+    * join on probe keys, never a cross join. Top-k then ranks candidates only.
     */
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     val nPlanes = 8
