@@ -53,7 +53,7 @@ class TextFunctionsSpec extends AnyFunSuite {
     val h2 = one[Long](simhash60(tokens(col("text"))), perturbed)
     import sp.implicits._
     val d = Seq((h1, h2)).toDF("a", "b").select(hamming(col("a"), col("b"))).collect().head.getInt(0)
-    assert(d <= 9, s"one-word edit must stay within the 10-block pigeonhole radius, got $d")
+    assert(d <= 9, s"one-word edit should flip only a few simhash bits, got $d")
   }
 
   test("minhash signature has k slots and is stable under shingle duplication") {
