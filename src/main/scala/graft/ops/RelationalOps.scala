@@ -14,9 +14,15 @@ import graft.Tables
   *   - timestamps leave the query as *formatted strings* in both engines, so
   *     tz-annotation / precision differences between a Spark-written parquet
   *     and DuckDB's in-memory result can never skew the compare;
-  *   - no raw-double SUMs: money-like doubles are cast to DECIMAL(18,2)
-  *     before aggregation in both engines (order-independent exact sums;
-  *     double summation order differs between engines);
+  *   - no raw-double SUMs: money-like doubles with exact 2-decimal values
+  *     (lineitem/orders prices) are cast to DECIMAL(18,2) before aggregation
+  *     in both engines (order-independent exact sums; double summation order
+  *     differs between engines). Arbitrary doubles (`events.value`) instead
+  *     go through `CAST(round(x * 100) AS BIGINT)` integer cents — Spark
+  *     casts double→decimal via the decimal string repr (HALF_UP) while
+  *     DuckDB multiplies in binary, so near-tie doubles (2.675…) round to
+  *     different cents under a direct DECIMAL cast; `round` on the *double*
+  *     is IEEE-identical in both engines;
   *   - every query and its oracle carry the same deterministic ORDER BY with
   *     a unique tiebreaker.
   *
@@ -181,7 +187,7 @@ object RelationalOps {
     events(s, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        sum(round(col("value") * 100).cast("long")).as("total_value_cents"))
       .orderBy(col("event_type"))
 
   private def o1(s: SparkSession, dir: String): DataFrame =
@@ -287,8 +293,8 @@ object RelationalOps {
     events(s, dir)
       .groupBy(date_trunc("DAY", col("ts")).as("win"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("total_value"))
-      .select(fmt(col("win")).as("window_start"), col("n"), col("total_value"))
+        sum(round(col("value") * 100).cast("long")).as("total_value_cents"))
+      .select(fmt(col("win")).as("window_start"), col("n"), col("total_value_cents"))
       .orderBy(col("window_start"))
 
   /** At-least-once boundary duplication, W5/N1: the rows the next run
@@ -426,7 +432,8 @@ object RelationalOps {
          |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
          |ORDER BY user_id""".stripMargin,
     "a4_count_per_key" ->
-      """SELECT event_type, count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "o1_orderby_desc_limit1" ->
       s"SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso FROM events ORDER BY ts DESC, event_id DESC LIMIT 1",
@@ -468,7 +475,7 @@ object RelationalOps {
          |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'""".stripMargin,
     "w3_tumbling_windows" ->
       s"""SELECT strftime(date_trunc('day', ts), '$DuckTsFmt') AS window_start,
-         |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+         |  count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "w5_boundary_duplicates" ->
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, event_type FROM events

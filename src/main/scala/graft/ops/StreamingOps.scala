@@ -28,7 +28,7 @@ object StreamingOps {
   val oracleSql: Map[String, String] = Map(
     "stream_tumbling_daily" ->
       s"""SELECT strftime(date_trunc('day', ts), '$TsFmt') AS window_start,
-         |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+         |  count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_user_watermark" ->
       s"""SELECT user_id, strftime(max(ts), '$TsFmt') AS watermark

@@ -60,9 +60,9 @@ object StreamingIngest {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day").as("win"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        sum(round(col("value") * 100).cast("long")).as("total_value_cents"))
       .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("window_start"),
-        col("n"), col("total_value"))
+        col("n"), col("total_value_cents"))
     runToMemory(agg, s"stream_tumbling_${System.nanoTime()}", OutputMode.Complete())
       .orderBy(col("window_start"))
   }
