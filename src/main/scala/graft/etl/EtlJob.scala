@@ -133,22 +133,20 @@ object EtlJob {
               // or they would be lost. They are staged through a temp path
               // because Spark cannot overwrite a path it is lazily reading.
               // one scan of dest: stage the carry rows unconditionally,
-              // then decide from the (tiny) staged result
+              // then decide from the (tiny) staged result. Existence checks
+              // go through Hadoop FileSystem so HDFS/S3 destinations behave
+              // identically to local paths (java.nio would answer false and
+              // silently drop the carry rows).
               val carried =
-                if (java.nio.file.Files.exists(java.nio.file.Paths.get(destDir))) {
+                if (graft.util.Fs.exists(spark, destDir)) {
                   val stage = graft.util.TempDirs.create("graft_exact_boundary_")
                   spark.read.parquet(destDir)
                     .where(col("export_date") >= to_date(lit(start)) &&
                       col(watermarkCol) <= lit(start))
                     .write.mode(SaveMode.Overwrite).parquet(stage)
-                  // an empty filter may write no part files at all, and a
-                  // fileless dir fails schema inference on read-back
-                  val hasFiles = {
-                    val s = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-                    try s.anyMatch(p => p.toString.endsWith(".parquet"))
-                    finally s.close()
-                  }
-                  if (hasFiles) Some(spark.read.parquet(stage)) else None
+                  if (graft.util.Fs.hasParquetFiles(spark, stage))
+                    Some(spark.read.parquet(stage))
+                  else None
                 } else None
               val full = carried.fold(out)(c => out.unionByName(c))
               val prevMode = spark.conf

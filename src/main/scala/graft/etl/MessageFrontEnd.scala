@@ -12,12 +12,22 @@ import org.apache.spark.sql.types._
   * error taxonomy (CustomException status codes at main.py:16-38):
   *
   *   - unparseable envelope JSON  → 500 (uncaught json.loads → "Internal Server Error")
+  *   - Python TypeError paths     → 500 TYPE_ERROR: a string body whose text
+  *     contains "message" (substring `in` passes, then `envelope["message"]`
+  *     raises), a list body with a "message" element (same), and a valid
+  *     non-object inner payload (`Model(**payload)` on a non-dict raises)
   *   - no `message` field         → 400 MISSING_MESSAGE
   *   - no `data` field            → 400 MISSING_DATA
   *   - bad base64 / inner JSON    → 400 BAD_DATA
   *   - payload fails validation   → 400 VALIDATION (pydantic: org_id missing
   *     or not int-coercible; note "123" DOES coerce, matching pydantic)
   *   - valid                      → 200, decoded org_id
+  *
+  * Remaining known divergence from CPython-exact semantics (accepted,
+  * normalized to the nearest class): null-valued or non-object `message`
+  * FIELDS inside an object envelope (e.g. `{"message": null}`,
+  * `{"message": "x data y"}`) report MISSING_MESSAGE/MISSING_DATA 400
+  * where the reference's `in`/indexing chain raises (500).
   *
   * All columnar — the decode chain is `from_json`/`try_to_binary`/`try_cast`
   * built-ins inside whole-stage codegen, so a backlog of millions of queued
@@ -66,6 +76,15 @@ object MessageFrontEnd {
     val rawValid: Column = get_json_object(col(rawCol), "$").isNotNull &&
       (head === "{" || head === "[" || head === "\"")
 
+    // Python TypeError routes (→ 500): `"message" in envelope` passes for a
+    // string body by SUBSTRING and for a list body by element equality, and
+    // the subsequent `envelope["message"]` then raises; a valid non-object
+    // inner payload raises at `Model(**payload)`.
+    val strMsg: Column = head === "\"" && col(rawCol).contains("message")
+    val listMsg: Column = head === "[" &&
+      array_contains(from_json(col(rawCol), ArrayType(StringType)), "message")
+    val innerHead: Column = substring(ltrim(col("__mfe_inner")), 1, 1)
+
     raw
       .withColumn("__mfe_raw_valid", rawValid)
       .withColumn("__mfe_env", env)
@@ -76,14 +95,16 @@ object MessageFrontEnd {
       .withColumn("__mfe_org_id", orgId)
       .withColumn("error_class",
         when(!col("__mfe_raw_valid") || col("__mfe_env").isNull, lit("ENVELOPE_PARSE"))
+          .when(strMsg || listMsg, lit("TYPE_ERROR"))
           .when(col("__mfe_env.message").isNull, lit("MISSING_MESSAGE"))
           .when(col("__mfe_data").isNull, lit("MISSING_DATA"))
           .when(col("__mfe_inner").isNull || !col("__mfe_inner_valid"), lit("BAD_DATA"))
+          .when(innerHead =!= "{", lit("TYPE_ERROR"))
           .when(col("__mfe_org_raw").isNull || col("__mfe_org_id").isNull, lit("VALIDATION"))
           .otherwise(lit(null).cast(StringType)))
       .withColumn("status_code",
         when(col("error_class").isNull, lit(StatusOk))
-          .when(col("error_class") === "ENVELOPE_PARSE", lit(StatusServerError))
+          .when(col("error_class").isin("ENVELOPE_PARSE", "TYPE_ERROR"), lit(StatusServerError))
           .otherwise(lit(StatusBadRequest)))
       .withColumn("org_id",
         when(col("error_class").isNull, col("__mfe_org_id")).otherwise(lit(null).cast(IntegerType)))

@@ -37,14 +37,20 @@ object EtlOps {
 
   // etl_run_dest and etl_run_status examine two facets of the SAME
   // deterministic schedule — memoize per (session, sfDir) so one Verify or
-  // Bench JVM executes the pipeline once, not once per facet.
+  // Bench JVM executes the pipeline once, not once per facet. Keyed on the
+  // session OBJECT (weakly) rather than its identity hash: a stopped
+  // session's entries become collectable instead of colliding with a new
+  // session that reuses the hash, and temp dirs aren't pinned JVM-wide.
   private val runTwiceMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (MetaStore, String)]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, (MetaStore, String)]]()
 
   /** Run the two-run ETL schedule into fresh temp storage; return (meta, destDir). */
   private def runTwice(spark: SparkSession, dir: String): (MetaStore, String) =
-    runTwiceMemo.computeIfAbsent(s"${System.identityHashCode(spark)}:$dir",
-      _ => runTwiceImpl(spark, dir))
+    runTwiceMemo.synchronized {
+      val perSession = runTwiceMemo.computeIfAbsent(spark,
+        _ => scala.collection.mutable.Map.empty)
+      perSession.getOrElseUpdate(dir, runTwiceImpl(spark, dir))
+    }
 
   private def runTwiceImpl(spark: SparkSession, dir: String): (MetaStore, String) = {
     implicit val s: SparkSession = spark

@@ -35,6 +35,15 @@ object MessageOps {
       // lists/strings support Python's `in` → fall through to 400 (main.py:21)
       ("e400_array", "[1, 2]"),
       ("e400_jsonstr", "\"just a string\""),
+      // ...but when the `in` test PASSES on a non-dict, the subsequent
+      // `envelope["message"]` raises TypeError → 500: substring match on a
+      // string body, element match on a list body
+      ("e500_strmsg", "\"the message is inside\""),
+      ("e500_listmsg", """["message"]"""),
+      // valid non-object inner payloads: Model(**payload) TypeError → 500
+      ("e500_payload_arr", s"""{"message": {"data": "${b64("[1]")}"}}"""),
+      ("e500_payload_str", s"""{"message": {"data": "${b64("\"5\"")}"}}"""),
+      ("e500_payload_num", s"""{"message": {"data": "${b64("5")}"}}"""),
       // {"foo":1} parses but has no message → 400 (main.py:21-22)
       ("e400_nomsg", """{"foo": 1}"""),
       // message without data → 400 (main.py:25-26)
@@ -82,6 +91,11 @@ object MessageOps {
         |    ('e500_scalar',    NULL, 500, 'ENVELOPE_PARSE'),
         |    ('e400_array',     NULL, 400, 'MISSING_MESSAGE'),
         |    ('e400_jsonstr',   NULL, 400, 'MISSING_MESSAGE'),
+        |    ('e500_strmsg',      NULL, 500, 'TYPE_ERROR'),
+        |    ('e500_listmsg',     NULL, 500, 'TYPE_ERROR'),
+        |    ('e500_payload_arr', NULL, 500, 'TYPE_ERROR'),
+        |    ('e500_payload_str', NULL, 500, 'TYPE_ERROR'),
+        |    ('e500_payload_num', NULL, 500, 'TYPE_ERROR'),
         |    ('e400_nomsg',     NULL, 400, 'MISSING_MESSAGE'),
         |    ('e400_nodata',    NULL, 400, 'MISSING_DATA'),
         |    ('e400_badb64',    NULL, 400, 'BAD_DATA'),
@@ -97,7 +111,8 @@ object MessageOps {
         |  (400, 'MISSING_DATA',    1),
         |  (400, 'MISSING_MESSAGE', 3),
         |  (400, 'VALIDATION',      2),
-        |  (500, 'ENVELOPE_PARSE',  2)
+        |  (500, 'ENVELOPE_PARSE',  2),
+        |  (500, 'TYPE_ERROR',      5)
         |) AS t(status_code, error_class, n)
         |ORDER BY status_code, error_class""".stripMargin
   )

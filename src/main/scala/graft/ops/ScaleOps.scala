@@ -59,19 +59,11 @@ object ScaleOps {
       destDir: String,
       partitionCol: String = "export_date",
       targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
-    def countFiles(): Long = {
-      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(destDir))
-      try s.filter(p => p.toString.endsWith(".parquet")).count()
-      finally s.close()
-    }
+    // Hadoop FileSystem, not java.nio: the destination is HDFS/S3 at scale.
+    def countFiles(): Long = graft.util.Fs.listParquetFiles(spark, destDir).size.toLong
     val before = countFiles()
     val df = spark.read.parquet(destDir)
-    val totalBytes = {
-      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(destDir))
-      try s.filter(p => p.toString.endsWith(".parquet"))
-        .mapToLong(p => java.nio.file.Files.size(p)).sum()
-      finally s.close()
-    }
+    val totalBytes = graft.util.Fs.listParquetFiles(spark, destDir).map(_._2).sum
     val nParts = math.max(1, (totalBytes / targetBytes).toInt)
     // stage through a temp copy: Spark cannot overwrite a path it reads
     val stage = graft.util.TempDirs.create("graft_compact_")

@@ -75,6 +75,10 @@ object NanosTimestampPushdown extends Rule[LogicalPlan] {
           LessThan(raw, Literal((us + 1) * 1000L, LongType))
         case LessThan(TsLiteralMicros(us), NanosAsTimestamp(raw)) =>
           GreaterThanOrEqual(raw, Literal((us + 1) * 1000L, LongType))
+        case GreaterThan(TsLiteralMicros(us), NanosAsTimestamp(raw)) =>
+          LessThan(raw, Literal(us * 1000L, LongType))
+        case LessThanOrEqual(TsLiteralMicros(us), NanosAsTimestamp(raw)) =>
+          GreaterThanOrEqual(raw, Literal(us * 1000L, LongType))
       })
   }
 

@@ -57,4 +57,27 @@ class MessageFrontEndSpec extends AnyFunSuite {
     val raw = s"""{"message": {"data": "${b64("""{"org_id": "abc"}""")}"}}"""
     assert(classify(raw) == ((None, 400, Some("VALIDATION"))))
   }
+
+  test("string body containing 'message' → Python TypeError parity (500)") {
+    assert(classify("\"a message in a string\"") == ((None, 500, Some("TYPE_ERROR"))))
+  }
+
+  test("string body without 'message' → 400 MISSING_MESSAGE") {
+    assert(classify("\"just a string\"") == ((None, 400, Some("MISSING_MESSAGE"))))
+  }
+
+  test("list body with a 'message' element → 500 TYPE_ERROR") {
+    assert(classify("""["message"]""") == ((None, 500, Some("TYPE_ERROR"))))
+  }
+
+  test("list body without 'message' → 400 MISSING_MESSAGE") {
+    assert(classify("[1, 2]") == ((None, 400, Some("MISSING_MESSAGE"))))
+  }
+
+  test("valid non-object inner payload → 500 TYPE_ERROR (Model(**payload) raises)") {
+    for (payload <- Seq("[1]", "\"5\"", "5")) {
+      val raw = s"""{"message": {"data": "${b64(payload)}"}}"""
+      assert(classify(raw) == ((None, 500, Some("TYPE_ERROR"))), s"payload=$payload")
+    }
+  }
 }
