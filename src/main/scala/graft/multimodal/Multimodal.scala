@@ -50,9 +50,15 @@ object Multimodal {
       it.map { m =>
         val px = decodeStub(m.payload)
         val n = px.length
-        val mean = if (n == 0) 0.0 else px.sum.toDouble / n
-        val variance =
-          if (n == 0) 0.0 else px.map(v => (v - mean) * (v - mean)).sum / n
+        // Exact integer accumulators, then two IEEE-double ops: sum and
+        // sumsq are < 2^53 so mean = s/n and var = sq/n − mean² are
+        // bit-reproducible by ANY engine evaluating the same expression —
+        // this is what makes the feature stats oracle-checkable (a
+        // deviation-accumulation loop would depend on summation order).
+        var s = 0L; var sq = 0L
+        px.foreach { v => s += v; sq += v.toLong * v }
+        val mean = if (n == 0) 0.0 else s.toDouble / n
+        val variance = if (n == 0) 0.0 else sq.toDouble / n - mean * mean
         // 16-bin byte histogram, L1-normalized — the stub "embedding".
         val hist = new Array[Float](16)
         px.foreach(v => hist(v >> 4) += 1f)

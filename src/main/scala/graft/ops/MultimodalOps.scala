@@ -40,14 +40,20 @@ object MultimodalOps {
     Multimodal.sampleFrames(mediaFixture(s, dir), "payload", FrameBytes)
       .orderBy(col("media_id"), col("frame_idx"))
 
-  /** The stubbed decode → feature-extract path via typed mapPartitions. */
+  /** The stubbed decode → feature-extract path via typed mapPartitions.
+    * Byte stats leave as scaled integers (×10⁴) so the DuckDB oracle —
+    * which recomputes them from the same exact integer sums — hash-matches
+    * (see Multimodal.extractFeatures on why the math is bit-reproducible).
+    */
   private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     import sp.implicits._
     val media = mediaFixture(s, dir).as[MediaRecord]
     Multimodal.extractFeatures(media).toDF()
-      .select(col("media_id"), col("n_bytes"), round(col("mean_byte"), 4).as("mean_byte"),
-        round(col("var_byte"), 4).as("var_byte"), size(col("feature")).as("feature_dim"))
+      .select(col("media_id"), col("n_bytes"),
+        round(col("mean_byte") * 10000).cast("long").as("mean_byte_e4"),
+        round(col("var_byte") * 10000).cast("long").as("var_byte_e4"),
+        size(col("feature")).as("feature_dim"))
       .orderBy(col("media_id"))
   }
 
@@ -75,7 +81,26 @@ object MultimodalOps {
          |FROM documents,
          |  LATERAL (SELECT unnest(range(0,
          |    ((octet_length(encode(text)) - 1) // $FrameBytes) + 1)) AS i) f
-         |ORDER BY media_id, frame_idx""".stripMargin
-    // mm_features: stubbed decode → rows-only; unit-asserted in MultimodalSpec.
+         |ORDER BY media_id, frame_idx""".stripMargin,
+    "mm_features" ->
+      // text is ASCII, so ascii() per character reproduces the engine's
+      // decoded byte values; mean/var re-derive from the same exact integer
+      // sums with the same two IEEE-double ops → identical to the bit
+      """WITH codes AS (
+        |  SELECT d.doc_id, ascii(substring(d.text, f.i::INTEGER, 1)) AS code
+        |  FROM documents d,
+        |    LATERAL (SELECT unnest(range(1, octet_length(encode(d.text)) + 1)) AS i) f
+        |), stats AS (
+        |  SELECT doc_id, count(*) AS n,
+        |    CAST(sum(code) AS BIGINT) AS s, CAST(sum(code * code) AS BIGINT) AS sq
+        |  FROM codes GROUP BY doc_id
+        |)
+        |SELECT d.doc_id AS media_id,
+        |  CAST(octet_length(encode(d.text)) AS INTEGER) AS n_bytes,
+        |  CAST(round(coalesce(s::DOUBLE / n, 0) * 10000) AS BIGINT) AS mean_byte_e4,
+        |  CAST(round(coalesce(sq::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n), 0) * 10000) AS BIGINT) AS var_byte_e4,
+        |  CAST(16 AS INTEGER) AS feature_dim
+        |FROM documents d LEFT JOIN stats ON d.doc_id = stats.doc_id
+        |ORDER BY media_id""".stripMargin
   )
 }
