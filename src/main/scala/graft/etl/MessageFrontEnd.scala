@@ -5,33 +5,48 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** The Pub/Sub-push message front-end, S11 + U2 + F6 + C1–C3
-  * (reference: main.py:18-38, core/models/billing_etl_model.py:19-28).
+  * (reference: main.py:15-38, core/models/billing_etl_model.py:19-28).
   *
-  * Raw HTTP body → JSON envelope → `message.data` → base64 → UTF-8 → JSON →
-  * validated `{org_id: int}`. Every failure mode maps to the reference's
-  * error taxonomy (CustomException status codes at main.py:16-38):
+  * Content-type gate → raw HTTP body → JSON envelope → `message.data` →
+  * base64 → UTF-8 → JSON → validated `{org_id: int}`. Every failure mode
+  * maps to the reference's error taxonomy (CustomException status codes at
+  * main.py:15-38):
   *
+  *   - content-type ≠ application/json → 415 (main.py:15-16, checked
+  *     before anything is parsed)
   *   - unparseable envelope JSON  → 500 (uncaught json.loads → "Internal Server Error")
-  *   - Python TypeError paths     → 500 TYPE_ERROR: a string body whose text
-  *     contains "message" (substring `in` passes, then `envelope["message"]`
-  *     raises), a list body with a "message" element (same), and a valid
-  *     non-object inner payload (`Model(**payload)` on a non-dict raises)
+  *   - Python TypeError paths     → 500 TYPE_ERROR, mirrored shape by shape:
+  *     a string body whose text contains "message" (substring `in` passes,
+  *     then `envelope["message"]` raises); a list body with a "message"
+  *     element (same); a `message` FIELD that is null / a number / a bool
+  *     (`"data" in message` raises), a string containing "data" or a list
+  *     with a "data" element (`in` passes, `message["data"]` raises); and a
+  *     valid non-object inner payload (`Model(**payload)` on a non-dict,
+  *     including JSON `null`, raises)
   *   - no `message` field         → 400 MISSING_MESSAGE
-  *   - no `data` field            → 400 MISSING_DATA
-  *   - bad base64 / inner JSON    → 400 BAD_DATA
+  *   - `message` string/list without "data" → 400 MISSING_DATA (`in` is
+  *     false, main.py:25-26), as is a proper object with no `data` key
+  *   - data present but null, bad base64, or bad inner JSON → 400 BAD_DATA
+  *     (everything `base64.b64decode`/`json.loads` raises on, main.py:29-34)
   *   - payload fails validation   → 400 VALIDATION (pydantic: org_id missing
   *     or not int-coercible; note "123" DOES coerce, matching pydantic)
   *   - valid                      → 200, decoded org_id
   *
-  * Remaining known divergence from CPython-exact semantics (accepted,
-  * normalized to the nearest class): null-valued or non-object `message`
-  * FIELDS inside an object envelope (e.g. `{"message": null}`,
-  * `{"message": "x data y"}`) report MISSING_MESSAGE/MISSING_DATA 400
-  * where the reference's `in`/indexing chain raises (500).
+  * Remaining known divergence from CPython-exact semantics (accepted): a
+  * `message` field that is a STRING spelling a JSON scalar (`{"message":
+  * "123"}`) is indistinguishable from the number after JSON-path extraction
+  * and classifies TYPE_ERROR 500 where the reference's substring check
+  * gives MISSING_DATA 400. (The previous normalization of ALL non-object
+  * `message` fields to 400 is gone — null/number/bool/list/string shapes
+  * now follow the reference's `in`-then-index semantics above.)
   *
-  * All columnar — the decode chain is `from_json`/`try_to_binary`/`try_cast`
-  * built-ins inside whole-stage codegen, so a backlog of millions of queued
-  * messages decodes as one narrow scan, no UDFs, no driver loop.
+  * All columnar — the decode chain is `from_json`/`json_object_keys`/
+  * `try_to_binary`/`try_cast` built-ins inside whole-stage codegen, so a
+  * backlog of millions of queued messages decodes as one narrow scan, no
+  * UDFs, no driver loop. The hot (valid-message) path parses each JSON text
+  * exactly once — envelope key-probe + envelope struct, then one inner
+  * `from_json` with a corrupt-record column; `get_json_object` re-probes sit
+  * only on rare quarantine branches of lazily-evaluated `when` chains.
   */
 object MessageFrontEnd {
 
@@ -43,73 +58,139 @@ object MessageFrontEnd {
       StructField("publishTime", StringType)))),
     StructField("subscription", StringType)))
 
+  /** Inner-payload schema: org_id captured as raw text (so pydantic's
+    * int-coercion is explicit downstream), plus a corrupt-record column —
+    * null exactly when the payload is a JSON object.
+    */
+  private val innerSchema: StructType = StructType(Seq(
+    StructField("org_id", StringType),
+    StructField("__graft_corrupt", StringType)))
+
   val StatusOk = 200
   val StatusBadRequest = 400
+  val StatusUnsupportedMedia = 415
   val StatusServerError = 500
+
+  /** JSON scalar literals that are not strings: numbers and booleans.
+    * (`null` never reaches this test — a null `message` extracts as NULL.)
+    */
+  private val ScalarRe = "^(-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?|true|false)$"
 
   /** Decode + validate a DataFrame of raw push bodies.
     *
-    * @param raw    input with a string column of HTTP bodies
-    * @param rawCol name of that column
+    * @param raw            input with a string column of HTTP bodies
+    * @param rawCol         name of that column
+    * @param contentTypeCol optional column carrying the request's
+    *                       Content-Type header; when set, any value other
+    *                       than exactly "application/json" (including null —
+    *                       absent header) short-circuits to 415 before any
+    *                       parsing, as the reference does at main.py:15-16
     * @return input columns plus `org_id` (int, null unless valid),
     *         `status_code` (int), `error_class` (string, null when 200)
     */
-  def decode(raw: DataFrame, rawCol: String = "raw"): DataFrame = {
-    val env: Column = from_json(col(rawCol), envelopeSchema)
-    val data: Column = env.getField("message").getField("data")
+  def decode(raw: DataFrame, rawCol: String = "raw",
+             contentTypeCol: Option[String] = None): DataFrame = {
+    val body = col(rawCol)
+    val head: Column = substring(ltrim(body), 1, 1)
+    // Non-null iff the body is a valid JSON OBJECT — one probe answering
+    // both "did json.loads succeed" and "which keys exist" (the Python
+    // `"message" not in envelope` test, main.py:21).
+    val keys: Column = json_object_keys(body)
+    val env: Column = from_json(body, envelopeSchema)
+    val msgStruct: Column = env.getField("message")
+    val data: Column = msgStruct.getField("data")
+    // Raw text of the message field: objects/arrays serialize, strings
+    // decode (escapes resolved — matching what Python's json.loads hands
+    // to the `in` operator), null/absent → NULL. Rare-path only.
+    val msgText: Column = get_json_object(body, "$.message")
+
     // C1/C2 — lenient-to-null base64 decode, then utf-8 string.
     val inner: Column = expr(s"try_to_binary(__mfe_data, 'base64')").cast(StringType)
-    // C3 — `$` probe validates inner JSON; org_id extracted as raw text so
-    // int-coercion (pydantic parity: "123" → 123, "abc" → fail) is explicit.
-    val innerValid: Column = get_json_object(col("__mfe_inner"), "$").isNotNull
-    val orgRaw: Column = get_json_object(col("__mfe_inner"), "$.org_id")
+    // C3 — ONE parse of the inner payload: org_id raw text + corrupt-record
+    // (null ⟺ payload is a JSON object).
+    val innerParsed: Column = from_json(col("__mfe_inner"), innerSchema,
+      Map("columnNameOfCorruptRecord" -> "__graft_corrupt"))
     val orgId: Column = expr("try_cast(__mfe_org_raw AS INT)")
 
-    // PERMISSIVE from_json yields a struct of nulls (not a null root) on
-    // malformed input, so envelope-JSON validity needs its own probe.
-    // Non-object bodies split by the reference's Python semantics at
-    // `"message" not in envelope` (main.py:21): dicts/lists/strings support
-    // `in` → falls through to 400 "message field missing"; scalars
-    // (123/true/null) raise TypeError → generic 500 handler. First
-    // character of the trimmed body distinguishes the container kinds.
-    val head: Column = substring(ltrim(col(rawCol)), 1, 1)
-    val rawValid: Column = get_json_object(col(rawCol), "$").isNotNull &&
-      (head === "{" || head === "[" || head === "\"")
+    val msgTextCol = col("__mfe_msg_text")
+    val msgHead: Column = substring(ltrim(msgTextCol), 1, 1)
 
-    // Python TypeError routes (→ 500): `"message" in envelope` passes for a
-    // string body by SUBSTRING and for a list body by element equality, and
-    // the subsequent `envelope["message"]` then raises; a valid non-object
-    // inner payload raises at `Model(**payload)`.
-    val strMsg: Column = head === "\"" && col(rawCol).contains("message")
-    val listMsg: Column = head === "[" &&
-      array_contains(from_json(col(rawCol), ArrayType(StringType)), "message")
-    val innerHead: Column = substring(ltrim(col("__mfe_inner")), 1, 1)
+    // Python's `"message" in <non-dict envelope>`: strings match by
+    // substring of the DECODED text, lists by element equality — both then
+    // raise TypeError at `envelope["message"]`; scalar roots raise at `in`
+    // itself and share the generic 500 with unparseable JSON.
+    val decodedRoot: Column = get_json_object(body, "$")
+    val rootArr: Column = from_json(body, ArrayType(StringType))
+    val msgArr: Column = from_json(msgTextCol, ArrayType(StringType))
+
+    val classified =
+      when(!col("__mfe_obj_root"),
+        when(head === "\"" && decodedRoot.isNotNull,
+          when(decodedRoot.contains("message"), lit("TYPE_ERROR"))
+            .otherwise(lit("MISSING_MESSAGE")))
+          .when(head === "[" && rootArr.isNotNull,
+            when(array_contains(rootArr, "message"), lit("TYPE_ERROR"))
+              .otherwise(lit("MISSING_MESSAGE")))
+          .otherwise(lit("ENVELOPE_PARSE")))
+        .when(!array_contains(col("__mfe_keys"), "message"), lit("MISSING_MESSAGE"))
+        .when(col("__mfe_msg").isNotNull,
+          // proper object message → the data / base64 / payload route
+          when(col("__mfe_data").isNotNull,
+            when(col("__mfe_inner").isNull, lit("BAD_DATA"))
+              .when(col("__mfe_inner_corrupt").isNotNull,
+                // corrupt ⇒ not an object: invalid JSON → BAD_DATA
+                // (b64decode/json.loads raise, main.py:29-34); any valid
+                // non-object incl. `null` → Model(**payload) TypeError
+                when(get_json_object(col("__mfe_inner"), "$").isNull, lit("BAD_DATA"))
+                  .otherwise(lit("TYPE_ERROR")))
+              .when(col("__mfe_org_raw").isNull || col("__mfe_org_id").isNull,
+                lit("VALIDATION"))
+              .otherwise(lit(null).cast(StringType)))
+            // data key present but null → b64decode(None) raises → BAD_DATA;
+            // key absent → MISSING_DATA
+            .otherwise(
+              when(array_contains(json_object_keys(msgTextCol), "data"), lit("BAD_DATA"))
+                .otherwise(lit("MISSING_DATA"))))
+        // message key present but NOT an object: Python `"data" in message`
+        .otherwise(
+          when(msgTextCol.isNull, lit("TYPE_ERROR")) // null literal: `in None` raises
+            .when(msgHead === "[",
+              when(msgArr.isNotNull && array_contains(msgArr, "data"), lit("TYPE_ERROR"))
+                .otherwise(lit("MISSING_DATA")))
+            .when(msgTextCol.rlike(ScalarRe), lit("TYPE_ERROR")) // number/bool: `in` raises
+            .when(msgTextCol.contains("data"), lit("TYPE_ERROR")) // str: `in` passes, index raises
+            .otherwise(lit("MISSING_DATA")))
+
+    val withCt = contentTypeCol match {
+      case Some(ct) =>
+        when(col(ct).isNull || col(ct) =!= "application/json", lit("CONTENT_TYPE"))
+          .otherwise(classified)
+      case None => classified
+    }
 
     raw
-      .withColumn("__mfe_raw_valid", rawValid)
+      .withColumn("__mfe_obj_root", keys.isNotNull)
+      .withColumn("__mfe_keys", keys)
       .withColumn("__mfe_env", env)
+      .withColumn("__mfe_msg", msgStruct)
+      .withColumn("__mfe_msg_text", msgText)
       .withColumn("__mfe_data", data)
       .withColumn("__mfe_inner", inner)
-      .withColumn("__mfe_inner_valid", innerValid)
-      .withColumn("__mfe_org_raw", orgRaw)
+      .withColumn("__mfe_inner_parsed", innerParsed)
+      .withColumn("__mfe_inner_corrupt", col("__mfe_inner_parsed").getField("__graft_corrupt"))
+      .withColumn("__mfe_org_raw", col("__mfe_inner_parsed").getField("org_id"))
       .withColumn("__mfe_org_id", orgId)
-      .withColumn("error_class",
-        when(!col("__mfe_raw_valid") || col("__mfe_env").isNull, lit("ENVELOPE_PARSE"))
-          .when(strMsg || listMsg, lit("TYPE_ERROR"))
-          .when(col("__mfe_env.message").isNull, lit("MISSING_MESSAGE"))
-          .when(col("__mfe_data").isNull, lit("MISSING_DATA"))
-          .when(col("__mfe_inner").isNull || !col("__mfe_inner_valid"), lit("BAD_DATA"))
-          .when(innerHead =!= "{", lit("TYPE_ERROR"))
-          .when(col("__mfe_org_raw").isNull || col("__mfe_org_id").isNull, lit("VALIDATION"))
-          .otherwise(lit(null).cast(StringType)))
+      .withColumn("error_class", withCt)
       .withColumn("status_code",
         when(col("error_class").isNull, lit(StatusOk))
+          .when(col("error_class") === "CONTENT_TYPE", lit(StatusUnsupportedMedia))
           .when(col("error_class").isin("ENVELOPE_PARSE", "TYPE_ERROR"), lit(StatusServerError))
           .otherwise(lit(StatusBadRequest)))
       .withColumn("org_id",
         when(col("error_class").isNull, col("__mfe_org_id")).otherwise(lit(null).cast(IntegerType)))
-      .drop("__mfe_raw_valid", "__mfe_env", "__mfe_data", "__mfe_inner",
-        "__mfe_inner_valid", "__mfe_org_raw", "__mfe_org_id")
+      .drop("__mfe_obj_root", "__mfe_keys", "__mfe_env", "__mfe_msg", "__mfe_msg_text",
+        "__mfe_data", "__mfe_inner", "__mfe_inner_parsed", "__mfe_inner_corrupt",
+        "__mfe_org_raw", "__mfe_org_id")
   }
 
   /** The accepted stream: messages that passed validation, typed. */

@@ -1,6 +1,5 @@
 package graft.etl
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.sql.Timestamp
 import java.util.UUID
 
@@ -37,23 +36,25 @@ final class MetaStore(val root: String)(implicit spark: SparkSession) {
   private val statusDir = s"$root/status/data"
 
   // ---------------------------------------------------------------- versions
+  //
+  // All pointer probes/reads/swaps go through graft.util.Fs (Hadoop
+  // FileSystem): the control-plane root is HDFS/S3/GCS at cluster scale,
+  // where a java.nio probe silently answers false — config lookups would
+  // come back empty and the watermark resume would restart from epoch.
 
-  private def currentPointer(tableDir: String): Path = Paths.get(tableDir, "CURRENT")
+  private def currentPointer(tableDir: String): String = s"$tableDir/CURRENT"
 
-  private def currentVersion(tableDir: String): Option[String] = {
-    val p = currentPointer(tableDir)
-    if (Files.exists(p)) Some(Files.readString(p).trim) else None
-  }
+  private def currentVersion(tableDir: String): Option[String] =
+    graft.util.Fs.readSmallText(spark, currentPointer(tableDir)).map(_.trim)
 
-  /** Write `df` as a fresh snapshot, then atomically repoint CURRENT. */
+  /** Write `df` as a fresh snapshot, then atomically repoint CURRENT
+    * (write-in-full + rename-OVERWRITE; see Fs.writeSmallTextAtomic for the
+    * S3 caveat).
+    */
   private def overwriteVersioned(tableDir: String, df: DataFrame): Unit = {
     val v = s"v_${UUID.randomUUID().toString.take(8)}"
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$tableDir/$v")
-    val tmp = Paths.get(tableDir, s".CURRENT.${UUID.randomUUID().toString.take(8)}")
-    Files.createDirectories(Paths.get(tableDir))
-    Files.writeString(tmp, v)
-    Files.move(tmp, currentPointer(tableDir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    graft.util.Fs.writeSmallTextAtomic(spark, currentPointer(tableDir), v)
   }
 
   private def readVersioned(tableDir: String): Option[DataFrame] =
@@ -133,7 +134,7 @@ final class MetaStore(val root: String)(implicit spark: SparkSession) {
       .coalesce(1).write.mode(SaveMode.Append).parquet(statusDir)
 
   def statusLog: DataFrame =
-    if (Files.exists(Paths.get(statusDir)))
+    if (graft.util.Fs.hasParquetFiles(spark, statusDir))
       spark.read.parquet(statusDir)
     else
       Seq.empty[(Long, Int, String, String, Timestamp)]

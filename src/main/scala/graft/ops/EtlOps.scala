@@ -38,21 +38,25 @@ object EtlOps {
   // etl_run_dest and etl_run_status examine two facets of the SAME
   // deterministic schedule — memoize per (session, sfDir) so one Verify or
   // Bench JVM executes the pipeline once, not once per facet. Keyed on the
-  // session OBJECT (weakly) rather than its identity hash: a stopped
-  // session's entries become collectable instead of colliding with a new
-  // session that reuses the hash, and temp dirs aren't pinned JVM-wide.
+  // session OBJECT (weakly) rather than its identity hash, and the value
+  // holds only PATHS (a MetaStore would capture the session through its
+  // implicit constructor arg, strongly referencing the key and making the
+  // weak entry uncollectable); callers rebuild the stateless MetaStore
+  // wrapper on access.
   private val runTwiceMemo =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, (MetaStore, String)]]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, (String, String)]]()
 
   /** Run the two-run ETL schedule into fresh temp storage; return (meta, destDir). */
-  private def runTwice(spark: SparkSession, dir: String): (MetaStore, String) =
-    runTwiceMemo.synchronized {
+  private def runTwice(spark: SparkSession, dir: String): (MetaStore, String) = {
+    val (metaRoot, dest) = runTwiceMemo.synchronized {
       val perSession = runTwiceMemo.computeIfAbsent(spark,
         _ => scala.collection.mutable.Map.empty)
       perSession.getOrElseUpdate(dir, runTwiceImpl(spark, dir))
     }
+    (new MetaStore(metaRoot)(spark), dest)
+  }
 
-  private def runTwiceImpl(spark: SparkSession, dir: String): (MetaStore, String) = {
+  private def runTwiceImpl(spark: SparkSession, dir: String): (String, String) = {
     implicit val s: SparkSession = spark
     val tmp = graft.util.TempDirs.create("graft_etl_")
     val meta = new MetaStore(s"$tmp/meta")
@@ -63,7 +67,7 @@ object EtlOps {
     val r1 = EtlJob.run(spark, meta, src, "ts", dest, msg, utcTs(Mid), sleeper = _ => ())
     val r2 = EtlJob.run(spark, meta, src, "ts", dest, msg, utcTs(End), sleeper = _ => ())
     require(r1.isRight && r2.isRight, s"etl runs failed: $r1 / $r2")
-    (meta, dest)
+    (meta.root, dest)
   }
 
   /** Destination multiset after two incremental runs — asserts W1 resume, F1

@@ -9,7 +9,9 @@ import graft.etl.MessageFrontEnd
 /** Oracle-checkable exercise of the message front-end (S11/U2): a fixture of
   * Pub/Sub push bodies — valid envelopes derived from `events.user_id` plus
   * one literal probe per error class in the reference's taxonomy
-  * (main.py:15-38) — pushed through the columnar decode chain.
+  * (main.py:15-38), including the 415 content-type gate and the TypeError
+  * shapes for non-object `message` fields — pushed through the columnar
+  * decode chain.
   */
 object MessageOps {
 
@@ -24,50 +26,73 @@ object MessageOps {
         concat(
           lit("{\"message\": {\"data\": \""),
           base64(concat(lit("{\"org_id\": "), col("user_id"), lit("}")).cast("binary")),
-          lit("\", \"messageId\": \"m1\"}, \"subscription\": \"s\"}")).as("raw"))
+          lit("\", \"messageId\": \"m1\"}, \"subscription\": \"s\"}")).as("raw"),
+        lit("application/json").as("content_type"))
     val b64 = (p: String) =>
       java.util.Base64.getEncoder.encodeToString(p.getBytes("UTF-8"))
+    val json = "application/json"
     val probes = Seq(
+      // content-type gate (main.py:15-16): checked before ANY parsing, so
+      // even a perfectly valid body 415s under the wrong (or absent) header
+      ("e415_ctype", s"""{"message": {"data": "${b64("""{"org_id": 1}""")}"}}""", "text/plain"),
+      ("e415_noct", s"""{"message": {"data": "${b64("""{"org_id": 1}""")}"}}""", null: String),
       // unparseable envelope → the reference's uncaught json.loads → 500
-      ("e500_badjson", "this is not json"),
+      ("e500_badjson", "this is not json", json),
       // valid scalar JSON → reference's `"message" not in 123` TypeError → 500
-      ("e500_scalar", "123"),
+      ("e500_scalar", "123", json),
       // lists/strings support Python's `in` → fall through to 400 (main.py:21)
-      ("e400_array", "[1, 2]"),
-      ("e400_jsonstr", "\"just a string\""),
+      ("e400_array", "[1, 2]", json),
+      ("e400_jsonstr", "\"just a string\"", json),
       // ...but when the `in` test PASSES on a non-dict, the subsequent
       // `envelope["message"]` raises TypeError → 500: substring match on a
-      // string body, element match on a list body
-      ("e500_strmsg", "\"the message is inside\""),
-      ("e500_listmsg", """["message"]"""),
+      // string body (against the DECODED text — escapes resolved), element
+      // match on a list body
+      ("e500_strmsg", "\"the message is inside\"", json),
+      ("e500_escstrmsg", "\"\\u006dessage here\"", json),
+      ("e500_listmsg", """["message"]""", json),
+      // non-object `message` FIELDS, shape by shape (main.py:24-26):
+      // null/number/bool raise at `"data" in message` → 500
+      ("e500_msgnull", """{"message": null}""", json),
+      ("e500_msgnum", """{"message": 123}""", json),
+      ("e500_msgbool", """{"message": true}""", json),
+      // a string/list message passes `in` when it carries "data" (then
+      // message["data"] raises → 500) and 400s when it doesn't
+      ("e500_msgstr_data", """{"message": "x data y"}""", json),
+      ("e400_msgstr", """{"message": "hello there"}""", json),
+      ("e500_msgarr_data", """{"message": ["data"]}""", json),
+      ("e400_msgarr", """{"message": [1]}""", json),
       // valid non-object inner payloads: Model(**payload) TypeError → 500
-      ("e500_payload_arr", s"""{"message": {"data": "${b64("[1]")}"}}"""),
-      ("e500_payload_str", s"""{"message": {"data": "${b64("\"5\"")}"}}"""),
-      ("e500_payload_num", s"""{"message": {"data": "${b64("5")}"}}"""),
+      ("e500_payload_arr", s"""{"message": {"data": "${b64("[1]")}"}}""", json),
+      ("e500_payload_str", s"""{"message": {"data": "${b64("\"5\"")}"}}""", json),
+      ("e500_payload_num", s"""{"message": {"data": "${b64("5")}"}}""", json),
+      ("e500_payload_null", s"""{"message": {"data": "${b64("null")}"}}""", json),
       // {"foo":1} parses but has no message → 400 (main.py:21-22)
-      ("e400_nomsg", """{"foo": 1}"""),
+      ("e400_nomsg", """{"foo": 1}""", json),
       // message without data → 400 (main.py:25-26)
-      ("e400_nodata", """{"message": {"messageId": "m2"}}"""),
+      ("e400_nodata", """{"message": {"messageId": "m2"}}""", json),
+      // data KEY present but null → b64decode(None) raises → 400 BAD_DATA
+      ("e400_datanull", """{"message": {"data": null}}""", json),
       // data not base64/utf8-json → 400 (main.py:29-34)
-      ("e400_badb64", """{"message": {"data": "%%%not-base64%%%"}}"""),
-      ("e400_badinner", s"""{"message": {"data": "${b64("not json at all")}"}}"""),
+      ("e400_badb64", """{"message": {"data": "%%%not-base64%%%"}}""", json),
+      ("e400_badinner", s"""{"message": {"data": "${b64("not json at all")}"}}""", json),
       // valid JSON payload failing pydantic validation → 400 (main.py:36-38)
-      ("e400_noorg", s"""{"message": {"data": "${b64("""{"foo": 1}""")}"}}"""),
-      ("e400_orgstr", s"""{"message": {"data": "${b64("""{"org_id": "abc"}""")}"}}"""),
+      ("e400_noorg", s"""{"message": {"data": "${b64("""{"foo": 1}""")}"}}""", json),
+      ("e400_orgstr", s"""{"message": {"data": "${b64("""{"org_id": "abc"}""")}"}}""", json),
       // pydantic coerces numeric strings: "123" → 123 → 200
-      ("ok_coerce", s"""{"message": {"data": "${b64("""{"org_id": "123"}""")}"}}"""))
-      .toDF("case_id", "raw")
+      ("ok_coerce", s"""{"message": {"data": "${b64("""{"org_id": "123"}""")}"}}""", json))
+      .toDF("case_id", "raw", "content_type")
     valid.unionByName(probes)
   }
 
   private def s11(s: SparkSession, dir: String): DataFrame =
-    MessageFrontEnd.decode(fixture(s, dir))
+    MessageFrontEnd.decode(fixture(s, dir), contentTypeCol = Some("content_type"))
       .select(col("case_id"), col("org_id"), col("status_code"), col("error_class"))
       .orderBy(col("case_id"))
 
   /** The U2 quarantine channel: rejects grouped by class. */
   private def u2(s: SparkSession, dir: String): DataFrame =
-    MessageFrontEnd.quarantined(MessageFrontEnd.decode(fixture(s, dir)))
+    MessageFrontEnd.quarantined(
+        MessageFrontEnd.decode(fixture(s, dir), contentTypeCol = Some("content_type")))
       .groupBy(col("status_code"), col("error_class"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("status_code"), col("error_class"))
@@ -87,17 +112,29 @@ object MessageOps {
         |  FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0)
         |  UNION ALL
         |  SELECT * FROM (VALUES
-        |    ('e500_badjson',   CAST(NULL AS INTEGER), CAST(500 AS INTEGER), 'ENVELOPE_PARSE'),
+        |    ('e415_ctype',     CAST(NULL AS INTEGER), CAST(415 AS INTEGER), 'CONTENT_TYPE'),
+        |    ('e415_noct',      NULL, 415, 'CONTENT_TYPE'),
+        |    ('e500_badjson',   NULL, 500, 'ENVELOPE_PARSE'),
         |    ('e500_scalar',    NULL, 500, 'ENVELOPE_PARSE'),
         |    ('e400_array',     NULL, 400, 'MISSING_MESSAGE'),
         |    ('e400_jsonstr',   NULL, 400, 'MISSING_MESSAGE'),
         |    ('e500_strmsg',      NULL, 500, 'TYPE_ERROR'),
+        |    ('e500_escstrmsg',   NULL, 500, 'TYPE_ERROR'),
         |    ('e500_listmsg',     NULL, 500, 'TYPE_ERROR'),
+        |    ('e500_msgnull',     NULL, 500, 'TYPE_ERROR'),
+        |    ('e500_msgnum',      NULL, 500, 'TYPE_ERROR'),
+        |    ('e500_msgbool',     NULL, 500, 'TYPE_ERROR'),
+        |    ('e500_msgstr_data', NULL, 500, 'TYPE_ERROR'),
+        |    ('e400_msgstr',      NULL, 400, 'MISSING_DATA'),
+        |    ('e500_msgarr_data', NULL, 500, 'TYPE_ERROR'),
+        |    ('e400_msgarr',      NULL, 400, 'MISSING_DATA'),
         |    ('e500_payload_arr', NULL, 500, 'TYPE_ERROR'),
         |    ('e500_payload_str', NULL, 500, 'TYPE_ERROR'),
         |    ('e500_payload_num', NULL, 500, 'TYPE_ERROR'),
+        |    ('e500_payload_null', NULL, 500, 'TYPE_ERROR'),
         |    ('e400_nomsg',     NULL, 400, 'MISSING_MESSAGE'),
         |    ('e400_nodata',    NULL, 400, 'MISSING_DATA'),
+        |    ('e400_datanull',  NULL, 400, 'BAD_DATA'),
         |    ('e400_badb64',    NULL, 400, 'BAD_DATA'),
         |    ('e400_badinner',  NULL, 400, 'BAD_DATA'),
         |    ('e400_noorg',     NULL, 400, 'VALIDATION'),
@@ -107,12 +144,13 @@ object MessageOps {
         |) ORDER BY case_id""".stripMargin,
     "u2_validation_quarantine" ->
       """SELECT status_code, error_class, n FROM (VALUES
-        |  (CAST(400 AS INTEGER), 'BAD_DATA',        CAST(2 AS BIGINT)),
-        |  (400, 'MISSING_DATA',    1),
+        |  (CAST(400 AS INTEGER), 'BAD_DATA',        CAST(3 AS BIGINT)),
+        |  (400, 'MISSING_DATA',    3),
         |  (400, 'MISSING_MESSAGE', 3),
         |  (400, 'VALIDATION',      2),
+        |  (415, 'CONTENT_TYPE',    2),
         |  (500, 'ENVELOPE_PARSE',  2),
-        |  (500, 'TYPE_ERROR',      5)
+        |  (500, 'TYPE_ERROR',      12)
         |) AS t(status_code, error_class, n)
         |ORDER BY status_code, error_class""".stripMargin
   )

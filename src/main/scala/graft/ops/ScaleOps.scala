@@ -60,10 +60,12 @@ object ScaleOps {
       partitionCol: String = "export_date",
       targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
     // Hadoop FileSystem, not java.nio: the destination is HDFS/S3 at scale.
-    def countFiles(): Long = graft.util.Fs.listParquetFiles(spark, destDir).size.toLong
-    val before = countFiles()
+    // One recursive listing serves both the file count and the byte total —
+    // each listing is a full remote round-trip on HDFS/S3.
+    val beforeFiles = graft.util.Fs.listParquetFiles(spark, destDir)
+    val before = beforeFiles.size.toLong
     val df = spark.read.parquet(destDir)
-    val totalBytes = graft.util.Fs.listParquetFiles(spark, destDir).map(_._2).sum
+    val totalBytes = beforeFiles.map(_._2).sum
     val nParts = math.max(1, (totalBytes / targetBytes).toInt)
     // stage through a temp copy: Spark cannot overwrite a path it reads
     val stage = graft.util.TempDirs.create("graft_compact_")
@@ -77,6 +79,6 @@ object ScaleOps {
       case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    (before, countFiles())
+    (before, graft.util.Fs.listParquetFiles(spark, destDir).size.toLong)
   }
 }

@@ -1,6 +1,8 @@
 package graft.util
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Storage-agnostic filesystem probes via Hadoop's FileSystem API.
@@ -45,4 +47,43 @@ object Fs {
     */
   def hasParquetFiles(spark: SparkSession, path: String): Boolean =
     listParquetFiles(spark, path).nonEmpty
+
+  /** Read a small control file (e.g. a version pointer) as UTF-8 text;
+    * None when it does not exist. Control files are a few bytes — one
+    * round-trip, no Spark job.
+    */
+  def readSmallText(spark: SparkSession, path: String): Option[String] = {
+    val (f, p) = fs(spark, path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(out.toByteArray, StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  /** Atomically publish a small control file: write to a hidden sibling,
+    * then rename over the target with OVERWRITE semantics (FileContext —
+    * the Hadoop API that exposes atomic-replace; plain FileSystem.rename
+    * refuses an existing destination on HDFS). Atomic on HDFS and local
+    * filesystems; on S3A rename is copy+delete, so writers needing
+    * cross-writer atomicity there should layer a conditional-put scheme —
+    * readers still never see a torn file because the temp is written in
+    * full first.
+    */
+  def writeSmallTextAtomic(spark: SparkSession, path: String, content: String): Unit = {
+    val (f, p) = fs(spark, path)
+    val parent = p.getParent
+    if (parent != null) f.mkdirs(parent)
+    val tmp = new Path(parent, s".${p.getName}.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val fc = FileContext.getFileContext(p.toUri, spark.sessionState.newHadoopConf())
+    fc.rename(tmp, p, Options.Rename.OVERWRITE)
+  }
 }

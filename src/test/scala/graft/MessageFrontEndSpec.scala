@@ -75,9 +75,47 @@ class MessageFrontEndSpec extends AnyFunSuite {
   }
 
   test("valid non-object inner payload → 500 TYPE_ERROR (Model(**payload) raises)") {
-    for (payload <- Seq("[1]", "\"5\"", "5")) {
+    for (payload <- Seq("[1]", "\"5\"", "5", "null")) {
       val raw = s"""{"message": {"data": "${b64(payload)}"}}"""
       assert(classify(raw) == ((None, 500, Some("TYPE_ERROR"))), s"payload=$payload")
     }
+  }
+
+  test("string body matches 'message' on DECODED text (escapes resolved)") {
+    // raw text contains no literal 'message', the decoded string does
+    assert(classify("\"\\u006dessage here\"") == ((None, 500, Some("TYPE_ERROR"))))
+  }
+
+  test("non-object message fields follow Python's `in`-then-index semantics") {
+    // null/number/bool: `"data" in message` raises immediately → 500
+    for (m <- Seq("null", "123", "true")) {
+      assert(classify(s"""{"message": $m}""") == ((None, 500, Some("TYPE_ERROR"))), s"message=$m")
+    }
+    // string/list: `in` passes iff "data" present → 500; otherwise → 400
+    assert(classify("""{"message": "x data y"}""") == ((None, 500, Some("TYPE_ERROR"))))
+    assert(classify("""{"message": "hello"}""") == ((None, 400, Some("MISSING_DATA"))))
+    assert(classify("""{"message": ["data"]}""") == ((None, 500, Some("TYPE_ERROR"))))
+    assert(classify("""{"message": [1]}""") == ((None, 400, Some("MISSING_DATA"))))
+  }
+
+  test("data key present but null → BAD_DATA (b64decode(None) raises)") {
+    assert(classify("""{"message": {"data": null}}""") == ((None, 400, Some("BAD_DATA"))))
+  }
+
+  test("content-type gate: anything but application/json → 415 before parsing") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import sp.implicits._
+    val valid = s"""{"message": {"data": "${b64("""{"org_id": 42}""")}"}}"""
+    val decoded = MessageFrontEnd.decode(
+      Seq((valid, "application/json"), (valid, "text/plain"), (valid, null: String),
+        ("garbage", "application/json"))
+        .toDF("raw", "content_type"),
+      contentTypeCol = Some("content_type"))
+      .select("status_code", "error_class").collect()
+      .map(r => (r.getInt(0), Option(r.get(1)).map(_.toString)))
+    assert(decoded(0) == ((200, None)))
+    assert(decoded(1) == ((415, Some("CONTENT_TYPE"))))
+    assert(decoded(2) == ((415, Some("CONTENT_TYPE"))))
+    assert(decoded(3) == ((500, Some("ENVELOPE_PARSE"))), "415 gate must not shadow other classes")
   }
 }

@@ -44,6 +44,22 @@ class MetaStoreSpec extends AnyFunSuite {
     assert(m.configs.count() == 1, "overwrites must not duplicate rows")
   }
 
+  test("control plane is storage-agnostic: works through an explicit file: URI") {
+    // An explicit-scheme URI is how every non-local root (hdfs://, s3a://)
+    // arrives; java.nio.Paths.get("file:///...") mangles it into a relative
+    // path, so this round-trips only if the pointer/probe logic goes through
+    // the Hadoop FileSystem API (the bug class round 2 found in EtlJob).
+    val m = new MetaStore("file://" + tmpDir("meta_uri_spec_"))
+    m.putConfigs(Seq(ClientBillingConfig(1, "p1", "bd", "t", None, None, None)))
+    assert(m.updateConfig(1, "p1", Map("pulsetableid" -> "tb9")) == 1)
+    assert(m.configFor(1).get.pulsetableid.contains("tb9"))
+    assert(m.lastSuccessWatermark(1, "p1").isEmpty, "empty status log reads as empty, not a crash")
+    val t1 = utcTs("2024-01-10 00:00:00")
+    m.appendStatus(1, EtlStatus(1, "p1", EtlStatus.Success, Some(t1)))
+    assert(m.lastSuccessWatermark(1, "p1").contains(t1))
+    assert(m.nextStatusSeq == 2L)
+  }
+
   test("checkpoint read: None before any SUCCESS, filters by key and status") {
     val m = fresh()
     assert(m.lastSuccessWatermark(1, "p1").isEmpty)
