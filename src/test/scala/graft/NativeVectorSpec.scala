@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{NativeVector, VectorFunctions}
+
+/** Native vector expressions vs the composable HOF formulations: results
+  * must agree bit-for-bit (cosine) / structurally (signatures), and the
+  * signature stage must be map-only — the whole point of going native.
+  */
+class NativeVectorSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def emb = {
+    NativeVector.register(spark)
+    Tables.load(spark, Sf0001, "embeddings")
+  }
+
+  test("native cosine is bit-identical to the zip_with/aggregate formulation") {
+    val e = emb
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_e"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_e"))
+    val pairs = a.join(b, col("a_id") + 1 === col("b_id")) // adjacent pairs, no dup work
+      .select(
+        call_function("graft_cosine", col("a_e"), col("b_e")).as("native"),
+        VectorFunctions.cosine(col("a_e"), col("b_e")).as("composable"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"native ${r.getDouble(0)} vs composable ${r.getDouble(1)}")
+    }
+  }
+
+  test("lsh keys are scale-invariant and deterministic") {
+    val e = emb
+    val scaled = e.select(col("vec_id"),
+      expr("graft_lsh_keys(embedding, 8, 4, 1337, 0)").as("k1"),
+      expr("graft_lsh_keys(transform(embedding, x -> x * 3.0F), 8, 4, 1337, 0)").as("k2"))
+      .where(col("k1") =!= col("k2"))
+    assert(scaled.count() == 0, "sign-LSH keys must not change under positive scaling")
+  }
+
+  test("radius-1 probe keys are the index keys plus every 1-bit band flip") {
+    val e = emb.limit(5)
+    val rows = e.select(
+      expr("graft_lsh_keys(embedding, 4, 3, 7, 0)").as("idx"),
+      expr("graft_lsh_keys(embedding, 4, 3, 7, 1)").as("probe"))
+      .collect()
+    rows.foreach { r =>
+      val idx = r.getSeq[Long](0)
+      val probe = r.getSeq[Long](1).toSet
+      assert(idx.size == 4 && probe.size == 4 * 4, "4 tables × (1 + 3 flips), all distinct")
+      idx.foreach { k =>
+        assert(probe.contains(k))
+        (0 until 3).foreach(b => assert(probe.contains(k ^ (1L << b))))
+      }
+    }
+  }
+
+  test("signature generation is map-only: no Exchange before the bucket join") {
+    val plan = emb.select(col("vec_id"),
+      explode(expr("graft_lsh_keys(embedding, 32, 4, 1337, 0)")).as("key"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"native signatures must not shuffle (the old posexplode->groupBy did)\n$plan")
+  }
+
+  test("ANN LSH candidate generation never plans a cartesian/nested-loop join") {
+    val plan = ops.SimilarityOps.annLshTopk(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe keys must broadcast against the corpus key stream\n$plan")
+  }
+}
