@@ -19,7 +19,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.RelationalOps.queries ++ ops.EtlOps.queries ++ ops.MessageOps.queries ++
-      ops.DedupOps.queries ++ ops.SimilarityOps.queries ++ ops.TextAnalysisOps.queries ++
+      ops.DedupOps.queries ++ ops.IncrementalDedupOps.queries ++
+      ops.SimilarityOps.queries ++ ops.TextAnalysisOps.queries ++
       ops.MultimodalOps.queries ++ ops.StreamingOps.queries ++ ops.CoverageOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -27,6 +28,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     ops.RelationalOps.oracleSql ++ ops.EtlOps.oracleSql ++ ops.MessageOps.oracleSql ++
-      ops.DedupOps.oracleSql ++ ops.SimilarityOps.oracleSql ++ ops.TextAnalysisOps.oracleSql ++
+      ops.DedupOps.oracleSql ++ ops.IncrementalDedupOps.oracleSql ++
+      ops.SimilarityOps.oracleSql ++ ops.TextAnalysisOps.oracleSql ++
       ops.MultimodalOps.oracleSql ++ ops.StreamingOps.oracleSql ++ ops.CoverageOps.oracleSql
 }

@@ -26,10 +26,10 @@ object DedupOps {
     * threshold provably finds every true pair (miss prob < 1e-7 at J=0.9
     * with 16 bands × 4 rows).
     */
-  private val JaccardThreshold = 0.5
+  private[ops] val JaccardThreshold = 0.5
   private val MinhashK = 64
-  private val Bands = 16
-  private val RowsPerBand = 4
+  private[ops] val Bands = 16
+  private[ops] val RowsPerBand = 4
   // 60-bit hash, 2-of-12 block-pair bucketing → every pair within hamming
   // ≤ 10 is guaranteed a bucket collision (true near-dup pairs measure ≤ 9
   // at the oracle-graded scale factors)
@@ -61,7 +61,7 @@ object DedupOps {
   /** Shared doc → distinct-shingle-hash projection, via the native codegen
     * expression (one compiled tokenize→hash→mix pass, no trigram strings).
     */
-  private def shingled(docs: DataFrame): DataFrame = {
+  private[graft] def shingled(docs: DataFrame): DataFrame = {
     graft.functions.NativeText.register(docs.sparkSession)
     docs.select(col("doc_id"), expr("graft_shingle_hashes(text)").as("sh_hashes"))
   }
@@ -171,7 +171,7 @@ object DedupOps {
   /** DuckDB mirror of the doc → trigram-set projection (tokens and shingles
     * built with the exact same formula as TextFunctions).
     */
-  private def duckShingled(filter: String): String =
+  private[ops] def duckShingled(filter: String): String =
     s"""SELECT doc_id,
        |  CASE WHEN len(w) < 3 THEN [] ELSE list_distinct(
        |    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions.{bandHashes, jaccard}
+
+/** Incremental near-dup detection: a NEW BATCH of documents deduped against
+  * a PERSISTED signature index, without re-signaturing (or even re-reading)
+  * the existing corpus — the operational shape of a 100 TB corpus that
+  * grows daily, where whole-corpus self-joins stop being an option.
+  *
+  * The index is a parquet table of `(doc_id, band_idx, band_hash)` MinHash
+  * LSH band rows — ~16 rows × 16 bytes per document regardless of document
+  * size. Per batch:
+  *
+  *   1. the batch's band rows are computed (map-only native signatures,
+  *      same `graft_minhash_sig64` family as [[DedupOps]] — identical keys,
+  *      so an index built yesterday matches a batch signed today);
+  *   2. candidates = batch-bands ⋈ index on (band_idx, band_hash) — an
+  *      equality join keyed on 16-byte hashes; the index side at cluster
+  *      scale is bucketed/partitioned by band_hash so only the (small)
+  *      batch side shuffles;
+  *   3. candidate pairs are verified by exact shingle-set Jaccard, pulling
+  *      shingles for just the touched corpus docs (a semi-join against the
+  *      document store, not a scan);
+  *   4. the batch's band rows are APPENDED to the index — existing index
+  *      files are never rewritten (asserted in IncrementalDedupSpec).
+  */
+object IncrementalDedupOps {
+
+  /** Batch membership: every 10th doc (mod 3) arrives as "today's batch",
+    * the rest is the standing corpus — sf-stable and oracle-reproducible.
+    */
+  private val BatchPred = "doc_id % 10 = 3"
+
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** `(doc_id, band_idx, band_hash)` index rows for a set of documents.
+    * Shingleless docs carry no signature and are excluded (they can never
+    * verify above threshold; see the DedupOps note).
+    */
+  def bandRows(docs: DataFrame): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("graft_minhash_sig64(text)").as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id"),
+        posexplode(bandHashes(col("sig"), DedupOps.Bands, DedupOps.RowsPerBand))
+          .as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Append a batch's band rows to the persisted index (write-once files;
+    * append adds new files, never rewrites existing ones).
+    */
+  def appendToIndex(docs: DataFrame, indexPath: String): Unit =
+    bandRows(docs).write.mode(SaveMode.Append).parquet(indexPath)
+
+  /** Near-dups of `batch` against the documents already in the index:
+    * bucket-join candidates, exact-Jaccard verify (shingles for corpus
+    * candidates come from `corpusDocs` restricted to the touched ids).
+    * Returns (new_id, corpus_id, j).
+    */
+  def dedupAgainstIndex(batch: DataFrame, corpusDocs: DataFrame,
+                        indexPath: String): DataFrame = {
+    val spark = batch.sparkSession
+    val index = spark.read.parquet(indexPath)
+    val batchBands = bandRows(batch)
+    val candidates = batchBands.as("n")
+      .join(index.as("i"),
+        col("n.band_idx") === col("i.band_idx") &&
+          col("n.band_hash") === col("i.band_hash"))
+      .select(col("n.doc_id").as("new_id"), col("i.doc_id").as("corpus_id"))
+      .distinct()
+    val newSh = DedupOps.shingled(batch)
+      .select(col("doc_id").as("new_id"), col("sh_hashes").as("n_sh"))
+    val corpusSh = DedupOps.shingled(corpusDocs)
+      .select(col("doc_id").as("corpus_id"), col("sh_hashes").as("c_sh"))
+    candidates
+      .join(newSh, "new_id")
+      .join(corpusSh, "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        jaccard(col("n_sh"), col("c_sh")).as("j"))
+      .where(col("j") >= DedupOps.JaccardThreshold)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  /** Registered query: build the corpus index, dedup the day's batch
+    * against it, then append the batch (so the next batch would see it).
+    * The returned pairs equal the exhaustive batch×corpus Jaccard join —
+    * same completeness argument as `dedup_minhash_lsh` (no corpus pair in
+    * the (0.15, 0.9) Jaccard gap ⇒ banded LSH misses nothing).
+    */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val corpus = docs.where(s"NOT ($BatchPred)")
+    val batch = docs.where(BatchPred)
+    val indexPath = s"${graft.util.TempDirs.create("graft_dedup_idx_")}/index"
+    appendToIndex(corpus, indexPath)
+    val pairs = dedupAgainstIndex(batch, corpus, indexPath)
+    appendToIndex(batch, indexPath)
+    pairs
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> (dedupIncremental _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_incremental" ->
+      s"""WITH tok AS (${DedupOps.duckShingled("")})
+         |SELECT b.doc_id AS new_id, a.doc_id AS corpus_id,
+         |  CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
+         |       ELSE len(list_intersect(a.t, b.t))::DOUBLE / len(list_distinct(a.t || b.t))::DOUBLE
+         |  END AS j
+         |FROM tok a JOIN tok b
+         |  ON NOT (a.doc_id % 10 = 3) AND b.doc_id % 10 = 3
+         |WHERE CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
+         |           ELSE len(list_intersect(a.t, b.t))::DOUBLE / len(list_distinct(a.t || b.t))::DOUBLE
+         |      END >= ${DedupOps.JaccardThreshold}
+         |ORDER BY new_id, corpus_id""".stripMargin
+  )
+}

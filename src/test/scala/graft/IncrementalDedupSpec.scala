@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental dedup: the persisted signature index is appended (never
+  * rebuilt), and batch-vs-index results equal the brute-force truth.
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def docs = Tables.load(spark, Sf0001, "documents")
+
+  test("index appends add files without rewriting existing ones") {
+    val idx = s"${tmpDir("idx_spec_")}/index"
+    val corpus = docs.where("NOT (doc_id % 10 = 3)")
+    val batch = docs.where("doc_id % 10 = 3")
+    ops.IncrementalDedupOps.appendToIndex(corpus, idx)
+    val before = graft.util.Fs.listParquetFiles(spark, idx).toMap
+    val corpusRows = spark.read.parquet(idx).count()
+    ops.IncrementalDedupOps.appendToIndex(batch, idx)
+    val after = graft.util.Fs.listParquetFiles(spark, idx).toMap
+    before.foreach { case (path, len) =>
+      assert(after.get(path).contains(len),
+        s"existing index file must survive an append untouched: $path")
+    }
+    assert(after.size > before.size, "append must add new files")
+    val expectedBatchRows = ops.IncrementalDedupOps.bandRows(batch).count()
+    assert(spark.read.parquet(idx).count() == corpusRows + expectedBatchRows)
+  }
+
+  test("batch-vs-index dedup equals the exhaustive batch×corpus Jaccard join") {
+    val idx = s"${tmpDir("idx_spec_")}/index"
+    val corpus = docs.where("NOT (doc_id % 10 = 3)")
+    val batch = docs.where("doc_id % 10 = 3")
+    ops.IncrementalDedupOps.appendToIndex(corpus, idx)
+    val got = ops.IncrementalDedupOps.dedupAgainstIndex(batch, corpus, idx)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: every batch×corpus pair, exact shingle Jaccard
+    val nSh = ops.DedupOps.shingled(batch)
+      .select(col("doc_id").as("new_id"), col("sh_hashes").as("n_sh"))
+    val cSh = ops.DedupOps.shingled(corpus)
+      .select(col("doc_id").as("corpus_id"), col("sh_hashes").as("c_sh"))
+    val expected = nSh.crossJoin(cSh)
+      .select(col("new_id"), col("corpus_id"),
+        graft.functions.TextFunctions.jaccard(col("n_sh"), col("c_sh")).as("j"))
+      .where(col("j") >= 0.5)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "fixture must exercise at least one cross-split pair")
+  }
+}
