@@ -10,11 +10,17 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, partition-parallel batched processing
   * (`mapPartitions`, the JVM analogue of `mapInPandas` batches), frame
-  * chunking, feature vector shape — is real and tested. The actual codec
-  * call is STUBBED: this container has no image/audio libraries, so
-  * `decodeStub` derives deterministic fake pixels from the payload bytes.
-  * Swap `decodeStub` for a real codec (e.g. TwelveMonkeys/JavaCV) to go
-  * live; nothing else changes.
+  * chunking, feature vector shape — is real and tested. So are the image
+  * and audio codecs: `decodeImagePixels` is a real PNG/JPEG/BMP decode via
+  * the JDK's `javax.imageio`, and `decodeWavSamples` a real RIFF/WAV parse
+  * via `javax.sound.sampled` — no external libraries, and both are
+  * round-trip oracle-checked (`mm_image_decode` / `mm_audio_decode`
+  * regenerate the decoded statistics from the closed-form payload formulas
+  * in DuckDB without touching a codec). VIDEO decode is the one genuinely
+  * stubbed modality — no JVM-builtin video codec exists — so video rows
+  * flow through `byteValues` (byte-level features over the opaque payload)
+  * and the fixed-size frame slicer; swap in JavaCV/ffmpeg bindings to go
+  * live, nothing else changes.
   */
 object Multimodal {
 
@@ -26,19 +32,102 @@ object Multimodal {
       height: Int,
       payload: Array[Byte])
 
+  /** Feature row over DECODED values (pixels for image, PCM samples for
+    * audio, raw bytes for opaque/video payloads).
+    */
   final case class MediaFeatures(
       media_id: Long,
-      n_bytes: Int,
-      mean_byte: Double,
-      var_byte: Double,
+      n_vals: Int,
+      mean_val: Double,
+      var_val: Double,
       feature: Array[Float])
 
-  /** === STUB === deterministic fake "decode": byte-level statistics stand
-    * in for decoded pixels. A real implementation would return the decoded
-    * raster; the surrounding batching/schema stays identical.
+  /** Opaque-payload fallback (and the VIDEO stand-in — see the object note):
+    * byte-level values instead of decoded samples.
     */
-  private[multimodal] def decodeStub(payload: Array[Byte]): Array[Int] =
+  private[graft] def byteValues(payload: Array[Byte]): Array[Int] =
     payload.map(b => b & 0xff)
+
+  // ------------------------------------------------------------ image codec
+
+  /** Encode a grayscale raster as a real PNG via the JDK's ImageIO
+    * (lossless — decode returns exactly these samples). Pixels are
+    * row-major (y outer). Used by fixtures/ingest shims; the engine-side
+    * hot path is the decode below.
+    */
+  def encodePng(pixels: Array[Int], width: Int, height: Int): Array[Byte] = {
+    require(pixels.length == width * height, "raster shape mismatch")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, pixels(y * width + x)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL image decode (PNG/JPEG/BMP/GIF — whatever ImageIO recognizes):
+    * returns (width, height, row-major grayscale samples). Throws on
+    * undecodable payloads — callers route those to a quarantine column.
+    */
+  def decodeImagePixels(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val gray =
+      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+      else {
+        val g = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val gg = g.createGraphics()
+        gg.drawImage(img, 0, 0, null)
+        gg.dispose()
+        g
+      }
+    val out = new Array[Int](w * h)
+    val raster = gray.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  // ------------------------------------------------------------ audio codec
+
+  /** Encode 8-bit unsigned PCM samples as a real RIFF/WAV stream via the
+    * JDK's sound API (headless-safe: pure stream formatting, no audio
+    * device).
+    */
+  def encodeWav(samples: Array[Int], sampleRate: Float = 8000f): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED, sampleRate,
+      8, 1, 1, sampleRate, false)
+    val bytes = samples.map(_.toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL audio decode: parse a WAV payload back to its 8-bit unsigned PCM
+    * samples. Throws on undecodable payloads.
+    */
+  def decodeWavSamples(payload: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try ais.readAllBytes().map(b => b & 0xff)
+    finally ais.close()
+  }
 
   /** Partition-parallel feature extraction. Batched per partition like
     * `mapInPandas`: each task decodes its partition's payloads locally and
@@ -48,7 +137,11 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val px = decodeStub(m.payload)
+        val px = m.media_type match {
+          case "image" => decodeImagePixels(m.payload)._3
+          case "audio" => decodeWavSamples(m.payload)
+          case _ => byteValues(m.payload) // video: opaque until a codec lands
+        }
         val n = px.length
         // Exact integer accumulators, then two IEEE-double ops: sum and
         // sumsq are < 2^53 so mean = s/n and var = sq/n − mean² are
@@ -89,9 +182,43 @@ object Multimodal {
       i: org.apache.spark.sql.Column, frameBytes: Int) =
     call_function("substring", payload, i * frameBytes + 1, lit(frameBytes))
 
-  /** === STUB === resize: a real pipeline would rescale the decoded raster;
-    * the deterministic stand-in keeps every k-th decoded sample so the
-    * output *shape* (smaller payload, same record structure) is realistic.
+  /** REAL image resize: decode, box-average the raster directly (each
+    * output pixel = rounded mean of the input pixels its box covers —
+    * deterministic integer math, no AWT color pipeline, which would gamma-
+    * convert grayscale through sRGB), re-encode as PNG.
+    */
+  def resizeImage(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    require(outW > 0 && outH > 0, "target dims must be positive")
+    val (w, h, px) = decodeImagePixels(payload)
+    require(outW <= w && outH <= h, "resize is a downscale")
+    val out = new Array[Int](outW * outH)
+    var oy = 0
+    while (oy < outH) {
+      val y0 = oy * h / outH
+      val y1 = math.max(y0 + 1, (oy + 1) * h / outH)
+      var ox = 0
+      while (ox < outW) {
+        val x0 = ox * w / outW
+        val x1 = math.max(x0 + 1, (ox + 1) * w / outW)
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += px(y * w + x); x += 1 }
+          y += 1
+        }
+        val n = (y1 - y0).toLong * (x1 - x0)
+        out(oy * outW + ox) = ((s + n / 2) / n).toInt // round half up
+        ox += 1
+      }
+      oy += 1
+    }
+    encodePng(out, outW, outH)
+  }
+
+  /** Opaque-payload resize stand-in (video: every k-th byte) — keeps the
+    * output *shape* (smaller payload, same record structure) realistic for
+    * the modality with no JVM-builtin codec.
     */
   def resizeStub(media: Dataset[MediaRecord], factor: Int)(implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._

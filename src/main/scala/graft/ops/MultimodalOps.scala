@@ -1,58 +1,102 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.multimodal.Multimodal
 import graft.multimodal.Multimodal.MediaRecord
 
-/** Multimodal queries: a deterministic media fixture (document text bytes
-  * as the opaque payload, metadata derived from doc fields) exercises the
-  * binary-column plumbing end to end. Byte-exact steps (length, md5,
-  * frame slicing) are DuckDB-oracle-checked; the stubbed decode/feature
-  * path is rows-only here and unit-asserted in MultimodalSpec.
+/** Multimodal queries over a deterministic media fixture with REAL payloads:
+  * image rows are actual PNGs (grayscale rasters from a closed-form pixel
+  * formula), audio rows actual RIFF/WAV streams (8-bit PCM from a sample
+  * formula), video rows opaque bytes (no JVM-builtin video codec exists —
+  * document text stands in). Because the pixel/sample formulas are
+  * closed-form, DuckDB reproduces the DECODED statistics without any codec
+  * — so the JDK ImageIO/AudioSystem round-trips are themselves
+  * oracle-checked: a codec bug breaks the hash match.
+  *
+  * Formulas (id = doc_id):
+  *   image: w = id%16+4, h = id%12+4, pixel(x,y) = (id·31 + x·7 + y·13) % 256
+  *   audio: n = id%200+8, sample(i) = (id·17 + i·5) % 256
+  *   video: payload = UTF-8 text bytes (ASCII), dims from n_chars
   */
 object MultimodalOps {
 
   private val FrameBytes = 64
 
-  private def mediaFixture(s: SparkSession, dir: String): DataFrame =
+  /** The typed media fixture: one MediaRecord per document, modality by
+    * doc_id mod 3, payloads generated in partition-parallel map tasks
+    * (the ingest edge of the pipeline — the decode edge reads them back).
+    */
+  private def mediaFixture(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
     Tables.load(s, dir, "documents")
-      .select(
-        col("doc_id").as("media_id"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio")
-          .otherwise("video").as("media_type"),
-        (col("n_chars") % 640 + 1).cast("int").as("width"),
-        (col("n_chars") % 480 + 1).cast("int").as("height"),
-        encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), col("n_chars").cast("long"), col("text"))
+      .as[(Long, Long, String)]
+      .map { case (id, nChars, text) =>
+        (id % 3) match {
+          case 0 =>
+            val w = (id % 16 + 4).toInt
+            val h = (id % 12 + 4).toInt
+            val px = Array.tabulate(w * h) { i =>
+              val x = i % w; val y = i / w
+              ((id * 31 + x * 7 + y * 13) % 256).toInt
+            }
+            MediaRecord(id, "image", w, h, Multimodal.encodePng(px, w, h))
+          case 1 =>
+            val n = (id % 200 + 8).toInt
+            val smp = Array.tabulate(n)(i => ((id * 17 + i * 5) % 256).toInt)
+            MediaRecord(id, "audio", n, 1, Multimodal.encodeWav(smp))
+          case _ =>
+            MediaRecord(id, "video", (nChars % 640 + 1).toInt, (nChars % 480 + 1).toInt,
+              text.getBytes("UTF-8"))
+        }
+      }
+  }
 
-  /** Metadata + content integrity of the binary column (byte length, md5). */
-  private def mmDecodeMeta(s: SparkSession, dir: String): DataFrame =
-    mediaFixture(s, dir)
-      .select(col("media_id"), col("media_type"), col("width"), col("height"),
-        length(col("payload")).as("n_bytes"), md5(col("payload")).as("payload_md5"))
+  /** Decode round-trip + metadata: image/audio payloads are REALLY decoded
+    * (ImageIO / AudioSystem) and the recovered shape is emitted; video
+    * payloads (opaque) emit a content md5. All three reproduce in DuckDB
+    * from the formulas / the text column.
+    */
+  private def mmDecodeMeta(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    mediaFixture(s, dir).map { m =>
+      val check = m.media_type match {
+        case "image" =>
+          val (w, h, _) = Multimodal.decodeImagePixels(m.payload)
+          s"${w}x$h"
+        case "audio" =>
+          Multimodal.decodeWavSamples(m.payload).length.toString
+        case _ =>
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(m.payload).map("%02x".format(_)).mkString
+      }
+      (m.media_id, m.media_type, m.width, m.height, check)
+    }.toDF("media_id", "media_type", "width", "height", "content_check")
       .orderBy(col("media_id"))
+  }
 
-  /** Fixed-size frame sampling of every payload — one row per frame. */
+  /** Fixed-size frame sampling — a video operation, over the video rows. */
   private def mmFrameSample(s: SparkSession, dir: String): DataFrame =
-    Multimodal.sampleFrames(mediaFixture(s, dir), "payload", FrameBytes)
+    Multimodal.sampleFrames(
+        mediaFixture(s, dir).toDF().where(col("media_type") === "video"),
+        "payload", FrameBytes)
       .orderBy(col("media_id"), col("frame_idx"))
 
-  /** The stubbed decode → feature-extract path via typed mapPartitions.
-    * Byte stats leave as scaled integers (×10⁴) so the DuckDB oracle —
-    * which recomputes them from the same exact integer sums — hash-matches
-    * (see Multimodal.extractFeatures on why the math is bit-reproducible).
+  /** The decode → feature-extract path via typed mapPartitions: real codec
+    * per modality, exact integer stats over the DECODED values (×10⁴ so
+    * the DuckDB oracle — recomputing from the same formulas with the same
+    * two IEEE-double ops — hash-matches; see Multimodal.extractFeatures).
     */
   private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
-    import sp.implicits._
-    val media = mediaFixture(s, dir).as[MediaRecord]
-    Multimodal.extractFeatures(media).toDF()
-      .select(col("media_id"), col("n_bytes"),
-        round(col("mean_byte") * 10000).cast("long").as("mean_byte_e4"),
-        round(col("var_byte") * 10000).cast("long").as("var_byte_e4"),
+    Multimodal.extractFeatures(mediaFixture(s, dir)).toDF()
+      .select(col("media_id"), col("n_vals"),
+        round(col("mean_val") * 10000).cast("long").as("mean_val_e4"),
+        round(col("var_val") * 10000).cast("long").as("var_val_e4"),
         size(col("feature")).as("feature_dim"))
       .orderBy(col("media_id"))
   }
@@ -68,39 +112,66 @@ object MultimodalOps {
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |  CAST(n_chars % 640 + 1 AS INTEGER) AS width,
-        |  CAST(n_chars % 480 + 1 AS INTEGER) AS height,
-        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-        |  md5(text) AS payload_md5
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 16 + 4 AS INTEGER)
+        |       WHEN doc_id % 3 = 1 THEN CAST(doc_id % 200 + 8 AS INTEGER)
+        |       ELSE CAST(n_chars % 640 + 1 AS INTEGER) END AS width,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 12 + 4 AS INTEGER)
+        |       WHEN doc_id % 3 = 1 THEN CAST(1 AS INTEGER)
+        |       ELSE CAST(n_chars % 480 + 1 AS INTEGER) END AS height,
+        |  CASE WHEN doc_id % 3 = 0 THEN (doc_id % 16 + 4) || 'x' || (doc_id % 12 + 4)
+        |       WHEN doc_id % 3 = 1 THEN CAST(doc_id % 200 + 8 AS VARCHAR)
+        |       ELSE md5(text) END AS content_check
         |FROM documents ORDER BY media_id""".stripMargin,
     "mm_frame_sample" ->
-      // document text is ASCII, so varchar slicing matches the engine's
-      // byte slicing exactly (duckdb's md5/substring lack BLOB overloads)
+      // video rows only; document text is ASCII, so varchar slicing matches
+      // the engine's byte slicing exactly (duckdb's md5/substring lack BLOB
+      // overloads)
       s"""SELECT doc_id AS media_id, CAST(f.i AS INTEGER) AS frame_idx,
          |  md5(substring(text, (f.i * $FrameBytes + 1)::INTEGER, $FrameBytes)) AS frame_md5
          |FROM documents,
          |  LATERAL (SELECT unnest(range(0,
          |    ((octet_length(encode(text)) - 1) // $FrameBytes) + 1)) AS i) f
+         |WHERE doc_id % 3 = 2
          |ORDER BY media_id, frame_idx""".stripMargin,
     "mm_features" ->
-      // text is ASCII, so ascii() per character reproduces the engine's
-      // decoded byte values; mean/var re-derive from the same exact integer
-      // sums with the same two IEEE-double ops → identical to the bit
-      """WITH codes AS (
-        |  SELECT d.doc_id, ascii(substring(d.text, f.i::INTEGER, 1)) AS code
-        |  FROM documents d,
-        |    LATERAL (SELECT unnest(range(1, octet_length(encode(d.text)) + 1)) AS i) f
-        |), stats AS (
+      // per-modality stats recomputed WITHOUT a codec, from the same
+      // closed-form values the engine encoded — a codec round-trip check
+      """WITH img AS (
         |  SELECT doc_id, count(*) AS n,
-        |    CAST(sum(code) AS BIGINT) AS s, CAST(sum(code * code) AS BIGINT) AS sq
-        |  FROM codes GROUP BY doc_id
+        |    CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS sq
+        |  FROM (SELECT d.doc_id, (d.doc_id * 31 + x.xi * 7 + y.yi * 13) % 256 AS v
+        |        FROM documents d,
+        |          LATERAL (SELECT unnest(range(0, d.doc_id % 16 + 4)) AS xi) x,
+        |          LATERAL (SELECT unnest(range(0, d.doc_id % 12 + 4)) AS yi) y
+        |        WHERE d.doc_id % 3 = 0)
+        |  GROUP BY doc_id
+        |), aud AS (
+        |  SELECT doc_id, count(*) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS sq
+        |  FROM (SELECT d.doc_id, (d.doc_id * 17 + f.i * 5) % 256 AS v
+        |        FROM documents d,
+        |          LATERAL (SELECT unnest(range(0, d.doc_id % 200 + 8)) AS i) f
+        |        WHERE d.doc_id % 3 = 1)
+        |  GROUP BY doc_id
+        |), vid AS (
+        |  SELECT d.doc_id, coalesce(st.n, 0) AS n, coalesce(st.s, 0) AS s, coalesce(st.sq, 0) AS sq
+        |  FROM documents d LEFT JOIN (
+        |    SELECT doc_id, count(*) AS n,
+        |      CAST(sum(code) AS BIGINT) AS s, CAST(sum(code * code) AS BIGINT) AS sq
+        |    FROM (SELECT d0.doc_id, ascii(substring(d0.text, f.i::INTEGER, 1)) AS code
+        |          FROM documents d0,
+        |            LATERAL (SELECT unnest(range(1, octet_length(encode(d0.text)) + 1)) AS i) f
+        |          WHERE d0.doc_id % 3 = 2)
+        |    GROUP BY doc_id) st ON d.doc_id = st.doc_id
+        |  WHERE d.doc_id % 3 = 2
+        |), uni AS (
+        |  SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid
         |)
-        |SELECT d.doc_id AS media_id,
-        |  CAST(octet_length(encode(d.text)) AS INTEGER) AS n_bytes,
-        |  CAST(round(coalesce(s::DOUBLE / n, 0) * 10000) AS BIGINT) AS mean_byte_e4,
-        |  CAST(round(coalesce(sq::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n), 0) * 10000) AS BIGINT) AS var_byte_e4,
+        |SELECT doc_id AS media_id, CAST(n AS INTEGER) AS n_vals,
+        |  CAST(round(CASE WHEN n = 0 THEN 0 ELSE s::DOUBLE / n END * 10000) AS BIGINT) AS mean_val_e4,
+        |  CAST(round(CASE WHEN n = 0 THEN 0
+        |    ELSE sq::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n) END * 10000) AS BIGINT) AS var_val_e4,
         |  CAST(16 AS INTEGER) AS feature_dim
-        |FROM documents d LEFT JOIN stats ON d.doc_id = stats.doc_id
-        |ORDER BY media_id""".stripMargin
+        |FROM uni ORDER BY media_id""".stripMargin
   )
 }

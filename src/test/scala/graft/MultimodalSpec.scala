@@ -5,24 +5,53 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.multimodal.Multimodal
 import graft.multimodal.Multimodal.MediaRecord
 
-/** The stubbed decode/feature path: schema, batching, and deterministic
-  * outputs of the multimodal plumbing (the parts no SQL oracle can see).
+/** The decode/feature path: real JDK image/audio codecs (round-trips), plus
+  * schema, batching, and deterministic outputs of the multimodal plumbing
+  * (the parts no SQL oracle can see).
   */
 class MultimodalSpec extends AnyFunSuite {
   import SparkTestBase._
 
   private implicit lazy val sp: org.apache.spark.sql.SparkSession = spark
 
+  // opaque payload → the byte-value (video) path
   private def media(payload: Array[Byte], id: Long = 1L): MediaRecord =
-    MediaRecord(id, "image", 640, 480, payload)
+    MediaRecord(id, "video", 640, 480, payload)
+
+  test("PNG round-trip: ImageIO decode recovers the exact raster") {
+    val w = 19; val h = 15
+    val px = Array.tabulate(w * h)(i => (i * 31 + 7) % 256)
+    val (dw, dh, decoded) = Multimodal.decodeImagePixels(Multimodal.encodePng(px, w, h))
+    assert(dw == w && dh == h)
+    assert(decoded.toSeq == px.toSeq, "grayscale PNG is lossless")
+  }
+
+  test("WAV round-trip: AudioSystem decode recovers the exact PCM samples") {
+    val smp = Array.tabulate(207)(i => (i * 17 + 3) % 256)
+    assert(Multimodal.decodeWavSamples(Multimodal.encodeWav(smp)).toSeq == smp.toSeq)
+  }
+
+  test("feature extraction dispatches per modality through the real codecs") {
+    import sp.implicits._
+    val px = Array.tabulate(4 * 4)(i => i * 16)
+    val smp = Array.tabulate(32)(i => i * 8)
+    val rows = Seq(
+      MediaRecord(1L, "image", 4, 4, Multimodal.encodePng(px, 4, 4)),
+      MediaRecord(2L, "audio", 32, 1, Multimodal.encodeWav(smp)),
+      MediaRecord(3L, "video", 1, 1, Array[Byte](10, 20)))
+    val out = Multimodal.extractFeatures(rows.toDS()).collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).n_vals == 16 && out(1L).mean_val == px.sum.toDouble / 16)
+    assert(out(2L).n_vals == 32 && out(2L).mean_val == smp.sum.toDouble / 32)
+    assert(out(3L).n_vals == 2 && out(3L).mean_val == 15.0)
+  }
 
   test("feature extraction emits exact byte statistics and a 16-bin histogram") {
     import sp.implicits._
     val payload = Array[Byte](0, 16, 32, 48) // bins 0,1,2,3
     val f = Multimodal.extractFeatures(Seq(media(payload)).toDS()).collect().head
-    assert(f.n_bytes == 4)
-    assert(f.mean_byte == 24.0)
-    assert(f.var_byte == (576.0 + 64.0 + 64.0 + 576.0) / 4)
+    assert(f.n_vals == 4)
+    assert(f.mean_val == 24.0)
+    assert(f.var_val == (576.0 + 64.0 + 64.0 + 576.0) / 4)
     assert(f.feature.length == 16)
     assert(f.feature.take(4).forall(_ == 0.25f) && f.feature.drop(4).forall(_ == 0f))
   }
@@ -32,7 +61,18 @@ class MultimodalSpec extends AnyFunSuite {
     val ds = (1L to 100L).map(i => media(Array.fill(8)(i.toByte), i)).toDS().repartition(7)
     val out = Multimodal.extractFeatures(ds)
     assert(out.count() == 100)
-    assert(out.rdd.getNumPartitions == 7, "no repartition sneaks into the stub path")
+    assert(out.rdd.getNumPartitions == 7, "no repartition sneaks into the decode path")
+  }
+
+  test("real image resize rescales the raster and re-encodes losslessly-shaped PNG") {
+    val w = 16; val h = 12
+    val px = Array.tabulate(w * h)(i => (i * 3) % 256)
+    val resized = Multimodal.resizeImage(Multimodal.encodePng(px, w, h), 8, 6)
+    val (dw, dh, out) = Multimodal.decodeImagePixels(resized)
+    assert(dw == 8 && dh == 6 && out.length == 48)
+    // area-averaging of a uniform image is exact: constant in → constant out
+    val flat = Multimodal.resizeImage(Multimodal.encodePng(Array.fill(w * h)(77), w, h), 4, 3)
+    assert(Multimodal.decodeImagePixels(flat)._3.forall(_ == 77))
   }
 
   test("resize stub shrinks payload and dimensions deterministically") {
@@ -58,6 +98,6 @@ class MultimodalSpec extends AnyFunSuite {
   test("empty payload does not divide by zero") {
     import sp.implicits._
     val f = Multimodal.extractFeatures(Seq(media(Array.empty[Byte])).toDS()).collect().head
-    assert(f.n_bytes == 0 && f.mean_byte == 0.0 && f.var_byte == 0.0)
+    assert(f.n_vals == 0 && f.mean_val == 0.0 && f.var_val == 0.0)
   }
 }
