@@ -19,9 +19,10 @@ import graft.functions.TextFunctions.{bandHashes, jaccard}
   *      same `graft_minhash_sig64` family as [[DedupOps]] — identical keys,
   *      so an index built yesterday matches a batch signed today);
   *   2. candidates = batch-bands ⋈ index on (band_idx, band_hash) — an
-  *      equality join keyed on 16-byte hashes; the index side at cluster
-  *      scale is bucketed/partitioned by band_hash so only the (small)
-  *      batch side shuffles;
+  *      equality join keyed on 16-byte hashes; at cluster scale the index
+  *      is persisted hash-bucketed on band_hash
+  *      ([[ScaleOps.writeBucketed]] — co-located join, BucketedJoinSpec)
+  *      so only the (small) batch side shuffles;
   *   3. candidate pairs are verified by exact shingle-set Jaccard, pulling
   *      shingles for just the touched corpus docs (a semi-join against the
   *      document store, not a scan);

@@ -43,6 +43,33 @@ object ScaleOps {
       .drop("__salt")
   }
 
+  /** Persist `df` as a hash-bucketed, per-bucket-sorted parquet table:
+    * repeated equi-joins or aggregations on `key` then read the buckets
+    * co-located and skip their Exchange entirely (asserted in
+    * BucketedJoinSpec) — the amortize-one-shuffle-across-many-reads tool
+    * for hub tables (config dims, signature indexes, entity maps) that a
+    * 100 TB pipeline joins against daily.
+    *
+    * Bucketing metadata lives in the session catalog (`saveAsTable`), so
+    * both bucketed writers and readers must share a catalog/metastore;
+    * `spark.sql.sources.bucketing.enabled` (default true) governs whether
+    * reads exploit it.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit =
+    df.write
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+
+  /** Shuffle-free equi-join of two tables previously written by
+    * [[writeBucketed]] with the SAME bucket count on the join key.
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   key: String, joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
+
   /** Compact a date-partitioned parquet destination: every incremental run
     * appends `shuffle.partitions` small files per touched partition, and at
     * 100 TB the accumulated small files dominate scan planning and NameNode

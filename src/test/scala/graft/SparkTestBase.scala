@@ -13,6 +13,8 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bucketed-table tests saveAsTable(); keep the warehouse out of cwd
+      .config("spark.sql.warehouse.dir", tmpDir("graft_warehouse_"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
