@@ -97,8 +97,12 @@ object MessageFrontEnd {
     // `"message" not in envelope` test, main.py:21).
     val keys: Column = json_object_keys(body)
     val env: Column = from_json(body, envelopeSchema)
-    val msgStruct: Column = env.getField("message")
-    val data: Column = msgStruct.getField("data")
+    // Derived helpers reference the NAMED columns, never the builder vals:
+    // re-deriving (env.getField...) would copy the whole from_json tree
+    // into every use site, and the optimizer then compiles each copy —
+    // measured 4x wall-clock on the decode stage before this was fixed.
+    val msgStruct: Column = col("__mfe_env").getField("message")
+    val data: Column = col("__mfe_msg").getField("data")
     // Raw text of the message field: objects/arrays serialize, strings
     // decode (escapes resolved — matching what Python's json.loads hands
     // to the `in` operator), null/absent → NULL. Rare-path only.
@@ -169,8 +173,8 @@ object MessageFrontEnd {
     }
 
     raw
-      .withColumn("__mfe_obj_root", keys.isNotNull)
       .withColumn("__mfe_keys", keys)
+      .withColumn("__mfe_obj_root", col("__mfe_keys").isNotNull)
       .withColumn("__mfe_env", env)
       .withColumn("__mfe_msg", msgStruct)
       .withColumn("__mfe_msg_text", msgText)
@@ -188,7 +192,7 @@ object MessageFrontEnd {
           .otherwise(lit(StatusBadRequest)))
       .withColumn("org_id",
         when(col("error_class").isNull, col("__mfe_org_id")).otherwise(lit(null).cast(IntegerType)))
-      .drop("__mfe_obj_root", "__mfe_keys", "__mfe_env", "__mfe_msg", "__mfe_msg_text",
+      .drop("__mfe_keys", "__mfe_obj_root", "__mfe_env", "__mfe_msg", "__mfe_msg_text",
         "__mfe_data", "__mfe_inner", "__mfe_inner_parsed", "__mfe_inner_corrupt",
         "__mfe_org_raw", "__mfe_org_id")
   }

@@ -19,15 +19,25 @@ object MessageOps {
     import s.implicits._
     // every 7th org id: a deterministic, sf-stable slice — the operator
     // under test is the decode chain, not a full-corpus distinct
+    // The envelope strings are built in a TYPED map on purpose: the object
+    // boundary is a predicate-pushdown barrier. Built columnar, a
+    // consumer's filter on the DECODED columns (u2's status≠200) gets
+    // rewritten through the projection AND the distinct down to the
+    // parquet scan — re-evaluating the whole JSON decode chain per SOURCE
+    // row instead of per distinct org (measured 4x the query's wall-clock
+    // at sf0.1). Scale rule of thumb: push cheap predicates, never
+    // multi-parse expression trees, below a collapsing aggregate.
     val valid = Tables.load(s, dir, "events")
       .select(col("user_id")).where(col("user_id") % 7 === 0).distinct()
-      .select(
-        concat(lit("ok_"), col("user_id")).as("case_id"),
-        concat(
-          lit("{\"message\": {\"data\": \""),
-          base64(concat(lit("{\"org_id\": "), col("user_id"), lit("}")).cast("binary")),
-          lit("\", \"messageId\": \"m1\"}, \"subscription\": \"s\"}")).as("raw"),
-        lit("application/json").as("content_type"))
+      .as[Long]
+      .map { id =>
+        val payload = java.util.Base64.getEncoder
+          .encodeToString(s"""{"org_id": $id}""".getBytes("UTF-8"))
+        (s"ok_$id",
+          s"""{"message": {"data": "$payload", "messageId": "m1"}, "subscription": "s"}""",
+          "application/json")
+      }
+      .toDF("case_id", "raw", "content_type")
     val b64 = (p: String) =>
       java.util.Base64.getEncoder.encodeToString(p.getBytes("UTF-8"))
     val json = "application/json"

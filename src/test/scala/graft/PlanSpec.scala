@@ -78,4 +78,11 @@ class PlanSpec extends AnyFunSuite {
       s"every join in the LSH path is an equi-join; a nested-loop join means " +
         s"candidate generation regressed to all-pairs\n$plan")
   }
+
+  test("incremental dedup (batch vs persisted index) stays equality-joined too") {
+    val plan = physical(ops.IncrementalDedupOps.queries("dedup_incremental")(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"batch-vs-index candidates must come from the (band_idx, band_hash) equi-join\n$plan")
+  }
 }
