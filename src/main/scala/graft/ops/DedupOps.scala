@@ -72,10 +72,24 @@ object DedupOps {
     * to avoid.
     */
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(documents(s, dir).where(col("doc_id") % 10 === 0))
-    val a = sh.select(col("doc_id").as("a_id"), col("sh_hashes").as("a_sh"))
-    val b = sh.select(col("doc_id").as("b_id"), col("sh_hashes").as("b_sh"))
-    a.join(b, col("a_id") < col("b_id"))
+    val sh = shingled(documents(s, dir).where(col("doc_id") % 10 === 0)).cache()
+    // Pair enumeration runs over NARROW (id, set-size) rows — the theta
+    // join would otherwise copy both shingle arrays into each of the
+    // O(n²/2) candidate rows, which is where an all-pairs verifier
+    // actually burns its time. The size band is exact pruning:
+    // |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|) ⇒ J ≤ min/max, so
+    // pairs whose sizes differ by more than 1/threshold can never pass.
+    val sizes = sh.select(col("doc_id"), size(col("sh_hashes")).as("n"))
+    val pairs = sizes.select(col("doc_id").as("a_id"), col("n").as("a_n"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("b_n")),
+        col("a_id") < col("b_id") &&
+          col("a_n").cast("double") >= col("b_n") * JaccardThreshold &&
+          col("b_n").cast("double") >= col("a_n") * JaccardThreshold)
+      .select(col("a_id"), col("b_id"))
+    // arrays re-attach via hash joins, only for surviving pairs
+    pairs
+      .join(sh.select(col("doc_id").as("a_id"), col("sh_hashes").as("a_sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh_hashes").as("b_sh")), "b_id")
       .select(col("a_id"), col("b_id"), jaccard(col("a_sh"), col("b_sh")).as("j"))
       .where(col("j") >= JaccardThreshold)
       .orderBy(col("a_id"), col("b_id"))
