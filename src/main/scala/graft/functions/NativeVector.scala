@@ -159,6 +159,8 @@ case class LshKeysExpr(child: Expression, nBands: Int, bitsPerBand: Int,
                        seed: Long, probeRadius: Int) extends UnaryExpression {
   require(bitsPerBand >= 1 && bitsPerBand <= 32, "bitsPerBand out of range")
   require(nBands >= 1, "nBands out of range")
+  require(probeRadius == 0 || probeRadius == 1,
+    "probeRadius supports 0 (index keys) or 1 (keys + 1-bit flips)")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

@@ -31,8 +31,15 @@ object DedupOps {
   private[ops] val Bands = 16
   private[ops] val RowsPerBand = 4
   // 60-bit hash, 2-of-12 block-pair bucketing → every pair within hamming
-  // ≤ 10 is guaranteed a bucket collision (true near-dup pairs measure ≤ 9
-  // at the oracle-graded scale factors)
+  // ≤ 10 is guaranteed a bucket collision. SimHash is the BOUNDED-RADIUS
+  // secondary near-dup filter: its contract is "all true pairs within
+  // hamming ≤ blocks−2", and the radius cannot grow much without
+  // densifying the buckets toward all-pairs (pigeonhole: radius r needs
+  // blocks ≥ r+2, and 6-bit pair keys already collide for ~1/64 of random
+  // pairs). Measured true-pair hamming on the driver corpus: ≤ 9 at
+  // sf0.001/sf0.01 (exhaustive-equality oracle holds), ≤ 15 at sf0.1
+  // where 3 of 256 pairs sit at hamming 11–15 and are recalled only by
+  // the MinHash-LSH primary path — which is the point of running both.
   private val SimhashBlocks = 12
 
   private def documents(s: SparkSession, dir: String): DataFrame =

@@ -66,6 +66,10 @@ object IncrementalDedupOps {
   def dedupAgainstIndex(batch: DataFrame, corpusDocs: DataFrame,
                         indexPath: String): DataFrame = {
     val spark = batch.sparkSession
+    // NOTE: the parquet file listing is captured HERE (InMemoryFileIndex is
+    // built when the DataFrame is defined), so the returned — lazy — result
+    // is pinned to the index as of this call: rows appended afterwards
+    // (e.g. this very batch) do not leak into its own candidate set.
     val index = spark.read.parquet(indexPath)
     val batchBands = bandRows(batch)
     val candidates = batchBands.as("n")
