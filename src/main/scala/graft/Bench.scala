@@ -17,7 +17,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val timedRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -52,7 +52,10 @@ object Bench {
       try {
         once() // per-query warmup (plan compilation, first-touch I/O)
         val runs = Seq.fill(timedRuns)(once()).sorted
-        timings(name) = runs(runs.size / 2)
+        // true median: middle value, or mean of the two middles when even
+        timings(name) =
+          if (runs.size % 2 == 1) runs(runs.size / 2)
+          else (runs(runs.size / 2 - 1) + runs(runs.size / 2)) / 2.0
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

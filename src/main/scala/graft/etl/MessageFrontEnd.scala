@@ -91,7 +91,11 @@ object MessageFrontEnd {
   def decode(raw: DataFrame, rawCol: String = "raw",
              contentTypeCol: Option[String] = None): DataFrame = {
     val body = col(rawCol)
-    val head: Column = substring(ltrim(body), 1, 1)
+    // JSON-whitespace-aware head probe: Spark's bare ltrim strips only
+    // spaces, while json.loads (and the probes below) accept \t \n \r too —
+    // a tab-indented body must not fall through to ENVELOPE_PARSE.
+    def jsonHead(c: Column): Column = substring(ltrim(c, " \t\n\r"), 1, 1)
+    val head: Column = jsonHead(body)
     // Non-null iff the body is a valid JSON OBJECT — one probe answering
     // both "did json.loads succeed" and "which keys exist" (the Python
     // `"message" not in envelope` test, main.py:21).
@@ -117,7 +121,7 @@ object MessageFrontEnd {
     val orgId: Column = expr("try_cast(__mfe_org_raw AS INT)")
 
     val msgTextCol = col("__mfe_msg_text")
-    val msgHead: Column = substring(ltrim(msgTextCol), 1, 1)
+    val msgHead: Column = jsonHead(msgTextCol)
 
     // Python's `"message" in <non-dict envelope>`: strings match by
     // substring of the DECODED text, lists by element equality — both then

@@ -38,6 +38,9 @@ object NativeVector {
     var nb = 0.0
     var i = 0
     while (i < n) {
+      // null elements null-propagate, matching the zip_with/aggregate
+      // formulation (ArrayData.getFloat would silently read them as 0.0)
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y
@@ -74,6 +77,10 @@ object NativeVector {
   def lshKeys(v: ArrayData, nBands: Int, bitsPerBand: Int, seed: Long,
               probeRadius: Int): ArrayData = {
     val dim = v.numElements()
+    // a vector with null elements has no meaningful signature — null out
+    // rather than silently hashing nulls as 0.0
+    var chk = 0
+    while (chk < dim) { if (v.isNullAt(chk)) return null; chk += 1 }
     val perKey = 1 + (if (probeRadius >= 1) bitsPerBand else 0)
     val out = new Array[Long](nBands * perKey)
     var t = 0
@@ -167,11 +174,14 @@ case class LshKeysExpr(child: Expression, nBands: Int, bitsPerBand: Int,
       s"$prettyName requires an array<float> column, got ${other.catalogString}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
     NativeVector.lshKeys(input.asInstanceOf[ArrayData], nBands, bitsPerBand, seed, probeRadius)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.NativeVector$$.MODULE$$.lshKeys($c, $nBands, $bitsPerBand, ${seed}L, $probeRadius)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.NativeVector$$.MODULE$$.lshKeys($c, $nBands, $bitsPerBand, ${seed}L, $probeRadius);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
   override def prettyName: String = "graft_lsh_keys"
   override protected def withNewChildInternal(newChild: Expression): LshKeysExpr =
     copy(child = newChild)

@@ -81,6 +81,15 @@ class MessageFrontEndSpec extends AnyFunSuite {
     }
   }
 
+  test("leading JSON whitespace (tab/newline) does not derail classification") {
+    // json.loads accepts \t \n \r; a space-only ltrim would misroute these
+    // to ENVELOPE_PARSE 500
+    assert(classify("\t[1, 2]") == ((None, 400, Some("MISSING_MESSAGE"))))
+    assert(classify("\n\"the message is inside\"") == ((None, 500, Some("TYPE_ERROR"))))
+    val valid = s"""\r\n{"message": {"data": "${b64("""{"org_id": 42}""")}"}}"""
+    assert(classify(valid) == ((Some(42), 200, None)))
+  }
+
   test("string body matches 'message' on DECODED text (escapes resolved)") {
     // raw text contains no literal 'message', the decoded string does
     assert(classify("\"\\u006dessage here\"") == ((None, 500, Some("TYPE_ERROR"))))

@@ -58,6 +58,25 @@ class NativeVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("null vector elements null-propagate instead of reading as 0.0") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    NativeVector.register(spark)
+    val schema = StructType(Seq(
+      StructField("v", ArrayType(FloatType, containsNull = true))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(Seq[java.lang.Float](1.0f, null, 3.0f)),
+        Row(Seq[java.lang.Float](1.0f, 2.0f, 3.0f))),
+      schema)
+    val out = df.select(
+      call_function("graft_cosine", col("v"), col("v")).as("c"),
+      expr("graft_lsh_keys(v, 2, 3, 7, 0)").as("k")).collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1),
+      "null element must null the cosine and the signature")
+    assert(!out(1).isNullAt(0) && !out(1).isNullAt(1))
+  }
+
   test("signature generation is map-only: no Exchange before the bucket join") {
     val plan = emb.select(col("vec_id"),
       explode(expr("graft_lsh_keys(embedding, 32, 4, 1337, 0)")).as("key"))
