@@ -17,17 +17,19 @@ import org.apache.spark.sql.types._
   *   - unparseable envelope JSON  → 500 (uncaught json.loads → "Internal Server Error")
   *   - Python TypeError paths     → 500 TYPE_ERROR, mirrored shape by shape:
   *     a string body whose text contains "message" (substring `in` passes,
-  *     then `envelope["message"]` raises); a list body with a "message"
-  *     element (same); a `message` FIELD that is null / a number / a bool
-  *     (`"data" in message` raises), a string containing "data" or a list
-  *     with a "data" element (`in` passes, `message["data"]` raises); and a
-  *     valid non-object inner payload (`Model(**payload)` on a non-dict,
-  *     including JSON `null`, raises)
+  *     then `envelope["message"]` raises at main.py:24 — OUTSIDE any try);
+  *     a list body with a "message" element (same); a `message` FIELD that
+  *     is null / a number / a bool (`"data" in message` itself raises,
+  *     main.py:25); and a valid non-object inner payload (`Model(**payload)`
+  *     on a non-dict, including JSON `null`, raises)
   *   - no `message` field         → 400 MISSING_MESSAGE
   *   - `message` string/list without "data" → 400 MISSING_DATA (`in` is
   *     false, main.py:25-26), as is a proper object with no `data` key
   *   - data present but null, bad base64, or bad inner JSON → 400 BAD_DATA
-  *     (everything `base64.b64decode`/`json.loads` raises on, main.py:29-34)
+  *     (everything the try at main.py:28-34 catches — including the
+  *     `message["data"]` TypeError when `message` is a string containing
+  *     "data" or a list with a "data" element: `in` passes at main.py:25,
+  *     the index then raises inside the try and converts to 400)
   *   - payload fails validation   → 400 VALIDATION (pydantic: org_id missing
   *     or not int-coercible; note "123" DOES coerce, matching pydantic)
   *   - valid                      → 200, decoded org_id
@@ -160,13 +162,17 @@ object MessageFrontEnd {
               when(array_contains(json_object_keys(msgTextCol), "data"), lit("BAD_DATA"))
                 .otherwise(lit("MISSING_DATA"))))
         // message key present but NOT an object: Python `"data" in message`
+        // (main.py:25, outside any try). When the membership test itself
+        // raises (null/number/bool) → 500; when it PASSES on a string/list,
+        // the subsequent `message["data"]` index raises INSIDE the try at
+        // main.py:28-34, which converts every exception to 400 → BAD_DATA.
         .otherwise(
           when(msgTextCol.isNull, lit("TYPE_ERROR")) // null literal: `in None` raises
             .when(msgHead === "[",
-              when(msgArr.isNotNull && array_contains(msgArr, "data"), lit("TYPE_ERROR"))
+              when(msgArr.isNotNull && array_contains(msgArr, "data"), lit("BAD_DATA"))
                 .otherwise(lit("MISSING_DATA")))
             .when(msgTextCol.rlike(ScalarRe), lit("TYPE_ERROR")) // number/bool: `in` raises
-            .when(msgTextCol.contains("data"), lit("TYPE_ERROR")) // str: `in` passes, index raises
+            .when(msgTextCol.contains("data"), lit("BAD_DATA")) // str: `in` passes, index in try
             .otherwise(lit("MISSING_DATA")))
 
     val withCt = contentTypeCol match {

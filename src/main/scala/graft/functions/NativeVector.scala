@@ -126,12 +126,20 @@ object NativeVector {
     reg.createOrReplaceTempFunction("graft_lsh_keys", exprs => {
       def intLit(e: Expression, what: String): Int = e match {
         case Literal(v: Int, IntegerType) => v
-        case Literal(v: Long, LongType) => v.toInt
+        case Literal(v: Long, LongType) if v.isValidInt => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_lsh_keys: $what must be an int-range integer literal, got $other")
+      }
+      // the seed is a genuine Long — routing it through intLit would
+      // silently truncate seeds outside int range to a different seed
+      def longLit(e: Expression, what: String): Long = e match {
+        case Literal(v: Int, IntegerType) => v.toLong
+        case Literal(v: Long, LongType) => v
         case other => throw new IllegalArgumentException(
           s"graft_lsh_keys: $what must be an integer literal, got $other")
       }
       LshKeysExpr(exprs(0), intLit(exprs(1), "nBands"), intLit(exprs(2), "bitsPerBand"),
-        intLit(exprs(3), "seed").toLong, intLit(exprs(4), "probeRadius"))
+        longLit(exprs(3), "seed"), intLit(exprs(4), "probeRadius"))
     }, "built-in")
   }
 }

@@ -72,30 +72,43 @@ object Multimodal {
   }
 
   /** REAL image decode (PNG/JPEG/BMP/GIF — whatever ImageIO recognizes):
-    * returns (width, height, row-major grayscale samples). Throws on
-    * undecodable payloads — callers route those to a quarantine column.
+    * returns (width, height, row-major grayscale samples). Grayscale
+    * sources read their raster directly; color/palette sources convert via
+    * an explicit ITU-R BT.601 integer luma on getRGB — NOT the AWT
+    * Graphics2D pipeline, whose gray conversion is color-profile-dependent
+    * (it gamma-converts through sRGB), so decoded samples would vary with
+    * the JDK's color management rather than follow a documented formula.
+    * Throws on undecodable payloads — callers route those to a quarantine
+    * column.
     */
   def decodeImagePixels(payload: Array[Byte]): (Int, Int, Array[Int]) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(img != null, "payload is not a decodable image")
     val (w, h) = (img.getWidth, img.getHeight)
-    val gray =
-      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
-      else {
-        val g = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val gg = g.createGraphics()
-        gg.drawImage(img, 0, 0, null)
-        gg.dispose()
-        g
-      }
     val out = new Array[Int](w * h)
-    val raster = gray.getRaster
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
-      y += 1
+    if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+    } else {
+      // BT.601 luma with integer rounding: (299 R + 587 G + 114 B) / 1000
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          out(y * w + x) = (299 * r + 587 * g + 114 * b + 500) / 1000
+          x += 1
+        }
+        y += 1
+      }
     }
     (w, h, out)
   }

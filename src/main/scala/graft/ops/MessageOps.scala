@@ -65,11 +65,13 @@ object MessageOps {
       ("e500_msgnull", """{"message": null}""", json),
       ("e500_msgnum", """{"message": 123}""", json),
       ("e500_msgbool", """{"message": true}""", json),
-      // a string/list message passes `in` when it carries "data" (then
-      // message["data"] raises → 500) and 400s when it doesn't
-      ("e500_msgstr_data", """{"message": "x data y"}""", json),
+      // a string/list message passes `in` when it carries "data"; the
+      // message["data"] index then raises INSIDE the try at main.py:28-34,
+      // converting to 400 BAD_DATA. Without "data" the `in` is false → 400
+      // MISSING_DATA at main.py:25-26.
+      ("e400_msgstr_data", """{"message": "x data y"}""", json),
       ("e400_msgstr", """{"message": "hello there"}""", json),
-      ("e500_msgarr_data", """{"message": ["data"]}""", json),
+      ("e400_msgarr_data", """{"message": ["data"]}""", json),
       ("e400_msgarr", """{"message": [1]}""", json),
       // valid non-object inner payloads: Model(**payload) TypeError → 500
       ("e500_payload_arr", s"""{"message": {"data": "${b64("[1]")}"}}""", json),
@@ -134,9 +136,9 @@ object MessageOps {
         |    ('e500_msgnull',     NULL, 500, 'TYPE_ERROR'),
         |    ('e500_msgnum',      NULL, 500, 'TYPE_ERROR'),
         |    ('e500_msgbool',     NULL, 500, 'TYPE_ERROR'),
-        |    ('e500_msgstr_data', NULL, 500, 'TYPE_ERROR'),
+        |    ('e400_msgstr_data', NULL, 400, 'BAD_DATA'),
         |    ('e400_msgstr',      NULL, 400, 'MISSING_DATA'),
-        |    ('e500_msgarr_data', NULL, 500, 'TYPE_ERROR'),
+        |    ('e400_msgarr_data', NULL, 400, 'BAD_DATA'),
         |    ('e400_msgarr',      NULL, 400, 'MISSING_DATA'),
         |    ('e500_payload_arr', NULL, 500, 'TYPE_ERROR'),
         |    ('e500_payload_str', NULL, 500, 'TYPE_ERROR'),
@@ -154,13 +156,13 @@ object MessageOps {
         |) ORDER BY case_id""".stripMargin,
     "u2_validation_quarantine" ->
       """SELECT status_code, error_class, n FROM (VALUES
-        |  (CAST(400 AS INTEGER), 'BAD_DATA',        CAST(3 AS BIGINT)),
+        |  (CAST(400 AS INTEGER), 'BAD_DATA',        CAST(5 AS BIGINT)),
         |  (400, 'MISSING_DATA',    3),
         |  (400, 'MISSING_MESSAGE', 3),
         |  (400, 'VALIDATION',      2),
         |  (415, 'CONTENT_TYPE',    2),
         |  (500, 'ENVELOPE_PARSE',  2),
-        |  (500, 'TYPE_ERROR',      12)
+        |  (500, 'TYPE_ERROR',      10)
         |) AS t(status_code, error_class, n)
         |ORDER BY status_code, error_class""".stripMargin
   )

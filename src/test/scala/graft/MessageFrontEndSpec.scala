@@ -100,10 +100,12 @@ class MessageFrontEndSpec extends AnyFunSuite {
     for (m <- Seq("null", "123", "true")) {
       assert(classify(s"""{"message": $m}""") == ((None, 500, Some("TYPE_ERROR"))), s"message=$m")
     }
-    // string/list: `in` passes iff "data" present → 500; otherwise → 400
-    assert(classify("""{"message": "x data y"}""") == ((None, 500, Some("TYPE_ERROR"))))
+    // string/list: when `in` passes ("data" present), message["data"] raises
+    // INSIDE the try at main.py:28-34 → 400 BAD_DATA; when `in` is false →
+    // 400 MISSING_DATA (main.py:25-26)
+    assert(classify("""{"message": "x data y"}""") == ((None, 400, Some("BAD_DATA"))))
     assert(classify("""{"message": "hello"}""") == ((None, 400, Some("MISSING_DATA"))))
-    assert(classify("""{"message": ["data"]}""") == ((None, 500, Some("TYPE_ERROR"))))
+    assert(classify("""{"message": ["data"]}""") == ((None, 400, Some("BAD_DATA"))))
     assert(classify("""{"message": [1]}""") == ((None, 400, Some("MISSING_DATA"))))
   }
 

@@ -26,6 +26,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded.toSeq == px.toSeq, "grayscale PNG is lossless")
   }
 
+  test("color images decode to explicit BT.601 luma, not the AWT color pipeline") {
+    // 2x2 RGB PNG with known colors; expected luma = (299R + 587G + 114B + 500) / 1000
+    val colors = Array(0xff0000, 0x00ff00, 0x0000ff, 0x808080)
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, colors(0)); img.setRGB(1, 0, colors(1))
+    img.setRGB(0, 1, colors(2)); img.setRGB(1, 1, colors(3))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val (w, h, px) = Multimodal.decodeImagePixels(out.toByteArray)
+    assert(w == 2 && h == 2)
+    val expected = colors.map { c =>
+      val r = (c >> 16) & 0xff; val g = (c >> 8) & 0xff; val b = c & 0xff
+      (299 * r + 587 * g + 114 * b + 500) / 1000
+    }
+    assert(px.toSeq == expected.toSeq,
+      s"luma must follow the documented BT.601 formula: got ${px.toSeq}, want ${expected.toSeq}")
+  }
+
   test("WAV round-trip: AudioSystem decode recovers the exact PCM samples") {
     val smp = Array.tabulate(207)(i => (i * 17 + 3) % 256)
     assert(Multimodal.decodeWavSamples(Multimodal.encodeWav(smp)).toSeq == smp.toSeq)

@@ -41,6 +41,28 @@ class NativeVectorSpec extends AnyFunSuite {
     assert(scaled.count() == 0, "sign-LSH keys must not change under positive scaling")
   }
 
+  test("seed literals outside int range are preserved, not truncated") {
+    // 2^32 truncates to 0 through toInt; keys must differ from seed 0 and
+    // match a direct lshKeys call with the full long seed
+    val bigSeed = 4294967296L // 2^32
+    val rows = emb.limit(3).select(
+      expr(s"graft_lsh_keys(embedding, 4, 3, $bigSeed, 0)").as("big"),
+      expr("graft_lsh_keys(embedding, 4, 3, 0, 0)").as("zero"),
+      col("embedding"))
+      .collect()
+    var anyDiff = false
+    rows.foreach { r =>
+      val big = r.getSeq[Long](0)
+      val zero = r.getSeq[Long](1)
+      if (big != zero) anyDiff = true
+      val vec = r.getSeq[Float](2).toArray
+      val direct = NativeVector.lshKeys(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vec), 4, 3, bigSeed, 0)
+      assert(big == direct.toLongArray().toSeq, "SQL literal seed must match the direct long seed")
+    }
+    assert(anyDiff, "seed 2^32 must not behave as seed 0")
+  }
+
   test("radius-1 probe keys are the index keys plus every 1-bit band flip") {
     val e = emb.limit(5)
     val rows = e.select(
