@@ -34,13 +34,15 @@ import org.apache.spark.sql.types._
   *     or not int-coercible; note "123" DOES coerce, matching pydantic)
   *   - valid                      → 200, decoded org_id
   *
-  * Remaining known divergence from CPython-exact semantics (accepted): a
-  * `message` field that is a STRING spelling a JSON scalar (`{"message":
-  * "123"}`) is indistinguishable from the number after JSON-path extraction
-  * and classifies TYPE_ERROR 500 where the reference's substring check
-  * gives MISSING_DATA 400. (The previous normalization of ALL non-object
-  * `message` fields to 400 is gone — null/number/bool/list/string shapes
-  * now follow the reference's `in`-then-index semantics above.)
+  * Non-object `message` fields are routed by their true JSON type via a
+  * VARIANT probe (`schema_of_variant(try_variant_get(try_parse_json(...)))`)
+  * rather than sniffing the re-serialized text — `get_json_object` strips
+  * quotes, so `{"message": "123"}` (a STRING, whose substring test runs) and
+  * `{"message": 123}` (a number, whose `in` raises) are indistinguishable
+  * after extraction, and a string that merely LOOKS like an array must
+  * still take Python's substring semantics. The probe is guarded behind the
+  * non-object-message predicate, so the extra JSON parse never runs on the
+  * valid-message hot path.
   *
   * All columnar — the decode chain is `from_json`/`json_object_keys`/
   * `try_to_binary`/`try_cast` built-ins inside whole-stage codegen, so a
@@ -72,11 +74,6 @@ object MessageFrontEnd {
   val StatusBadRequest = 400
   val StatusUnsupportedMedia = 415
   val StatusServerError = 500
-
-  /** JSON scalar literals that are not strings: numbers and booleans.
-    * (`null` never reaches this test — a null `message` extracts as NULL.)
-    */
-  private val ScalarRe = "^(-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?|true|false)$"
 
   /** Decode + validate a DataFrame of raw push bodies.
     *
@@ -123,7 +120,6 @@ object MessageFrontEnd {
     val orgId: Column = expr("try_cast(__mfe_org_raw AS INT)")
 
     val msgTextCol = col("__mfe_msg_text")
-    val msgHead: Column = jsonHead(msgTextCol)
 
     // Python's `"message" in <non-dict envelope>`: strings match by
     // substring of the DECODED text, lists by element equality — both then
@@ -132,6 +128,14 @@ object MessageFrontEnd {
     val decodedRoot: Column = get_json_object(body, "$")
     val rootArr: Column = from_json(body, ArrayType(StringType))
     val msgArr: Column = from_json(msgTextCol, ArrayType(StringType))
+    // True JSON type of the `message` field (STRING / BIGINT / BOOLEAN /
+    // VOID / ARRAY<…>), computed ONLY for non-object-message rows: the
+    // when-guard keeps the extra parse off the valid-message hot path
+    // (CaseWhen branches evaluate lazily inside codegen).
+    val msgVType: Column = when(
+      col("__mfe_obj_root") && array_contains(col("__mfe_keys"), "message")
+        && col("__mfe_msg").isNull,
+      schema_of_variant(try_variant_get(try_parse_json(body), "$.message", "variant")))
 
     val classified =
       when(!col("__mfe_obj_root"),
@@ -166,14 +170,18 @@ object MessageFrontEnd {
         // raises (null/number/bool) → 500; when it PASSES on a string/list,
         // the subsequent `message["data"]` index raises INSIDE the try at
         // main.py:28-34, which converts every exception to 400 → BAD_DATA.
+        // Routed by the VARIANT-typed probe: a string is a substring test on
+        // the DECODED text, a list is element equality — regardless of what
+        // the string happens to spell ("123", "true", "[…] data").
         .otherwise(
-          when(msgTextCol.isNull, lit("TYPE_ERROR")) // null literal: `in None` raises
-            .when(msgHead === "[",
+          when(col("__mfe_msg_vtype") === "VOID", lit("TYPE_ERROR")) // `in None` raises
+            .when(col("__mfe_msg_vtype").startsWith("ARRAY"),
               when(msgArr.isNotNull && array_contains(msgArr, "data"), lit("BAD_DATA"))
                 .otherwise(lit("MISSING_DATA")))
-            .when(msgTextCol.rlike(ScalarRe), lit("TYPE_ERROR")) // number/bool: `in` raises
-            .when(msgTextCol.contains("data"), lit("BAD_DATA")) // str: `in` passes, index in try
-            .otherwise(lit("MISSING_DATA")))
+            .when(col("__mfe_msg_vtype") === "STRING",
+              when(msgTextCol.contains("data"), lit("BAD_DATA"))
+                .otherwise(lit("MISSING_DATA")))
+            .otherwise(lit("TYPE_ERROR"))) // number/bool: `in` itself raises
 
     val withCt = contentTypeCol match {
       case Some(ct) =>
@@ -188,6 +196,7 @@ object MessageFrontEnd {
       .withColumn("__mfe_env", env)
       .withColumn("__mfe_msg", msgStruct)
       .withColumn("__mfe_msg_text", msgText)
+      .withColumn("__mfe_msg_vtype", msgVType)
       .withColumn("__mfe_data", data)
       .withColumn("__mfe_inner", inner)
       .withColumn("__mfe_inner_parsed", innerParsed)
@@ -203,8 +212,8 @@ object MessageFrontEnd {
       .withColumn("org_id",
         when(col("error_class").isNull, col("__mfe_org_id")).otherwise(lit(null).cast(IntegerType)))
       .drop("__mfe_keys", "__mfe_obj_root", "__mfe_env", "__mfe_msg", "__mfe_msg_text",
-        "__mfe_data", "__mfe_inner", "__mfe_inner_parsed", "__mfe_inner_corrupt",
-        "__mfe_org_raw", "__mfe_org_id")
+        "__mfe_msg_vtype", "__mfe_data", "__mfe_inner", "__mfe_inner_parsed",
+        "__mfe_inner_corrupt", "__mfe_org_raw", "__mfe_org_id")
   }
 
   /** The accepted stream: messages that passed validation, typed. */

@@ -71,6 +71,11 @@ object MessageOps {
       // MISSING_DATA at main.py:25-26.
       ("e400_msgstr_data", """{"message": "x data y"}""", json),
       ("e400_msgstr", """{"message": "hello there"}""", json),
+      // type-probe fidelity: a STRING spelling a number takes the substring
+      // route (no "data" → MISSING_DATA), not the number's TypeError; a
+      // STRING that merely looks like an array still substring-matches
+      ("e400_msgstr_num", """{"message": "123"}""", json),
+      ("e400_msgstr_arrlike", """{"message": "[\"x\"] data"}""", json),
       ("e400_msgarr_data", """{"message": ["data"]}""", json),
       ("e400_msgarr", """{"message": [1]}""", json),
       // valid non-object inner payloads: Model(**payload) TypeError → 500
@@ -138,6 +143,8 @@ object MessageOps {
         |    ('e500_msgbool',     NULL, 500, 'TYPE_ERROR'),
         |    ('e400_msgstr_data', NULL, 400, 'BAD_DATA'),
         |    ('e400_msgstr',      NULL, 400, 'MISSING_DATA'),
+        |    ('e400_msgstr_num',  NULL, 400, 'MISSING_DATA'),
+        |    ('e400_msgstr_arrlike', NULL, 400, 'BAD_DATA'),
         |    ('e400_msgarr_data', NULL, 400, 'BAD_DATA'),
         |    ('e400_msgarr',      NULL, 400, 'MISSING_DATA'),
         |    ('e500_payload_arr', NULL, 500, 'TYPE_ERROR'),
@@ -156,8 +163,8 @@ object MessageOps {
         |) ORDER BY case_id""".stripMargin,
     "u2_validation_quarantine" ->
       """SELECT status_code, error_class, n FROM (VALUES
-        |  (CAST(400 AS INTEGER), 'BAD_DATA',        CAST(5 AS BIGINT)),
-        |  (400, 'MISSING_DATA',    3),
+        |  (CAST(400 AS INTEGER), 'BAD_DATA',        CAST(6 AS BIGINT)),
+        |  (400, 'MISSING_DATA',    4),
         |  (400, 'MISSING_MESSAGE', 3),
         |  (400, 'VALIDATION',      2),
         |  (415, 'CONTENT_TYPE',    2),

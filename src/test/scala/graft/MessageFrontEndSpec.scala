@@ -109,6 +109,17 @@ class MessageFrontEndSpec extends AnyFunSuite {
     assert(classify("""{"message": [1]}""") == ((None, 400, Some("MISSING_DATA"))))
   }
 
+  test("non-object message routing follows the true JSON type, not its spelling") {
+    // a STRING spelling a scalar takes Python's substring route, not the
+    // scalar's TypeError — the variant probe sees STRING, not BIGINT/BOOLEAN
+    assert(classify("""{"message": "123"}""") == ((None, 400, Some("MISSING_DATA"))))
+    assert(classify("""{"message": "true"}""") == ((None, 400, Some("MISSING_DATA"))))
+    // a STRING that looks like an array is still a substring test on the
+    // decoded text ('["x"] data' contains "data")
+    assert(classify("""{"message": "[\"x\"] data"}""") == ((None, 400, Some("BAD_DATA"))))
+    assert(classify("""{"message": "[\"x\"]"}""") == ((None, 400, Some("MISSING_DATA"))))
+  }
+
   test("data key present but null → BAD_DATA (b64decode(None) raises)") {
     assert(classify("""{"message": {"data": null}}""") == ((None, 400, Some("BAD_DATA"))))
   }
