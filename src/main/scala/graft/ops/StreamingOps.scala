@@ -15,6 +15,7 @@ object StreamingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_daily" -> ((s, dir) => StreamingIngest.tumblingDaily(s, dir)),
     "stream_user_watermark" -> ((s, dir) => StreamingIngest.statefulUserWatermark(s, dir)),
+    "stream_dedup_exact" -> ((s, dir) => StreamingIngest.streamDedupExact(s, dir)),
     "stream_etl_dest" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       StreamingIngest.streamEtlToParquet(s, dir)
@@ -33,6 +34,10 @@ object StreamingOps {
     "stream_user_watermark" ->
       s"""SELECT user_id, strftime(max(ts), '$TsFmt') AS watermark
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the doubled at-least-once input must collapse back to the batch table
+    "stream_dedup_exact" ->
+      s"""SELECT event_id, strftime(ts, '$TsFmt') AS ts_iso, user_id
+         |FROM events ORDER BY event_id""".stripMargin,
     "stream_etl_dest" ->
       s"""SELECT event_id, strftime(ts, '$TsFmt') AS ts_iso, user_id, event_type, value, props
          |FROM events ORDER BY event_id""".stripMargin

@@ -23,16 +23,22 @@ object StreamingIngest {
 
   /** Stream the `events` parquet as a file source (schema pinned from a
     * batch probe; nanos ts rescaled exactly as Tables.load does).
+    *
+    * `copies` stages that many symlinks of the file into the landing
+    * directory — copies > 1 models an at-least-once upstream that delivers
+    * every record more than once (the shape the streaming dedup consumes).
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  def eventsStream(spark: SparkSession, dir: String, copies: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     // The file source wants a directory of files (its real-world shape:
     // a landing zone receiving parquet drops). Stage the single-table file
     // into one via symlink.
     val stage = java.nio.file.Paths.get(graft.util.TempDirs.create("graft_stream_events_"))
-    java.nio.file.Files.createSymbolicLink(
-      stage.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    (1 to copies).foreach { i =>
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve(s"events_$i.parquet"), java.nio.file.Paths.get(path))
+    }
     val schema = spark.read.parquet(path).schema
     val raw = spark.readStream.schema(schema).parquet(stage.toString)
     if (schema("ts").dataType == LongType)
@@ -90,6 +96,28 @@ object StreamingIngest {
       .start()
     q.awaitTermination()
     spark.read.parquet(dest).drop("export_date")
+  }
+
+  /** Streaming exact dedup of an at-least-once source: every record arrives
+    * twice (two staged copies of the landing file), and
+    * `dropDuplicatesWithinWatermark` on the record key collapses them back
+    * to one. This is the scale-correct streaming dedup — state is bounded
+    * by the watermark horizon (keys older than max-event-time − delay are
+    * evicted), unlike plain `dropDuplicates`, whose state grows without
+    * bound for the lifetime of the query. At 100 TB/day the horizon is the
+    * knob: state ∝ distinct keys per horizon, not per corpus. The fixture
+    * uses a horizon wider than the dataset's event-time span, so the drain
+    * provably equals the batch DISTINCT and the DuckDB oracle can check it.
+    */
+  def streamDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = eventsStream(spark, dir, copies = 2)
+      .withWatermark("ts", "365 days")
+      .dropDuplicatesWithinWatermark("event_id")
+    runToMemory(deduped, s"stream_dedup_${System.nanoTime()}", OutputMode.Append())
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_iso"),
+        col("user_id"))
+      .orderBy(col("event_id"))
   }
 
   final case class KeyedEvent(user_id: Long, ts: Timestamp)

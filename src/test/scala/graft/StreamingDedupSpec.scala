@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingIngest
+
+/** Streaming exact dedup: the doubled at-least-once landing zone really
+  * delivers every record twice, and `dropDuplicatesWithinWatermark`
+  * collapses the stream back to the batch table exactly.
+  */
+class StreamingDedupSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  test("the copies=2 landing zone delivers every record twice") {
+    val name = s"dup_raw_${System.nanoTime()}"
+    val q = StreamingIngest.eventsStream(spark, Sf0001, copies = 2)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batch = Tables.load(spark, Sf0001, "events").count()
+    assert(spark.table(name).count() == 2 * batch,
+      "without dedup, the staged duplicates must all arrive")
+  }
+
+  test("streaming dedup of the doubled source equals the batch table") {
+    val streamed = StreamingIngest.streamDedupExact(spark, Sf0001)
+    val batch = Tables.load(spark, Sf0001, "events")
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_iso"),
+        col("user_id"))
+      .orderBy(col("event_id"))
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+}
