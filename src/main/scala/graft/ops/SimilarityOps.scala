@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -105,6 +105,82 @@ object SimilarityOps {
       .where(col("c") >= 0.99)
       .distinct()
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // ------- incremental embedding dedup: batch vs persisted signature index
+
+  /** `(vec_id, sig)` signature-index rows — the same single-table
+    * sign-LSH bucket key the near-dup path uses. 8 bytes of key per vector,
+    * so the index of a 10^11-vector corpus is register-narrow next to the
+    * vectors themselves; at cluster scale it is persisted hash-bucketed on
+    * `sig` so only the (small) daily batch side shuffles.
+    */
+  def embedIndexRows(vectors: DataFrame): DataFrame = {
+    NativeVector.register(vectors.sparkSession)
+    vectors.select(col("vec_id"),
+      element_at(expr(s"graft_lsh_keys(embedding, 1, $NeardupBits, $LshSeed, 0)"), 1)
+        .as("sig"))
+  }
+
+  /** Append a batch's signature rows to the persisted index (write-once
+    * files; append adds new files, never rewrites existing ones).
+    */
+  def appendToEmbedIndex(vectors: DataFrame, indexPath: String): Unit =
+    embedIndexRows(vectors).write.mode(SaveMode.Append).parquet(indexPath)
+
+  /** Near-dups of `batch` against vectors already in the index: equality
+    * join on the signature (scale-invariance ⇒ a scaled copy collides with
+    * its original for certain), then exact-cosine verification of the
+    * candidates only — corpus embeddings are fetched by joining the touched
+    * ids, not by re-scanning or re-signaturing the corpus.
+    */
+  def dedupAgainstEmbedIndex(batch: DataFrame, corpusVectors: DataFrame,
+                             indexPath: String): DataFrame = {
+    val spark = batch.sparkSession
+    // the parquet file listing is captured HERE, so the lazy result is
+    // pinned to the index as of this call — appending the batch afterwards
+    // cannot feed it back into its own candidate set
+    val index = spark.read.parquet(indexPath)
+    val candidates = embedIndexRows(batch).as("n")
+      .join(index.as("i"), col("n.sig") === col("i.sig"))
+      .select(col("n.vec_id").as("new_id"), col("i.vec_id").as("corpus_id"))
+      .distinct()
+    candidates
+      .join(batch.select(col("vec_id").as("new_id"), col("embedding").as("n_e")), "new_id")
+      .join(corpusVectors.select(col("vec_id").as("corpus_id"), col("embedding").as("c_e")),
+        "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        round(cosine(col("n_e"), col("c_e")), 6).as("c"))
+      .where(col("c") >= 0.99)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  /** Today's batch: ×2-scaled copies of every 50th corpus vector (true
+    * near-dups — cosine exactly 1, and the scale-invariant signature
+    * collides with the original for certain) plus negated copies of every
+    * (50k+25)th vector (cosine −1 — random bucket collisions may nominate
+    * them, the exact verify must reject every one).
+    */
+  private def embedBatch(e: DataFrame): DataFrame =
+    e.where(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      .unionByName(
+        e.where(col("vec_id") % 50 === 25)
+          .select((col("vec_id") + 200000).as("vec_id"),
+            transform(col("embedding"), x => x * lit(-1.0f)).as("embedding")))
+
+  /** Registered query: index the corpus, dedup the day's batch against the
+    * index, then append the batch (the next day's batch would see it).
+    */
+  private def embedIncremental(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val batch = embedBatch(corpus)
+    val indexPath = s"${graft.util.TempDirs.create("graft_embed_idx_")}/index"
+    appendToEmbedIndex(corpus, indexPath)
+    val pairs = dedupAgainstEmbedIndex(batch, corpus, indexPath)
+    appendToEmbedIndex(batch, indexPath)
+    pairs
   }
 
   /** Query vectors: every 100th id — present at every scale factor. */
@@ -224,6 +300,7 @@ object SimilarityOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_neardup_cosine" -> (embedNeardup _),
+    "embed_incremental" -> (embedIncremental _),
     "ann_bruteforce_topk" -> (annBruteforce(_, _)),
     "ann_lsh_recall" -> ((s, d) => recallQuery(s, d, annLshTopk(s, d), LshRecallFloor)),
     "ann_ivf_recall" -> ((s, d) => recallQuery(s, d, annIvfTopk(s, d), IvfRecallFloor))
@@ -241,6 +318,21 @@ object SimilarityOps {
         |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) c
         |  FROM fx a JOIN fx b ON a.vec_id < b.vec_id)
         |WHERE c >= 0.99 ORDER BY a_id, b_id""".stripMargin,
+    // the exhaustive batch×corpus truth — the banded index must find
+    // exactly these pairs (scaled copies collide by scale-invariance; the
+    // negated probes and every random bucket collision fail the verify)
+    "embed_incremental" ->
+      """WITH batch AS (
+        |  SELECT vec_id + 100000 AS new_id, list_transform(embedding, x -> x * 2) AS e
+        |  FROM embeddings WHERE vec_id % 50 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 200000 AS new_id, list_transform(embedding, x -> x * (-1)) AS e
+        |  FROM embeddings WHERE vec_id % 50 = 25)
+        |SELECT new_id, corpus_id, c FROM (
+        |  SELECT b.new_id, o.vec_id AS corpus_id,
+        |    round(list_cosine_similarity(b.e::DOUBLE[], o.embedding::DOUBLE[]), 6) AS c
+        |  FROM batch b CROSS JOIN embeddings o)
+        |WHERE c >= 0.99 ORDER BY new_id, corpus_id""".stripMargin,
     // DOUBLE[] casts in both oracles matter: duckdb's float-list cosine
     // accumulates in float (~1e-7 error), which crosses 6-decimal rounding
     // boundaries that the engine's double-precision cosine does not.

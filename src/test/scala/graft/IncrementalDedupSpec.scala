@@ -29,6 +29,48 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() == corpusRows + expectedBatchRows)
   }
 
+  test("embedding index appends add files without rewriting existing ones") {
+    val idx = s"${tmpDir("eidx_spec_")}/index"
+    val corpus = Tables.load(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    ops.SimilarityOps.appendToEmbedIndex(corpus, idx)
+    val before = graft.util.Fs.listParquetFiles(spark, idx).toMap
+    val corpusRows = spark.read.parquet(idx).count()
+    val batch = corpus.where(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    ops.SimilarityOps.appendToEmbedIndex(batch, idx)
+    val after = graft.util.Fs.listParquetFiles(spark, idx).toMap
+    before.foreach { case (path, len) =>
+      assert(after.get(path).contains(len),
+        s"existing index file must survive an append untouched: $path")
+    }
+    assert(after.size > before.size, "append must add new files")
+    assert(spark.read.parquet(idx).count() == corpusRows + batch.count())
+  }
+
+  test("embedding batch-vs-index dedup equals the exhaustive cosine join") {
+    val idx = s"${tmpDir("eidx_spec_")}/index"
+    val corpus = Tables.load(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val batch = corpus.where(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    ops.SimilarityOps.appendToEmbedIndex(corpus, idx)
+    val got = ops.SimilarityOps.dedupAgainstEmbedIndex(batch, corpus, idx)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = batch.select(col("vec_id").as("new_id"), col("embedding").as("n_e"))
+      .crossJoin(corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("c_e")))
+      .select(col("new_id"), col("corpus_id"),
+        org.apache.spark.sql.functions.call_function("graft_cosine", col("n_e"), col("c_e")).as("c"))
+      .where(col("c") >= 0.99)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "fixture must exercise at least one batch-vs-corpus pair")
+  }
+
   test("batch-vs-index dedup equals the exhaustive batch×corpus Jaccard join") {
     val idx = s"${tmpDir("idx_spec_")}/index"
     val corpus = docs.where("NOT (doc_id % 10 = 3)")
