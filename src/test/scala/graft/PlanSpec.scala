@@ -85,4 +85,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"batch-vs-index candidates must come from the (band_idx, band_hash) equi-join\n$plan")
   }
+
+  test("incremental embedding dedup stays equality-joined on the signature") {
+    val plan = physical(ops.SimilarityOps.queries("embed_incremental")(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"batch-vs-index candidates must come from the sig equi-join\n$plan")
+  }
 }
