@@ -21,7 +21,8 @@ object SparkEntry {
     ops.RelationalOps.queries ++ ops.EtlOps.queries ++ ops.MessageOps.queries ++
       ops.DedupOps.queries ++ ops.IncrementalDedupOps.queries ++
       ops.SimilarityOps.queries ++ ops.TextAnalysisOps.queries ++
-      ops.MultimodalOps.queries ++ ops.StreamingOps.queries ++ ops.CoverageOps.queries
+      ops.MultimodalOps.queries ++ ops.StreamingOps.queries ++
+      ops.SamplingOps.queries ++ ops.CoverageOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -30,5 +31,6 @@ object SparkEntry {
     ops.RelationalOps.oracleSql ++ ops.EtlOps.oracleSql ++ ops.MessageOps.oracleSql ++
       ops.DedupOps.oracleSql ++ ops.IncrementalDedupOps.oracleSql ++
       ops.SimilarityOps.oracleSql ++ ops.TextAnalysisOps.oracleSql ++
-      ops.MultimodalOps.oracleSql ++ ops.StreamingOps.oracleSql ++ ops.CoverageOps.oracleSql
+      ops.MultimodalOps.oracleSql ++ ops.StreamingOps.oracleSql ++
+      ops.SamplingOps.oracleSql ++ ops.CoverageOps.oracleSql
 }

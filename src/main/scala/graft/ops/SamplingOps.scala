@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Reproducible corpus sampling and splitting — the training-mix
+  * construction ops a 100 TB pipeline runs daily (downsample dominant
+  * languages, carve stable train/val/test splits, audit length
+  * distributions).
+  *
+  * Everything gates on a content-stable hash of the document identity
+  * (the last hex nibble of `md5(doc_id)` — 16 uniform buckets), NOT on
+  * `rand()`: retries, re-runs on different cluster sizes, and other
+  * engines (the DuckDB oracle recomputes the same md5) select the exact
+  * same rows, so a training snapshot is a pure function of the corpus.
+  * The gate is a map-only filter evaluated at the scan — no shuffle, no
+  * sampling state, no seed bookkeeping — and the split assignment never
+  * has to be stored: it can always be re-derived from the id.
+  */
+object SamplingOps {
+
+  /** Last hex nibble of md5(doc_id): '0'..'f', uniform by construction. */
+  private def bucket: Column =
+    substring(md5(col("doc_id").cast("string")), 32, 1)
+
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Stratified mix sampling: keep 8/16 of English, 12/16 of Chinese, all
+    * of everything else — the classic rebalance of a web-crawl corpus
+    * before training. Hex-string compares make the keep-rate an exact
+    * bucket count in both engines.
+    */
+  private def mixStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .where(
+        when(col("lang") === "en", bucket < lit("8"))
+          .when(col("lang") === "zh", bucket < lit("c"))
+          .otherwise(lit(true)))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic train/val/test split (12/2/2 of 16 buckets), reported
+    * as per-(split, lang) counts — the mix audit a pipeline prints before
+    * a training run.
+    */
+  private def sampleSplit(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("lang"),
+        when(bucket < lit("c"), lit("train"))
+          .when(bucket < lit("e"), lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("split"), col("lang"))
+
+  /** Exact length-distribution quartiles per language (ordered-statistics
+    * aggregate). Exact `percentile`, not `approx_percentile`: the sketch
+    * is engine-specific, the interpolated exact quantile is portable (and
+    * per-group exact percentiles over a pre-aggregated (value, count)
+    * domain stay cheap at corpus scale when values are bounded ints).
+    */
+  private def statsPercentiles(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        round(expr("percentile(n_chars, 0.25)"), 6).as("p25"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n_chars, 0.75)"), 6).as("p75"),
+        round(expr("percentile(n_chars, 0.95)"), 6).as("p95"))
+      .orderBy(col("lang"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_stratified_sample" -> (mixStratifiedSample _),
+    "mix_split_counts" -> (sampleSplit _),
+    "stats_length_percentiles" -> (statsPercentiles _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "mix_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CASE WHEN lang = 'en' THEN substr(md5(doc_id::VARCHAR), 32, 1) < '8'
+        |           WHEN lang = 'zh' THEN substr(md5(doc_id::VARCHAR), 32, 1) < 'c'
+        |           ELSE true END
+        |ORDER BY doc_id""".stripMargin,
+    "mix_split_counts" ->
+      """SELECT split, lang, count(*) AS n FROM (
+        |  SELECT lang,
+        |    CASE WHEN substr(md5(doc_id::VARCHAR), 32, 1) < 'c' THEN 'train'
+        |         WHEN substr(md5(doc_id::VARCHAR), 32, 1) < 'e' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "stats_length_percentiles" ->
+      """SELECT lang,
+        |  round(quantile_cont(n_chars, 0.25), 6) AS p25,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |  round(quantile_cont(n_chars, 0.75), 6) AS p75,
+        |  round(quantile_cont(n_chars, 0.95), 6) AS p95
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}
