@@ -1,9 +1,11 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.TextFunctions.{jaccard, tokens}
 
 /** Reproducible corpus sampling and splitting — the training-mix
   * construction ops a 100 TB pipeline runs daily (downsample dominant
@@ -72,10 +74,69 @@ object SamplingOps {
         round(expr("percentile(n_chars, 0.95)"), 6).as("p95"))
       .orderBy(col("lang"))
 
+  /** Test-set decontamination: every test-split document that is a
+    * near-duplicate (trigram Jaccard ≥ [[DedupOps.JaccardThreshold]]) of a
+    * TRAIN-split document — the leakage check every training pipeline must
+    * run before evaluating. Candidates come from the same MinHash banded
+    * equality join as `dedup_minhash_lsh`, restricted across the splits
+    * (test bands ⋈ train bands — at 100 TB the test side is tiny and
+    * broadcastable, the train side reuses the persisted signature index),
+    * then exact-Jaccard verified. Same completeness argument as the dedup
+    * family: no corpus pair sits in the (0.15, 0.9) Jaccard gap.
+    */
+  private def decontaminateTestSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val train = docs.where(bucket < lit("c"))
+    val test = docs.where(bucket >= lit("e"))
+    val candidates = IncrementalDedupOps.bandRows(test).as("te")
+      .join(IncrementalDedupOps.bandRows(train).as("tr"),
+        col("te.band_idx") === col("tr.band_idx") &&
+          col("te.band_hash") === col("tr.band_hash"))
+      .select(col("te.doc_id").as("test_id"), col("tr.doc_id").as("train_id"))
+      .distinct()
+    val testSh = DedupOps.shingled(test)
+      .select(col("doc_id").as("test_id"), col("sh_hashes").as("te_sh"))
+    val trainSh = DedupOps.shingled(train)
+      .select(col("doc_id").as("train_id"), col("sh_hashes").as("tr_sh"))
+    candidates
+      .join(testSh, "test_id")
+      .join(trainSh, "train_id")
+      .select(col("test_id"), col("train_id"),
+        jaccard(col("te_sh"), col("tr_sh")).as("j"))
+      .where(col("j") >= DedupOps.JaccardThreshold)
+      .orderBy(col("test_id"), col("train_id"))
+  }
+
+  /** Token budget per pack — a handful of documents per pack at the
+    * corpus's typical document length.
+    */
+  private val PackBudget = 2000
+
+  /** Token-budget packing: assign documents to fixed-budget shards by a
+    * running token sum — the sequence-packing / sharding pass that turns a
+    * filtered corpus into trainer-sized chunks. The running sum is
+    * PARTITIONED (here by lang; at 100 TB by hash shard): each partition's
+    * prefix sum is an independent window, so there is never a global
+    * single-partition sort — the sequential dependency is bounded by shard
+    * size by construction. Integer division keeps pack ids engine-exact.
+    */
+  private def packTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"), size(tokens(col("text"))).cast("long").as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("pack_id", expr(s"(cum - tok) div $PackBudget"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .orderBy(col("lang"), col("pack_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix_stratified_sample" -> (mixStratifiedSample _),
     "mix_split_counts" -> (sampleSplit _),
-    "stats_length_percentiles" -> (statsPercentiles _)
+    "stats_length_percentiles" -> (statsPercentiles _),
+    "decontaminate_test_split" -> (decontaminateTestSplit _),
+    "pack_token_budget" -> (packTokenBudget _)
   )
 
   val oracleSql: Map[String, String] = Map(
