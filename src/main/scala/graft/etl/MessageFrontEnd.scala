@@ -44,6 +44,16 @@ import org.apache.spark.sql.types._
   * non-object-message predicate, so the extra JSON parse never runs on the
   * valid-message hot path.
   *
+  * Documented divergence (duplicate JSON keys): an envelope with two
+  * `message` keys (`{"message": {}, "message": "x"}`) routes to 500
+  * TYPE_ERROR here — Spark's variant builder rejects duplicate keys, so the
+  * probe returns NULL and the chain takes the scalar-`message` branch —
+  * while CPython's `json.loads` keeps the LAST value and could answer 400
+  * when that value is a string/list without "data". RFC 8259 leaves
+  * duplicate-key semantics undefined and no reference fixture exercises
+  * them; we accept the 500 rather than re-deriving last-wins from a
+  * second text-sniffing pass.
+  *
   * All columnar — the decode chain is `from_json`/`json_object_keys`/
   * `try_to_binary`/`try_cast` built-ins inside whole-stage codegen, so a
   * backlog of millions of queued messages decodes as one narrow scan, no
@@ -181,7 +191,9 @@ object MessageFrontEnd {
             .when(col("__mfe_msg_vtype") === "STRING",
               when(msgTextCol.contains("data"), lit("BAD_DATA"))
                 .otherwise(lit("MISSING_DATA")))
-            .otherwise(lit("TYPE_ERROR"))) // number/bool: `in` itself raises
+            // number/bool: `in` itself raises. Also catches a NULL probe
+            // (duplicate `message` keys — see the header divergence note).
+            .otherwise(lit("TYPE_ERROR")))
 
     val withCt = contentTypeCol match {
       case Some(ct) =>

@@ -26,7 +26,7 @@ object DedupOps {
     * threshold provably finds every true pair (miss prob < 1e-7 at J=0.9
     * with 16 bands × 4 rows).
     */
-  private[ops] val JaccardThreshold = 0.5
+  private[graft] val JaccardThreshold = 0.5
   private val MinhashK = 64
   private[ops] val Bands = 16
   private[ops] val RowsPerBand = 4

@@ -110,7 +110,7 @@ object SamplingOps {
   /** Token budget per pack — a handful of documents per pack at the
     * corpus's typical document length.
     */
-  private val PackBudget = 2000
+  private[graft] val PackBudget = 2000
 
   /** Token-budget packing: assign documents to fixed-budget shards by a
     * running token sum — the sequence-packing / sharding pass that turns a
@@ -160,6 +160,36 @@ object SamplingOps {
         |  round(quantile_cont(n_chars, 0.5), 6) AS p50,
         |  round(quantile_cont(n_chars, 0.75), 6) AS p75,
         |  round(quantile_cont(n_chars, 0.95), 6) AS p95
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // Exhaustive test×train trigram-Jaccard join — the brute-force truth the
+    // banded candidate generation must equal (same completeness argument as
+    // dedup_minhash_lsh: no corpus pair sits in the (0.15, 0.9) Jaccard gap,
+    // and banded MinHash is exhaustive at J >= 0.5 on this corpus).
+    "decontaminate_test_split" ->
+      s"""WITH tok AS (${DedupOps.duckShingled("")})
+         |SELECT test_id, train_id, j FROM (
+         |  SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
+         |    CASE WHEN len(list_distinct(te.t || tr.t)) = 0 THEN 0.0
+         |         ELSE len(list_intersect(te.t, tr.t))::DOUBLE
+         |              / len(list_distinct(te.t || tr.t))::DOUBLE
+         |    END AS j
+         |  FROM tok te JOIN tok tr ON true
+         |  WHERE substr(md5(te.doc_id::VARCHAR), 32, 1) >= 'e'
+         |    AND substr(md5(tr.doc_id::VARCHAR), 32, 1) < 'c')
+         |WHERE j >= ${DedupOps.JaccardThreshold}
+         |ORDER BY test_id, train_id""".stripMargin,
+    "pack_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |                         x -> x <> '')) AS BIGINT) AS tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, tok,
+         |    CAST(sum(tok) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT lang, (cum - tok) // $PackBudget AS pack_id,
+         |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
   )
 }

@@ -160,6 +160,19 @@ object SimilarityOps {
     * collides with the original for certain) plus negated copies of every
     * (50k+25)th vector (cosine −1 — random bucket collisions may nominate
     * them, the exact verify must reject every one).
+    *
+    * Fixture contract (oracle soundness): the `embed_incremental` oracle is
+    * the EXHAUSTIVE batch×corpus cosine join at c ≥ 0.99, while one 12-bit
+    * sign-LSH signature guarantees collision only at cosine exactly 1
+    * (scale invariance); a natural 0.99 ≤ c < 1 pair would collide with
+    * only ~57 % probability and could fail the oracle. This corpus has no
+    * such pair — uniform random embeddings top out near cosine ~0.3
+    * across batch×corpus (asserted in IncrementalDedupSpec "fixture has no
+    * near-but-not-exact cross pairs"), so the planted exact copies are the
+    * complete c ≥ 0.99 truth set at every shipped scale factor. A corpus
+    * with genuine near-but-not-exact neighbours needs the multi-table
+    * multi-probe index (`ann_lsh_recall`'s 32×4-bit family), not this
+    * single-signature dedup gate.
     */
   private def embedBatch(e: DataFrame): DataFrame =
     e.where(col("vec_id") % 50 === 0)

@@ -33,4 +33,46 @@ class SamplingSpec extends AnyFunSuite {
     val enKept = keptByLang.getOrElse("en", 0).toDouble / allByLang("en")
     assert(enKept > 0.3 && enKept < 0.7, s"en keep-rate ~8/16, got $enKept")
   }
+
+  test("token packing: packs partition each lang and never overshoot budget + one doc") {
+    import org.apache.spark.sql.functions._
+    val packs = ops.SamplingOps.queries("pack_token_budget")(spark, Sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.load(spark, Sf0001, "documents")
+      .select(col("lang"), size(functions.TextFunctions.tokens(col("text"))).cast("long").as("tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("tok")).as("toks"), max(col("tok")).as("maxTok"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    docs.foreach { case (lang, (nDocs, totToks, maxTok)) =>
+      val langPacks = packs.filter(_._1 == lang)
+      assert(langPacks.map(_._3).sum == nDocs, s"$lang: every doc lands in exactly one pack")
+      assert(langPacks.map(_._4).sum == totToks, s"$lang: token mass is conserved")
+      assert(langPacks.map(_._2).sorted.toSeq == (0L until langPacks.size).toSeq,
+        s"$lang: pack ids are contiguous from 0")
+      langPacks.foreach { case (_, pid, _, nTok) =>
+        assert(nTok < ops.SamplingOps.PackBudget + maxTok,
+          s"$lang pack $pid: $nTok tokens breaches budget + one-doc overshoot bound")
+      }
+    }
+  }
+
+  test("decontamination equals the exhaustive test×train Jaccard join") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.jaccard
+    val engine = ops.SamplingOps.queries("decontaminate_test_split")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.load(spark, Sf0001, "documents")
+    val nib = substring(md5(col("doc_id").cast("string")), 32, 1)
+    val sh = ops.DedupOps.shingled(docs).withColumn("__b", nib)
+    val te = sh.where(col("__b") >= "e")
+      .select(col("doc_id").as("test_id"), col("sh_hashes").as("te_sh"))
+    val tr = sh.where(col("__b") < "c")
+      .select(col("doc_id").as("train_id"), col("sh_hashes").as("tr_sh"))
+    val exhaustive = te.crossJoin(tr)
+      .where(jaccard(col("te_sh"), col("tr_sh")) >= ops.DedupOps.JaccardThreshold)
+      .select("test_id", "train_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(engine == exhaustive,
+      s"banded candidates must equal brute-force truth; engine=$engine exhaustive=$exhaustive")
+  }
 }
