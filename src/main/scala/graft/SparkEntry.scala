@@ -19,7 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.RelationalOps.queries ++ ops.EtlOps.queries ++ ops.MessageOps.queries ++
-      ops.DedupOps.queries ++ ops.IncrementalDedupOps.queries ++
+      ops.DedupOps.queries ++ ops.IncrementalDedupOps.queries ++ ops.ClusterOps.queries ++
       ops.SimilarityOps.queries ++ ops.TextAnalysisOps.queries ++
       ops.MultimodalOps.queries ++ ops.StreamingOps.queries ++
       ops.SamplingOps.queries ++ ops.CoverageOps.queries
@@ -29,7 +29,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     ops.RelationalOps.oracleSql ++ ops.EtlOps.oracleSql ++ ops.MessageOps.oracleSql ++
-      ops.DedupOps.oracleSql ++ ops.IncrementalDedupOps.oracleSql ++
+      ops.DedupOps.oracleSql ++ ops.IncrementalDedupOps.oracleSql ++ ops.ClusterOps.oracleSql ++
       ops.SimilarityOps.oracleSql ++ ops.TextAnalysisOps.oracleSql ++
       ops.MultimodalOps.oracleSql ++ ops.StreamingOps.oracleSql ++
       ops.SamplingOps.oracleSql ++ ops.CoverageOps.oracleSql

@@ -148,6 +148,62 @@ object NativeText {
     new GenericArrayData(out)
   }
 
+  /** Repetition-profile counters in one compiled pass (the Gopher-style
+    * repetition filters a web corpus is screened with): returns
+    * `[n_words, n_distinct_words, dup_word_occurrences, n_bigrams,
+    * top_bigram_count]` so the ratios (duplicated-word fraction, type-token
+    * ratio, top-bigram mass) stay exact int/int divisions at the query
+    * layer. Counting runs over the same xxh64 token hashes as everything
+    * else here (collision probability ~n²/2⁶⁴ per doc — nil), so no token
+    * strings are materialized and the whole filter is map-only: the one
+    * screening pass over 100 TB that must never shuffle, doesn't.
+    */
+  def repetitionStats(s: UTF8String): ArrayData = {
+    val th = tokenHashArray(s)
+    val n = th.length
+    if (n == 0) return new GenericArrayData(Array(0L, 0L, 0L, 0L, 0L))
+    val ws = th.clone()
+    java.util.Arrays.sort(ws)
+    var distinct = 1L
+    var dupOcc = 0L
+    var run = 1
+    var i = 1
+    while (i < n) {
+      if (ws(i) == ws(i - 1)) run += 1
+      else {
+        if (run > 1) dupOcc += run
+        distinct += 1
+        run = 1
+      }
+      i += 1
+    }
+    if (run > 1) dupOcc += run
+    var nBigrams = 0L
+    var topBigram = 0L
+    if (n >= 2) {
+      val bg = new Array[Long](n - 1)
+      i = 0
+      while (i < n - 1) {
+        // same chained-xxhash pair mix as the shingle path (GF(2)-linear
+        // mixes collide on small vocabularies)
+        bg(i) = XXH64.hashLong(th(i + 1), XXH64.hashLong(th(i), Seed))
+        i += 1
+      }
+      java.util.Arrays.sort(bg)
+      nBigrams = bg.length.toLong
+      var best = 1
+      run = 1
+      i = 1
+      while (i < bg.length) {
+        if (bg(i) == bg(i - 1)) { run += 1; if (run > best) best = run }
+        else run = 1
+        i += 1
+      }
+      topBigram = best.toLong
+    }
+    new GenericArrayData(Array(n.toLong, distinct, dupOcc, nBigrams, topBigram))
+  }
+
   /** Idempotently register both expressions as SQL functions on a session
     * (`graft_token_hashes(text)`, `graft_shingle_hashes(text)`), usable from
     * `expr(...)` on any caller-provided SparkSession.
@@ -164,6 +220,8 @@ object NativeText {
       exprs => Simhash60ShinglesExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_sig64",
       exprs => MinhashSig64Expr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_repetition_stats",
+      exprs => RepetitionStatsExpr(exprs.head), "built-in")
   }
 }
 
@@ -194,6 +252,14 @@ case class ShingleHashesExpr(child: Expression) extends NativeTextExpr {
   override protected def compute(s: UTF8String): ArrayData = NativeText.shingleHashes(s)
   override def prettyName: String = "graft_shingle_hashes"
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+case class RepetitionStatsExpr(child: Expression) extends NativeTextExpr {
+  override protected def methodName: String = "repetitionStats"
+  override protected def compute(s: UTF8String): ArrayData = NativeText.repetitionStats(s)
+  override def prettyName: String = "graft_repetition_stats"
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
     copy(child = newChild)
 }
 

@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Duplicate-cluster resolution — the step that turns pairwise dedup output
+  * into the thing a training pipeline actually consumes: one canonical
+  * document per duplicate CLUSTER. Pairwise near-dup detection (the
+  * `dedup_*` family) emits edges; duplicates are transitive in practice
+  * (A≈B, B≈C ⇒ all three are one document family even when A–C alone sits
+  * below threshold), so the keep/drop decision needs the connected
+  * components of the pair graph, not the pairs.
+  *
+  * Algorithm: hash-min label propagation — every node starts as its own
+  * label (= doc_id), and each round every node takes the min label in its
+  * closed neighborhood, until a fixpoint. Rounds = graph diameter; each
+  * round is one equality join + one partial-aggregated groupBy over NARROW
+  * (long, long) rows, both hash-partitioned on the node id. This is the
+  * 100 TB-honest choice for dedup graphs specifically:
+  *
+  *  - Dedup components are overwhelmingly tiny (pairs/triples; the giant
+  *    quadratic-diameter chains that motivate large-star/small-star
+  *    contraction [Kiveris et al., "Connected Components in MapReduce and
+  *    Beyond"] do not arise from near-duplicate detection, where edges mean
+  *    ≥ 90 % content overlap — overlap chains collapse within a few hops).
+  *    Diameter-bounded propagation on shuffle-key-sized rows beats the
+  *    constant factor of star contraction at this shape.
+  *  - The per-round shuffle carries 16 bytes/node+edge regardless of
+  *    document size — the documents themselves never move.
+  *  - Lineage is truncated every round (`localCheckpoint`), so the plan
+  *    stays O(1) deep instead of O(rounds) — the classic iterative-Spark
+  *    trap where round N replays rounds 1..N−1.
+  *
+  * The fixture graph is the union of the exact-dup edges (md5 groups from
+  * the `dedup_exact` fixture — every 10th doc re-appears under
+  * doc_id+1000000) and the MinHash-LSH verified near-dup edges over the
+  * same corpus, so components mix both edge kinds: a doc with an exact
+  * copy AND a near-dup neighbor chains them into one cluster — exactly the
+  * multi-hop case pairwise output gets wrong.
+  *
+  * Reference tie-in: the reference has no dedup at all (SURVEY §2.6 —
+  * north-star extension); the closest analogue is its keep-first batch
+  * retry semantics (`core/services/billing_etl.py:306-362`), which this
+  * generalizes to content identity: `is_canonical` = "first by doc_id in
+  * the duplicate family".
+  */
+object ClusterOps {
+
+  /** Propagation-round ceiling. Components in a dedup graph have tiny
+    * diameter (see header); 32 rounds of doubling-reach min-propagation is
+    * astronomically past any real duplicate family, so hitting the ceiling
+    * means the edge generator produced something degenerate — fail loudly
+    * rather than emit a non-fixpoint labeling.
+    */
+  private val MaxRounds = 32
+
+  /** Hash-min connected components over an (a_id, b_id) edge list.
+    * Returns (doc_id, cluster_id) with cluster_id = min doc_id reachable.
+    * Only nodes that appear in at least one edge are labeled — at corpus
+    * scale the singleton majority never enters the iteration (their
+    * cluster is trivially themselves; materializing them would make every
+    * round scan the full corpus instead of the duplicate fringe).
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    // Symmetrized adjacency, cached: reused every round.
+    val adj = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .cache()
+    var labels = adj.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged) {
+      if (round >= MaxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $MaxRounds rounds — degenerate edge set?")
+      // Closed-neighborhood min: own label ∪ labels arriving over edges.
+      val next = adj
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+        .union(labels)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint(true) // truncate lineage: O(1)-deep plan per round
+      converged = next.as("n")
+        .join(labels.as("o"), "id")
+        .where(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    adj.unpersist()
+    labels
+  }
+
+  /** `dedup_clusters`: duplicate families of the dedup fixture corpus —
+    * one row per clustered doc with its canonical id, family size, and the
+    * keep/drop verdict. Edge set = exact-dup star edges (group-min → each
+    * copy; stars preserve connectivity and keep the edge list linear in
+    * members, not quadratic) ∪ MinHash-verified near-dup pairs.
+    */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = DedupOps.withExactDups(Tables.load(s, dir, "documents")).cache()
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val exactEdges = hashed
+      .join(hashed.groupBy(col("h")).agg(min(col("doc_id")).as("a_id")), "h")
+      .where(col("doc_id") =!= col("a_id"))
+      .select(col("a_id"), col("doc_id").as("b_id"))
+    val nearEdges = DedupOps
+      .minhashPairs(docs, DedupOps.shingled(docs).cache())
+      .select(col("a_id"), col("b_id"))
+    val labels = connectedComponents(exactEdges.union(nearEdges).distinct())
+    labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (dedupClusters _)
+  )
+
+  /** Oracle: DuckDB recursive CTE computes the transitive closure of the
+    * same edge set (exact clique edges + EXHAUSTIVE near-dup pairs — the
+    * engine's banded MinHash equals brute force on this corpus, same
+    * completeness argument as `dedup_minhash_lsh`), then labels every node
+    * with the min reachable id. Star vs clique exact edges differ as edge
+    * LISTS but generate identical components.
+    */
+  val oracleSql: Map[String, String] = Map(
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |fixture AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+         |tok AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) < 3 THEN [] ELSE list_distinct(
+         |      list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         |    END AS t
+         |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') w
+         |        FROM fixture)),
+         |exact_edges AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM fixture a JOIN fixture b
+         |    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+         |near_edges AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a.doc_id a_id, b.doc_id b_id,
+         |      CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
+         |           ELSE len(list_intersect(a.t, b.t))::DOUBLE
+         |                / len(list_distinct(a.t || b.t))::DOUBLE
+         |      END AS j
+         |    FROM tok a JOIN tok b
+         |      ON a.doc_id < b.doc_id
+         |     AND len(a.t)::DOUBLE >= len(b.t) * ${DedupOps.JaccardThreshold}
+         |     AND len(b.t)::DOUBLE >= len(a.t) * ${DedupOps.JaccardThreshold})
+         |  WHERE j >= ${DedupOps.JaccardThreshold}),
+         |edges AS (SELECT * FROM exact_edges UNION SELECT * FROM near_edges),
+         |sym AS (SELECT a_id AS s, b_id AS d FROM edges
+         |        UNION SELECT b_id, a_id FROM edges),
+         |reach AS (
+         |  SELECT s AS id, s AS label FROM sym
+         |  UNION
+         |  SELECT sym.d AS id, reach.label FROM reach JOIN sym ON reach.id = sym.s)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  doc_id = cluster_id AS is_canonical
+         |FROM (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id)
+         |ORDER BY doc_id""".stripMargin
+  )
+}

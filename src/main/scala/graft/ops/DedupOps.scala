@@ -49,7 +49,7 @@ object DedupOps {
     * under doc_id+1000000) — the raw corpus is duplicate-free, so the
     * fixture is what makes exact dedup observable. Oracle builds the same.
     */
-  private def withExactDups(docs: DataFrame): DataFrame =
+  private[ops] def withExactDups(docs: DataFrame): DataFrame =
     docs.unionByName(
       docs.where(col("doc_id") % 10 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000))
@@ -113,11 +113,17 @@ object DedupOps {
     * up front — they can never verify above threshold, and a shared
     * degenerate signature would otherwise make them all collide.
     */
-  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.NativeText.register(s)
-    val sh = shingled(documents(s, dir)).cache()
+  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(documents(s, dir), shingled(documents(s, dir)).cache())
+
+  /** The MinHash-LSH pair pipeline over an arbitrary doc set (reused by
+    * [[ClusterOps]] for the near-dup edge list): banded candidates from
+    * `docs`, exact-Jaccard verified against the shingle projection `sh`.
+    */
+  private[ops] def minhashPairs(docs: DataFrame, sh: DataFrame): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
     // cache: the self-join below would otherwise recompute signatures per side
-    val banded = documents(s, dir)
+    val banded = docs
       .select(col("doc_id"), expr("graft_minhash_sig64(text)").as("sig"))
       .where(col("sig").isNotNull) // shingleless docs have no signature
       .select(col("doc_id"),

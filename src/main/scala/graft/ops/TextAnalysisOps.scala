@@ -83,11 +83,54 @@ object TextAnalysisOps {
         array_min(transform(trigrams(toks), t => md5(t))).as("min_shingle_fp"))
       .orderBy(col("doc_id"))
 
+  /** Keep-gate thresholds for the repetition screen. Both are exact binary
+    * fractions (7/8, 1/16), so the boundary compare of the bit-exact
+    * int/int ratios is engine-portable; both sit inside the corpus's
+    * interquartile spread, so the gate actually splits (≈ median dup-word
+    * fraction is 0.83, ≈ p75 top-bigram mass is 0.048 at sf0.01).
+    */
+  private val MaxDupWordFrac = 0.875
+  private val MaxTopBigramFrac = 0.0625
+
+  /** Gopher-style repetition screen: duplicated-word mass, type-token
+    * ratio, and top-bigram mass per document, plus the keep/drop verdict.
+    * The counters come from the one-pass native expression
+    * (`graft_repetition_stats`) — a map-only projection, no explode, no
+    * per-doc groupBy shuffle — and every emitted ratio is an int/int
+    * division, bit-identical in DuckDB.
+    */
+  private def taRepetition(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeText.register(s)
+    documents(s, dir)
+      .select(col("doc_id"), expr("graft_repetition_stats(text)").as("r"))
+      .select(col("doc_id"),
+        element_at(col("r"), 1).as("n_words"),
+        element_at(col("r"), 2).as("n_distinct"),
+        element_at(col("r"), 3).as("dup_occ"),
+        element_at(col("r"), 4).as("n_bg"),
+        element_at(col("r"), 5).as("top_bg"))
+      .select(col("doc_id"), col("n_words"),
+        when(col("n_words") > 0,
+          col("dup_occ").cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(0.0)).as("dup_word_frac"),
+        when(col("n_words") > 0,
+          col("n_distinct").cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(0.0)).as("ttr"),
+        when(col("n_bg") > 0,
+          col("top_bg").cast("double") / col("n_bg").cast("double"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+      .withColumn("keep",
+        col("dup_word_frac") <= MaxDupWordFrac &&
+          col("top_bigram_frac") <= MaxTopBigramFrac)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_langid" -> (taLangid _),
     "ta_quality_score" -> (taQuality _),
     "ta_token_count" -> (taTokenCount _),
-    "ta_fingerprint" -> (taFingerprint _)
+    "ta_fingerprint" -> (taFingerprint _),
+    "ta_repetition" -> (taRepetition _)
   )
 
   private val duckToks =
@@ -132,6 +175,38 @@ object TextAnalysisOps {
          |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
          |    END AS t
          |  FROM (SELECT doc_id, text, $duckToks w FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    // Word/bigram histograms rebuilt relationally (unnest → count); the
+    // engine counts xxh64 token hashes instead of strings — identical
+    // counters modulo 64-bit collisions (~n²/2⁶⁴ per doc).
+    "ta_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks w FROM documents),
+         |wc AS (
+         |  SELECT doc_id, word, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(w) AS word FROM t) GROUP BY doc_id, word),
+         |ws AS (
+         |  SELECT doc_id, count(*) AS n_distinct,
+         |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occ
+         |  FROM wc GROUP BY doc_id),
+         |bc AS (
+         |  SELECT doc_id, bg, count(*) AS c
+         |  FROM (SELECT doc_id,
+         |          unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+         |        FROM t WHERE len(w) >= 2)
+         |  GROUP BY doc_id, bg),
+         |bs AS (SELECT doc_id, max(c) AS top_bg FROM bc GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |  CASE WHEN len(w) > 0 THEN coalesce(dup_occ, 0)::DOUBLE / len(w)::DOUBLE
+         |       ELSE 0.0 END AS dup_word_frac,
+         |  CASE WHEN len(w) > 0 THEN coalesce(n_distinct, 0)::DOUBLE / len(w)::DOUBLE
+         |       ELSE 0.0 END AS ttr,
+         |  CASE WHEN len(w) >= 2 THEN coalesce(top_bg, 0)::DOUBLE / (len(w) - 1)::DOUBLE
+         |       ELSE 0.0 END AS top_bigram_frac,
+         |  (CASE WHEN len(w) > 0 THEN coalesce(dup_occ, 0)::DOUBLE / len(w)::DOUBLE
+         |        ELSE 0.0 END) <= $MaxDupWordFrac
+         |    AND (CASE WHEN len(w) >= 2 THEN coalesce(top_bg, 0)::DOUBLE / (len(w) - 1)::DOUBLE
+         |             ELSE 0.0 END) <= $MaxTopBigramFrac AS keep
+         |FROM t LEFT JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id)
          |ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Duplicate-cluster resolution: the engine's iterative hash-min labeling
+  * must equal the ground truth (driver-side union-find over the same
+  * edges), reach a fixpoint, and actually exercise transitivity (multi-hop
+  * components mixing exact and near-dup edges).
+  */
+class ClusterSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private lazy val clusters =
+    ops.ClusterOps.queries("dedup_clusters")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+
+  /** The same edge set the engine clusters, rebuilt independently: exact
+    * md5 cliques + verified near-dup pairs, both over the fixture corpus.
+    */
+  private lazy val edges: Seq[(Long, Long)] = {
+    val docs = Tables.load(spark, Sf0001, "documents")
+    val fixture = docs.unionByName(
+      docs.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+      .cache()
+    val hashed = fixture.select(col("doc_id"), md5(col("text")).as("h"))
+    val exact = hashed.as("a").join(hashed.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.functions.NativeText.register(spark)
+    val sh = fixture.select(col("doc_id"), expr("graft_shingle_hashes(text)").as("sh_hashes"))
+    val near = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        graft.functions.TextFunctions.jaccard(col("a.sh_hashes"), col("b.sh_hashes")).as("j"))
+      .where(col("j") >= ops.DedupOps.JaccardThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    exact ++ near
+  }
+
+  /** Driver-side union-find ground truth over the brute-force edge set. */
+  private lazy val truth: Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("labels equal union-find ground truth over brute-force edges") {
+    val engine = clusters.map(c => c._1 -> c._2).toMap
+    assert(engine == truth)
+  }
+
+  test("labeling is a fixpoint: every edge's endpoints share a cluster") {
+    val label = clusters.map(c => c._1 -> c._2).toMap
+    edges.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"edge ($a,$b) crosses clusters")
+    }
+  }
+
+  test("cluster_id is the component min and is_canonical marks exactly it") {
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster $cid not labeled by its min member")
+      assert(members.count(_._4) == 1 && members.find(_._4).get._1 == cid)
+      members.foreach(m => assert(m._3 == members.size.toLong))
+    }
+  }
+
+  test("the fixture graph exercises transitivity (some component spans 3+ docs)") {
+    assert(clusters.groupBy(_._2).values.exists(_.size >= 3),
+      "no multi-hop component — the clusters query degenerates to pair output")
+  }
+}

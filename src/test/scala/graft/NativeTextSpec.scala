@@ -54,4 +54,46 @@ class NativeTextSpec extends AnyFunSuite {
     assert(d.find(_.getString(0) == "one two").exists(r => r.isNullAt(1) && r.isNullAt(2)))
     assert(d.find(_.getString(0) == "a b c d e").exists(r => !r.isNullAt(1) && !r.isNullAt(2)))
   }
+
+  test("native repetition stats equal the relational explode+groupBy counters") {
+    val words = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
+    val wordCounts = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_occ"),
+        sum(col("c")).as("n_words"))
+    val bigramCounts = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        explode(zip_with(slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+          slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
+    val relational = wordCounts.join(bigramCounts, "doc_id")
+    val native = docs
+      .select(col("doc_id"), expr("graft_repetition_stats(text)").as("r"))
+      .select(col("doc_id"),
+        element_at(col("r"), 1).as("n_words"), element_at(col("r"), 2).as("n_distinct"),
+        element_at(col("r"), 3).as("dup_occ"), element_at(col("r"), 4).as("n_bg"),
+        element_at(col("r"), 5).as("top_bg"))
+    val joined = native.as("n").join(relational.as("r"), "doc_id")
+    assert(joined.count() == 100)
+    Seq("n_words", "n_distinct", "dup_occ", "n_bg", "top_bg").foreach { c =>
+      assert(joined.where(col(s"n.$c") =!= col(s"r.$c")).count() == 0, s"$c diverges")
+    }
+  }
+
+  test("repetition stats on degenerate docs: empty and single-word") {
+    import sp.implicits._
+    NativeText.register(spark)
+    val rows = Seq("", "word", "x x").toDF("text")
+      .select(col("text"), expr("graft_repetition_stats(text)").as("r"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(rows("") == Seq(0L, 0L, 0L, 0L, 0L))
+    assert(rows("word") == Seq(1L, 1L, 0L, 0L, 0L))
+    assert(rows("x x") == Seq(2L, 1L, 2L, 1L, 1L))
+  }
 }
