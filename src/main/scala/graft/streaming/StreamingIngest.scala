@@ -55,8 +55,32 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    val spark = df.sparkSession
+    // Datasets are analyzed eagerly, so this handle keeps the sink's rows
+    // reachable after the catalog entry goes away.
+    val out = spark.table(name)
+    // Session-lifetime hygiene — a bench sweep drains dozens of streaming
+    // queries in one JVM. Without these, every drain leaks for the
+    // session's lifetime: the memory sink's rows stay pinned by the
+    // catalog entry, and each run's state-store providers stay loaded
+    // (holding their full per-key maps, and rescanned by the maintenance
+    // thread) long after their query terminated. The unload is safe
+    // mid-session: providers reload on demand from the checkpoint.
+    spark.catalog.dropTempView(name)
+    unloadStateStores()
+    out
   }
+
+  /** `StateStore.unloadAll()` is `private[sql]` at the Scala level but
+    * public in bytecode — reflection reaches it without claiming Spark's
+    * package namespace. Failure is ignored: this is hygiene, not
+    * correctness, and must never fail a query over an internal rename.
+    */
+  private def unloadStateStores(): Unit =
+    try {
+      val cls = Class.forName("org.apache.spark.sql.execution.streaming.state.StateStore$")
+      cls.getMethod("unloadAll").invoke(cls.getField("MODULE$").get(null))
+    } catch { case _: Throwable => () }
 
   /** W3 as a *streaming* windowed aggregation: tumbling 1-day event-time
     * windows with a 1-hour watermark, complete at AvailableNow drain.
