@@ -125,13 +125,106 @@ object TextAnalysisOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Email/phone patterns shared by engine and oracle. RE2-safe subset
+    * (no lookaround, no backreferences) so Java regex and DuckDB RE2 agree
+    * character-for-character; the corpus vocabulary is letters-only, so
+    * every match comes from the injected fixture and the oracle is
+    * non-vacuous.
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  /** PII fixture: the raw corpus carries no contact strings (letters-only
+    * vocabulary), so redaction is made observable the same way exact dedup
+    * is — deterministic injected rows, mirrored literally in the oracle.
+    */
+  private def withPiiDocs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).unionByName(Seq(
+      (9000001L, "contact alice.smith@example.com or bob@test.org for the full report"),
+      (9000002L, "call 555-123-4567 or +1 415 555 2671 before friday"),
+      (9000003L, "email carol_j@sub.domain.example.net and phone 212-555-0198 thanks"),
+      (9000004L, "no contact info here just words")
+    ).toDF("doc_id", "text"))
+  }
+
+  /** PII scrubbing: count and redact email/phone matches — the compliance
+    * pass a web corpus must run before training. Pure columnar regex
+    * (codegen'd `regexp_extract_all`/`regexp_replace`): map-only over
+    * 100 TB, no shuffle except the final sort. Emails are redacted before
+    * phones so digit-bearing addresses can't double-count.
+    */
+  private def taPiiRedact(s: SparkSession, dir: String): DataFrame =
+    withPiiDocs(documents(s, dir))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+        regexp_replace(col("text"), EmailRe, "<EMAIL>").as("__t"))
+      .select(col("doc_id"), col("n_emails"),
+        size(regexp_extract_all(col("__t"), lit(PhoneRe), lit(0))).as("n_phones"),
+        regexp_replace(col("__t"), PhoneRe, "<PHONE>").as("redacted"))
+      .orderBy(col("doc_id"))
+
+  /** Top-K vocabulary induction: corpus-wide word frequencies, highest
+    * first — the first step of tokenizer training. The explode feeds a
+    * partial-aggregated groupBy on the word (map-side combine collapses
+    * each partition to its distinct vocabulary before the shuffle, so the
+    * exchange carries ~|vocab| rows per partition, not corpus tokens), and
+    * the top-K lands as TakeOrderedAndProject — per-partition heaps, no
+    * global sort materialization.
+    */
+  private val VocabK = 20
+
+  private def taVocabTopK(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(explode(toks).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(VocabK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_langid" -> (taLangid _),
     "ta_quality_score" -> (taQuality _),
     "ta_token_count" -> (taTokenCount _),
     "ta_fingerprint" -> (taFingerprint _),
-    "ta_repetition" -> (taRepetition _)
+    "ta_repetition" -> (taRepetition _),
+    "ta_pii_redact" -> (taPiiRedact _),
+    "ta_vocab_topk" -> (taVocabTopK _),
+    "mix_topk_quality" -> (mixTopkQuality _)
   )
+
+  /** Docs kept per language in the quality-selection pass. */
+  private val TopKPerLang = 5
+
+  /** Per-language quality selection: keep the top-K docs per lang by the
+    * `ta_quality_score` formula (ties broken by doc_id — fully
+    * deterministic). The window sorts each lang's rows after one shuffle
+    * on lang; with few, huge groups the per-group sort is the bottleneck
+    * shape, so at extreme scale this becomes two-phase (per-partition
+    * top-K heaps, then a final window over K×partitions survivors) — the
+    * same `TakeOrderedAndProject` idea applied per group. At any corpus
+    * size the output is K rows per group either way.
+    */
+  private def mixTopkQuality(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"), toks.as("w"))
+      .select(col("doc_id"), col("lang"),
+        size(col("w")).as("n_words"),
+        (size(array_distinct(col("w"))).cast("double") /
+          greatest(size(col("w")), lit(1)).cast("double")).as("ttr"),
+        (stopwordCount(col("w")).cast("double") /
+          greatest(size(col("w")), lit(1)).cast("double")).as("stop_ratio"))
+      .withColumn("quality",
+        round(col("ttr") * 0.5 + col("stop_ratio") * 0.3 +
+          when(col("n_words") >= 30, 0.2).otherwise(0.0), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))))
+      .where(col("rnk") <= TopKPerLang)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("quality"))
+      .orderBy(col("lang"), col("rnk"))
+  }
 
   private val duckToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
@@ -207,6 +300,43 @@ object TextAnalysisOps {
          |    AND (CASE WHEN len(w) >= 2 THEN coalesce(top_bg, 0)::DOUBLE / (len(w) - 1)::DOUBLE
          |             ELSE 0.0 END) <= $MaxTopBigramFrac AS keep
          |FROM t LEFT JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "ta_pii_redact" ->
+      s"""WITH fixture AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (9000001, 'contact alice.smith@example.com or bob@test.org for the full report'),
+         |    (9000002, 'call 555-123-4567 or +1 415 555 2671 before friday'),
+         |    (9000003, 'email carol_j@sub.domain.example.net and phone 212-555-0198 thanks'),
+         |    (9000004, 'no contact info here just words')) AS v(doc_id, text))
+         |SELECT doc_id, n_emails,
+         |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS INTEGER) AS n_phones,
+         |  regexp_replace(t, '$PhoneRe', '<PHONE>', 'g') AS redacted
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$EmailRe')) AS INTEGER) AS n_emails,
+         |    regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS t
+         |  FROM fixture)
+         |ORDER BY doc_id""".stripMargin,
+    "ta_vocab_topk" ->
+      s"""SELECT word, count(*) AS n
+         |FROM (SELECT unnest($duckToks) AS word FROM documents)
+         |GROUP BY word ORDER BY n DESC, word LIMIT $VocabK""".stripMargin,
+    "mix_topk_quality" ->
+      s"""SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id, quality FROM (
+         |  SELECT lang, doc_id, quality,
+         |    row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rnk
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |      round(ttr * 0.5 + stop_ratio * 0.3 +
+         |        CASE WHEN n_words >= 30 THEN 0.2 ELSE 0.0 END, 6) AS quality
+         |    FROM (
+         |      SELECT doc_id, lang, len(w) AS n_words,
+         |        len(list_distinct(w))::DOUBLE / greatest(len(w), 1)::DOUBLE AS ttr,
+         |        len(list_filter(w, x -> list_contains($duckStop, x)))::DOUBLE /
+         |          greatest(len(w), 1)::DOUBLE AS stop_ratio
+         |      FROM (SELECT doc_id, lang, $duckToks w FROM documents))))
+         |WHERE rnk <= $TopKPerLang ORDER BY lang, rnk""".stripMargin
   )
 }
