@@ -73,6 +73,14 @@ object ClusterOps {
     var labels = adj.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
+    // Convergence probe: per-node labels only ever DECREASE (min of a set
+    // containing the old label), so the label sum is strictly monotone —
+    // it moves iff some node changed. One cheap scalar agg over the
+    // just-checkpointed round replaces a join-and-compare against the
+    // previous round.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged) {
@@ -87,10 +95,9 @@ object ClusterOps {
         .groupBy(col("id"))
         .agg(min(col("label")).as("label"))
         .localCheckpoint(true) // truncate lineage: O(1)-deep plan per round
-      converged = next.as("n")
-        .join(labels.as("o"), "id")
-        .where(col("n.label") =!= col("o.label"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       round += 1
     }
