@@ -54,17 +54,21 @@ object NativeText {
   def tokenHashes(s: UTF8String): ArrayData =
     new GenericArrayData(tokenHashArray(s))
 
-  /** Distinct position-mixed trigram hashes (sorted; set semantics). */
-  def shingleHashes(s: UTF8String): ArrayData = {
-    val th = tokenHashArray(s)
-    if (th.length < 3) return new GenericArrayData(Array.empty[Long])
-    val mixed = new Array[Long](th.length - 2)
+  /** Distinct position-mixed n-gram hashes (sorted; set semantics) over
+    * the token-hash stream: each window of `n` token hashes is folded
+    * through chained xxhash rounds — non-linear in each slot (a
+    * GF(2)-linear mix like xor-shift collides on small vocabularies where
+    * a^c == d^e).
+    */
+  private def ngramHashArray(th: Array[Long], n: Int): Array[Long] = {
+    if (th.length < n) return Array.empty[Long]
+    val mixed = new Array[Long](th.length - n + 1)
     var i = 0
-    while (i < th.length - 2) {
-      // chained xxhash rounds: non-linear in each slot (a GF(2)-linear mix
-      // like xor-shift collides on small vocabularies where a^c == d^e)
-      mixed(i) = XXH64.hashLong(th(i + 2),
-        XXH64.hashLong(th(i + 1), XXH64.hashLong(th(i), Seed)))
+    while (i < mixed.length) {
+      var acc = Seed
+      var j = 0
+      while (j < n) { acc = XXH64.hashLong(th(i + j), acc); j += 1 }
+      mixed(i) = acc
       i += 1
     }
     java.util.Arrays.sort(mixed)
@@ -79,8 +83,19 @@ object NativeText {
       if (mixed(i) != mixed(i - 1)) { out(j) = mixed(i); j += 1 }
       i += 1
     }
-    new GenericArrayData(out)
+    out
   }
+
+  /** Distinct position-mixed trigram hashes (sorted; set semantics). */
+  def shingleHashes(s: UTF8String): ArrayData =
+    new GenericArrayData(ngramHashArray(tokenHashArray(s), 3))
+
+  /** Distinct 8-gram hashes — the exact-overlap decontamination feature
+    * (GPT-3-style n-gram contamination checks use 8–13-gram windows; 8
+    * fits this corpus's shortest documents).
+    */
+  def ngram8Hashes(s: UTF8String): ArrayData =
+    new GenericArrayData(ngramHashArray(tokenHashArray(s), 8))
 
   /** 60-bit SimHash in one compiled pass (same token hashes as
     * `graft_token_hashes`, so identical to the explode+aggregate
@@ -222,6 +237,8 @@ object NativeText {
       exprs => MinhashSig64Expr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_repetition_stats",
       exprs => RepetitionStatsExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_ngram8_hashes",
+      exprs => Ngram8HashesExpr(exprs.head), "built-in")
   }
 }
 
@@ -252,6 +269,14 @@ case class ShingleHashesExpr(child: Expression) extends NativeTextExpr {
   override protected def compute(s: UTF8String): ArrayData = NativeText.shingleHashes(s)
   override def prettyName: String = "graft_shingle_hashes"
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+case class Ngram8HashesExpr(child: Expression) extends NativeTextExpr {
+  override protected def methodName: String = "ngram8Hashes"
+  override protected def compute(s: UTF8String): ArrayData = NativeText.ngram8Hashes(s)
+  override def prettyName: String = "graft_ngram8_hashes"
+  override protected def withNewChildInternal(newChild: Expression): Ngram8HashesExpr =
     copy(child = newChild)
 }
 

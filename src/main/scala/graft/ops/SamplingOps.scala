@@ -107,6 +107,43 @@ object SamplingOps {
       .orderBy(col("test_id"), col("train_id"))
   }
 
+  /** Doc-frequency cap for contamination n-grams: a gram seen in more
+    * training docs than this is boilerplate, not leakage signal — and at
+    * corpus scale those grams are exactly the skew hot keys of the
+    * inverted-index join, so the cap is both a semantic and a shuffle
+    * guard. No fixture gram comes near it (SamplingSpec asserts), so the
+    * oracle stays an exact mirror.
+    */
+  private[graft] val NgramDocFreqCap = 100L
+
+  /** Exact n-gram-overlap decontamination (the GPT-3-style check, distinct
+    * from the Jaccard one): every (test, train) pair sharing at least one
+    * exact 8-token window, with the count of shared distinct windows.
+    * Engine shape: native one-pass 8-gram hashes (map-only), explode to an
+    * inverted index of NARROW (id, gram-hash) rows, doc-frequency-cap the
+    * training side, then an equality join on the hash — the test side is
+    * tiny by construction and broadcasts. No text moves through the
+    * shuffle, and nothing is ever all-pairs.
+    */
+  private def decontaminateNgramOverlap(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeText.register(s)
+    val docs = documents(s, dir)
+    def grams(df: DataFrame, idCol: String): DataFrame =
+      df.select(col("doc_id").as(idCol),
+        explode(expr("graft_ngram8_hashes(text)")).as("g"))
+    val test = grams(docs.where(bucket >= lit("e")), "test_id")
+    val train = grams(docs.where(bucket < lit("c")), "train_id")
+    val capped = train.join(
+      train.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= NgramDocFreqCap)
+        .select(col("g")),
+      "g")
+    test.join(capped, "g")
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("test_id"), col("train_id"))
+  }
+
   /** Token budget per pack — a handful of documents per pack at the
     * corpus's typical document length.
     */
@@ -136,6 +173,7 @@ object SamplingOps {
     "mix_split_counts" -> (sampleSplit _),
     "stats_length_percentiles" -> (statsPercentiles _),
     "decontaminate_test_split" -> (decontaminateTestSplit _),
+    "decontaminate_ngram_overlap" -> (decontaminateNgramOverlap _),
     "pack_token_budget" -> (packTokenBudget _)
   )
 
@@ -177,6 +215,29 @@ object SamplingOps {
          |  WHERE substr(md5(te.doc_id::VARCHAR), 32, 1) >= 'e'
          |    AND substr(md5(tr.doc_id::VARCHAR), 32, 1) < 'c')
          |WHERE j >= ${DedupOps.JaccardThreshold}
+         |ORDER BY test_id, train_id""".stripMargin,
+    // String 8-grams mirror the engine's hashed ones — identical pair
+    // counts modulo 64-bit collisions. Same doc-frequency cap both sides.
+    "decontaminate_ngram_overlap" ->
+      s"""WITH w8 AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) < 8 THEN []
+         |    ELSE list_distinct(list_transform(range(1, len(w)-6), i ->
+         |      w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+         |      w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]))
+         |    END) AS g
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') w
+         |        FROM documents)),
+         |te AS (SELECT doc_id AS test_id, g FROM w8
+         |       WHERE substr(md5(doc_id::VARCHAR), 32, 1) >= 'e'),
+         |tr AS (SELECT doc_id AS train_id, g FROM w8
+         |       WHERE substr(md5(doc_id::VARCHAR), 32, 1) < 'c'),
+         |trc AS (SELECT train_id, g FROM tr
+         |        JOIN (SELECT g FROM tr GROUP BY g
+         |              HAVING count(*) <= $NgramDocFreqCap) USING (g))
+         |SELECT test_id, train_id, count(*) AS n_shared
+         |FROM te JOIN trc USING (g)
+         |GROUP BY test_id, train_id
          |ORDER BY test_id, train_id""".stripMargin,
     "pack_token_budget" ->
       s"""WITH t AS (

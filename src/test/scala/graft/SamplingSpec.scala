@@ -56,6 +56,32 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram-overlap decontamination equals brute force; fixture is far from the df cap") {
+    import org.apache.spark.sql.functions._
+    val engine = ops.SamplingOps.queries("decontaminate_ngram_overlap")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    graft.functions.NativeText.register(spark)
+    val docs = Tables.load(spark, Sf0001, "documents")
+    val nib = substring(md5(col("doc_id").cast("string")), 32, 1)
+    val g8 = docs.select(col("doc_id"), expr("graft_ngram8_hashes(text)").as("g8"))
+      .withColumn("__b", nib)
+    // no training gram approaches the boilerplate cap, so the capped and
+    // uncapped joins are the same relation on this fixture
+    val maxDf = g8.where(col("__b") < "c")
+      .select(explode(col("g8")).as("g")).groupBy("g").count()
+      .agg(max(col("count"))).head.getLong(0)
+    assert(maxDf <= ops.SamplingOps.NgramDocFreqCap / 2,
+      s"fixture doc-freq $maxDf too close to the cap for the brute-force check")
+    val brute = g8.where(col("__b") >= "e").select(col("doc_id").as("test_id"), col("g8").as("te"))
+      .crossJoin(g8.where(col("__b") < "c").select(col("doc_id").as("train_id"), col("g8").as("tr")))
+      .select(col("test_id"), col("train_id"),
+        size(array_intersect(col("te"), col("tr"))).as("n"))
+      .where(col("n") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+    assert(engine == brute,
+      s"inverted-index overlap must equal brute force; engine=$engine brute=$brute")
+  }
+
   test("decontamination equals the exhaustive test×train Jaccard join") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions.jaccard
