@@ -92,4 +92,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"batch-vs-index candidates must come from the sig equi-join\n$plan")
   }
+
+  test("ngram-overlap decontamination is an inverted-index equi-join, never all-pairs") {
+    val plan = physical(ops.SamplingOps.queries("decontaminate_ngram_overlap")(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"contamination pairs must come from the gram-hash equi-join\n$plan")
+  }
+
+  test("repetition screen is map-only: one expression eval, no shuffle before the sort") {
+    val df = ops.TextAnalysisOps.queries("ta_repetition")(spark, Sf0001)
+    val plan = physical(df)
+    assert("graft_repetition_stats".r.findAllIn(plan).length == 1,
+      s"the native counter expression must be evaluated exactly once per row\n$plan")
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"only the final ORDER BY may shuffle\n$plan")
+  }
+
+  test("vocab top-K plans partial aggregation and TakeOrderedAndProject") {
+    val plan = physical(ops.TextAnalysisOps.queries("ta_vocab_topk")(spark, Sf0001))
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"word counts must combine map-side before the shuffle\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must not materialize a global sort\n$plan")
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+  }
 }
