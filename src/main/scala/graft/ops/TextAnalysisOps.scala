@@ -89,8 +89,8 @@ object TextAnalysisOps {
     * interquartile spread, so the gate actually splits (≈ median dup-word
     * fraction is 0.83, ≈ p75 top-bigram mass is 0.048 at sf0.01).
     */
-  private val MaxDupWordFrac = 0.875
-  private val MaxTopBigramFrac = 0.0625
+  private[ops] val MaxDupWordFrac = 0.875
+  private[ops] val MaxTopBigramFrac = 0.0625
 
   /** Gopher-style repetition screen: duplicated-word mass, type-token
     * ratio, and top-bigram mass per document, plus the keep/drop verdict.
@@ -131,23 +131,33 @@ object TextAnalysisOps {
     * every match comes from the injected fixture and the oracle is
     * non-vacuous.
     */
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
+  private[ops] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[ops] val PhoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
 
-  /** PII fixture: the raw corpus carries no contact strings (letters-only
-    * vocabulary), so redaction is made observable the same way exact dedup
-    * is — deterministic injected rows, mirrored literally in the oracle.
+  /** PII fixture rows: the raw corpus carries no contact strings
+    * (letters-only vocabulary), so redaction is made observable the same
+    * way exact dedup is — deterministic injected rows, mirrored literally
+    * in the oracles (here and in the ingest-screen pipeline).
     */
-  private def withPiiDocs(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
+  private[ops] val PiiFixture: Seq[(Long, String)] = Seq(
+    (9000001L, "contact alice.smith@example.com or bob@test.org for the full report"),
+    (9000002L, "call 555-123-4567 or +1 415 555 2671 before friday"),
+    (9000003L, "email carol_j@sub.domain.example.net and phone 212-555-0198 thanks"),
+    (9000004L, "no contact info here just words")
+  )
+
+  /** The same rows as a VALUES clause for DuckDB oracles. */
+  private[ops] def piiFixtureSql: String =
+    PiiFixture.map { case (id, t) => s"($id, '$t')" }.mkString(",\n    ")
+
+  private[ops] def piiFixtureDf(s: SparkSession): DataFrame = {
     import s.implicits._
-    docs.select(col("doc_id"), col("text")).unionByName(Seq(
-      (9000001L, "contact alice.smith@example.com or bob@test.org for the full report"),
-      (9000002L, "call 555-123-4567 or +1 415 555 2671 before friday"),
-      (9000003L, "email carol_j@sub.domain.example.net and phone 212-555-0198 thanks"),
-      (9000004L, "no contact info here just words")
-    ).toDF("doc_id", "text"))
+    PiiFixture.toDF("doc_id", "text")
   }
+
+  private def withPiiDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(piiFixtureDf(docs.sparkSession))
 
   /** PII scrubbing: count and redact email/phone matches — the compliance
     * pass a web corpus must run before training. Pure columnar regex
@@ -306,10 +316,7 @@ object TextAnalysisOps {
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
          |  SELECT * FROM (VALUES
-         |    (9000001, 'contact alice.smith@example.com or bob@test.org for the full report'),
-         |    (9000002, 'call 555-123-4567 or +1 415 555 2671 before friday'),
-         |    (9000003, 'email carol_j@sub.domain.example.net and phone 212-555-0198 thanks'),
-         |    (9000004, 'no contact info here just words')) AS v(doc_id, text))
+         |    $piiFixtureSql) AS v(doc_id, text))
          |SELECT doc_id, n_emails,
          |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS INTEGER) AS n_phones,
          |  regexp_replace(t, '$PhoneRe', '<PHONE>', 'g') AS redacted
