@@ -297,6 +297,42 @@ object RelationalOps {
       .select(fmt(col("win")).as("window_start"), col("n"), col("total_value_cents"))
       .orderBy(col("window_start"))
 
+  /** Session gap threshold: 6 hours in microseconds. Sits between the
+    * corpus's p25 (~3 h) and median (~7 h) inter-event gap, so the fixture
+    * splits real multi-event sessions instead of degenerating to
+    * one-session-per-user or one-event-per-session.
+    */
+  private val SessionGapUs = 6L * 3600 * 1000000
+
+  /** Gap-based sessionization — the canonical event-stream windowing op a
+    * behavioral pipeline runs daily: a session breaks where a user's
+    * inter-event gap exceeds the threshold; session id = running count of
+    * breaks. All microsecond-integer arithmetic (no timestamp subtraction
+    * semantics to disagree over), ordered by (ts, event_id) so ties are
+    * deterministic in both engines. Scale shape: two windows and the
+    * aggregate all share ONE hash partitioning on user_id — a single
+    * shuffle of narrow rows, then per-user sorted passes; no global sort
+    * except the final ORDER BY.
+    */
+  private def w8(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("brk",
+        (col("prev_us").isNull || col("us") - col("prev_us") > SessionGapUs)
+          .cast("long"))
+      .withColumn("session_id",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        fmt(min(col("ts"))).as("session_start"),
+        fmt(max(col("ts"))).as("session_end"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** At-least-once boundary duplication, W5/N1: the rows the next run
     * re-reads because its predicate is `>= watermark`
     * (reference: billing_etl.py:280).
@@ -378,6 +414,7 @@ object RelationalOps {
     "w2_window_bound" -> (w2 _),
     "w3_tumbling_windows" -> (w3 _),
     "w5_boundary_duplicates" -> (w5 _),
+    "w8_gap_sessionize" -> (w8 _),
     "w7_no_data_short_circuit" -> (w7 _),
     "q1_pricing_summary" -> (q1 _),
     "q2_segment_revenue" -> (q2 _)
@@ -477,6 +514,25 @@ object RelationalOps {
       s"""SELECT strftime(date_trunc('day', ts), '$DuckTsFmt') AS window_start,
          |  count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w8_gap_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+         |m AS (
+         |  SELECT user_id, ts, us,
+         |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > $SessionGapUs
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (
+         |  SELECT user_id, ts, us,
+         |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, us
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM m)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  strftime(min(ts), '$DuckTsFmt') AS session_start,
+         |  strftime(max(ts), '$DuckTsFmt') AS session_end,
+         |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
+         |FROM s GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
     "w5_boundary_duplicates" ->
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, event_type FROM events
          |WHERE ts >= (SELECT max(ts) FROM events WHERE ts < TIMESTAMP '$Mid')

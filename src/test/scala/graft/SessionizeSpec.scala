@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gap sessionization must equal a driver-side reference fold over the
+  * same (ts, event_id)-ordered event stream.
+  */
+class SessionizeSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private val GapUs = 6L * 3600 * 1000000
+
+  test("engine sessions equal the per-user reference fold") {
+    val engine = ops.RelationalOps.queries("w8_gap_sessionize")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(5)))
+      .toMap
+    val evs = Tables.load(spark, Sf0001, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val reference = evs.groupBy(_._1).flatMap { case (user, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      // fold: new session when gap > threshold; accumulate (sid -> events)
+      val sids = ordered.scanLeft((0L, Long.MinValue)) { case ((sid, prev), us) =>
+        (if (prev == Long.MinValue || us - prev > GapUs) sid + 1 else sid, us)
+      }.drop(1).map(_._1)
+      sids.zip(ordered).groupBy(_._1).map { case (sid, members) =>
+        (user, sid) -> (members.size.toLong, members.map(_._2).max - members.map(_._2).min)
+      }
+    }.toMap
+    assert(engine == reference)
+  }
+}
