@@ -91,13 +91,53 @@ object CoverageOps {
       .orderBy("probe")
   }
 
+  // Fixed extraction window (same as RelationalOps) to bound roundtrip rows.
+  private val W0 = "2024-01-10 00:00:00"
+  private val W1 = "2024-01-20 00:00:00"
+
+  private def windowSlice(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .where(col("ts") >= to_timestamp(lit(W0)) && col("ts") < to_timestamp(lit(W1)))
+      .select(col("event_id"), date_format(col("ts"), TsFmt).as("ts_iso"),
+        col("user_id"), col("value"), col("props"))
+
+  private val sliceSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "event_id BIGINT, ts_iso STRING, user_id BIGINT, value DOUBLE, props STRING")
+
+  /** JSON row-batch sink→source parity: the reference's whole load path is
+    * JSON rows (billing_etl.py:315-316, :346 — dict-serialized batches into
+    * BigQuery's JSON loader). Writing the extraction slice as JSON and
+    * reading it back must be lossless — timestamps pre-serialized to ISO
+    * strings exactly as the reference does (billing_etl.py:35-40), doubles
+    * via shortest-repr roundtrip, nested JSON (`props`) as opaque strings.
+    * Oracled against the same slice straight from parquet: any sink/source
+    * asymmetry breaks the hash.
+    */
+  private def srcJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.TempDirs.create("graft_json_rt_")
+    windowSlice(s, dir).write.mode("overwrite").json(out)
+    s.read.schema(sliceSchema).json(out).orderBy(col("event_id"))
+  }
+
+  /** CSV sink→source parity, same contract as the JSON roundtrip (quoting
+    * must survive the embedded-JSON `props` column).
+    */
+  private def srcCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.TempDirs.create("graft_csv_rt_")
+    windowSlice(s, dir).write.mode("overwrite").option("header", "true").csv(out)
+    s.read.schema(sliceSchema).option("header", "true").csv(out)
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_star_projection" -> (p1 _),
     "f2_conjunctive_equality" -> (f2 _),
     "c2_bytes_to_string" -> (c2 _),
     "c11_uuid_format" -> (c11 _),
     "s5_catalog_listings" -> (s5 _),
-    "s6_existence_probes" -> (s6 _)
+    "s6_existence_probes" -> (s6 _),
+    "src_json_roundtrip" -> (srcJsonRoundtrip _),
+    "src_csv_roundtrip" -> (srcCsvRoundtrip _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -117,6 +157,14 @@ object CoverageOps {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "s5_catalog_listings" ->
       "SELECT * FROM (VALUES ('graft_cat_a'), ('graft_cat_b')) AS t(namespace) ORDER BY 1",
+    "src_json_roundtrip" ->
+      s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, value, props
+         |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
+         |ORDER BY event_id""".stripMargin,
+    "src_csv_roundtrip" ->
+      s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, value, props
+         |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
+         |ORDER BY event_id""".stripMargin,
     "s6_existence_probes" ->
       """SELECT * FROM (VALUES
         |  ('ns_after_create', true),
