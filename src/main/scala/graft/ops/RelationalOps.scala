@@ -297,6 +297,35 @@ object RelationalOps {
       .select(fmt(col("win")).as("window_start"), col("n"), col("total_value_cents"))
       .orderBy(col("window_start"))
 
+  /** As-of join (J2, extension): for every `purchase` event, the most
+    * recent strictly-preceding `view` event of the same user. Spark has no
+    * native as-of operator; the naive formulation is a range join
+    * (quadratic per key). The Spark-first shape is the UNION + ordered
+    * window trick: tag both sides, sort each user's merged stream once,
+    * and carry the last view forward with `last(_, ignoreNulls)` over
+    * rows UNBOUNDED PRECEDING..1 PRECEDING — "strictly preceding by
+    * (ts, event_id)" makes ties exact in both engines. ONE shuffle on
+    * user_id, linear per key, and the same partitioning serves the window
+    * and the final filter. DuckDB's built-in ASOF JOIN would leave
+    * equal-timestamp ties unspecified, so the oracle mirrors the window
+    * formulation instead.
+    */
+  private def j2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, dir)
+      .where(col("event_type").isin("view", "purchase"))
+      .withColumn("__view",
+        when(col("event_type") === "view",
+          struct(col("event_id").as("id"), col("value").as("v"))))
+      .withColumn("__asof", last(col("__view"), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), fmt(col("ts")).as("ts_iso"), col("user_id"),
+        col("__asof.id").as("asof_view_id"), col("__asof.v").as("asof_view_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Session gap threshold: 6 hours in microseconds. Sits between the
     * corpus's p25 (~3 h) and median (~7 h) inter-event gap, so the fixture
     * splits real multi-event sessions instead of degenerating to
@@ -415,6 +444,7 @@ object RelationalOps {
     "w3_tumbling_windows" -> (w3 _),
     "w5_boundary_duplicates" -> (w5 _),
     "w8_gap_sessionize" -> (w8 _),
+    "j2_asof_join" -> (j2 _),
     "w7_no_data_short_circuit" -> (w7 _),
     "q1_pricing_summary" -> (q1 _),
     "q2_segment_revenue" -> (q2 _)
@@ -514,6 +544,19 @@ object RelationalOps {
       s"""SELECT strftime(date_trunc('day', ts), '$DuckTsFmt') AS window_start,
          |  count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j2_asof_join" ->
+      s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id,
+         |  asof_view_id, asof_view_value
+         |FROM (
+         |  SELECT event_id, ts, user_id, event_type,
+         |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+         |      OVER w AS asof_view_id,
+         |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+         |      OVER w AS asof_view_value
+         |  FROM events WHERE event_type IN ('view', 'purchase')
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "w8_gap_sessionize" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),

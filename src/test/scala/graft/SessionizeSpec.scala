@@ -31,4 +31,25 @@ class SessionizeSpec extends AnyFunSuite {
     }.toMap
     assert(engine == reference)
   }
+
+  test("as-of join equals the per-user reference scan and is non-vacuous") {
+    val engine = ops.RelationalOps.queries("j2_asof_join")(spark, Sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    val evs = Tables.load(spark, Sf0001, "events")
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val reference = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2)).toSeq
+      ordered.zipWithIndex.collect { case ((_, eid, _, "purchase"), i) =>
+        eid -> ordered.take(i).reverse.collectFirst { case (_, vid, _, "view") => vid }
+      }
+    }.toMap
+    assert(engine == reference)
+    assert(engine.values.exists(_.isDefined) && engine.values.exists(_.isEmpty),
+      "fixture must exercise both matched and unmatched purchases")
+  }
 }
