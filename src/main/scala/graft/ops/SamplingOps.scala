@@ -168,16 +168,51 @@ object SamplingOps {
       .orderBy(col("lang"), col("pack_id"))
   }
 
+  /** Epoch-expansion weights: sources ending in an even digit are seen
+    * twice per training epoch, a designated high-quality source four
+    * times, everything else once — the standard up-weighting move when
+    * composing a training mix from heterogeneous sources.
+    */
+  private def epochFactor: Column =
+    when(col("source") === "src7", 4)
+      .when(substring(col("source"), -1, 1).isin("0", "2", "4", "6", "8"), 2)
+      .otherwise(1)
+
+  /** Weighted mixture expansion: materialize per-source repeat factors as
+    * (doc_id, copy_idx) rows — the deterministic replacement for "sample
+    * with replacement by source weight". Map-only row generation (explode
+    * of a tiny per-row sequence; no shuffle except the final sort); at
+    * corpus scale the expansion factor is the storage cost, which is the
+    * point of making it an explicit, auditable operator rather than a
+    * sampler's side effect.
+    */
+  private def mixEpochExpand(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), col("source"), epochFactor.as("n_epochs"))
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), col("n_epochs"))).as("copy_idx"))
+      .orderBy(col("doc_id"), col("copy_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix_stratified_sample" -> (mixStratifiedSample _),
     "mix_split_counts" -> (sampleSplit _),
     "stats_length_percentiles" -> (statsPercentiles _),
     "decontaminate_test_split" -> (decontaminateTestSplit _),
     "decontaminate_ngram_overlap" -> (decontaminateNgramOverlap _),
-    "pack_token_budget" -> (packTokenBudget _)
+    "pack_token_budget" -> (packTokenBudget _),
+    "mix_epoch_expand" -> (mixEpochExpand _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    "mix_epoch_expand" ->
+      """SELECT doc_id, source, unnest(range(1, n_epochs + 1)) AS copy_idx
+        |FROM (
+        |  SELECT doc_id, source,
+        |    CASE WHEN source = 'src7' THEN 4
+        |         WHEN substr(source, len(source), 1) IN ('0','2','4','6','8') THEN 2
+        |         ELSE 1 END AS n_epochs
+        |  FROM documents)
+        |ORDER BY doc_id, copy_idx""".stripMargin,
     "mix_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CASE WHEN lang = 'en' THEN substr(md5(doc_id::VARCHAR), 32, 1) < '8'

@@ -56,6 +56,24 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("epoch expansion repeats every doc exactly its source factor, contiguously") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.SamplingOps.queries("mix_epoch_expand")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    def factor(src: String): Int =
+      if (src == "src7") 4
+      else if ("02468".contains(src.last)) 2
+      else 1
+    rows.groupBy(_._1).foreach { case (id, copies) =>
+      val src = copies.head._2
+      assert(copies.map(_._3).sorted.toSeq == (1 to factor(src)).toSeq,
+        s"doc $id ($src): copies must be exactly 1..${factor(src)}")
+    }
+    val nDocs = Tables.load(spark, Sf0001, "documents").count()
+    assert(rows.map(_._1).distinct.length.toLong == nDocs, "every doc appears")
+    assert(rows.exists(_._3 == 4) && rows.exists(r => factor(r._2) == 1))
+  }
+
   test("ngram-overlap decontamination equals brute force; fixture is far from the df cap") {
     import org.apache.spark.sql.functions._
     val engine = ops.SamplingOps.queries("decontaminate_ngram_overlap")(spark, Sf0001)
