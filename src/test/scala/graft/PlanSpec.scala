@@ -109,6 +109,16 @@ class PlanSpec extends AnyFunSuite {
       s"only the final ORDER BY may shuffle\n$plan")
   }
 
+  test("sessionize and as-of share one user_id shuffle (plus only the final sort)") {
+    Seq("w8_gap_sessionize", "j2_asof_join").foreach { q =>
+      val plan = physical(SparkEntry.queries(q)(spark, Sf0001))
+      assert("Exchange".r.findAllIn(plan).length == 2,
+        s"$q: both windows and the aggregate must reuse ONE user_id " +
+          s"partitioning; only the final ORDER BY may add an exchange\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q\n$plan")
+    }
+  }
+
   test("vocab top-K plans partial aggregation and TakeOrderedAndProject") {
     val plan = physical(ops.TextAnalysisOps.queries("ta_vocab_topk")(spark, Sf0001))
     assert(plan.contains("partial_count") || plan.contains("partial count"),
