@@ -209,12 +209,11 @@ object TextAnalysisOps {
 
   /** Per-language quality selection: keep the top-K docs per lang by the
     * `ta_quality_score` formula (ties broken by doc_id — fully
-    * deterministic). The window sorts each lang's rows after one shuffle
-    * on lang; with few, huge groups the per-group sort is the bottleneck
-    * shape, so at extreme scale this becomes two-phase (per-partition
-    * top-K heaps, then a final window over K×partitions survivors) — the
-    * same `TakeOrderedAndProject` idea applied per group. At any corpus
-    * size the output is K rows per group either way.
+    * deterministic). The rank-filter idiom is what Catalyst's
+    * WindowGroupLimit rule needs: Spark plans a PARTIAL group-limit before
+    * the lang shuffle and a FINAL one after (asserted in PlanSpec), so
+    * each map task forwards at most K rows per group — the per-partition
+    * top-K-heap shape, for free, at any group size.
     */
   private def mixTopkQuality(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

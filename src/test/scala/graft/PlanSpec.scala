@@ -119,6 +119,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("per-group quality top-K plans a map-side partial WindowGroupLimit") {
+    val plan = physical(ops.TextAnalysisOps.queries("mix_topk_quality")(spark, Sf0001))
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"the rank filter must push a partial group-limit below the lang shuffle\n$plan")
+  }
+
   test("vocab top-K plans partial aggregation and TakeOrderedAndProject") {
     val plan = physical(ops.TextAnalysisOps.queries("ta_vocab_topk")(spark, Sf0001))
     assert(plan.contains("partial_count") || plan.contains("partial count"),
