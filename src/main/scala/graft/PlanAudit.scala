@@ -1,0 +1,32 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev audit main: prints every registered query whose physical plan
+  * contains a CartesianProduct or BroadcastNestedLoopJoin (plus plan
+  * errors). Expected hits are exactly the documented brute-force paths:
+  * ann_bruteforce_topk (the correctness baseline), ann_lsh_recall /
+  * ann_ivf_recall (they embed that baseline as truth), and
+  * dedup_ngram_jaccard (the sampled ground-truth verifier). Anything else
+  * appearing here is a regression.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val p = fn(spark, sf).queryExecution.executedPlan.toString
+        val cart = p.contains("CartesianProduct")
+        val bnl = p.contains("BroadcastNestedLoopJoin")
+        if (cart || bnl) println(s"AUDIT $name cartesian=$cart bnl=$bnl")
+      } catch { case e: Throwable => println(s"AUDIT $name PLAN_ERROR ${e.getMessage.take(80)}") }
+      finally spark.catalog.clearCache()
+    }
+    println("AUDIT DONE")
+    spark.stop()
+  }
+}
