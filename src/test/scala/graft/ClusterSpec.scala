@@ -78,4 +78,24 @@ class ClusterSpec extends AnyFunSuite {
     assert(clusters.groupBy(_._2).values.exists(_.size >= 3),
       "no multi-hop component — the clusters query degenerates to pair output")
   }
+
+  test("connectedComponents on adversarial graphs: long chain, star, forest") {
+    import spark.implicits._
+    def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      ops.ClusterOps.connectedComponents(edges.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 12-node chain labeled high→low: min propagates one hop per round —
+    // the deepest convergence path the fixture graph never produces
+    val chain = (0L until 11L).map(i => (100L - i, 100L - i - 1))
+    assert(cc(chain) == (89L to 100L).map(_ -> 89L).toMap)
+    // star with the hub as the max id: every leaf must still win the min
+    val star = (1L to 8L).map(i => (200L, 200L - i))
+    assert(cc(star) == ((192L to 199L) :+ 200L).map(_ -> 192L).toMap)
+    // forest: three separate components keep separate labels
+    val forest = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+    assert(cc(forest) == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
 }
