@@ -121,17 +121,51 @@ object IngestScreenOps {
     * MinHash equals brute force on this corpus; same completeness argument
     * as `dedup_minhash_lsh`), unnest histograms for the repetition gate.
     */
+  /** Shared oracle fragments (also used by the streaming screen's oracle):
+    * the arrival-batch fixture CTE and the repetition-gate CTE chain over a
+    * table named `batch`.
+    */
+  private[ops] def duckBatchCte: String =
+    s"""batch AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE substr(md5(doc_id::VARCHAR), 32, 1) >= 'e'
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents
+       |  WHERE substr(md5(doc_id::VARCHAR), 32, 1) < 'e' AND doc_id % 50 = 0
+       |  UNION ALL
+       |  SELECT * FROM (VALUES
+       |    ${TextAnalysisOps.piiFixtureSql}) AS v(doc_id, text))""".stripMargin
+
+  private[ops] def duckPiiRepCtes: String =
+    s"""pii AS (
+       |  SELECT doc_id FROM batch
+       |  WHERE len(regexp_extract_all(text, '${TextAnalysisOps.EmailRe}'))
+       |      + len(regexp_extract_all(text, '${TextAnalysisOps.PhoneRe}')) > 0),
+       |t AS (SELECT doc_id,
+       |        list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') w
+       |      FROM batch),
+       |wc AS (SELECT doc_id, word, count(*) AS c
+       |       FROM (SELECT doc_id, unnest(w) AS word FROM t) GROUP BY doc_id, word),
+       |ws AS (SELECT doc_id,
+       |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occ
+       |       FROM wc GROUP BY doc_id),
+       |bc AS (SELECT doc_id, bg, count(*) AS c
+       |       FROM (SELECT doc_id,
+       |               unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+       |             FROM t WHERE len(w) >= 2)
+       |       GROUP BY doc_id, bg),
+       |bs AS (SELECT doc_id, max(c) AS top_bg FROM bc GROUP BY doc_id),
+       |rep AS (
+       |  SELECT t.doc_id,
+       |    (CASE WHEN len(w) > 0 THEN coalesce(dup_occ, 0)::DOUBLE / len(w)::DOUBLE
+       |          ELSE 0.0 END) <= ${TextAnalysisOps.MaxDupWordFrac}
+       |      AND (CASE WHEN len(w) >= 2 THEN coalesce(top_bg, 0)::DOUBLE / (len(w) - 1)::DOUBLE
+       |               ELSE 0.0 END) <= ${TextAnalysisOps.MaxTopBigramFrac} AS keep
+       |  FROM t LEFT JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "ingest_screen_pipeline" ->
-      s"""WITH batch AS (
-         |  SELECT doc_id, text FROM documents
-         |  WHERE substr(md5(doc_id::VARCHAR), 32, 1) >= 'e'
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, text FROM documents
-         |  WHERE substr(md5(doc_id::VARCHAR), 32, 1) < 'e' AND doc_id % 50 = 0
-         |  UNION ALL
-         |  SELECT * FROM (VALUES
-         |    ${TextAnalysisOps.piiFixtureSql}) AS v(doc_id, text)),
+      s"""WITH $duckBatchCte,
          |corpus AS (
          |  SELECT doc_id, text FROM documents
          |  WHERE substr(md5(doc_id::VARCHAR), 32, 1) < 'e'),
@@ -160,31 +194,7 @@ object IngestScreenOps {
          |      ON len(b.t)::DOUBLE >= len(c.t) * ${DedupOps.JaccardThreshold}
          |     AND len(c.t)::DOUBLE >= len(b.t) * ${DedupOps.JaccardThreshold})
          |  WHERE j >= ${DedupOps.JaccardThreshold}),
-         |pii AS (
-         |  SELECT doc_id FROM batch
-         |  WHERE len(regexp_extract_all(text, '${TextAnalysisOps.EmailRe}'))
-         |      + len(regexp_extract_all(text, '${TextAnalysisOps.PhoneRe}')) > 0),
-         |t AS (SELECT doc_id,
-         |        list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') w
-         |      FROM batch),
-         |wc AS (SELECT doc_id, word, count(*) AS c
-         |       FROM (SELECT doc_id, unnest(w) AS word FROM t) GROUP BY doc_id, word),
-         |ws AS (SELECT doc_id,
-         |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occ
-         |       FROM wc GROUP BY doc_id),
-         |bc AS (SELECT doc_id, bg, count(*) AS c
-         |       FROM (SELECT doc_id,
-         |               unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
-         |             FROM t WHERE len(w) >= 2)
-         |       GROUP BY doc_id, bg),
-         |bs AS (SELECT doc_id, max(c) AS top_bg FROM bc GROUP BY doc_id),
-         |rep AS (
-         |  SELECT t.doc_id,
-         |    (CASE WHEN len(w) > 0 THEN coalesce(dup_occ, 0)::DOUBLE / len(w)::DOUBLE
-         |          ELSE 0.0 END) <= ${TextAnalysisOps.MaxDupWordFrac}
-         |      AND (CASE WHEN len(w) >= 2 THEN coalesce(top_bg, 0)::DOUBLE / (len(w) - 1)::DOUBLE
-         |               ELSE 0.0 END) <= ${TextAnalysisOps.MaxTopBigramFrac} AS keep
-         |  FROM t LEFT JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id))
+         |$duckPiiRepCtes
          |SELECT b.doc_id,
          |  CASE WHEN b.doc_id IN (SELECT doc_id FROM de) THEN 'dup_exact'
          |       WHEN b.doc_id IN (SELECT doc_id FROM dn) THEN 'dup_near'

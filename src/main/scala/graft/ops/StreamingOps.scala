@@ -1,6 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.StreamingIngest
 
@@ -12,12 +14,82 @@ object StreamingOps {
 
   private val TsFmt = "%Y-%m-%d %H:%M:%S.%f"
 
+  /** The arrival screen as a STREAM — the operational shape of
+    * `ingest_screen_pipeline` when documents land continuously: the
+    * map-only stages (PII regexes, native repetition counters) and the
+    * exact-dup check (stream-static join against the corpus's distinct
+    * content hashes — a broadcastable (16 B, id) table at any corpus
+    * size) run per micro-batch in APPEND mode with no stream-side state
+    * at all. Near-dup disposition is deliberately absent here: candidate
+    * generation needs per-doc aggregation across band collisions, which
+    * belongs in the batch screen (`ingest_screen_pipeline`) — the
+    * streaming screen is the cheap front gate, the batch screen the
+    * nightly authority.
+    *
+    * The landing zone stages the documents parquet (a symlink) plus one
+    * injected-arrivals file (re-crawl copies + the PII fixture rows), and
+    * the stream filters to the arrival slice — same fixture population as
+    * the batch screen's batch side, minus nothing.
+    */
+  private def streamIngestScreen(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeText.register(s)
+    val docsPath = s"$dir/documents.parquet"
+    val batchDocs = graft.Tables.load(s, dir, "documents")
+    val nib = substring(md5(col("doc_id").cast("string")), 32, 1)
+    val stage = java.nio.file.Paths.get(graft.util.TempDirs.create("graft_stream_screen_"))
+    // injected arrivals, full documents schema so the file source sees one schema
+    batchDocs.where(nib < lit("e") && col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      .unionByName(TextAnalysisOps.piiFixtureDf(s)
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("inject").as("source"), length(col("text")).cast("long").as("n_chars")))
+      .coalesce(1).write.mode("append").parquet(stage.toString)
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("documents_1.parquet"), java.nio.file.Paths.get(docsPath))
+    // static side: distinct corpus content hashes (+ the kept doc id)
+    val corpusHashes = batchDocs.where(nib < lit("e"))
+      .groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("__cid"))
+    val schema = s.read.parquet(stage.toString).schema
+    val arrivals = s.readStream.schema(schema).parquet(stage.toString)
+      // the arrival slice: 'e'..'f' bucket docs + every injected row
+      .where(substring(md5(col("doc_id").cast("string")), 32, 1) >= lit("e") ||
+        col("doc_id") >= 1000000L)
+    val flagged = arrivals
+      .select(col("doc_id"),
+        (size(regexp_extract_all(col("text"), lit(TextAnalysisOps.EmailRe), lit(0))) +
+          size(regexp_extract_all(col("text"), lit(TextAnalysisOps.PhoneRe), lit(0)))
+          > 0).as("__pii"),
+        expr("graft_repetition_stats(text)").as("__r"),
+        md5(col("text")).as("__mh"))
+      .select(col("doc_id"), col("__pii"), col("__mh"),
+        element_at(col("__r"), 1).as("__nw"), element_at(col("__r"), 3).as("__dup"),
+        element_at(col("__r"), 4).as("__nbg"), element_at(col("__r"), 5).as("__top"))
+      .select(col("doc_id"), col("__pii"), col("__mh"),
+        (when(col("__nw") > 0, col("__dup").cast("double") / col("__nw").cast("double"))
+          .otherwise(lit(0.0)) <= TextAnalysisOps.MaxDupWordFrac &&
+          when(col("__nbg") > 0, col("__top").cast("double") / col("__nbg").cast("double"))
+            .otherwise(lit(0.0)) <= TextAnalysisOps.MaxTopBigramFrac).as("__keep"))
+      // stream-static left join: arrivals and corpus occupy disjoint
+      // id/bucket ranges, so a hash match is always a true cross-identity
+      .join(corpusHashes, col("__mh") === col("__h"), "left_outer")
+      .select(col("doc_id"),
+        when(col("__cid").isNotNull, "dup_exact")
+          .when(col("__pii"), "pii_flagged")
+          .when(!col("__keep"), "repetitive")
+          .otherwise("accepted").as("disposition"))
+    StreamingIngest
+      .runToMemory(flagged, s"stream_screen_${System.nanoTime()}", OutputMode.Append())
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_daily" -> ((s, dir) => StreamingIngest.tumblingDaily(s, dir)),
     "stream_user_watermark" -> ((s, dir) => StreamingIngest.statefulUserWatermark(s, dir)),
     "stream_dedup_exact" -> ((s, dir) => StreamingIngest.streamDedupExact(s, dir)),
+    "stream_ingest_screen" -> (streamIngestScreen _),
     "stream_etl_dest" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
       StreamingIngest.streamEtlToParquet(s, dir)
         .select(col("event_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_iso"),
@@ -40,6 +112,20 @@ object StreamingOps {
          |FROM events ORDER BY event_id""".stripMargin,
     "stream_etl_dest" ->
       s"""SELECT event_id, strftime(ts, '$TsFmt') AS ts_iso, user_id, event_type, value, props
-         |FROM events ORDER BY event_id""".stripMargin
+         |FROM events ORDER BY event_id""".stripMargin,
+    // the batch screen's oracle minus the near-dup stage (see the Scaladoc)
+    "stream_ingest_screen" ->
+      s"""WITH ${IngestScreenOps.duckBatchCte},
+         |corpus_h AS (
+         |  SELECT DISTINCT md5(text) AS h FROM documents
+         |  WHERE substr(md5(doc_id::VARCHAR), 32, 1) < 'e'),
+         |${IngestScreenOps.duckPiiRepCtes}
+         |SELECT b.doc_id,
+         |  CASE WHEN md5(b.text) IN (SELECT h FROM corpus_h) THEN 'dup_exact'
+         |       WHEN b.doc_id IN (SELECT doc_id FROM pii) THEN 'pii_flagged'
+         |       WHEN NOT rep.keep THEN 'repetitive'
+         |       ELSE 'accepted' END AS disposition
+         |FROM batch b JOIN rep ON b.doc_id = rep.doc_id
+         |ORDER BY b.doc_id""".stripMargin
   )
 }

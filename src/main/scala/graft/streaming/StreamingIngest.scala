@@ -47,7 +47,7 @@ object StreamingIngest {
   }
 
   /** Drain an AvailableNow query into an in-memory table and return it. */
-  private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+  private[graft] def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val q = df.writeStream
       .format("memory")
       .queryName(name)

@@ -52,4 +52,21 @@ class IngestScreenSpec extends AnyFunSuite {
     assert(engineNear == nearOnly,
       s"engine=$engineNear bruteforce=$nearOnly")
   }
+
+  test("streaming screen agrees with the batch screen on every shared stage") {
+    val streamed = ops.StreamingOps.queries("stream_ingest_screen")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed.keySet == disposition.keySet, "same arrival population")
+    disposition.foreach { case (id, batchDisp) =>
+      val streamDisp = streamed(id)
+      if (batchDisp == "dup_near")
+        // the one stage the streaming front gate deliberately lacks: the
+        // batch authority refines a downstream verdict into dup_near
+        assert(Set("pii_flagged", "repetitive", "accepted")(streamDisp),
+          s"doc $id: stream=$streamDisp for a batch dup_near")
+      else
+        assert(streamDisp == batchDisp,
+          s"doc $id: stream=$streamDisp batch=$batchDisp")
+    }
+  }
 }
