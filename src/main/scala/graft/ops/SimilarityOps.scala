@@ -311,15 +311,66 @@ object SimilarityOps {
   def ivfRecall(s: SparkSession, dir: String): DataFrame =
     recallVsExact(s, dir, annIvfTopk(s, dir))
 
+  /** Int8 quantization of the embedding column — the compression pass a
+    * 100 TB vector store runs before serving (4× smaller than float32).
+    * Per-vector affine codes: `code = round((x − min) · 255 / (max − min))`
+    * in [0, 255]. The emitted audit columns are deliberately
+    * order-INDEPENDENT or exact-integer (min/max are single exact values,
+    * the code checksum is integer arithmetic, the reconstruction error is
+    * a max, not a mean), so no cross-engine float-summation-order question
+    * exists and DuckDB reproduces every value bit-exactly. Map-only —
+    * one projection, no shuffle except the final sort.
+    */
+  private def embedQuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val e = col("embedding")
+    // lambdas reference the NAMED min/max/span columns — re-deriving
+    // array_min inside the element lambda would evaluate it per element
+    def code(x: Column): Column =
+      round((x.cast("double") - col("__mn")) * 255 / col("__span")).cast("long")
+    def err(x: Column): Column =
+      abs(x.cast("double") - (col("__mn") + code(x).cast("double") * col("__span") / 255))
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), e,
+        size(e).as("n_dims"), array_min(e).cast("double").as("__mn"),
+        array_max(e).cast("double").as("__mx"),
+        (array_max(e).cast("double") - array_min(e).cast("double")).as("__span"))
+      .select(col("vec_id"), col("n_dims"),
+        round(col("__mn"), 6).as("mn"), round(col("__mx"), 6).as("mx"),
+        when(col("__span") > 0,
+          aggregate(transform(col("embedding"), code(_)), lit(0L), (a, c) => a + c))
+          .otherwise(lit(0L)).as("code_sum"),
+        when(col("__span") > 0, round(array_max(transform(col("embedding"), err(_))), 6))
+          .otherwise(lit(0.0)).as("max_abs_err"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_neardup_cosine" -> (embedNeardup _),
     "embed_incremental" -> (embedIncremental _),
+    "embed_quantize_int8" -> (embedQuantizeInt8 _),
     "ann_bruteforce_topk" -> (annBruteforce(_, _)),
     "ann_lsh_recall" -> ((s, d) => recallQuery(s, d, annLshTopk(s, d), LshRecallFloor)),
     "ann_ivf_recall" -> ((s, d) => recallQuery(s, d, annIvfTopk(s, d), IvfRecallFloor))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "embed_quantize_int8" ->
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n_dims,
+        |  round(mn, 6) AS mn, round(mx, 6) AS mx,
+        |  CASE WHEN span > 0 THEN CAST(list_sum(list_transform(e,
+        |         x -> CAST(round((x - mn) * 255 / span) AS BIGINT))) AS BIGINT)
+        |       ELSE 0 END AS code_sum,
+        |  CASE WHEN span > 0 THEN round(list_max(list_transform(e,
+        |         x -> abs(x - (mn + CAST(round((x - mn) * 255 / span) AS BIGINT)
+        |                          * span / 255)))), 6)
+        |       ELSE 0.0 END AS max_abs_err
+        |FROM (
+        |  SELECT vec_id, embedding, embedding::DOUBLE[] AS e,
+        |    list_min(embedding::DOUBLE[]) AS mn,
+        |    list_max(embedding::DOUBLE[]) AS mx,
+        |    list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[]) AS span
+        |  FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
     "embed_neardup_cosine" ->
       """WITH fx AS (
         |  SELECT vec_id, embedding FROM embeddings

@@ -12,6 +12,22 @@ class SimilaritySpec extends AnyFunSuite {
   private def recalls(df: org.apache.spark.sql.DataFrame): Seq[Double] =
     df.select("recall_at_k").collect().map(_.getDouble(0)).toSeq
 
+  test("int8 quantization: reconstruction error within half a step, codes in range") {
+    val rows = ops.SimilarityOps.queries("embed_quantize_int8")(spark, SparkTestBase.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nDims, mn, mx, codeSum, maxErr) =>
+      val halfStep = (mx - mn) / 510
+      assert(maxErr <= halfStep + 1e-6,
+        s"vec $id: max_abs_err $maxErr exceeds half a quantization step $halfStep")
+      assert(codeSum >= 0 && codeSum <= 255L * nDims,
+        s"vec $id: code checksum $codeSum outside [0, 255·n]")
+      assert(mx >= mn)
+    }
+  }
+
   test("multi-probe LSH recalls ≥0.9 per query point, mean ≥0.95") {
     val r = recalls(ops.SimilarityOps.lshRecall(spark, Sf0001))
     assert(r.nonEmpty)
