@@ -137,7 +137,12 @@ object CoverageOps {
     "s5_catalog_listings" -> (s5 _),
     "s6_existence_probes" -> (s6 _),
     "src_json_roundtrip" -> (srcJsonRoundtrip _),
-    "src_csv_roundtrip" -> (srcCsvRoundtrip _)
+    "src_csv_roundtrip" -> (srcCsvRoundtrip _),
+    // SQL API surface: ONE identical ANSI string runs on Spark (via
+    // GraftSession temp views) and on the DuckDB oracle — the reference
+    // user's ship-SQL-text habit, preserved verbatim.
+    "sql_api_pricing_summary" -> ((s, dir) => graft.GraftSession.init(s, dir)
+      .sql(RelationalOps.oracleSql("q1_pricing_summary")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -157,6 +162,7 @@ object CoverageOps {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "s5_catalog_listings" ->
       "SELECT * FROM (VALUES ('graft_cat_a'), ('graft_cat_b')) AS t(namespace) ORDER BY 1",
+    "sql_api_pricing_summary" -> RelationalOps.oracleSql("q1_pricing_summary"),
     "src_json_roundtrip" ->
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, value, props
          |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
