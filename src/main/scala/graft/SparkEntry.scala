@@ -22,7 +22,8 @@ object SparkEntry {
       ops.DedupOps.queries ++ ops.IncrementalDedupOps.queries ++ ops.ClusterOps.queries ++
       ops.SimilarityOps.queries ++ ops.TextAnalysisOps.queries ++
       ops.MultimodalOps.queries ++ ops.StreamingOps.queries ++
-      ops.SamplingOps.queries ++ ops.IngestScreenOps.queries ++ ops.CoverageOps.queries
+      ops.SamplingOps.queries ++ ops.IngestScreenOps.queries ++ ops.CoverageOps.queries ++
+      ops.WarehouseOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -32,5 +33,6 @@ object SparkEntry {
       ops.DedupOps.oracleSql ++ ops.IncrementalDedupOps.oracleSql ++ ops.ClusterOps.oracleSql ++
       ops.SimilarityOps.oracleSql ++ ops.TextAnalysisOps.oracleSql ++
       ops.MultimodalOps.oracleSql ++ ops.StreamingOps.oracleSql ++
-      ops.SamplingOps.oracleSql ++ ops.IngestScreenOps.oracleSql ++ ops.CoverageOps.oracleSql
+      ops.SamplingOps.oracleSql ++ ops.IngestScreenOps.oracleSql ++ ops.CoverageOps.oracleSql ++
+      ops.WarehouseOps.oracleSql
 }

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Warehouse-maintenance operators a production corpus needs beyond the
+  * reference's append-only ETL (reference:
+  * pulse_billing_etl_service/core/services/billing_etl.py appends batches and
+  * updates per-run status rows, but has no keyed upsert or interval join):
+  *
+  *   - `etl_merge_upsert`: MERGE a small keyed update batch into a large
+  *     corpus (update-in-place semantics by key + insert of new keys).
+  *   - `j3_range_join`: events → time-interval containment join, banded so
+  *     it stays an equi-join (the naive formulation is a cartesian /
+  *     BroadcastNestedLoopJoin — unrunnable at 100 TB).
+  *
+  * Money/value doubles follow the repo convention: integer cents via
+  * `CAST(round(x*100) AS BIGINT)` so every aggregate is order-independent
+  * exact integer math (see RelationalOps header).
+  */
+object WarehouseOps {
+
+  private def orders(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "orders")
+  private def events(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "events")
+
+  /** MERGE (upsert) of a derived update batch into the orders corpus, keyed
+    * by `o_orderkey`: every 97th key gets an in-place status/price update,
+    * every 101st key spawns a brand-new row (shifted key). Output is the
+    * merged corpus with a `src` provenance column.
+    *
+    * Scale shape: the batch is ALWAYS the small side of a daily merge, so the
+    * corpus never shuffles — a broadcast LEFT ANTI join drops superseded
+    * corpus rows in a single map-only pass, then the batch is unioned on.
+    * (With a bucketed corpus and a large batch, the same plan degrades
+    * gracefully to a bucket-local sort-merge anti join — no new code.)
+    * PlanSpec pins the broadcast (no corpus-side Exchange).
+    */
+  private def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_orderstatus"),
+      (round(col("o_totalprice") * 100)).cast("long").as("cents"))
+    val updates = base.where(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("cents") + 500).as("cents"), lit("upd").as("src"))
+      .unionByName(
+        base.where(col("o_orderkey") % 101 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), (col("cents") + 1).as("cents"),
+            lit("new").as("src")))
+    base.withColumn("src", lit("base"))
+      .join(broadcast(updates.select("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .unionByName(updates)
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Interval-containment join: events against 10 deterministic 36-hour
+    * "campaign windows" (every 66 h from 2024-01-01 18:00), aggregated per
+    * window. Spark has no range-join optimization — the direct formulation
+    * `e.ts BETWEEN w.start AND w.end` with no equi-key plans as a
+    * BroadcastNestedLoopJoin, which is O(|events| × |windows|) probe work
+    * and falls off a cliff when the window table grows. Banding restores an
+    * equi-join: each interval explodes to the day-granularity bands it
+    * covers, events band to their day, and the join key is the band — exact
+    * containment is a residual filter. Each event lands in exactly one band,
+    * so no post-join dedup is needed. The banded window table stays tiny
+    * (≤ 3 bands per 36 h window) and broadcasts.
+    */
+  private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val win = s.range(10).select(
+      col("id").cast("int").as("wid"),
+      expr("timestamp'2024-01-01 18:00:00' + make_interval(0,0,0,0, CAST(id*66 AS INT), 0, 0)")
+        .as("w_start"))
+      .withColumn("w_end", expr("w_start + INTERVAL 36 HOURS"))
+    // half-open [w_start, w_end): the last covered band is the day of
+    // (w_end − 1µs), so a window ending exactly at midnight doesn't claim
+    // the following day
+    val banded = win.select(col("wid"), col("w_start"), col("w_end"),
+      explode(sequence(
+        to_date(col("w_start")),
+        to_date(col("w_end") - expr("INTERVAL 1 MICROSECOND")),
+        expr("INTERVAL 1 DAY"))).as("band"))
+    events(s, dir)
+      .select(col("event_id"), col("ts"), col("value"), to_date(col("ts")).as("band"))
+      .join(broadcast(banded), Seq("band"))
+      .where(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy(col("wid"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy(col("wid"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_merge_upsert" -> (mergeUpsert _),
+    "j3_range_join" -> (rangeJoin _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "etl_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, cents + 500 AS cents,
+        |    'upd' AS src
+        |  FROM base WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', cents + 1, 'new'
+        |  FROM base WHERE o_orderkey % 101 = 0)
+        |SELECT o_orderkey, o_orderstatus, cents, src FROM (
+        |  SELECT b.o_orderkey, b.o_orderstatus, b.cents, 'base' AS src
+        |  FROM base b LEFT JOIN upd u ON b.o_orderkey = u.o_orderkey
+        |  WHERE u.o_orderkey IS NULL
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, cents, src FROM upd)
+        |ORDER BY o_orderkey""".stripMargin,
+    "j3_range_join" ->
+      """WITH win AS (
+        |  SELECT CAST(k AS INTEGER) AS wid,
+        |    TIMESTAMP '2024-01-01 18:00:00' + k * INTERVAL 66 HOUR AS w_start,
+        |    TIMESTAMP '2024-01-01 18:00:00' + k * INTERVAL 66 HOUR
+        |      + INTERVAL 36 HOUR AS w_end
+        |  FROM range(10) t(k))
+        |SELECT wid, count(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events e JOIN win w ON e.ts >= w.w_start AND e.ts < w.w_end
+        |GROUP BY wid ORDER BY wid""".stripMargin
+  )
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WarehouseOps: MERGE-upsert semantics and the banded range join, each
+  * cross-checked against an independent (slower) formulation on sf0.001,
+  * plus plan-shape pins (the broadcast anti join and the no-cartesian
+  * guarantee the banding exists to provide).
+  */
+class WarehouseOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import SparkTestBase.Sf0001
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("merge upsert ≡ full-outer coalesce formulation") {
+    val merged = ops.WarehouseOps.queries("etl_merge_upsert")(spark, Sf0001)
+
+    val base = Tables.load(spark, Sf0001, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val upd = base.where(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("cents") + 500).as("cents"), lit("upd").as("src"))
+      .unionByName(base.where(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), (col("cents") + 1).as("cents"),
+          lit("new").as("src")))
+    val expected = base.withColumn("src", lit("base")).alias("b")
+      .join(upd.alias("u"), Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        coalesce(col("u.o_orderstatus"), col("b.o_orderstatus")).as("o_orderstatus"),
+        coalesce(col("u.cents"), col("b.cents")).as("cents"),
+        coalesce(col("u.src"), col("b.src")).as("src"))
+
+    assert(merged.exceptAll(expected).isEmpty && expected.exceptAll(merged).isEmpty)
+    // an updated key appears exactly once, with the update's values
+    val k97 = merged.where(col("o_orderkey") % 97 === 0 && col("o_orderkey") < 100000000L)
+    assert(k97.where(col("src") =!= "upd").isEmpty)
+  }
+
+  test("merge upsert plan: batch side broadcasts; corpus never shuffles") {
+    val p = plan(ops.WarehouseOps.queries("etl_merge_upsert")(spark, Sf0001))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    // the only Exchange below the anti join must be the broadcast one —
+    // a shuffle Exchange would mean the 100 TB corpus moves for a tiny batch
+    val antiSubtree = p.substring(p.indexOf("BroadcastHashJoin"))
+    assert(!antiSubtree.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("banded range join ≡ naive interval-containment join") {
+    val banded = ops.WarehouseOps.queries("j3_range_join")(spark, Sf0001)
+
+    val win = spark.range(10).select(col("id").cast("int").as("wid"),
+      expr("timestamp'2024-01-01 18:00:00' + make_interval(0,0,0,0, CAST(id*66 AS INT), 0, 0)").as("w_start"))
+      .withColumn("w_end", expr("w_start + INTERVAL 36 HOURS"))
+    val naive = Tables.load(spark, Sf0001, "events")
+      .join(win, col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy(col("wid"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+
+    assert(banded.exceptAll(naive).isEmpty && naive.exceptAll(banded).isEmpty)
+  }
+
+  test("banded range join plan: equi-join, no cartesian / BNLJ") {
+    val p = plan(ops.WarehouseOps.queries("j3_range_join")(spark, Sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}
