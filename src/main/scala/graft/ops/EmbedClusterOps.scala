@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Lloyd's k-means over the embedding corpus — the clustering pass behind
+  * semantic dedup / mixture balancing in a training-data pipeline (cluster,
+  * then sample per cluster). No reference analogue (the reference has no
+  * vector ops at all); the need comes from the north-star brief.
+  *
+  * Engine-exact by construction: embeddings are quantized to integers
+  * (`round(x · 10⁴)`), so every centroid is an exact (Σq, n) integer pair and
+  * every distance comparison is `CAST(Σ(n·qᵢ − sᵢ)² AS DOUBLE) / n²` — one
+  * deterministic int64 sum (order-independent), one int→double conversion,
+  * one division. No float summation-order ambiguity exists anywhere, so
+  * DuckDB replays the full 3-iteration loop bit-exactly (see `oracleSql` —
+  * the loop unrolled as CTE pairs). Int64 bounds: |q| ≤ ~10⁴·0.53, n ≤ corpus
+  * size, so Σ(n·qᵢ−sᵢ)² ≤ 64·(n·10⁴)² ≈ 4.5e16 at sf0.1 — far inside int64.
+  *
+  * Scale shape (100 TB): centroids are k·dim integers — kilobytes. Each
+  * iteration is one broadcast of the centroid row + a map-only assignment
+  * pass + one partial-agg shuffle of k·dim cells for the centroid update
+  * (the posexplode feeds straight into a partial aggregate on (cid, pos) —
+  * k·dim distinct keys — so the expansion collapses map-side). On a real
+  * cluster each iteration's input would be checkpointed; at 3 iterations the
+  * nested plan is fine as-is.
+  */
+object EmbedClusterOps {
+
+  private val K = 8
+  private val Iters = 3
+  private val Scale = 10000
+
+  /** Quantized vectors `(vec_id, q: array<long>)`. */
+  private def quantized(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * Scale).cast("long")).as("q"))
+
+  /** Exact integer distance comparator: dist(q, centroid(s, n)) scaled — see
+    * header. `c` is a struct<cid:int, s:array<long>, n:long>.
+    */
+  private def dist(c: Column, q: Column): Column = {
+    val terms = zip_with(q, c.getField("s"), (xi, si) => {
+      val t = c.getField("n") * xi - si
+      t * t
+    })
+    aggregate(terms, lit(0L), (a, b) => a + b).cast("double") /
+      (c.getField("n") * c.getField("n")).cast("double")
+  }
+
+  /** Argmin over the (cid-ascending) centroid array; strict `<` keeps the
+    * lowest cid on a tie — the oracle's `ORDER BY d, cid` mirror.
+    */
+  private def bestCid(cents: Column, q: Column): Column =
+    aggregate(cents,
+      struct(lit(Double.MaxValue).as("d"), lit(-1).as("cid")),
+      (acc, c) => when(dist(c, q) < acc.getField("d"),
+        struct(dist(c, q).as("d"), c.getField("cid").as("cid"))).otherwise(acc)
+    ).getField("cid")
+
+  /** One assignment pass: vectors × broadcast 1-row centroid array. */
+  private def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val centsRow = cents
+      .agg(sort_array(collect_list(struct(col("cid"), col("s"), col("n")))).as("cents"))
+    vecs.crossJoin(broadcast(centsRow))
+      .select(col("vec_id"), col("q"), bestCid(col("cents"), col("q")).as("cid"))
+  }
+
+  /** Centroid update from an assignment; a cluster that lost every point
+    * carries its previous (s, n) forward (both engines implement this same
+    * LEFT JOIN + COALESCE rule, so the case is well-defined, not UB).
+    */
+  private def recompute(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    val sums = assigned
+      .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos")).agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+      .groupBy(col("cid")).agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
+          x => x.getField("sv")).as("s2"),
+        max(col("cnt")).as("n2"))
+    prev.join(sums, Seq("cid"), "left_outer")
+      .select(col("cid"),
+        coalesce(col("s2"), col("s")).as("s"),
+        coalesce(col("n2"), col("n")).as("n"))
+  }
+
+  /** `Iters` Lloyd passes from deterministic seeds (the k smallest vec_ids,
+    * cid = rank); returns `(vec_id, cid)`.
+    */
+  def kmeansAssign(vectors: DataFrame, k: Int = K, iters: Int = Iters): DataFrame = {
+    val vecs = quantized(vectors)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    val seeds = vecs.orderBy(col("vec_id")).limit(k)
+      .select((row_number().over(w) - 1).cast("int").as("cid"),
+        col("q").as("s"), lit(1L).as("n"))
+    val finalCents = (1 until iters).foldLeft(seeds) { (cents, _) =>
+      recompute(assign(vecs, cents), cents)
+    }
+    assign(vecs, finalCents).select(col("vec_id"), col("cid"))
+  }
+
+  private def embedKmeans(s: SparkSession, dir: String): DataFrame =
+    kmeansAssign(Tables.load(s, dir, "embeddings")).orderBy(col("vec_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_kmeans" -> (embedKmeans _)
+  )
+
+  /** The 3-iteration loop unrolled: aN = assignment vs c(N−1); sN/cN = the
+    * centroid update with the empty-cluster carry. `p[1]`/`p[2]` are the
+    * zipped (qᵢ, sᵢ) pair; dim is 64 per TESTDATA (the engine side is
+    * dim-agnostic).
+    */
+  private def kmeansSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * $Scale) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         |    q AS s, CAST(1 AS BIGINT) AS n
+         |  FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT $K))""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(
+        s""",
+           |a$i AS (
+           |  SELECT vec_id, q, cid FROM (
+           |    SELECT v.vec_id, v.q, c.cid,
+           |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |        CAST(list_sum(list_transform(list_zip(v.q, c.s),
+           |               p -> (c.n*p[1] - p[2])*(c.n*p[1] - p[2]))) AS DOUBLE)
+           |          / CAST(c.n*c.n AS DOUBLE), c.cid) AS rn
+           |    FROM v CROSS JOIN c${i - 1} c) WHERE rn = 1)""".stripMargin)
+      if (i < iters) sb.append(
+        s""",
+           |s$i AS (
+           |  SELECT cid, i, CAST(sum(q[i]) AS BIGINT) AS sv, count(*) AS cnt
+           |  FROM a$i CROSS JOIN range(1, 65) t(i) GROUP BY cid, i),
+           |c$i AS (
+           |  SELECT c.cid, COALESCE(x.s, c.s) AS s, COALESCE(x.n, c.n) AS n
+           |  FROM c${i - 1} c LEFT JOIN (
+           |    SELECT cid, list(sv ORDER BY i) AS s, CAST(max(cnt) AS BIGINT) AS n
+           |    FROM s$i GROUP BY cid) x ON c.cid = x.cid)""".stripMargin)
+    }
+    sb.append(s"\nSELECT vec_id, cid FROM a$iters ORDER BY vec_id")
+    sb.toString
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "embed_kmeans" -> kmeansSql(Iters)
+  )
+}
