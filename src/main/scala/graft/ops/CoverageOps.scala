@@ -129,6 +129,35 @@ object CoverageOps {
       .orderBy(col("event_id"))
   }
 
+  /** ORC sink→source parity — the third columnar container a warehouse
+    * migration meets (parquet is the native one; ORC arrives from Hive
+    * estates). Same slice contract as the JSON/CSV roundtrips; ORC carries
+    * real types, so the read-back needs no schema-on-read coercion.
+    */
+  private def srcOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.TempDirs.create("graft_orc_rt_")
+    windowSlice(s, dir).write.mode("overwrite").orc(out)
+    s.read.orc(out).orderBy(col("event_id"))
+  }
+
+  /** Cardinality-estimation audit: `approx_count_distinct` (HLL++) per
+    * event_type, graded against the exact distinct count computed in the
+    * same query. The exact column is hash-checked by the oracle; the sketch
+    * is inherently engine-specific, so it is emitted only as a boolean
+    * "within 5 % of exact" audit (the ann_*_recall pattern). At 100 TB the
+    * sketch is the only affordable distinct count — one pass, fixed memory,
+    * mergeable across partitions — and this query pins its error envelope.
+    */
+  private def statsApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id")).as("__approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("__approx") - col("n_exact")) <= col("n_exact") * 0.05)
+          .as("within_5pct"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_star_projection" -> (p1 _),
     "f2_conjunctive_equality" -> (f2 _),
@@ -138,6 +167,8 @@ object CoverageOps {
     "s6_existence_probes" -> (s6 _),
     "src_json_roundtrip" -> (srcJsonRoundtrip _),
     "src_csv_roundtrip" -> (srcCsvRoundtrip _),
+    "src_orc_roundtrip" -> (srcOrcRoundtrip _),
+    "stats_approx_distinct" -> (statsApproxDistinct _),
     // SQL API surface: ONE identical ANSI string runs on Spark (via
     // GraftSession temp views) and on the DuckDB oracle — the reference
     // user's ship-SQL-text habit, preserved verbatim.
@@ -171,6 +202,14 @@ object CoverageOps {
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, value, props
          |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
          |ORDER BY event_id""".stripMargin,
+    "src_orc_roundtrip" ->
+      s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, value, props
+         |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
+         |ORDER BY event_id""".stripMargin,
+    "stats_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  CAST(true AS BOOLEAN) AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "s6_existence_probes" ->
       """SELECT * FROM (VALUES
         |  ('ns_after_create', true),

@@ -104,21 +104,54 @@ object EmbedClusterOps {
   private def embedKmeans(s: SparkSession, dir: String): DataFrame =
     kmeansAssign(Tables.load(s, dir, "embeddings")).orderBy(col("vec_id"))
 
+  /** SemDeDup-shaped semantic dedup: k-means partitions the corpus, then the
+    * ≥ 0.99-cosine prune runs pairwise WITHIN each cluster only — the
+    * all-pairs work is confined to cluster-sized blocks (k grows with the
+    * corpus at 100 TB, keeping blocks bounded), never the whole corpus.
+    * A vector is dropped when a lower-id ≥ 0.99 neighbor shares its cluster.
+    * Fixture: exact duplicates injected for every 50th vector (same
+    * embedding ⇒ same quantized point ⇒ provably the same cluster ⇒ cosine
+    * 1); the raw corpus has no pair above 0.8, so the drops are exactly the
+    * injected copies — which makes the exhaustive-truth oracle equal the
+    * clustered plan's output.
+    */
+  private def semdedupPrune(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeVector.register(s)
+    val e = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val fx = e.unionByName(
+      e.where(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val m = fx.join(kmeansAssign(fx), Seq("vec_id"))
+    val a = m.select(col("vec_id").as("a_id"), col("embedding").as("a_e"), col("cid"))
+    val b = m.select(col("vec_id").as("b_id"), col("embedding").as("b_e"), col("cid"))
+    a.join(b, Seq("cid")).where(col("a_id") < col("b_id"))
+      .where(round(call_function("graft_cosine", col("a_e"), col("b_e")), 6) >= 0.99)
+      .select(col("b_id").as("vec_id"), col("cid"))
+      .distinct()
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "embed_kmeans" -> (embedKmeans _)
+    "embed_kmeans" -> (embedKmeans _),
+    "semdedup_prune" -> (semdedupPrune _)
   )
 
-  /** The 3-iteration loop unrolled: aN = assignment vs c(N−1); sN/cN = the
+  /** Quantization CTE over a source relation (must expose vec_id, embedding). */
+  private def quantSql(src: String): String =
+    s"""v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * $Scale) AS BIGINT)) AS q
+       |  FROM $src)""".stripMargin
+
+  /** The iteration loop unrolled: aN = assignment vs c(N−1); sN/cN = the
     * centroid update with the empty-cluster carry. `p[1]`/`p[2]` are the
     * zipped (qᵢ, sᵢ) pair; dim is 64 per TESTDATA (the engine side is
-    * dim-agnostic).
+    * dim-agnostic). Appends to a WITH chain that already defines `v`;
+    * the final assignment is `a$iters`.
     */
-  private def kmeansSql(iters: Int): String = {
+  private def kmeansBodySql(iters: Int): String = {
     val sb = new StringBuilder(
-      s"""WITH v AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * $Scale) AS BIGINT)) AS q
-         |  FROM embeddings),
+      s""",
          |c0 AS (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
          |    q AS s, CAST(1 AS BIGINT) AS n
@@ -145,11 +178,26 @@ object EmbedClusterOps {
            |    SELECT cid, list(sv ORDER BY i) AS s, CAST(max(cnt) AS BIGINT) AS n
            |    FROM s$i GROUP BY cid) x ON c.cid = x.cid)""".stripMargin)
     }
-    sb.append(s"\nSELECT vec_id, cid FROM a$iters ORDER BY vec_id")
     sb.toString
   }
 
   val oracleSql: Map[String, String] = Map(
-    "embed_kmeans" -> kmeansSql(Iters)
+    "embed_kmeans" ->
+      (s"WITH ${quantSql("embeddings")}" + kmeansBodySql(Iters) +
+        s"\nSELECT vec_id, cid FROM a$Iters ORDER BY vec_id"),
+    "semdedup_prune" ->
+      (s"""WITH fx AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0),
+          |""".stripMargin + quantSql("fx") + kmeansBodySql(Iters) +
+        s""",
+           |m AS (
+           |  SELECT f.vec_id, f.embedding, a.cid
+           |  FROM fx f JOIN a$Iters a ON f.vec_id = a.vec_id)
+           |SELECT DISTINCT b.vec_id, b.cid
+           |FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.99
+           |ORDER BY 1""".stripMargin)
   )
 }

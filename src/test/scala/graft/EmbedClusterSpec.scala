@@ -98,6 +98,23 @@ class EmbedClusterSpec extends AnyFunSuite {
     assert(out.values.toSet == Set(0, 1)) // the carried cluster is non-empty again
   }
 
+  test("semdedup drops exactly the injected duplicates (≡ exhaustive truth)") {
+    val dropped = ops.EmbedClusterOps.queries("semdedup_prune")(spark, Sf0001)
+      .collect().map(_.getLong(0)).toSet
+    // exhaustive ground truth: every ≥0.99-cosine pair in the fixture is an
+    // injected exact copy (corpus max pairwise cosine < 0.8), so the
+    // cluster-scoped prune must equal the brute-force answer
+    val expected = Tables.load(spark, Sf0001, "embeddings")
+      .where(col("vec_id") % 50 === 0).collect().map(_.getLong(0) + 100000).toSet
+    assert(dropped == expected)
+  }
+
+  test("semdedup plan: pairwise work is cluster-scoped (no cartesian)") {
+    val p = ops.EmbedClusterOps.queries("semdedup_prune")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("assignment plan is broadcast + map-only (no vector-side shuffle before argmin)") {
     val p = ops.EmbedClusterOps.queries("embed_kmeans")(spark, Sf0001)
       .queryExecution.executedPlan.toString
