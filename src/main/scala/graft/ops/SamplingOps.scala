@@ -193,7 +193,47 @@ object SamplingOps {
         explode(sequence(lit(1), col("n_epochs"))).as("copy_idx"))
       .orderBy(col("doc_id"), col("copy_idx"))
 
+  private[graft] val ChunkSize = 50
+  private[graft] val ChunkStride = 40
+
+  /** Fixed-token chunking with overlap (size 50, stride 40): the map-only
+    * explode that turns documents into trainer-context windows. Chunk idx
+    * ranges over every stride offset that still has tokens; the trailing
+    * chunk is short. Pure per-row row generation — no shuffle except the
+    * final sort; at 100 TB this runs as a projection in the ingest pass.
+    */
+  private def chunkFixedTokens(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .where(col("n_tok") > 0)
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0L), expr(s"(n_tok - 1) div $ChunkStride"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkStride).as("start_tok"),
+        least(lit(ChunkSize.toLong), col("n_tok") - col("chunk_idx") * ChunkStride)
+          .as("chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private[graft] val LenBucket = 64
+
+  /** Length-bucketed batching audit: bucket documents by token count
+    * (width 64) and report per-bucket document count, the bucket's max
+    * length, and the padding the bucket would waste if padded to its own
+    * max — the score a batch scheduler minimizes (pad-to-longest cost).
+    * All integer math; one partial-agg shuffle on the bucket id.
+    */
+  private def batchLengthBuckets(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("bucket", expr(s"n_tok div $LenBucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).as("max_tok"),
+        (max(col("n_tok")) * count(lit(1)) - sum(col("n_tok"))).as("pad_tokens"))
+      .orderBy(col("bucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chunk_fixed_tokens" -> (chunkFixedTokens _),
+    "batch_length_buckets" -> (batchLengthBuckets _),
     "mix_stratified_sample" -> (mixStratifiedSample _),
     "mix_split_counts" -> (sampleSplit _),
     "stats_length_percentiles" -> (statsPercentiles _),
@@ -204,6 +244,29 @@ object SamplingOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "chunk_fixed_tokens" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |                         x -> x <> '')) AS BIGINT) AS n_tok
+         |  FROM documents)
+         |SELECT doc_id, unnest(range(0, (n_tok - 1) // $ChunkStride + 1)) AS chunk_idx,
+         |  unnest(range(0, (n_tok - 1) // $ChunkStride + 1)) * $ChunkStride AS start_tok,
+         |  least($ChunkSize,
+         |    n_tok - unnest(range(0, (n_tok - 1) // $ChunkStride + 1)) * $ChunkStride)
+         |    AS chunk_tokens
+         |FROM t WHERE n_tok > 0
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "batch_length_buckets" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |                         x -> x <> '')) AS BIGINT) AS n_tok
+         |  FROM documents)
+         |SELECT n_tok // $LenBucket AS bucket, count(*) AS n_docs,
+         |  max(n_tok) AS max_tok,
+         |  CAST(max(n_tok) * count(*) - sum(n_tok) AS BIGINT) AS pad_tokens
+         |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
     "mix_epoch_expand" ->
       """SELECT doc_id, source, unnest(range(1, n_epochs + 1)) AS copy_idx
         |FROM (

@@ -119,4 +119,38 @@ class SamplingSpec extends AnyFunSuite {
     assert(engine == exhaustive,
       s"banded candidates must equal brute-force truth; engine=$engine exhaustive=$exhaustive")
   }
+
+  test("fixed-token chunks tile every document: start 0, full coverage, stride overlap") {
+    import org.apache.spark.sql.functions._
+    import ops.SamplingOps.{ChunkSize, ChunkStride}
+    val chunks = ops.SamplingOps.queries("chunk_fixed_tokens")(spark, Sf0001)
+    val perDoc = chunks.groupBy("doc_id").agg(
+      min("start_tok").as("first"),
+      max(col("start_tok") + col("chunk_tokens")).as("covered"),
+      count(lit(1)).as("n_chunks"),
+      max("chunk_tokens").as("max_len")).collect()
+    val nTok = Tables.load(spark, Sf0001, "documents")
+      .select(col("doc_id"), size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { r =>
+      val (id, n) = (r.getLong(0), nTok(r.getLong(0)))
+      assert(r.getLong(1) == 0L, s"doc $id first chunk must start at 0")
+      assert(r.getLong(2) == n, s"doc $id chunks must cover all $n tokens")
+      assert(r.getLong(3) == (n - 1) / ChunkStride + 1, s"doc $id chunk count")
+      assert(r.getLong(4) <= ChunkSize, s"doc $id chunk over size")
+    }
+  }
+
+  test("length buckets conserve tokens and never pad negatively") {
+    import org.apache.spark.sql.functions._
+    val b = ops.SamplingOps.queries("batch_length_buckets")(spark, Sf0001).collect()
+    assert(b.nonEmpty)
+    b.foreach(r => assert(r.getLong(3) >= 0, "padding is nonnegative"))
+    val totalFromBuckets = b.map(r => r.getLong(2) * r.getLong(1) - r.getLong(3)).sum
+    val total = Tables.load(spark, Sf0001, "documents")
+      .select(sum(size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")))
+      .head.getLong(0)
+    assert(totalFromBuckets == total, "max*n - pad must reconstruct the exact token mass")
+  }
 }
