@@ -12,6 +12,36 @@ class PlanSpec extends AnyFunSuite {
 
   private def physical(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // at 100 TB the config join is broadcast; when both sides are too big to
+    // broadcast, Spark's runtime bloom filter is what keeps the fact scan
+    // from shuffling rows that can't join — pin that it actually injects
+    val conf = spark.conf
+    val saved = (conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled", "true"),
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // production default is 10GB — the fact side must be big enough to be
+      // worth filtering; at sf0.001 that gate is scaled down, not disabled
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val dim = Tables.load(spark, Sf0001, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val fact = Tables.load(spark, Sf0001, "lineitem")
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val plan = physical(j)
+      assert(plan.contains("might_contain"),
+        s"runtime bloom filter must inject on the fact side\n$plan")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", saved._1)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", saved._2)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", saved._3)
+    }
+  }
+
   test("watermark predicates on the rescaled nanos column push down to parquet") {
     val q = Tables.load(spark, Sf0001, "events")
       .where(col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
