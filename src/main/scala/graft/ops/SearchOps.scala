@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Inverted-index text retrieval over `documents` — the lexical-search
+  * capability a training-data curation stack uses to pull topical slices
+  * out of a web corpus ("find me the docs about X") and to label docs with
+  * their most salient terms.
+  *
+  * Two operators:
+  *
+  *  - `search_invindex_topk`: ranked multi-term retrieval. The corpus scan
+  *    explodes tokens and immediately semi-joins against the BROADCAST
+  *    query-term list, so everything past the scan is proportional to the
+  *    hit set, not the corpus — the 100 TB shape (the full-vocabulary
+  *    posting-list build, with its doc-frequency cap against stopword
+  *    explosion, is exercised by `decontaminate_ngram_overlap`; here the
+  *    tiny term list IS the cap). Scoring is BM25-shaped but all-integer —
+  *    `score = Σ_t tf(t,d) · (N − df(t) + 1)` (term-frequency × corpus
+  *    rarity, floor weight 1 when a term is in every doc) — so the DuckDB
+  *    oracle is bit-exact with no float-summation-order hazard.
+  *
+  *  - `ta_tfidf_topk`: per-document salient-term extraction. Builds the
+  *    full (word, doc) → tf posting relation (map-side partial agg
+  *    collapses each partition to its distinct vocabulary before the
+  *    shuffle, same as `ta_vocab_topk`), joins per-word document
+  *    frequency, and ranks each doc's terms lexicographically by
+  *    (tf DESC, df ASC, word ASC) — "frequent here, rare elsewhere" —
+  *    with no floating-point weights at all. Top-3 terms per doc via a
+  *    per-doc window (WindowGroupLimit pushes the limit map-side).
+  *
+  * Reference: the reference engine has no search operator; this is a
+  * north-star extension in the spirit of SURVEY §2's text family.
+  */
+object SearchOps {
+
+  /** Literal multi-term queries — mirrored verbatim in the oracle SQL. */
+  private[graft] val SearchQueries: Seq[(Int, String)] = Seq(
+    (1, "spark"), (1, "stream"),
+    (2, "hash"), (2, "join"),
+    (3, "window"), (3, "merge"), (3, "sort"),
+    (4, "nosuchterm") // term absent from the corpus: query 4 must return 0 rows
+  )
+  private[graft] val TopK = 5
+  private[graft] val KwPerDoc = 3
+
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def toks: Column = tokens(col("text"))
+
+  private def queryTermsDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    SearchQueries.toDF("query_id", "word")
+  }
+
+  /** Ranked retrieval: one corpus scan, broadcast term filter, then
+    * hit-set-sized aggregations. Ties break by doc_id so ranks are total.
+    */
+  private def searchInvindexTopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs")) // 1 row, broadcast below
+
+    // (query_id, word, doc_id) -> tf; the broadcast join drops ~all of the
+    // exploded token stream map-side, before any shuffle.
+    val tf = docs.select(col("doc_id"), explode(toks).as("word"))
+      .join(broadcast(queryTermsDf(s)), "word")
+      .groupBy(col("query_id"), col("word"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+    // Per-term document frequency over the SAME hit relation (postings are
+    // already distinct per (word, doc)), |query terms| rows -> broadcast.
+    val dfreq = tf.groupBy(col("query_id"), col("word"))
+      .agg(count(lit(1)).as("df"))
+
+    val scored = tf
+      .join(broadcast(dfreq), Seq("query_id", "word"))
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tf") * (col("n_docs") - col("df") + 1)).as("score"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= TopK)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Salient-term extraction: full posting build + df join, integer-only
+    * ranking. The df relation is |vocab|-sized — at corpus scale that is
+    * millions of rows, so it stays an equi-join on the word key (narrow,
+    * partial-agg'd both sides), not a broadcast.
+    */
+  private def taTfidfTopK(s: SparkSession, dir: String): DataFrame = {
+    val postings = documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("word"))
+      .groupBy(col("word"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+    val dfreq = postings.groupBy(col("word")).agg(count(lit(1)).as("df"))
+
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("word"))
+    postings.join(dfreq, "word")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= KwPerDoc)
+      .select(col("doc_id"), col("rnk"), col("word"), col("tf"), col("df"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_invindex_topk" -> (searchInvindexTopK _),
+    "ta_tfidf_topk" -> (taTfidfTopK _)
+  )
+
+  private val duckToks =
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+  private def queryValuesSql: String =
+    SearchQueries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  val oracleSql: Map[String, String] = Map(
+    "search_invindex_topk" ->
+      s"""WITH q(query_id, word) AS (VALUES $queryValuesSql),
+         |tok AS (SELECT doc_id, unnest($duckToks) AS word FROM documents),
+         |tf AS (
+         |  SELECT q.query_id, tok.word, tok.doc_id, count(*) AS tf
+         |  FROM tok JOIN q ON tok.word = q.word
+         |  GROUP BY 1, 2, 3),
+         |dfq AS (SELECT query_id, word, count(*) AS df FROM tf GROUP BY 1, 2),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (
+         |  SELECT tf.query_id, tf.doc_id,
+         |    sum(tf.tf * (n.n_docs - dfq.df + 1)) AS score
+         |  FROM tf JOIN dfq ON tf.query_id = dfq.query_id AND tf.word = dfq.word
+         |  CROSS JOIN n
+         |  GROUP BY 1, 2)
+         |SELECT CAST(query_id AS INTEGER) AS query_id, doc_id,
+         |  CAST(score AS BIGINT) AS score, CAST(rnk AS INTEGER) AS rnk
+         |FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+         |  FROM sc)
+         |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin,
+    "ta_tfidf_topk" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS word FROM documents),
+         |tf AS (SELECT word, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1)
+         |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, word,
+         |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+         |FROM (
+         |  SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.word) AS rnk
+         |  FROM tf JOIN dfreq ON tf.word = dfreq.word)
+         |WHERE rnk <= $KwPerDoc ORDER BY doc_id, rnk""".stripMargin
+  )
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Inverted-index retrieval must equal a driver-side brute-force scan of
+  * every document, and its plan must keep the query-term filter broadcast
+  * (never a cartesian).
+  */
+class SearchSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def corpus: Array[(Long, Array[String])] =
+    Tables.load(spark, Sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)))
+
+  test("ranked retrieval equals the brute-force tf-rarity scan") {
+    val docs = corpus
+    val n = docs.length.toLong
+    val byQuery = ops.SearchOps.SearchQueries.groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    // brute force: per (query, doc) score = sum_t tf * (n - df + 1)
+    val expected = byQuery.toSeq.flatMap { case (qid, terms) =>
+      val df = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+      docs.flatMap { case (id, ws) =>
+        val score = terms.map(t => ws.count(_ == t).toLong * (n - df(t) + 1)).sum
+        // docs matching no term never enter the posting join
+        if (terms.exists(t => ws.contains(t))) Some((qid, id, score)) else None
+      }.sortBy { case (_, id, s) => (-s, id) }.take(ops.SearchOps.TopK)
+        .zipWithIndex.map { case ((q, id, s), i) => (q, id, s, i + 1) }
+    }.toSet
+    val engine = ops.SearchOps.queries("search_invindex_topk")(spark, Sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(engine == expected)
+    assert(engine.nonEmpty)
+    // the absent-term query must contribute nothing
+    assert(!engine.exists(_._1 == 4))
+  }
+
+  test("keyword extraction equals the brute-force (tf desc, df asc, word) rank") {
+    val docs = corpus
+    val df = docs.flatMap(_._2.distinct).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val expected = docs.flatMap { case (id, ws) =>
+      ws.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+        .map { case (w, tf) => (w, tf, df(w)) }
+        .sortBy { case (w, tf, d) => (-tf, d, w) }
+        .take(ops.SearchOps.KwPerDoc)
+        .zipWithIndex.map { case ((w, tf, d), i) => (id, i + 1, w, tf, d) }
+    }.toSet
+    val engine = ops.SearchOps.queries("ta_tfidf_topk")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(engine == expected)
+    assert(engine.nonEmpty)
+  }
+
+  test("retrieval plan broadcasts the term list and never goes cartesian") {
+    val plan = ops.SearchOps.queries("search_invindex_topk")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
