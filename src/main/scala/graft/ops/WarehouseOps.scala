@@ -92,9 +92,63 @@ object WarehouseOps {
       .orderBy(col("wid"))
   }
 
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val DuckTsFmt = "%Y-%m-%d %H:%M:%S.%f"
+
+  /** Open-interval sentinel for the current SCD2 row — a literal string in
+    * both engines, so `is_current` needs no null-handling in the compare.
+    */
+  private val ScdOpenEnd = "9999-01-01 00:00:00.000000"
+
+  /** SCD2 (type-2 slowly-changing-dimension) history build: treat each
+    * customer's orders as a change stream of their `o_orderpriority`
+    * attribute and emit one validity interval per change —
+    * `valid_from = o_orderdate`, `valid_to = next change's o_orderdate`
+    * (half-open; ties broken by o_orderkey so intervals are total), open
+    * sentinel + `is_current` on the latest row. This is the standard
+    * dimension-history primitive the reference's append-only ETL lacks —
+    * downstream "as of T" joins read one interval row instead of scanning
+    * the event history.
+    *
+    * Scale shape: ONE shuffle on the dimension key (window partition), a
+    * linear `lead` per key, no joins at all. At 100 TB the change stream is
+    * date-partitioned, so an incremental rebuild touches only keys with new
+    * changes (the `etl_merge_upsert` pattern applied to interval rows).
+    */
+  private def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate"))
+      .withColumn("next_dt", lead(col("o_orderdate"), 1).over(w))
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        date_format(col("o_orderdate"), TsFmt).as("valid_from"),
+        coalesce(date_format(col("next_dt"), TsFmt), lit(ScdOpenEnd)).as("valid_to"),
+        col("next_dt").isNull.as("is_current"))
+      .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+  }
+
+  /** Point-in-time snapshot over the SCD2 history: the dimension exactly as
+    * it stood at T (one row per customer with any change before T). The
+    * consumer side of `scd2_history` — an interval filter, no window.
+    */
+  private val SnapshotT = "2024-04-01 00:00:00.000000"
+
+  private def scd2Snapshot(s: SparkSession, dir: String): DataFrame =
+    scd2History(s, dir)
+      .where(col("valid_from") <= lit(SnapshotT) && col("valid_to") > lit(SnapshotT))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        col("valid_from"), col("is_current"))
+      .orderBy(col("o_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_merge_upsert" -> (mergeUpsert _),
-    "j3_range_join" -> (rangeJoin _)
+    "j3_range_join" -> (rangeJoin _),
+    "scd2_history" -> (scd2History _),
+    "scd2_snapshot" -> (scd2Snapshot _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -127,6 +181,28 @@ object WarehouseOps {
         |SELECT wid, count(*) AS n_events,
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events e JOIN win w ON e.ts >= w.w_start AND e.ts < w.w_end
-        |GROUP BY wid ORDER BY wid""".stripMargin
+        |GROUP BY wid ORDER BY wid""".stripMargin,
+    "scd2_history" ->
+      s"""SELECT o_custkey, o_orderkey, o_orderpriority,
+         |  strftime(o_orderdate, '$DuckTsFmt') AS valid_from,
+         |  coalesce(strftime(lead(o_orderdate) OVER w, '$DuckTsFmt'),
+         |           '$ScdOpenEnd') AS valid_to,
+         |  (lead(o_orderdate) OVER w IS NULL) AS is_current
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+    "scd2_snapshot" ->
+      s"""WITH hist AS (
+         |  SELECT o_custkey, o_orderkey, o_orderpriority,
+         |    strftime(o_orderdate, '$DuckTsFmt') AS valid_from,
+         |    coalesce(strftime(lead(o_orderdate) OVER w, '$DuckTsFmt'),
+         |             '$ScdOpenEnd') AS valid_to,
+         |    (lead(o_orderdate) OVER w IS NULL) AS is_current
+         |  FROM orders
+         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+         |SELECT o_custkey, o_orderkey, o_orderpriority, valid_from, is_current
+         |FROM hist
+         |WHERE valid_from <= '$SnapshotT' AND valid_to > '$SnapshotT'
+         |ORDER BY o_custkey""".stripMargin
   )
 }

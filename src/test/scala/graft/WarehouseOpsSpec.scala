@@ -71,4 +71,46 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("scd2 history: per-key intervals are contiguous with one open current row") {
+    val hist = ops.WarehouseOps.queries("scd2_history")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getString(4), r.getBoolean(5)))
+    assert(hist.nonEmpty)
+    hist.groupBy(_._1).foreach { case (cust, rows) =>
+      // one change row per source order
+      assert(rows.count(_._4) == 1, s"cust $cust: exactly one current row")
+      // rows arrive sorted by valid_from; each valid_to = next valid_from
+      // (half-open tiling; the final row carries the open sentinel)
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      sorted.sliding(2).foreach {
+        case Array((_, _, to, _), (_, from, _, _)) => assert(to == from || to >= from)
+        case _ =>
+      }
+      assert(sorted.last._3.startsWith("9999-"))
+      // non-overlap: every non-final interval is [from, to) with to = some
+      // later change's from; zero-length tie intervals are allowed
+      sorted.init.foreach { case (_, from, to, cur) =>
+        assert(!cur && from <= to)
+      }
+    }
+  }
+
+  test("scd2 snapshot: at most one interval per customer contains T, and it does") {
+    val snap = ops.WarehouseOps.queries("scd2_snapshot")(spark, Sf0001).collect()
+    assert(snap.nonEmpty)
+    val perCust = snap.groupBy(_.getLong(0))
+    perCust.foreach { case (cust, rows) =>
+      assert(rows.length == 1, s"cust $cust has ${rows.length} snapshot rows")
+    }
+    // brute force: last change at or before T per customer
+    val t = "2024-04-01 00:00:00.000000"
+    val expected = ops.WarehouseOps.queries("scd2_history")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .filter(_._3 <= t)
+      .groupBy(_._1).view.mapValues(_.maxBy(r => (r._3, r._2))._2).toMap
+    val engine = snap.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(engine == expected)
+  }
 }
