@@ -158,6 +158,47 @@ object CoverageOps {
           .as("within_5pct"))
       .orderBy(col("event_type"))
 
+  /** Quantile-sketch audit, the `stats_approx_distinct` pattern applied to
+    * percentiles: exact p50/p90 per event_type (the value at rank
+    * ceil(p·n), picked — never interpolated, so no float arithmetic and the
+    * oracle hash is bit-exact) plus a boolean grading of
+    * `percentile_approx` (GK sketch) against a ±ceil(n/1000)-rank envelope
+    * around the exact rank. At 100 TB the sketch is the only affordable
+    * quantile — one pass, bounded memory, mergeable — and the exact rank
+    * walk here (one shuffle + per-key window) is the audit you run on a
+    * sampled slice to pin its error, exactly like `ann_*_recall` does for
+    * the ANN paths.
+    */
+  private def statsApproxQuantile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val ranked = Tables.load(s, dir, "events")
+      .select(col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("eps", greatest(ceil(col("n") / 1000.0), lit(2L)))
+    def k(p: Double) = ceil(col("n") * p).cast("long")
+    def atRank(kc: org.apache.spark.sql.Column) =
+      max(when(col("rn") <= greatest(kc, lit(1L)), col("value")))
+    ranked.groupBy(col("event_type"))
+      .agg(
+        atRank(k(0.5)).as("p50_exact"),
+        atRank(k(0.9)).as("p90_exact"),
+        atRank(k(0.5) - col("eps")).as("__lo50"),
+        atRank(k(0.5) + col("eps")).as("__hi50"),
+        atRank(k(0.9) - col("eps")).as("__lo90"),
+        atRank(k(0.9) + col("eps")).as("__hi90"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("__a50"),
+        percentile_approx(col("value"), lit(0.9), lit(10000)).as("__a90"))
+      .select(col("event_type"), col("p50_exact"), col("p90_exact"),
+        (col("__a50") >= col("__lo50") && col("__a50") <= col("__hi50"))
+          .as("p50_in_envelope"),
+        (col("__a90") >= col("__lo90") && col("__a90") <= col("__hi90"))
+          .as("p90_in_envelope"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_star_projection" -> (p1 _),
     "f2_conjunctive_equality" -> (f2 _),
@@ -169,6 +210,7 @@ object CoverageOps {
     "src_csv_roundtrip" -> (srcCsvRoundtrip _),
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
     "stats_approx_distinct" -> (statsApproxDistinct _),
+    "stats_approx_quantile" -> (statsApproxQuantile _),
     // SQL API surface: ONE identical ANSI string runs on Spark (via
     // GraftSession temp views) and on the DuckDB oracle — the reference
     // user's ship-SQL-text habit, preserved verbatim.
@@ -210,6 +252,18 @@ object CoverageOps {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  CAST(true AS BOOLEAN) AS within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stats_approx_quantile" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type,
+        |  max(CASE WHEN rn <= CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50_exact,
+        |  max(CASE WHEN rn <= CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS p90_exact,
+        |  CAST(true AS BOOLEAN) AS p50_in_envelope,
+        |  CAST(true AS BOOLEAN) AS p90_in_envelope
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "s6_existence_probes" ->
       """SELECT * FROM (VALUES
         |  ('ns_after_create', true),

@@ -400,6 +400,29 @@ object RelationalOps {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** Multi-level ROLLUP aggregate (a5): the subtotal/grand-total report
+    * shape warehouses run nightly. One pass computes (flag, status),
+    * (flag), and () levels — Spark plans a single Expand + hash aggregate,
+    * so the fact table is scanned once, not once per level. Money stays in
+    * DECIMAL (order-independent sums); NULL grouping slots are projected to
+    * a literal 'ALL' with `grouping_id()` kept to disambiguate, so the
+    * oracle compare never meets a NULL.
+    */
+  private def a5Rollup(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"),
+        sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("revenue"), col("sum_qty"), col("n_rows"),
+        col("gid").cast("long").as("gid"))
+      .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+
   /** Headline join+agg (bench shape): fact-to-dim broadcast join then group. */
   private def q2(s: SparkSession, dir: String): DataFrame =
     orders(s, dir)
@@ -447,7 +470,8 @@ object RelationalOps {
     "j2_asof_join" -> (j2 _),
     "w7_no_data_short_circuit" -> (w7 _),
     "q1_pricing_summary" -> (q1 _),
-    "q2_segment_revenue" -> (q2 _)
+    "q2_segment_revenue" -> (q2 _),
+    "a5_rollup_revenue" -> (a5Rollup _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -594,6 +618,16 @@ object RelationalOps {
     "q2_segment_revenue" ->
       """SELECT c_mktsegment, count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "a5_rollup_revenue" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
+        |  sum(l_quantity) AS sum_qty,
+        |  count(*) AS n_rows,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin
   )
 }

@@ -163,4 +163,20 @@ class PlanSpec extends AnyFunSuite {
       s"top-K must not materialize a global sort\n$plan")
     assert("Exchange".r.findAllIn(plan).length == 1, plan)
   }
+
+  test("rollup computes all three levels from ONE fact scan via Expand") {
+    val plan = physical(ops.RelationalOps.queries("a5_rollup_revenue")(spark, Sf0001))
+    assert(plan.contains("Expand"),
+      s"rollup must plan a single Expand, not one aggregate per level\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"the fact table must be scanned exactly once\n$plan")
+    assert(plan.contains("partial"), s"partial agg must precede the shuffle\n$plan")
+  }
+
+  test("scd2 history is one key shuffle, no joins") {
+    val plan = physical(ops.WarehouseOps.queries("scd2_history")(spark, Sf0001))
+    assert(!plan.contains("Join"), s"history build must be join-free\n$plan")
+    assert("Exchange".r.findAllIn(plan).length == 2,
+      s"one custkey partitioning + the final ORDER BY only\n$plan")
+  }
 }
