@@ -88,6 +88,7 @@ object StreamingOps {
     "stream_tumbling_daily" -> ((s, dir) => StreamingIngest.tumblingDaily(s, dir)),
     "stream_user_watermark" -> ((s, dir) => StreamingIngest.statefulUserWatermark(s, dir)),
     "stream_dedup_exact" -> ((s, dir) => StreamingIngest.streamDedupExact(s, dir)),
+    "stream_sessionize" -> ((s, dir) => StreamingIngest.sessionWindows(s, dir)),
     "stream_ingest_screen" -> (streamIngestScreen _),
     "stream_etl_dest" -> ((s, dir) => {
       StreamingIngest.streamEtlToParquet(s, dir)
@@ -110,6 +111,28 @@ object StreamingOps {
     "stream_dedup_exact" ->
       s"""SELECT event_id, strftime(ts, '$TsFmt') AS ts_iso, user_id
          |FROM events ORDER BY event_id""".stripMargin,
+    // batch twin of the streaming session windows: split when the silence
+    // EXCEEDS the gap (same boundary convention — probe-pinned in the
+    // Scaladoc), window end = last event + gap
+    "stream_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+         |m AS (
+         |  SELECT user_id, ts, us,
+         |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > ${6L * 3600 * 1000000}
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (
+         |  SELECT user_id, ts, us,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, us
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM m)
+         |SELECT user_id,
+         |  strftime(min(ts), '$TsFmt') AS session_start,
+         |  strftime(max(ts) + INTERVAL 6 HOUR, '$TsFmt') AS session_end,
+         |  count(*) AS n_events
+         |FROM s GROUP BY user_id, session_id
+         |ORDER BY user_id, session_start""".stripMargin,
     "stream_etl_dest" ->
       s"""SELECT event_id, strftime(ts, '$TsFmt') AS ts_iso, user_id, event_type, value, props
          |FROM events ORDER BY event_id""".stripMargin,

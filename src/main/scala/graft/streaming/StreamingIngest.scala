@@ -97,6 +97,30 @@ object StreamingIngest {
       .orderBy(col("window_start"))
   }
 
+  /** W8's gap sessionization as a *streaming* session-window aggregation:
+    * `session_window(ts, gap)` merges an event into the open session when
+    * it lands at or within `gap` of the session's last event (probe-pinned:
+    * at exactly `gap` Spark MERGES — split only when the silence EXCEEDS
+    * the gap, the same convention as the batch `w8_gap_sessionize` fold),
+    * and the emitted window end is `last event + gap`. The state store
+    * holds one (user, open-session) entry per key, evicted by the
+    * watermark at scale; AvailableNow + Complete drains the full table for
+    * the oracle compare.
+    */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "6 hours").as("win"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(col("win.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        col("n_events"))
+    runToMemory(agg, s"stream_session_${System.nanoTime()}", OutputMode.Complete())
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** The full ETL slice as a streaming pipeline with a PARQUET sink: file
     * source → transform → date-partitioned parquet + checkpointLocation.
     * This is the production shape — the checkpoint's WAL/commit log gives

@@ -32,6 +32,15 @@ class SessionizeSpec extends AnyFunSuite {
     assert(engine == reference)
   }
 
+  test("streaming session windows equal the batch sessionization") {
+    val streamed = ops.StreamingOps.queries("stream_sessionize")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    val batch = ops.RelationalOps.queries("w8_gap_sessionize")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("as-of join equals the per-user reference scan and is non-vacuous") {
     val engine = ops.RelationalOps.queries("j2_asof_join")(spark, Sf0001)
       .collect()
