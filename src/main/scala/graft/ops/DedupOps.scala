@@ -188,11 +188,35 @@ object DedupOps {
       .where(col("j") >= JaccardThreshold)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Cross-source contamination matrix: which corpus sources near-duplicate
+    * each other, and how much. Reuses the verified MinHash-LSH pair
+    * pipeline (same banded candidates, same exact-Jaccard verify — so the
+    * no-cartesian guarantee carries over), then joins each pair side to its
+    * source label and aggregates pair counts per unordered (src_lo, src_hi)
+    * cell. This is the report a crawl-mix owner reads before deciding which
+    * feed to drop — at 100 TB the pair set is orders of magnitude smaller
+    * than the corpus, so the two id→source lookups and the final matrix
+    * aggregate are negligible next to candidate generation.
+    */
+  private def dedupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val srcs = docs.select(col("doc_id"), col("source"))
+    minhashPairs(docs, shingled(docs).cache())
+      .join(srcs.select(col("doc_id").as("a_id"), col("source").as("src_a")), "a_id")
+      .join(srcs.select(col("doc_id").as("b_id"), col("source").as("src_b")), "b_id")
+      .select(least(col("src_a"), col("src_b")).as("src_lo"),
+        greatest(col("src_a"), col("src_b")).as("src_hi"))
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_lo"), col("src_hi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
-    "dedup_simhash" -> (dedupSimhash _)
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_source_matrix" -> (dedupSourceMatrix _)
   )
 
   /** DuckDB mirror of the doc → trigram-set projection (tokens and shingles
@@ -230,6 +254,17 @@ object DedupOps {
     // blocked SimHash find every true pair, so their verified output must
     // EQUAL the exhaustive pair set.
     "dedup_minhash_lsh" -> duckPairs(""),
+    // same exhaustive-truth argument as dedup_minhash_lsh (banded MinHash
+    // is exhaustive at J >= 0.5 on this corpus), rolled up by source pair
+    "dedup_source_matrix" ->
+      s"""WITH pairs AS (${duckPairs("")})
+         |SELECT least(da.source, db.source) AS src_lo,
+         |  greatest(da.source, db.source) AS src_hi,
+         |  count(*) AS n_pairs
+         |FROM pairs
+         |JOIN documents da ON pairs.a_id = da.doc_id
+         |JOIN documents db ON pairs.b_id = db.doc_id
+         |GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin,
     "dedup_simhash" -> duckPairs("")
   )
 }

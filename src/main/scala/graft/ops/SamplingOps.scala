@@ -231,10 +231,34 @@ object SamplingOps {
         (max(col("n_tok")) * count(lit(1)) - sum(col("n_tok"))).as("pad_tokens"))
       .orderBy(col("bucket"))
 
+  /** Exact per-stratum quota sampling: exactly `QuotaPerLang` docs per
+    * language (or the whole stratum when it's smaller), selected by
+    * hash order so the choice is reproducible and unbiased — the eval-set
+    * construction shape ("exactly 1 000 held-out docs per language"),
+    * complementing `mix_stratified_sample`'s keep-RATE gating. Ordering by
+    * (md5(doc_id), doc_id) is a random-but-stable permutation per stratum;
+    * `row_number ≤ quota` plans a map-side partial WindowGroupLimit, so
+    * each partition forwards at most `quota` rows per stratum into the
+    * single stratum shuffle — no global sort, no full-stratum
+    * materialization.
+    */
+  private val QuotaPerLang = 40
+
+  private def mixExactQuota(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= QuotaPerLang)
+      .orderBy(col("lang"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "chunk_fixed_tokens" -> (chunkFixedTokens _),
     "batch_length_buckets" -> (batchLengthBuckets _),
     "mix_stratified_sample" -> (mixStratifiedSample _),
+    "mix_exact_quota" -> (mixExactQuota _),
     "mix_split_counts" -> (sampleSplit _),
     "stats_length_percentiles" -> (statsPercentiles _),
     "decontaminate_test_split" -> (decontaminateTestSplit _),
@@ -282,6 +306,12 @@ object SamplingOps {
         |           WHEN lang = 'zh' THEN substr(md5(doc_id::VARCHAR), 32, 1) < 'c'
         |           ELSE true END
         |ORDER BY doc_id""".stripMargin,
+    "mix_exact_quota" ->
+      s"""SELECT doc_id, lang, CAST(rnk AS INTEGER) AS rnk FROM (
+         |  SELECT doc_id, lang, row_number() OVER (
+         |    PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rnk
+         |  FROM documents)
+         |WHERE rnk <= $QuotaPerLang ORDER BY lang, rnk""".stripMargin,
     "mix_split_counts" ->
       """SELECT split, lang, count(*) AS n FROM (
         |  SELECT lang,

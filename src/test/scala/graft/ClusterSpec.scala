@@ -98,4 +98,17 @@ class ClusterSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
+
+  test("source contamination matrix conserves the verified pair count") {
+    val matrix = ops.DedupOps.queries("dedup_source_matrix")(SparkTestBase.spark, SparkTestBase.Sf0001)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    assert(matrix.nonEmpty)
+    // every near-dup pair lands in exactly one unordered cell
+    val nPairs = ops.DedupOps.queries("dedup_minhash_lsh")(SparkTestBase.spark, SparkTestBase.Sf0001)
+      .count()
+    assert(matrix.map(_._2).sum == nPairs)
+    // cells are normalized (lo <= hi) and unique
+    assert(matrix.forall { case ((lo, hi), _) => lo <= hi })
+    assert(matrix.map(_._1).distinct.length == matrix.length)
+  }
 }

@@ -153,4 +153,24 @@ class SamplingSpec extends AnyFunSuite {
       .head.getLong(0)
     assert(totalFromBuckets == total, "max*n - pad must reconstruct the exact token mass")
   }
+
+  test("exact quota sampling: min(quota, stratum) rows per lang, stable across runs") {
+    val q1 = ops.SamplingOps.queries("mix_exact_quota")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val q2 = ops.SamplingOps.queries("mix_exact_quota")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(q1.toSeq == q2.toSeq, "hash-ordered selection must be run-stable")
+    val strata = Tables.load(spark, Sf0001, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = q1.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    strata.foreach { case (lang, n) =>
+      assert(got.getOrElse(lang, 0L) == math.min(40L, n),
+        s"$lang: expected min(40, $n)")
+    }
+    // ranks within each stratum are 1..k with no gaps
+    q1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+  }
 }
