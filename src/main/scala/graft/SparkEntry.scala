@@ -23,7 +23,8 @@ object SparkEntry {
       ops.SimilarityOps.queries ++ ops.TextAnalysisOps.queries ++
       ops.MultimodalOps.queries ++ ops.StreamingOps.queries ++
       ops.SamplingOps.queries ++ ops.IngestScreenOps.queries ++ ops.CoverageOps.queries ++
-      ops.WarehouseOps.queries ++ ops.EmbedClusterOps.queries ++ ops.SearchOps.queries
+      ops.WarehouseOps.queries ++ ops.EmbedClusterOps.queries ++ ops.SearchOps.queries ++
+      ops.ScaleOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -34,5 +35,6 @@ object SparkEntry {
       ops.SimilarityOps.oracleSql ++ ops.TextAnalysisOps.oracleSql ++
       ops.MultimodalOps.oracleSql ++ ops.StreamingOps.oracleSql ++
       ops.SamplingOps.oracleSql ++ ops.IngestScreenOps.oracleSql ++ ops.CoverageOps.oracleSql ++
-      ops.WarehouseOps.oracleSql ++ ops.EmbedClusterOps.oracleSql ++ ops.SearchOps.oracleSql
+      ops.WarehouseOps.oracleSql ++ ops.EmbedClusterOps.oracleSql ++ ops.SearchOps.oracleSql ++
+      ops.ScaleOps.oracleSql
 }

@@ -3,10 +3,15 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Tables
+
 /** Scale utilities that don't map to a single reference operator but are
-  * load-bearing at 100 TB: skew-safe joins via salting, and bucketed-table
-  * helpers for shuffle-free repeated joins (see BucketedJoinSpec for the
-  * co-located-join evidence).
+  * load-bearing at 100 TB: skew-safe joins via salting, small-file
+  * compaction, and bucketed-table helpers for shuffle-free repeated joins
+  * (see BucketedJoinSpec for the co-located-join evidence). The two
+  * registered queries promote the techniques to first-class oracled
+  * operators: `j4_salted_skew_join` (salting must be result-invariant) and
+  * `etl_compact_dest` (compaction must be row-multiset-invariant).
   */
 object ScaleOps {
 
@@ -108,4 +113,74 @@ object ScaleOps {
     }
     (before, graft.util.Fs.listParquetFiles(spark, destDir).size.toLong)
   }
+
+  /** J4 (extension): supplier-revenue rollup where the fact→dim join runs
+    * SALTED — the exact plan a 100 TB pipeline needs when one join key is a
+    * hot head (a mega-supplier, a boilerplate document hash) and the join
+    * is broadcast-ineligible. The `merge` hint forces the sort-merge path
+    * (locally the dim would broadcast and hide the mechanism; at scale both
+    * sides are large), so the shuffle really runs on (key, salt) and a hot
+    * key's rows spread over `SaltFactor` reducers. The oracle is the PLAIN
+    * join — salting is correct only if it is result-invariant, which is
+    * precisely what the hash check asserts. Money stays integer cents per
+    * the repo convention (order-independent exact sums).
+    */
+  private[graft] val SaltFactor = 16
+
+  private def j4SaltedSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.load(s, dir, "lineitem").select(
+      col("l_suppkey"),
+      round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long").as("rev_cents"))
+    val dim = Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")).hint("merge")
+    saltedJoin(fact, col("l_suppkey"), dim, col("s_suppkey"), SaltFactor)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"), sum(col("rev_cents")).as("revenue_cents"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** Small-file compaction as a first-class oracled operator: build a
+    * deliberately fragmented date-partitioned destination (two appends × 4
+    * tasks — the debris pattern every incremental pipeline accumulates),
+    * compact it with [[compactDatePartitions]], and report the per-date row
+    * counts and value mass read back FROM THE COMPACTED FILES. The oracle
+    * recomputes the same rollup from the source table, so the hash check
+    * proves compaction lost/duplicated nothing; ScaleOpsSpec separately
+    * asserts the file count actually shrinks.
+    */
+  private def etlCompactDest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      round(col("value") * 100).cast("long").as("value_cents"),
+      date_format(col("ts"), "yyyy-MM-dd").as("export_date"))
+    val dest = graft.util.TempDirs.create("graft_compactq_")
+    ev.where(col("event_id") % 2 === 0).repartition(4)
+      .write.mode(SaveMode.Append).partitionBy("export_date").parquet(dest)
+    ev.where(col("event_id") % 2 =!= 0).repartition(4)
+      .write.mode(SaveMode.Append).partitionBy("export_date").parquet(dest)
+    compactDatePartitions(s, dest, "export_date")
+    s.read.parquet(dest)
+      .groupBy(col("export_date").cast("string").as("export_date"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("value_cents")).as("value_cents"))
+      .orderBy(col("export_date"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j4_salted_skew_join" -> (j4SaltedSkewJoin _),
+    "etl_compact_dest" -> (etlCompactDest _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "j4_salted_skew_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "etl_compact_dest" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS export_date, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
 }

@@ -30,6 +30,19 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"join key must include the salt\n${plan.take(800)}")
   }
 
+  test("j4 registered query sort-merge-joins on (key, salt), not broadcast") {
+    val df = ops.ScaleOps.queries("j4_salted_skew_join")(spark, Sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"the merge hint must defeat the local broadcast so the salt path is exercised\n${plan.take(800)}")
+    assert(plan.contains("__salt"), s"join key must include the salt\n${plan.take(800)}")
+    val expected = Tables.load(spark, Sf0001, "supplier")
+      .join(Tables.load(spark, Sf0001, "lineitem"),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_nationkey").distinct().count()
+    assert(df.count() == expected, "one rollup row per supplier nation with sales")
+  }
+
   test("compaction shrinks small-file count and preserves the row multiset") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     import graft.etl.{EtlJob, MetaStore}
