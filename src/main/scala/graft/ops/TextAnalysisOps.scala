@@ -193,6 +193,46 @@ object TextAnalysisOps {
       .orderBy(col("n").desc, col("word"))
       .limit(VocabK)
 
+  /** Corpus-LM familiarity scoring — the integer-exact skeleton of the
+    * KenLM-style "perplexity filter" every web-scale pipeline runs: train an
+    * n-gram model ON the corpus itself, then score each document by how
+    * familiar its n-grams are to the model. The model here is the trigram
+    * shingle → document-frequency table (shared tokenization with the dedup
+    * family, so the gram index is literally reusable between the two); the
+    * score stays in integers (Σ df, count, df==1 novelty count) so the
+    * DuckDB oracle is bit-exact — a float log-prob would be engine-divergent,
+    * and the RANKING the filter needs is preserved by the monotone integer
+    * sums.
+    *
+    * Scale shape: model build = one partial-agg shuffle on the 8-byte gram
+    * hash; scoring = inverted-index equi-join on the same hash (never
+    * all-pairs, no text through the shuffle). At 100 TB the model is built
+    * once per snapshot and persisted; the df head (the only skewed keys) is
+    * tiny and broadcastable, so the scoring join salts/splits naturally.
+    * Hashed grams vs the oracle's string grams: identical counts modulo
+    * 64-bit collisions (same caveat as `decontaminate_ngram_overlap`).
+    */
+  private def taLmFamiliarity(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val grams = DedupOps.shingled(docs)
+      .select(col("doc_id"), explode(col("sh_hashes")).as("g"))
+    val model = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val scored = grams.join(model, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("familiarity"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+    // short docs (<3 tokens) have no shingles: keep them, scored zero —
+    // a perplexity filter must not silently drop them
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("familiarity"), lit(0L)).as("familiarity"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_langid" -> (taLangid _),
     "ta_quality_score" -> (taQuality _),
@@ -201,6 +241,7 @@ object TextAnalysisOps {
     "ta_repetition" -> (taRepetition _),
     "ta_pii_redact" -> (taPiiRedact _),
     "ta_vocab_topk" -> (taVocabTopK _),
+    "ta_lm_familiarity" -> (taLmFamiliarity _),
     "mix_topk_quality" -> (mixTopkQuality _)
   )
 
@@ -329,6 +370,24 @@ object TextAnalysisOps {
       s"""SELECT word, count(*) AS n
          |FROM (SELECT unnest($duckToks) AS word FROM documents)
          |GROUP BY word ORDER BY n DESC, word LIMIT $VocabK""".stripMargin,
+    // String trigram shingles mirror the engine's hashed ones — identical
+    // counts modulo 64-bit collisions (the decontaminate_ngram_overlap
+    // caveat). The left join keeps shingle-less (<3-token) docs at zero.
+    "ta_lm_familiarity" ->
+      s"""WITH tok AS (${DedupOps.duckShingled("")}),
+         |g AS (SELECT doc_id, unnest(t) AS g FROM tok),
+         |m AS (SELECT g, count(*) AS df FROM g GROUP BY g),
+         |s AS (
+         |  SELECT doc_id, count(*) AS n_shingles,
+         |    CAST(sum(df) AS BIGINT) AS familiarity,
+         |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM g JOIN m USING (g) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(s.n_shingles, 0) AS n_shingles,
+         |  coalesce(s.familiarity, 0) AS familiarity,
+         |  coalesce(s.n_novel, 0) AS n_novel
+         |FROM documents d LEFT JOIN s USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "mix_topk_quality" ->
       s"""SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id, quality FROM (
          |  SELECT lang, doc_id, quality,

@@ -69,4 +69,24 @@ class QualityOpsSpec extends AnyFunSuite {
         }
     }
   }
+
+  test("LM familiarity: integer invariants, mass conservation, and join shape") {
+    val out = ops.TextAnalysisOps.queries("ta_lm_familiarity")(spark, Sf0001).cache()
+    val docs = Tables.load(spark, Sf0001, "documents")
+    assert(out.count() == docs.count(), "every document must be scored, even shingle-less ones")
+    // df >= 1 for every gram, so familiarity dominates the gram count;
+    // novelty is the df==1 subset of the same grams
+    assert(out.where(col("familiarity") < col("n_shingles") ||
+      col("n_novel") > col("n_shingles")).count() == 0)
+    // conservation: sum of per-doc gram counts == total distinct-per-doc
+    // shingle instances in the corpus (the model's total df mass)
+    val scoredMass = out.agg(sum(col("n_shingles"))).collect()(0).getLong(0)
+    val corpusMass = ops.DedupOps.shingled(docs.select(col("doc_id"), col("text")))
+      .select(explode(col("sh_hashes"))).count()
+    assert(scoredMass == corpusMass, s"gram mass mismatch: $scoredMass vs $corpusMass")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"scoring must stay an equi-join on the gram hash\n${plan.take(800)}")
+    out.unpersist()
+  }
 }
