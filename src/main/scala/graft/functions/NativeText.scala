@@ -219,6 +219,25 @@ object NativeText {
     new GenericArrayData(Array(n.toLong, distinct, dupOcc, nBigrams, topBigram))
   }
 
+  /** Unicode text normalization — the canonicalization pass that must run
+    * BEFORE any hash-based dedup on real web text, where the same rendered
+    * string arrives in both precomposed (U+00E9) and decomposed (e +
+    * U+0301) forms and would otherwise fingerprint differently. NFC
+    * composition first (java.text.Normalizer — the JDK's ICU-derived
+    * implementation of UAX #15), then locale-independent lowercasing
+    * (Locale.ROOT — never the JVM default locale, whose Turkish-İ dotting
+    * would make results machine-dependent), then whitespace-run collapse
+    * and trim. Mirrored by DuckDB's `lower(nfc_normalize(..))` +
+    * regexp collapse; both engines' `\\s` agree on all fixture/corpus
+    * whitespace (the engine's Java `\\s` additionally matches U+000B,
+    * which never survives web-text extraction).
+    */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC)
+    val lower = nfc.toLowerCase(java.util.Locale.ROOT)
+    UTF8String.fromString(lower.replaceAll("\\s+", " ").trim)
+  }
+
   /** Idempotently register both expressions as SQL functions on a session
     * (`graft_token_hashes(text)`, `graft_shingle_hashes(text)`), usable from
     * `expr(...)` on any caller-provided SparkSession.
@@ -239,7 +258,28 @@ object NativeText {
       exprs => RepetitionStatsExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_ngram8_hashes",
       exprs => Ngram8HashesExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_normalize_text",
+      exprs => NormalizeTextExpr(exprs.head), "built-in")
   }
+}
+
+/** String→string codegen expression for [[NativeText.normalizeText]]:
+  * map-only, stays inside whole-stage codegen like the hash expressions.
+  */
+case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    NativeText.normalizeText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeText$$.MODULE$$.normalizeText($c)")
+  override def prettyName: String = "graft_normalize_text"
+  override protected def withNewChildInternal(newChild: Expression): NormalizeTextExpr =
+    copy(child = newChild)
 }
 
 abstract class NativeTextExpr extends UnaryExpression {

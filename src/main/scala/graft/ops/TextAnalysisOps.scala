@@ -193,6 +193,42 @@ object TextAnalysisOps {
       .orderBy(col("n").desc, col("word"))
       .limit(VocabK)
 
+  /** Unicode fixture rows: the raw corpus is ASCII-lowercase by
+    * construction, so normalization is made observable the PII way —
+    * injected rows mirrored literally in the oracle. Rows 1 and 2 are the
+    * same rendered text in precomposed vs decomposed form (é = U+00E9 vs
+    * e+U+0301): after NFC they hash identically, which is exactly why the
+    * pass must run before dedup.
+    */
+  private[ops] val UnicodeFixture: Seq[(Long, String)] = Seq(
+    (9100001L, "Café   au\tLait"),
+    (9100002L, "Café au Lait\n"),
+    (9100003L, "  À É Î Õ Ü  "),
+    (9100004L, "already normalized text")
+  )
+
+  private[ops] def unicodeFixtureSql: String =
+    UnicodeFixture.map { case (id, t) =>
+      s"($id, '${t.replace("'", "''")}')"
+    }.mkString(",\n    ")
+
+  /** Unicode normalization (NFC + root-locale lowercase + whitespace
+    * collapse) over corpus ∪ fixture — the canonicalization every
+    * hash-keyed op (dedup, fingerprint, decontamination) must agree on.
+    * One native codegen expression ([[graft.functions.NormalizeTextExpr]]):
+    * map-only over 100 TB, no shuffle except the final sort.
+    */
+  private def taNormalize(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeText.register(s)
+    import s.implicits._
+    documents(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(UnicodeFixture.toDF("doc_id", "text"))
+      .select(col("doc_id"),
+        expr("graft_normalize_text(text)").as("norm_text"),
+        (expr("graft_normalize_text(text)") =!= col("text")).as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-LM familiarity scoring — the integer-exact skeleton of the
     * KenLM-style "perplexity filter" every web-scale pipeline runs: train an
     * n-gram model ON the corpus itself, then score each document by how
@@ -241,6 +277,7 @@ object TextAnalysisOps {
     "ta_repetition" -> (taRepetition _),
     "ta_pii_redact" -> (taPiiRedact _),
     "ta_vocab_topk" -> (taVocabTopK _),
+    "ta_normalize" -> (taNormalize _),
     "ta_lm_familiarity" -> (taLmFamiliarity _),
     "mix_topk_quality" -> (mixTopkQuality _)
   )
@@ -370,6 +407,20 @@ object TextAnalysisOps {
       s"""SELECT word, count(*) AS n
          |FROM (SELECT unnest($duckToks) AS word FROM documents)
          |GROUP BY word ORDER BY n DESC, word LIMIT $VocabK""".stripMargin,
+    // lower(nfc_normalize(..)) mirrors the engine's NFC-then-lowercase
+    // order; RE2's \s and Java's \s agree on every whitespace char that
+    // can appear here (divergence is only U+000B, absent by construction).
+    "ta_normalize" ->
+      s"""WITH alldocs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    $unicodeFixtureSql) AS v(doc_id, text))
+         |SELECT doc_id,
+         |  trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS norm_text,
+         |  (trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) <> text)
+         |    AS changed
+         |FROM alldocs ORDER BY doc_id""".stripMargin,
     // String trigram shingles mirror the engine's hashed ones — identical
     // counts modulo 64-bit collisions (the decontaminate_ngram_overlap
     // caveat). The left join keeps shingle-less (<3-token) docs at zero.

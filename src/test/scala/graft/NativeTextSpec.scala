@@ -96,4 +96,25 @@ class NativeTextSpec extends AnyFunSuite {
     assert(rows("word") == Seq(1L, 1L, 0L, 0L, 0L))
     assert(rows("x x") == Seq(2L, 1L, 2L, 1L, 1L))
   }
+
+  test("normalize: NFC converges composed/decomposed, idempotent, whitespace-collapsing") {
+    import sp.implicits._
+    val composed = "Café   au\tLait"       // precomposed é
+    val decomposed = "Café au Lait\n"     // e + combining acute
+    val rows = Seq(composed, decomposed, "  A  B  ", "", "\t\n", "plain")
+      .toDF("text")
+      .select(col("text"), expr("graft_normalize_text(text)").as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows(composed) == "café au lait")
+    assert(rows(decomposed) == "café au lait", "NFC must converge the two encodings")
+    assert(rows(composed) == rows(decomposed))
+    assert(rows("  A  B  ") == "a b")
+    assert(rows("") == "" && rows("\t\n") == "")
+    assert(rows("plain") == "plain")
+    // idempotence: a second pass is the identity
+    val twice = Seq(composed, decomposed).toDF("text")
+      .select(expr("graft_normalize_text(graft_normalize_text(text))").as("nn"),
+        expr("graft_normalize_text(text)").as("n"))
+    assert(twice.where(col("nn") =!= col("n")).count() == 0)
+  }
 }
