@@ -362,6 +362,28 @@ object RelationalOps {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Cumulative daily growth, W9 (extension): per-type event volume and
+    * value by day, with running totals — the corpus-growth curve a
+    * training-data pipeline reports after every ingest day. Scale shape:
+    * aggregate FIRST (one partial-agg shuffle collapses 100 TB to
+    * |types|×|days| rows), window SECOND over the tiny rollup — a running
+    * sum windowed over the raw fact table would sort petabytes for no
+    * reason. Days are unique per type after the rollup, so the default
+    * RANGE frame is exact in both engines.
+    */
+  private def w9(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    events(s, dir)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** At-least-once boundary duplication, W5/N1: the rows the next run
     * re-reads because its predicate is `>= watermark`
     * (reference: billing_etl.py:280).
@@ -467,6 +489,7 @@ object RelationalOps {
     "w3_tumbling_windows" -> (w3 _),
     "w5_boundary_duplicates" -> (w5 _),
     "w8_gap_sessionize" -> (w8 _),
+    "w9_cumulative_daily" -> (w9 _),
     "j2_asof_join" -> (j2 _),
     "w7_no_data_short_circuit" -> (w7 _),
     "q1_pricing_summary" -> (q1 _),
@@ -581,6 +604,17 @@ object RelationalOps {
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
          |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "w9_cumulative_daily" ->
+      """WITH d AS (
+        |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n, cents,
+        |  CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cum_cents
+        |FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |ORDER BY event_type, day""".stripMargin,
     "w8_gap_sessionize" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),

@@ -179,4 +179,17 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(plan).length == 2,
       s"one custkey partitioning + the final ORDER BY only\n$plan")
   }
+
+  test("cumulative daily growth aggregates the fact table BEFORE windowing") {
+    val plan = physical(ops.RelationalOps.queries("w9_cumulative_daily")(spark, Sf0001))
+    // the running sum must window over the day rollup, not the raw events:
+    // the aggregate (with map-side partial) appears below the Window node
+    assert(plan.contains("partial"), s"partial agg must precede the shuffle\n$plan")
+    val winAt = plan.indexOf("Window")
+    val aggAt = plan.lastIndexOf("HashAggregate")
+    assert(winAt >= 0 && aggAt > winAt,
+      s"Window must consume the aggregate's output (agg below window)\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"one fact scan only\n$plan")
+  }
 }
