@@ -84,4 +84,20 @@ class TextFunctionsSpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("normalized dedup catches the composed/decomposed pair raw exact dedup misses") {
+    import sp.implicits._
+    graft.functions.NativeText.register(spark)
+    val fixture = Seq(
+      (1L, "Café   au\tLait"),   // precomposed é, messy whitespace
+      (2L, "Cafe\u0301 au Lait\n") // e + combining acute
+    ).toDF("doc_id", "text")
+    val rawGroups = fixture.groupBy(md5(col("text"))).count()
+      .where(col("count") > 1).count()
+    assert(rawGroups == 0, "byte-wise the two encodings must NOT collide")
+    val normGroups = fixture
+      .groupBy(md5(expr("graft_normalize_text(text)"))).count()
+      .where(col("count") > 1).count()
+    assert(normGroups == 1, "after NFC+casefold+collapse they must be one group")
+  }
 }
