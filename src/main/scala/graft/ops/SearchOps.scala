@@ -113,8 +113,36 @@ object SearchOps {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Literal phrase, chosen to occur at every shipped scale factor. */
+  private[graft] val Phrase: Seq[String] = Seq("join", "part", "filter")
+
+  /** Exact phrase search over a POSITIONAL inverted index — the third leg
+    * of the retrieval family (ranked multi-term + salient terms + phrase).
+    * Engine shape: one corpus scan posexplodes tokens to (doc_id, pos,
+    * word); filtering to the phrase's terms FIRST shrinks the relation to
+    * the hit lists (broadcast `isin`, evaluated at the scan), and adjacency
+    * is then an equi-join on (doc_id, pos+i) — narrow integer keys, never
+    * a position range scan. At 100 TB the positional index is a persisted
+    * bucketed table keyed by word; the per-phrase work is proportional to
+    * the rarest term's posting list, exactly like a production search
+    * engine's phrase executor.
+    */
+  private def searchPhrase(s: SparkSession, dir: String): DataFrame = {
+    val positions = documents(s, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "word")))
+      .where(col("word").isin(Phrase.map(x => x: Any): _*))
+    val hits = Phrase.zipWithIndex.map { case (term, i) =>
+      positions.where(col("word") === term)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+    hits.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_invindex_topk" -> (searchInvindexTopK _),
+    "search_phrase" -> (searchPhrase _),
     "ta_tfidf_topk" -> (taTfidfTopK _)
   )
 
@@ -147,6 +175,22 @@ object SearchOps {
          |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
          |  FROM sc)
          |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin,
+    // Zipped unnest gives 1-based positions vs the engine's 0-based
+    // posexplode — immaterial, since adjacency is relative and the output
+    // carries only per-doc match counts.
+    "search_phrase" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, unnest(w) AS word, unnest(range(1, len(w) + 1)) AS p
+         |  FROM (SELECT doc_id, $duckToks AS w FROM documents)),
+         |m AS (
+         |  SELECT a.doc_id
+         |  FROM pos a
+         |  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+         |  JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+         |  WHERE a.word = '${Phrase(0)}' AND b.word = '${Phrase(1)}'
+         |    AND c.word = '${Phrase(2)}')
+         |SELECT doc_id, count(*) AS n_matches
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ta_tfidf_topk" ->
       s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS word FROM documents),
          |tf AS (SELECT word, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),

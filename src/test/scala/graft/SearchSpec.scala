@@ -63,4 +63,25 @@ class SearchSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("phrase search equals a brute-force sliding-window scan") {
+    val engine = ops.SearchOps.queries("search_phrase")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val phrase = ops.SearchOps.Phrase
+    val expected = Tables.load(spark, Sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val w = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        r.getLong(0) -> w.sliding(phrase.length)
+          .count(win => win.length == phrase.length && win == phrase)
+      }
+      .filter(_._2 > 0).map { case (id, n) => id -> n.toLong }.toMap
+    assert(engine == expected, s"engine $engine vs truth $expected")
+    assert(engine.nonEmpty, "the pinned phrase must occur at sf0.001")
+    val plan = ops.SearchOps.queries("search_phrase")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"adjacency must stay an equi-join on (doc_id, offset)\n${plan.take(800)}")
+  }
 }
