@@ -362,6 +362,34 @@ object RelationalOps {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Window-function suite, A6 (extension): the per-entity analytics
+    * vocabulary — sequence numbering (`row_number`), inter-event gaps
+    * (`lag` on µs integers), running spend (`sum` over a ROWS frame), and
+    * spend quartiles (`ntile`) — in ONE query. Both window specs partition
+    * by user_id, so Catalyst reuses a single hash partitioning for the two
+    * sorts (ts-order and cents-order); at 100 TB that is one shuffle of the
+    * fact table, then per-key linear passes. All outputs are integers, so
+    * the oracle is bit-exact.
+    */
+  private def a6WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byCents = Window.partitionBy(col("user_id"))
+      .orderBy(col("cents").desc, col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(byTs))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(byTs))
+      .withColumn("cum_cents",
+        sum(col("cents")).over(byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("spend_quartile", ntile(4).over(byCents))
+      .select(col("user_id"), col("event_id"), col("rn"), col("gap_us"),
+        col("cum_cents"), col("spend_quartile"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
   /** Cumulative daily growth, W9 (extension): per-type event volume and
     * value by day, with running totals — the corpus-growth curve a
     * training-data pipeline reports after every ingest day. Scale shape:
@@ -490,6 +518,7 @@ object RelationalOps {
     "w5_boundary_duplicates" -> (w5 _),
     "w8_gap_sessionize" -> (w8 _),
     "w9_cumulative_daily" -> (w9 _),
+    "a6_window_suite" -> (a6WindowSuite _),
     "j2_asof_join" -> (j2 _),
     "w7_no_data_short_circuit" -> (w7 _),
     "q1_pricing_summary" -> (q1 _),
@@ -604,6 +633,18 @@ object RelationalOps {
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
          |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "a6_window_suite" ->
+      """SELECT user_id, event_id,
+        |  CAST(row_number() OVER wts AS INTEGER) AS rn,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER wts AS gap_us,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+        |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY cents DESC, event_id)
+        |    AS INTEGER) AS spend_quartile
+        |FROM (SELECT user_id, event_id, ts,
+        |        CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |WINDOW wts AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, rn""".stripMargin,
     "w9_cumulative_daily" ->
       """WITH d AS (
         |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

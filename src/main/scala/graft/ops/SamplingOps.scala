@@ -254,7 +254,27 @@ object SamplingOps {
       .orderBy(col("lang"), col("rnk"))
   }
 
+  /** Set operations over two sampling gates — INTERSECT / EXCEPT / UNION
+    * with set (dedup) semantics, the split-audit algebra ("how much does
+    * the quota eval set overlap the stratified training mix?"). Spark's
+    * set operators plan as aggregates/joins on the key — at 100 TB each is
+    * one shuffle on doc_id, no driver materialization. Reported as counts
+    * so the output is a 4-row audit.
+    */
+  private def setOpsSplits(s: SparkSession, dir: String): DataFrame = {
+    val strat = mixStratifiedSample(s, dir).select(col("doc_id"))
+    val quota = mixExactQuota(s, dir).select(col("doc_id"))
+    def tagged(df: DataFrame, op: String): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+    tagged(strat.intersect(quota), "intersect")
+      .unionByName(tagged(strat.except(quota), "strat_minus_quota"))
+      .unionByName(tagged(quota.except(strat), "quota_minus_strat"))
+      .unionByName(tagged(strat.union(quota).distinct(), "union"))
+      .orderBy(col("op"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_ops_splits" -> (setOpsSplits _),
     "chunk_fixed_tokens" -> (chunkFixedTokens _),
     "batch_length_buckets" -> (batchLengthBuckets _),
     "mix_stratified_sample" -> (mixStratifiedSample _),
@@ -268,6 +288,30 @@ object SamplingOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "set_ops_splits" ->
+      s"""WITH strat AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE CASE WHEN lang = 'en' THEN substr(md5(doc_id::VARCHAR), 32, 1) < '8'
+         |             WHEN lang = 'zh' THEN substr(md5(doc_id::VARCHAR), 32, 1) < 'c'
+         |             ELSE true END),
+         |quota AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (
+         |      PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rnk
+         |    FROM documents)
+         |  WHERE rnk <= $QuotaPerLang)
+         |SELECT 'intersect' AS op, count(*) AS n
+         |  FROM (SELECT doc_id FROM strat INTERSECT SELECT doc_id FROM quota)
+         |UNION ALL
+         |SELECT 'strat_minus_quota', count(*)
+         |  FROM (SELECT doc_id FROM strat EXCEPT SELECT doc_id FROM quota)
+         |UNION ALL
+         |SELECT 'quota_minus_strat', count(*)
+         |  FROM (SELECT doc_id FROM quota EXCEPT SELECT doc_id FROM strat)
+         |UNION ALL
+         |SELECT 'union', count(*)
+         |  FROM (SELECT doc_id FROM strat UNION SELECT doc_id FROM quota)
+         |ORDER BY op""".stripMargin,
     "chunk_fixed_tokens" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -180,6 +180,14 @@ class PlanSpec extends AnyFunSuite {
       s"one custkey partitioning + the final ORDER BY only\n$plan")
   }
 
+  test("window suite shares ONE user_id shuffle across both window orderings") {
+    val plan = physical(ops.RelationalOps.queries("a6_window_suite")(spark, Sf0001))
+    assert("Exchange".r.findAllIn(plan).length == 2,
+      s"ts-order and cents-order windows must reuse one user_id partitioning; " +
+        s"only the final ORDER BY may add an exchange\n$plan")
+    assert("Window".r.findAllIn(plan).nonEmpty && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("cumulative daily growth aggregates the fact table BEFORE windowing") {
     val plan = physical(ops.RelationalOps.queries("w9_cumulative_daily")(spark, Sf0001))
     // the running sum must window over the day rollup, not the raw events:

@@ -173,4 +173,14 @@ class SamplingSpec extends AnyFunSuite {
       assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
     }
   }
+
+  test("set-ops audit obeys inclusion-exclusion and both gates are non-trivial") {
+    val m = ops.SamplingOps.queries("set_ops_splits")(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet == Set("intersect", "strat_minus_quota", "quota_minus_strat", "union"))
+    assert(m("intersect") + m("strat_minus_quota") + m("quota_minus_strat") == m("union"),
+      s"inclusion-exclusion violated: $m")
+    assert(m("intersect") > 0 && m("strat_minus_quota") > 0,
+      s"gates must genuinely overlap AND differ for the audit to be non-vacuous: $m")
+  }
 }
