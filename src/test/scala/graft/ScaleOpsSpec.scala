@@ -64,6 +64,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(afterRows == beforeRows, "compaction must not change the row multiset")
   }
 
+  test("backfill query is non-vacuous: the duplicate append really corrupts the dest") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, Sf0001, "events").select(
+      col("event_id"), date_format(col("ts"), "yyyy-MM-dd").as("export_date"))
+    val dest = tmpDir("backfill_corrupt_")
+    ev.write.mode("append").partitionBy("export_date").parquet(dest)
+    ev.where(col("export_date") === "2024-01-05")
+      .write.mode("append").partitionBy("export_date").parquet(dest)
+    val clean = ev.where(col("export_date") === "2024-01-05").count()
+    val corrupted = spark.read.parquet(dest)
+      .where(col("export_date") === "2024-01-05").count()
+    assert(clean > 0, "the damaged date must exist at sf0.001")
+    assert(corrupted == 2 * clean,
+      s"without the repair the partition must hold duplicates ($corrupted vs $clean)")
+    // and the registered query (which performs the repair) restores exactly
+    // the clean rollup
+    val repaired = ops.ScaleOps.queries("etl_backfill_window")(spark, Sf0001)
+    val expected = ev.groupBy("export_date").count()
+    assert(repaired.count() == expected.count())
+    assert(repaired.agg(sum(col("n_rows"))).collect()(0).getLong(0) ==
+      Tables.load(spark, Sf0001, "events").count())
+  }
+
   test("bucketed tables join co-located: no shuffle exchange before the join") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql("DROP TABLE IF EXISTS b_orders")
