@@ -254,6 +254,27 @@ object SamplingOps {
       .orderBy(col("lang"), col("rnk"))
   }
 
+  /** Temperature-scaled source rebalance (α = 0.5): the standard move that
+    * up-weights small high-quality sources relative to the dominant crawl
+    * before composing a training mix. Weights are RELATIVE to the largest
+    * source — `rel_weight = sqrt(n_i / n_max)` — deliberately NOT
+    * normalized over a Σ of square roots: a sum of irrationals is
+    * float-order-dependent across engines, while one exact integer ratio
+    * into one correctly-rounded sqrt is bit-identical everywhere. One
+    * partial-agg shuffle collapses the corpus to |sources| rows; the max
+    * is a window over that tiny rollup.
+    */
+  private def mixTemperatureWeights(s: SparkSession, dir: String): DataFrame = {
+    val counts = documents(s, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    counts
+      .withColumn("n_max", max(col("n_docs")).over(Window.partitionBy()))
+      .select(col("source"), col("n_docs"),
+        round(sqrt(col("n_docs").cast("double") / col("n_max").cast("double")), 6)
+          .as("rel_weight"))
+      .orderBy(col("source"))
+  }
+
   /** Set operations over two sampling gates — INTERSECT / EXCEPT / UNION
     * with set (dedup) semantics, the split-audit algebra ("how much does
     * the quota eval set overlap the stratified training mix?"). Spark's
@@ -275,6 +296,7 @@ object SamplingOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "set_ops_splits" -> (setOpsSplits _),
+    "mix_temperature_weights" -> (mixTemperatureWeights _),
     "chunk_fixed_tokens" -> (chunkFixedTokens _),
     "batch_length_buckets" -> (batchLengthBuckets _),
     "mix_stratified_sample" -> (mixStratifiedSample _),
@@ -288,6 +310,11 @@ object SamplingOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "mix_temperature_weights" ->
+      """SELECT source, n_docs,
+        |  round(sqrt(n_docs::DOUBLE / (max(n_docs) OVER ())::DOUBLE), 6) AS rel_weight
+        |FROM (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+        |ORDER BY source""".stripMargin,
     "set_ops_splits" ->
       s"""WITH strat AS (
          |  SELECT doc_id FROM documents
