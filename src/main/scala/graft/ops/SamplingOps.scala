@@ -254,6 +254,37 @@ object SamplingOps {
       .orderBy(col("lang"), col("rnk"))
   }
 
+  /** Pearson correlation (chars vs tokens, per language) from EXACT integer
+    * moments. Spark's `corr` (and DuckDB's) accumulates doubles in
+    * partition order — non-deterministic across engines and cluster
+    * layouts. Here the five moments (Σx, Σy, Σxy, Σx², Σy²) are BIGINT
+    * sums — order-independent, overflow-safe at any shipped SF (n·Σx²
+    * ≲ 1e14 ≪ 2⁶³) — and the only float ops are one subtraction-free
+    * integer→double cast each, one product, one sqrt, one division: every
+    * step correctly rounded, so round(·, 6) is bit-identical everywhere.
+    * One partial-agg shuffle on lang; the formula runs on |langs| rows.
+    */
+  private def statsCorrExact(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("lang"), col("n_chars").as("x"),
+        size(tokens(col("text"))).cast("long").as("y"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lang"), col("n"),
+        when(
+          (col("n") * col("sxx") - col("sx") * col("sx")) === 0 ||
+            (col("n") * col("syy") - col("sy") * col("sy")) === 0, lit(null))
+          .otherwise(round(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6))
+          .as("corr_chars_tokens"))
+      .orderBy(col("lang"))
+
   /** Temperature-scaled source rebalance (α = 0.5): the standard move that
     * up-weights small high-quality sources relative to the dominant crawl
     * before composing a training mix. Weights are RELATIVE to the largest
@@ -297,6 +328,7 @@ object SamplingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "set_ops_splits" -> (setOpsSplits _),
     "mix_temperature_weights" -> (mixTemperatureWeights _),
+    "stats_corr_exact" -> (statsCorrExact _),
     "chunk_fixed_tokens" -> (chunkFixedTokens _),
     "batch_length_buckets" -> (batchLengthBuckets _),
     "mix_stratified_sample" -> (mixStratifiedSample _),
@@ -310,6 +342,25 @@ object SamplingOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stats_corr_exact" ->
+      """WITH t AS (
+        |  SELECT lang, n_chars AS x,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                         v -> v <> '')) AS BIGINT) AS y
+        |  FROM documents),
+        |m AS (
+        |  SELECT lang, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM t GROUP BY lang)
+        |SELECT lang, n,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+        |       ELSE round((n * sxy - sx * sy)::DOUBLE /
+        |              sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
+        |  END AS corr_chars_tokens
+        |FROM m ORDER BY lang""".stripMargin,
     "mix_temperature_weights" ->
       """SELECT source, n_docs,
         |  round(sqrt(n_docs::DOUBLE / (max(n_docs) OVER ())::DOUBLE), 6) AS rel_weight

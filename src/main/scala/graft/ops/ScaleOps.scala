@@ -207,10 +207,48 @@ object ScaleOps {
       .orderBy(col("export_date"))
   }
 
+  /** Bit-interleave of two 4-bit dimension indices (bit i of d1 → z-bit 2i,
+    * bit i of d2 → z-bit 2i+1), written in plain integer arithmetic so the
+    * identical formula runs on Spark (`div`) and DuckDB (`//`).
+    */
+  private def zInterleave(intDiv: String): String =
+    (0 until 4).map { i =>
+      s"((d1 $intDiv ${1 << i}) % 2) * ${1L << (2 * i)} + " +
+        s"((d2 $intDiv ${1 << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** Z-order layout audit: multi-dimensional clustering for scan locality.
+    * A 100 TB table sorted by ONE column prunes files only for that
+    * column's filters; interleaving the bits of two dimension indices
+    * (here: a document-length bucket and a token-count bucket) gives a
+    * 1-D sort key whose contiguous ranges are small RECTANGLES in dim
+    * space, so min/max file skipping works for filters on EITHER
+    * dimension. The query computes each doc's z-value, groups docs into
+    * z-ranges ("files" of 16 consecutive z codes), and reports every
+    * range's bounding box — the audit that shows each file covers a
+    * narrow dim rectangle, which is precisely the property file skipping
+    * exploits. Map-only until one tiny rollup.
+    */
+  private def layoutZorder(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        least(expr("n_chars div 128"), lit(15L)).as("d1"),
+        least(expr(
+          "size(filter(split(lower(text), '\\\\s+'), x -> x != '')) div 16").cast("long"),
+          lit(15L)).as("d2"))
+      .withColumn("z", expr(zInterleave("div")))
+      .groupBy(expr("z div 16").as("file_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("d1")).as("d1_min"), max(col("d1")).as("d1_max"),
+        min(col("d2")).as("d2_min"), max(col("d2")).as("d2_max"))
+      .orderBy(col("file_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j4_salted_skew_join" -> (j4SaltedSkewJoin _),
     "etl_compact_dest" -> (etlCompactDest _),
-    "etl_backfill_window" -> (etlBackfillWindow _)
+    "etl_backfill_window" -> (etlBackfillWindow _),
+    "layout_zorder" -> (layoutZorder _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -228,6 +266,18 @@ object ScaleOps {
     "etl_backfill_window" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS export_date, count(*) AS n_rows,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "layout_zorder" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    least(n_chars // 128, 15) AS d1,
+         |    least(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |                               x -> x <> '')) AS BIGINT) // 16, 15) AS d2
+         |  FROM documents),
+         |z AS (SELECT doc_id, d1, d2, ${zInterleave("//")} AS z FROM d)
+         |SELECT z // 16 AS file_id, count(*) AS n_docs,
+         |  min(d1) AS d1_min, max(d1) AS d1_max,
+         |  min(d2) AS d2_min, max(d2) AS d2_max
+         |FROM z GROUP BY file_id ORDER BY file_id""".stripMargin
   )
 }

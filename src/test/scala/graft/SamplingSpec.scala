@@ -174,6 +174,23 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-moments corr matches Spark's native corr to float precision") {
+    import org.apache.spark.sql.functions.{col, corr, size}
+    val engine = ops.SamplingOps.queries("stats_corr_exact")(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val native = Tables.load(spark, Sf0001, "documents")
+      .select(col("lang"), col("n_chars").cast("double").as("x"),
+        size(functions.TextFunctions.tokens(col("text"))).cast("double").as("y"))
+      .groupBy("lang").agg(corr(col("x"), col("y")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(engine.keySet == native.keySet)
+    engine.foreach { case (lang, c) =>
+      assert(c >= -1.0 && c <= 1.0)
+      assert(math.abs(c - native(lang)) < 1e-4,
+        s"$lang: exact-moments $c vs native ${native(lang)}")
+    }
+  }
+
   test("set-ops audit obeys inclusion-exclusion and both gates are non-trivial") {
     val m = ops.SamplingOps.queries("set_ops_splits")(spark, Sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
