@@ -21,11 +21,13 @@ class GraftSessionSpec extends AnyFunSuite {
     GraftSession.init(spark, Sf0001)
     val sql = spark.sql(
       """SELECT doc_id, size(graft_shingle_hashes(text)) AS n_sh,
-        |  graft_simhash60_shingles(text) AS sim
+        |  graft_simhash60_shingles(text) AS sim,
+        |  graft_normalize_text(text) AS norm
         |FROM documents ORDER BY doc_id""".stripMargin)
     val df = Tables.load(spark, Sf0001, "documents")
       .select(col("doc_id"), size(expr("graft_shingle_hashes(text)")).as("n_sh"),
-        expr("graft_simhash60_shingles(text)").as("sim"))
+        expr("graft_simhash60_shingles(text)").as("sim"),
+        expr("graft_normalize_text(text)").as("norm"))
       .orderBy(col("doc_id"))
     assert(sql.exceptAll(df).isEmpty && df.exceptAll(sql).isEmpty)
   }
