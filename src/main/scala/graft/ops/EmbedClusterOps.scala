@@ -50,15 +50,16 @@ object EmbedClusterOps {
       (c.getField("n") * c.getField("n")).cast("double")
   }
 
-  /** Argmin over the (cid-ascending) centroid array; strict `<` keeps the
-    * lowest cid on a tie — the oracle's `ORDER BY d, cid` mirror.
+  /** Argmin over the (cid-ascending) centroid array: map each centroid to
+    * its (d, cid) pair once, then `array_min`'s lexicographic struct order
+    * IS "min d, lowest cid on ties" — the oracle's `ORDER BY d, cid`
+    * mirror. (A fold with `when(dist < acc.d)` would evaluate every
+    * distance twice — once in the predicate, once in the kept struct.)
     */
   private def bestCid(cents: Column, q: Column): Column =
-    aggregate(cents,
-      struct(lit(Double.MaxValue).as("d"), lit(-1).as("cid")),
-      (acc, c) => when(dist(c, q) < acc.getField("d"),
-        struct(dist(c, q).as("d"), c.getField("cid").as("cid"))).otherwise(acc)
-    ).getField("cid")
+    array_min(transform(cents,
+      c => struct(dist(c, q).as("d"), c.getField("cid").as("cid"))))
+      .getField("cid")
 
   /** One assignment pass: vectors × broadcast 1-row centroid array. */
   private def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
@@ -90,7 +91,9 @@ object EmbedClusterOps {
     * cid = rank); returns `(vec_id, cid)`.
     */
   def kmeansAssign(vectors: DataFrame, k: Int = K, iters: Int = Iters): DataFrame = {
-    val vecs = quantized(vectors)
+    // each Lloyd pass re-reads the quantized relation (3 assigns + 2
+    // updates): cache it once instead of re-scanning + re-quantizing
+    val vecs = quantized(vectors).cache()
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
     val seeds = vecs.orderBy(col("vec_id")).limit(k)
       .select((row_number().over(w) - 1).cast("int").as("cid"),
@@ -121,7 +124,9 @@ object EmbedClusterOps {
     val fx = e.unionByName(
       e.where(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-    val m = fx.join(kmeansAssign(fx), Seq("vec_id"))
+    // both sides of the within-cluster self-join derive from this relation:
+    // cache it, or the entire kmeans+join pipeline executes once per side
+    val m = fx.join(kmeansAssign(fx), Seq("vec_id")).cache()
     val a = m.select(col("vec_id").as("a_id"), col("embedding").as("a_e"), col("cid"))
     val b = m.select(col("vec_id").as("b_id"), col("embedding").as("b_e"), col("cid"))
     a.join(b, Seq("cid")).where(col("a_id") < col("b_id"))
