@@ -3,11 +3,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev audit main: prints every registered query whose physical plan
   * contains a CartesianProduct or BroadcastNestedLoopJoin (plus plan
-  * errors). Expected hits are exactly the documented brute-force paths:
-  * ann_bruteforce_topk (the correctness baseline), ann_lsh_recall /
-  * ann_ivf_recall (they embed that baseline as truth), and
-  * dedup_ngram_jaccard (the sampled ground-truth verifier). Anything else
-  * appearing here is a regression.
+  * errors). Expected hits, all documented:
+  *  - brute-force truth paths: ann_bruteforce_topk (the correctness
+  *    baseline), ann_lsh_recall / ann_ivf_recall (they embed that baseline
+  *    as truth), dedup_ngram_jaccard (the sampled ground-truth verifier);
+  *  - deliberate ONE-ROW broadcast cross joins (a scalar carried as a
+  *    column, never a pair explosion): embed_kmeans / semdedup_prune (the
+  *    centroid array row), search_invindex_topk (the corpus-count row).
+  * Anything else appearing here is a regression.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

@@ -117,4 +117,24 @@ class NativeTextSpec extends AnyFunSuite {
         expr("graft_normalize_text(text)").as("n"))
     assert(twice.where(col("nn") =!= col("n")).count() == 0)
   }
+
+  test("property: normalization is idempotent and canonical on random unicode soup") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import sp.implicits._
+    val pool = Seq("a", "B", "é", "é", "Ü", "漢", " ", "\t", "\n", "  ", "x")
+    val gen = Gen.listOfN(12, Gen.oneOf(pool)).map(_.mkString)
+    val prop = Prop.forAll(gen) { (s: String) =>
+      val r = Seq(s).toDF("text")
+        .select(expr("graft_normalize_text(text)").as("n"),
+          expr("graft_normalize_text(graft_normalize_text(text))").as("nn"))
+        .collect().head
+      val (n, nn) = (r.getString(0), r.getString(1))
+      n == nn &&                                 // idempotent
+        n == n.trim &&                           // no boundary whitespace
+        !n.contains("  ") && !n.contains("\t") && !n.contains("\n") && // collapsed
+        n == java.text.Normalizer.normalize(n, java.text.Normalizer.Form.NFC) // NFC-stable
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
