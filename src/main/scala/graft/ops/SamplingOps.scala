@@ -306,6 +306,28 @@ object SamplingOps {
       .orderBy(col("source"))
   }
 
+  /** Languages present at every shipped SF — the pivot's EXPLICIT value
+    * list (an implicit pivot would run an extra distinct-values job and
+    * make the output schema data-dependent; at 100 TB the schema must be
+    * declared, not discovered).
+    */
+  private[graft] val PivotLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** Pivot (reshape) operator: the source × language document-count matrix
+    * as a WIDE table — the mix-composition report read side-by-side. One
+    * partial-agg shuffle on source; the lang dimension folds into
+    * conditional aggregates (exactly how the DuckDB oracle expresses it,
+    * and how Catalyst lowers pivot with an explicit value list).
+    * SamplingSpec round-trips it through `unpivot` back to the long form.
+    */
+  private def mixPivotMatrix(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(col("source"))
+      .pivot("lang", PivotLangs)
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotLangs)
+      .orderBy(col("source"))
+
   /** Set operations over two sampling gates — INTERSECT / EXCEPT / UNION
     * with set (dedup) semantics, the split-audit algebra ("how much does
     * the quota eval set overlap the stratified training mix?"). Spark's
@@ -328,6 +350,7 @@ object SamplingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "set_ops_splits" -> (setOpsSplits _),
     "mix_temperature_weights" -> (mixTemperatureWeights _),
+    "mix_pivot_matrix" -> (mixPivotMatrix _),
     "stats_corr_exact" -> (statsCorrExact _),
     "chunk_fixed_tokens" -> (chunkFixedTokens _),
     "batch_length_buckets" -> (batchLengthBuckets _),
@@ -342,6 +365,13 @@ object SamplingOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "mix_pivot_matrix" -> {
+      val cells = PivotLangs.map(l =>
+        s"CAST(count(*) FILTER (lang = '$l') AS BIGINT) AS \"$l\"").mkString(",\n  ")
+      s"""SELECT source,
+         |  $cells
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
     "stats_corr_exact" ->
       """WITH t AS (
         |  SELECT lang, n_chars AS x,

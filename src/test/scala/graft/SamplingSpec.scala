@@ -174,6 +174,20 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("pivot matrix unpivots back to the long-form counts exactly") {
+    import org.apache.spark.sql.functions.col
+    val wide = ops.SamplingOps.queries("mix_pivot_matrix")(spark, Sf0001)
+    val long = wide.unpivot(Array(col("source")), "lang", "n")
+      .where(col("n") > 0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val truth = Tables.load(spark, Sf0001, "documents")
+      .groupBy("source", "lang").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(long == truth, "unpivot(pivot(x)) must reproduce the long form")
+    // total mass conserved through the reshape
+    assert(long.values.sum == Tables.load(spark, Sf0001, "documents").count())
+  }
+
   test("exact-moments corr matches Spark's native corr to float precision") {
     import org.apache.spark.sql.functions.{col, corr, size}
     val engine = ops.SamplingOps.queries("stats_corr_exact")(spark, Sf0001)
