@@ -89,6 +89,7 @@ object StreamingOps {
     "stream_user_watermark" -> ((s, dir) => StreamingIngest.statefulUserWatermark(s, dir)),
     "stream_dedup_exact" -> ((s, dir) => StreamingIngest.streamDedupExact(s, dir)),
     "stream_sessionize" -> ((s, dir) => StreamingIngest.sessionWindows(s, dir)),
+    "stream_interval_join" -> ((s, dir) => StreamingIngest.streamIntervalJoin(s, dir)),
     "stream_ingest_screen" -> (streamIngestScreen _),
     "stream_etl_dest" -> ((s, dir) => {
       StreamingIngest.streamEtlToParquet(s, dir)
@@ -100,6 +101,13 @@ object StreamingOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the streaming interval join must converge to the batch interval join
+    "stream_interval_join" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id
+        |FROM events p JOIN events v ON p.user_id = v.user_id
+        |  AND p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+        |ORDER BY purchase_id, view_id""".stripMargin,
     "stream_tumbling_daily" ->
       s"""SELECT strftime(date_trunc('day', ts), '$TsFmt') AS window_start,
          |  count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents

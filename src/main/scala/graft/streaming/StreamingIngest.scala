@@ -200,4 +200,34 @@ object StreamingIngest {
       .agg(date_format(max(col("watermark")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("watermark"))
       .orderBy(col("user_id"))
   }
+
+  /** STREAM-STREAM interval join: every purchase matched to the same
+    * user's views in the strictly-preceding hour — the attribution join,
+    * with BOTH sides unbounded streams. The event-time range condition +
+    * per-side watermarks are what make this feasible on an always-on
+    * pipeline: the state store holds only rows inside the hour horizon
+    * (a view older than `purchase-side watermark − 1 h` can never match a
+    * future purchase, so the engine evicts it). APPEND mode — inner-join
+    * matches are final the moment both sides exist. At AvailableNow drain
+    * the result converges to the batch interval join, which is exactly
+    * what the DuckDB oracle replays.
+    */
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") < col("p_ts"))
+      .select(col("purchase_id"), col("view_id"))
+    runToMemory(joined, s"stream_ivj_${System.nanoTime()}", OutputMode.Append())
+      .orderBy(col("purchase_id"), col("view_id"))
+  }
 }

@@ -33,4 +33,22 @@ class StreamingDedupSpec extends AnyFunSuite {
       .orderBy(col("event_id"))
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
+
+  test("stream-stream interval join converges to the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.StreamingIngest.streamIntervalJoin(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val e = Tables.load(spark, Sf0001, "events")
+    val batch = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+      .join(e.where(col("event_type") === "view")
+          .select(col("user_id").as("vu"), col("event_id").as("view_id"), col("ts").as("vts")),
+        col("pu") === col("vu") &&
+          col("vts") >= col("pts") - expr("INTERVAL 1 HOUR") && col("vts") < col("pts"))
+      .select(col("purchase_id"), col("view_id"))
+      .orderBy(col("purchase_id"), col("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed.nonEmpty, "fixture must produce at least one attribution pair")
+    assert(streamed == batch)
+  }
 }
