@@ -23,6 +23,13 @@ import graft.functions.NativeVector
   *     (fixed hyperplanes, fixed centroids, fixed probe set), so these ARE
   *     DuckDB-oracle-able — the oracle asserts every query point clears
   *     the floor; SimilaritySpec additionally asserts mean recall ≥ 0.9.
+  *   - `embed_pq_codes` — product quantization, the third classical index
+  *     family and the one that SHRINKS the corpus (4 nibble codes per
+  *     vector here). The registered query is the bit-exact-oracled
+  *     ENCODER; the ADC-shortlist + exact-rerank search (`annPqTopk`) is
+  *     spec-graded with floors honest for this corpus (uniform random
+  *     vectors are PQ's pathological case — no subspace cluster structure;
+  *     LSH is the high-recall path here).
   *
   * All vector math is native codegen ([[graft.functions.NativeVector]]):
   * cosine is one compiled pass, and sign-LSH signatures are a map-only
@@ -280,6 +287,122 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  private val PqM = 4           // subspaces (dim 64 → 4 × 16)
+  private val PqDsub = 16
+  private val PqCodes = 64      // codewords per subspace
+  private val PqShortlist = 100 // ADC shortlist size before exact rerank
+
+  /** L2² between two float subvectors — fixed left-to-right fold, so the
+    * value is one deterministic double per pair in any partitioning.
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** (id, m, sub): the M-subvector view of a vector relation. */
+  private def subvectors(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), explode(array((0 until PqM).map { m =>
+      struct(lit(m).as("m"), slice(col(vecCol), m * PqDsub + 1, PqDsub).as("sub"))
+    }: _*)).as("x"))
+      .select(col(idCol), col("x.m").as("m"), col("x.sub").as("sub"))
+
+  /** The PQ (product-quantization) ANN path — the third classical index
+    * family next to LSH and IVF, and the one that actually SHRINKS the
+    * corpus: each 64-float vector becomes M=4 nibble codes (16 B → 4 B
+    * here; 256 B → 8 B for production float32×64). Codebooks are a
+    * deterministic corpus sample per subspace (vec_id < 16 — the IVF
+    * centroid convention; production k-means only changes codebook
+    * quality, not the plan). Search is the textbook two stages:
+    *  1. ADC — the query precomputes its distance to every codeword (a
+    *     M×codes table, broadcast), then each corpus CODE row is scored by
+    *     pure table lookup: an equi-join on (m, code) + a 4-term sum. No
+    *     float vectors are touched; at 100 TB this scans the 4-byte code
+    *     column only.
+    *  2. Exact rerank of the ADC shortlist (top `PqShortlist` per query)
+    *     with true cosines — candidate-sized work.
+    * The per-subspace ADC partials are folded in fixed m-order (four
+    * conditional single-row sums, not a float groupBy-sum), so every ADC
+    * score is run-deterministic and the recall row set is hash-stable.
+    */
+  def annPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val cents = subvectors(
+      e.where(col("vec_id") < PqCodes)
+        .select(col("vec_id").cast("int").as("j"), col("embedding")),
+      "j", "embedding")
+      .select(col("m"), col("j"), col("sub").as("c_sub"))
+    // encode: nearest codeword per (vector, subspace) — (d, j) lexicographic
+    // argmin keeps the lowest j on ties
+    val ew = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d"), col("j"))
+    val codes = subvectors(e, "vec_id", "embedding")
+      .join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("m"), col("j"), l2sq(col("sub"), col("c_sub")).as("d"))
+      .withColumn("rn", row_number().over(ew)).where(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("j").as("code"))
+    // ADC distance table: query × every codeword of every subspace
+    val dtable = subvectors(querySet(e), "q_id", "q_e")
+      .join(broadcast(cents), Seq("m"))
+      .select(col("q_id"), col("m"), col("j").as("code"),
+        l2sq(col("sub"), col("c_sub")).as("qd"))
+    // score = Σ_m qd[m, code_m(x)] — four single-row sums added in fixed order
+    val adc = codes.join(broadcast(dtable), Seq("m", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(when(col("m") === 0, col("qd"))).as("d0"),
+        (1 until PqM).map(m =>
+          sum(when(col("m") === m, col("qd"))).as(s"d$m")): _*)
+      .select(col("q_id"), col("vec_id"),
+        (0 until PqM).map(m => col(s"d$m")).reduce(_ + _).as("adc"))
+      .where(col("vec_id") =!= col("q_id"))
+    val sw = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    val shortlist = adc.withColumn("rn", row_number().over(sw))
+      .where(col("rn") <= PqShortlist)
+      .select(col("q_id"), col("vec_id"))
+    // exact rerank of the shortlist only
+    val reranked = shortlist
+      .join(e, Seq("vec_id"))
+      .join(broadcast(querySet(e)), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_e"), col("embedding")), 6).as("c"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+    reranked.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= TopK)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  def pqRecall(s: SparkSession, dir: String): DataFrame =
+    recallVsExact(s, dir, annPqTopk(s, dir))
+
+  /** The registered PQ operator: the ENCODER, bit-exact-oracled. Each
+    * vector's 4 codes are deterministic argmins over the sampled codebook
+    * (ties → lowest codeword id), every distance a fixed-order fold over
+    * exact casts — so DuckDB replays the identical encoding and the hash
+    * check covers the whole codebook + assignment pipeline. (The ADC
+    * search stage on top is `annPqTopk`, exercised in SimilaritySpec with
+    * recall floors honest for THIS corpus — uniform random vectors are
+    * PQ's pathological case; see the header note. The encoder, not the
+    * search heuristic, is the part with an exact contract.)
+    */
+  private def embedPqCodes(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val cents = subvectors(
+      e.where(col("vec_id") < PqCodes)
+        .select(col("vec_id").cast("int").as("j"), col("embedding")),
+      "j", "embedding")
+      .select(col("m"), col("j"), col("sub").as("c_sub"))
+    val ew = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d"), col("j"))
+    subvectors(e, "vec_id", "embedding")
+      .join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("m"), col("j"),
+        l2sq(col("sub"), col("c_sub")).as("d"))
+      .withColumn("rn", row_number().over(ew)).where(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(min(when(col("m") === 0, col("j"))).as("code0"),
+        (1 until PqM).map(m =>
+          min(when(col("m") === m, col("j"))).as(s"code$m")): _*)
+      .orderBy(col("vec_id"))
+  }
+
   /** Recall@k of an approximate top-k against the brute-force truth: one
     * row per query point. Both sides break score ties identically
     * (c desc, vec_id), so recall is a fixed number per corpus and config —
@@ -350,7 +473,8 @@ object SimilarityOps {
     "embed_quantize_int8" -> (embedQuantizeInt8 _),
     "ann_bruteforce_topk" -> (annBruteforce(_, _)),
     "ann_lsh_recall" -> ((s, d) => recallQuery(s, d, annLshTopk(s, d), LshRecallFloor)),
-    "ann_ivf_recall" -> ((s, d) => recallQuery(s, d, annIvfTopk(s, d), IvfRecallFloor))
+    "ann_ivf_recall" -> ((s, d) => recallQuery(s, d, annIvfTopk(s, d), IvfRecallFloor)),
+    "embed_pq_codes" -> (embedPqCodes _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -419,6 +543,38 @@ object SimilarityOps {
         |FROM embeddings WHERE vec_id % 100 = 7 ORDER BY q_id""".stripMargin,
     "ann_ivf_recall" ->
       """SELECT vec_id AS q_id, CAST(true AS BOOLEAN) AS recall_ok
-        |FROM embeddings WHERE vec_id % 100 = 7 ORDER BY q_id""".stripMargin
+        |FROM embeddings WHERE vec_id % 100 = 7 ORDER BY q_id""".stripMargin,
+    // Replays the full PQ encoding: same codebook sample, same fixed-order
+    // L2² fold (list_reduce ≡ Spark's aggregate fold — left-to-right, init
+    // absorbed exactly), same (d, j) tie-break.
+    "embed_pq_codes" -> {
+      val codeCols = (0 until PqM).map(m =>
+        s"min(CASE WHEN m = $m THEN j END) AS code$m").mkString(",\n  ")
+      val ms = (0 until PqM).mkString("[", ", ", "]")
+      s"""WITH c AS (
+         |  SELECT m, CAST(vec_id AS INTEGER) AS j,
+         |    list_slice(embedding, m * $PqDsub + 1, m * $PqDsub + $PqDsub) AS c_sub
+         |  FROM (SELECT vec_id, embedding, unnest($ms) AS m
+         |        FROM embeddings WHERE vec_id < $PqCodes)),
+         |v AS (
+         |  SELECT vec_id, m,
+         |    list_slice(embedding, m * $PqDsub + 1, m * $PqDsub + $PqDsub) AS sub
+         |  FROM (SELECT vec_id, embedding, unnest($ms) AS m FROM embeddings)),
+         |d AS (
+         |  SELECT v.vec_id, v.m, c.j,
+         |    list_reduce(list_transform(range(1, ${PqDsub + 1}),
+         |      i -> (v.sub[i]::DOUBLE - c.c_sub[i]::DOUBLE)
+         |         * (v.sub[i]::DOUBLE - c.c_sub[i]::DOUBLE)),
+         |      (a, b) -> a + b) AS d
+         |  FROM v JOIN c ON v.m = c.m),
+         |a AS (
+         |  SELECT vec_id, m, j FROM (
+         |    SELECT vec_id, m, j,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+         |    FROM d) WHERE rn = 1)
+         |SELECT vec_id,
+         |  $codeCols
+         |FROM a GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    }
   )
 }

@@ -42,6 +42,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.sum / r.size >= 0.9, s"mean IVF recall, got ${r.sum / r.size}")
   }
 
+  test("PQ codes: every vector encoded, codes in range, codebook rows self-code") {
+    val rows = ops.SimilarityOps.queries("embed_pq_codes")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    val n = Tables.load(spark, Sf0001, "embeddings").count()
+    assert(rows.length == n, "every corpus vector must get a code word per subspace")
+    rows.foreach { case (id, codes) =>
+      assert(codes.forall(c => c >= 0 && c < 64), s"vec $id codes $codes out of range")
+    }
+    // a codebook vector's nearest codeword in every subspace is itself (d = 0)
+    rows.filter(_._1 < 64).foreach { case (id, codes) =>
+      assert(codes.forall(_ == id.toInt), s"codebook vec $id must self-code, got $codes")
+    }
+  }
+
+  test("PQ ADC shortlist + exact rerank: honest recall on this worst-case corpus") {
+    // uniform random vectors are PQ's pathological case (no cluster
+    // structure for the subspace codebooks to exploit) — the floors here
+    // are deliberately what the corpus supports, not a shippable ANN bar;
+    // LSH (≥0.9/0.95) is the engine's high-recall path on this data
+    val r = recalls(ops.SimilarityOps.pqRecall(spark, Sf0001))
+    assert(r.nonEmpty)
+    assert(r.min >= 0.5, s"per-query PQ recall floor, got min ${r.min}")
+    assert(r.sum / r.size >= 0.7, s"mean PQ recall, got ${r.sum / r.size}")
+  }
+
   test("LSH top-k respects the k bound per query") {
     val lsh = ops.SimilarityOps.annLshTopk(spark, Sf0001)
     val perQuery = lsh.groupBy("q_id").count().collect().map(_.getLong(1))
