@@ -90,7 +90,15 @@ object EmbedClusterOps {
   /** `Iters` Lloyd passes from deterministic seeds (the k smallest vec_ids,
     * cid = rank); returns `(vec_id, cid)`.
     */
-  def kmeansAssign(vectors: DataFrame, k: Int = K, iters: Int = Iters): DataFrame = {
+  def kmeansAssign(vectors: DataFrame, k: Int = K, iters: Int = Iters): DataFrame =
+    kmeansDistances(vectors, k, iters).select(col("vec_id"), col("cid"))
+
+  /** Final assignment WITH the exact distance to the assigned centroid —
+    * the (vec_id, cid, d) relation the outlier screen ranks over. Same
+    * deterministic pipeline as [[kmeansAssign]]; `d` is the identical
+    * integer-ratio double the argmin minimized.
+    */
+  def kmeansDistances(vectors: DataFrame, k: Int = K, iters: Int = Iters): DataFrame = {
     // each Lloyd pass re-reads the quantized relation (3 assigns + 2
     // updates): cache it once instead of re-scanning + re-quantizing
     val vecs = quantized(vectors).cache()
@@ -101,7 +109,13 @@ object EmbedClusterOps {
     val finalCents = (1 until iters).foldLeft(seeds) { (cents, _) =>
       recompute(assign(vecs, cents), cents)
     }
-    assign(vecs, finalCents).select(col("vec_id"), col("cid"))
+    val centsRow = finalCents
+      .agg(sort_array(collect_list(struct(col("cid"), col("s"), col("n")))).as("cents"))
+    vecs.crossJoin(broadcast(centsRow))
+      .select(col("vec_id"),
+        array_min(transform(col("cents"),
+          c => struct(dist(c, col("q")).as("d"), c.getField("cid").as("cid")))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"), col("best.d").as("d"))
   }
 
   private def embedKmeans(s: SparkSession, dir: String): DataFrame =
@@ -136,8 +150,30 @@ object EmbedClusterOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding-space outlier screen: the top ⌈5%⌉ most-distant members of
+    * each k-means cluster — the "drop the weird vectors" curation pass.
+    * RANK-based, not threshold-based, deliberately: a percentile-threshold
+    * comparison would hinge on cross-engine interpolation ulps, while
+    * `row_number ≤ ceil(cnt/20)` over (d DESC, vec_id) is exact given that
+    * `d` itself is the same integer-ratio double in both engines. One
+    * cluster-key window over the assignment relation — candidate-sized
+    * work after the k-means passes.
+    */
+  private def embedOutliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dd = kmeansDistances(Tables.load(s, dir, "embeddings"))
+    val w = Window.partitionBy(col("cid")).orderBy(col("d").desc, col("vec_id"))
+    val cw = Window.partitionBy(col("cid"))
+    dd.withColumn("rnk", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .where(col("rnk") <= expr("(cnt + 19) div 20"))
+      .select(col("vec_id"), col("cid"), col("rnk"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_kmeans" -> (embedKmeans _),
+    "embed_outliers" -> (embedOutliers _),
     "semdedup_prune" -> (semdedupPrune _)
   )
 
@@ -190,6 +226,25 @@ object EmbedClusterOps {
     "embed_kmeans" ->
       (s"WITH ${quantSql("embeddings")}" + kmeansBodySql(Iters) +
         s"\nSELECT vec_id, cid FROM a$Iters ORDER BY vec_id"),
+    // same k-means replay, then distance-to-own-centroid (vs the final
+    // centroids c(Iters-1), exactly what the last assignment minimized)
+    // and the rank-based 5% cut
+    "embed_outliers" ->
+      (s"WITH ${quantSql("embeddings")}" + kmeansBodySql(Iters) +
+        s""",
+           |dd AS (
+           |  SELECT a.vec_id, a.cid,
+           |    CAST(list_sum(list_transform(list_zip(a.q, c.s),
+           |           p -> (c.n*p[1] - p[2])*(c.n*p[1] - p[2]))) AS DOUBLE)
+           |      / CAST(c.n*c.n AS DOUBLE) AS d
+           |  FROM a$Iters a JOIN c${Iters - 1} c ON a.cid = c.cid),
+           |r AS (
+           |  SELECT vec_id, cid,
+           |    row_number() OVER (PARTITION BY cid ORDER BY d DESC, vec_id) AS rnk,
+           |    count(*) OVER (PARTITION BY cid) AS cnt
+           |  FROM dd)
+           |SELECT vec_id, cid, CAST(rnk AS INTEGER) AS rnk
+           |FROM r WHERE rnk <= (cnt + 19) // 20 ORDER BY vec_id""".stripMargin),
     "semdedup_prune" ->
       (s"""WITH fx AS (
           |  SELECT vec_id, embedding FROM embeddings

@@ -122,4 +122,23 @@ class EmbedClusterSpec extends AnyFunSuite {
     // the cross join with the 1-row centroid array must be a broadcast
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("outlier screen flags exactly the ceil(5%) most-distant members per cluster") {
+    import org.apache.spark.sql.functions._
+    val flagged = ops.EmbedClusterOps.queries("embed_outliers")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val dd = ops.EmbedClusterOps
+      .kmeansDistances(Tables.load(spark, Sf0001, "embeddings"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val byCluster = dd.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      val quota = (members.length + 19) / 20
+      val expected = members.sortBy(m => (-m._3, m._1)).take(quota).map(_._1).toSet
+      val got = flagged.filter(_._2 == cid).map(_._1).toSet
+      assert(got == expected, s"cluster $cid: flagged $got vs expected $expected")
+      val ranks = flagged.filter(_._2 == cid).map(_._3).sorted.toSeq
+      assert(ranks == (1 to quota), s"cluster $cid ranks not contiguous: $ranks")
+    }
+    assert(flagged.nonEmpty)
+  }
 }
