@@ -101,13 +101,73 @@ object MultimodalOps {
       .orderBy(col("media_id"))
   }
 
+  /** Perceptual image hash (4×4 aHash): the image member of the dedup
+    * family — REAL pipeline: decode the actual PNG (ImageIO), box-downscale
+    * to 4×4 with rounded-mean integer math ([[Multimodal.resizeImage]]),
+    * threshold each cell against the 16-cell total (strict `p·16 > Σp`;
+    * ties → 0 — no float mean anywhere), pack 16 bits row-major. Two
+    * renderings of the same image (e.g. re-encoded PNGs) hash identically;
+    * the DuckDB oracle re-derives every bit from the closed-form pixel
+    * formula, so the hash check covers decode + resize + threshold
+    * end-to-end. 4×4, not 8×8, because the fixture's smallest rasters are
+    * 4×4 (downscale-only contract).
+    */
+  private def mmPhash(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    mediaFixture(s, dir).filter(_.media_type == "image").map { r =>
+      val resized = Multimodal
+        .decodeImagePixels(Multimodal.resizeImage(r.payload, 4, 4))._3
+      val total = resized.map(_.toLong).sum
+      var hash = 0L
+      var i = 0
+      while (i < 16) {
+        if (resized(i) * 16L > total) hash |= (1L << i)
+        i += 1
+      }
+      (r.media_id, r.width.toLong, r.height.toLong, hash)
+    }.toDF("media_id", "w", "h", "phash").orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> (mmDecodeMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
-    "mm_features" -> (mmFeatures _)
+    "mm_features" -> (mmFeatures _),
+    "mm_phash" -> (mmPhash _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    // every aHash bit re-derived from the closed-form pixel formula:
+    // same box split (floor ratios, min-1-wide), same rounded mean,
+    // same strict p·16 > Σp threshold, same row-major bit order
+    "mm_phash" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id, CAST(doc_id % 16 + 4 AS BIGINT) AS w,
+        |    CAST(doc_id % 12 + 4 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |cell AS (
+        |  SELECT media_id, w, h, ox, oy,
+        |    (ox*w)//4 AS x0, greatest((ox*w)//4 + 1, ((ox+1)*w)//4) AS x1,
+        |    (oy*h)//4 AS y0, greatest((oy*h)//4 + 1, ((oy+1)*h)//4) AS y1
+        |  FROM img
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS ox)
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS oy)),
+        |p AS (
+        |  SELECT media_id, w, h, ox, oy, (s + n // 2) // n AS p
+        |  FROM (
+        |    SELECT media_id, w, h, ox, oy,
+        |      CAST(list_sum(list_transform(range(y0, y1), y ->
+        |        list_sum(list_transform(range(x0, x1), x ->
+        |          (media_id*31 + x*7 + y*13) % 256)))) AS BIGINT) AS s,
+        |      (x1 - x0) * (y1 - y0) AS n
+        |    FROM cell)),
+        |t AS (SELECT media_id, CAST(sum(p) AS BIGINT) AS total FROM p GROUP BY media_id)
+        |SELECT p.media_id, p.w, p.h,
+        |  CAST(sum(CASE WHEN p.p * 16 > t.total
+        |                THEN CAST(1 AS BIGINT) << CAST(p.oy*4 + p.ox AS INTEGER)
+        |                ELSE 0 END) AS BIGINT) AS phash
+        |FROM p JOIN t USING (media_id)
+        |GROUP BY p.media_id, p.w, p.h ORDER BY p.media_id""".stripMargin,
     "mm_decode_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

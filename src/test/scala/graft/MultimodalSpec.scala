@@ -119,4 +119,30 @@ class MultimodalSpec extends AnyFunSuite {
     val f = Multimodal.extractFeatures(Seq(media(Array.empty[Byte])).toDS()).collect().head
     assert(f.n_vals == 0 && f.mean_val == 0.0 && f.var_val == 0.0)
   }
+
+  test("perceptual hash: 16-bit range, matches an independent formula replay") {
+    val rows = ops.MultimodalOps.queries("mm_phash")(spark, SparkTestBase.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt, r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, ph) => assert(ph >= 0L && ph < (1L << 16)) }
+    // independent replay for a handful of images, straight from the fixture
+    // pixel formula through the same box-mean + strict-threshold definition
+    rows.take(5).foreach { case (id, w, h, ph) =>
+      val px = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        ((id * 31 + x * 7 + y * 13) % 256).toInt
+      }
+      val cells = for (oy <- 0 until 4; ox <- 0 until 4) yield {
+        val x0 = ox * w / 4; val x1 = math.max(x0 + 1, (ox + 1) * w / 4)
+        val y0 = oy * h / 4; val y1 = math.max(y0 + 1, (oy + 1) * h / 4)
+        val vals = for (y <- y0 until y1; x <- x0 until x1) yield px(y * w + x).toLong
+        val n = vals.length.toLong
+        (vals.sum + n / 2) / n
+      }
+      val total = cells.sum
+      val expected = cells.zipWithIndex
+        .collect { case (p, i) if p * 16 > total => 1L << i }.sum
+      assert(ph == expected, s"image $id: $ph vs replay $expected")
+    }
+  }
 }
