@@ -129,11 +129,42 @@ object MultimodalOps {
     }.toDF("media_id", "w", "h", "phash").orderBy(col("media_id"))
   }
 
+  /** Audio fingerprint (8-box energy signature): the audio twin of
+    * [[mmPhash]] — decode the REAL RIFF/WAV stream (AudioSystem), split
+    * the PCM samples into 8 equal-count boxes (same floor-ratio split as
+    * the image resize), rounded mean per box, strict `p·8 > Σp` threshold,
+    * pack 8 bits. Re-encoded identical audio fingerprints identically;
+    * the oracle re-derives every bit from the closed-form sample formula.
+    */
+  private def mmAudioFp(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    mediaFixture(s, dir).filter(_.media_type == "audio").map { r =>
+      val smp = Multimodal.decodeWavSamples(r.payload)
+      val n = smp.length
+      val boxes = (0 until 8).map { b =>
+        val i0 = b * n / 8
+        val i1 = math.max(i0 + 1, (b + 1) * n / 8)
+        val cnt = (i1 - i0).toLong
+        (smp.slice(i0, i1).map(_.toLong).sum + cnt / 2) / cnt
+      }
+      val total = boxes.sum
+      var fp = 0L
+      var b = 0
+      while (b < 8) {
+        if (boxes(b) * 8L > total) fp |= (1L << b)
+        b += 1
+      }
+      (r.media_id, n.toLong, fp)
+    }.toDF("media_id", "n_samples", "afp").orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> (mmDecodeMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_features" -> (mmFeatures _),
-    "mm_phash" -> (mmPhash _)
+    "mm_phash" -> (mmPhash _),
+    "mm_afp" -> (mmAudioFp _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -168,6 +199,31 @@ object MultimodalOps {
         |                ELSE 0 END) AS BIGINT) AS phash
         |FROM p JOIN t USING (media_id)
         |GROUP BY p.media_id, p.w, p.h ORDER BY p.media_id""".stripMargin,
+    // audio fixture: n = id%200+8 samples, smp(i) = (id*17 + i*5) % 256,
+    // audio rows are doc_id % 3 = 1
+    "mm_afp" ->
+      """WITH au AS (
+        |  SELECT doc_id AS media_id, CAST(doc_id % 200 + 8 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |box AS (
+        |  SELECT media_id, n, b,
+        |    (b*n)//8 AS i0, greatest((b*n)//8 + 1, ((b+1)*n)//8) AS i1
+        |  FROM au CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+        |p AS (
+        |  SELECT media_id, n, b, (s + cnt // 2) // cnt AS p
+        |  FROM (
+        |    SELECT media_id, n, b,
+        |      CAST(list_sum(list_transform(range(i0, i1), i ->
+        |        (media_id*17 + i*5) % 256)) AS BIGINT) AS s,
+        |      i1 - i0 AS cnt
+        |    FROM box)),
+        |t AS (SELECT media_id, CAST(sum(p) AS BIGINT) AS total FROM p GROUP BY media_id)
+        |SELECT p.media_id, p.n AS n_samples,
+        |  CAST(sum(CASE WHEN p.p * 8 > t.total
+        |                THEN CAST(1 AS BIGINT) << CAST(p.b AS INTEGER)
+        |                ELSE 0 END) AS BIGINT) AS afp
+        |FROM p JOIN t USING (media_id)
+        |GROUP BY p.media_id, p.n ORDER BY p.media_id""".stripMargin,
     "mm_decode_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
