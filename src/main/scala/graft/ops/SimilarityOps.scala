@@ -307,6 +307,35 @@ object SimilarityOps {
     }: _*)).as("x"))
       .select(col(idCol), col("x.m").as("m"), col("x.sub").as("sub"))
 
+  /** The PQ codebook as ONE broadcastable row (array of (m, j, c_sub)
+    * structs) — like the k-means centroid row, this is what makes encoding
+    * MAP-ONLY: every vector computes its 4 argmins against the broadcast
+    * array with zero shuffle. (The join+window formulation would push a
+    * codes×subspaces-expanded relation — 256 rows per vector — through an
+    * Exchange; at 100 TB that shuffle IS the job, so it must not exist.)
+    */
+  private def pqCodebookRow(e: DataFrame): DataFrame =
+    subvectors(
+      e.where(col("vec_id") < PqCodes)
+        .select(col("vec_id").cast("int").as("j"), col("embedding")),
+      "j", "embedding")
+      .select(col("m"), col("j"), col("sub").as("c_sub"))
+      .agg(sort_array(collect_list(struct(col("m"), col("j"), col("c_sub")))).as("cb"))
+
+  /** (vec_id, code0..code3) via map-only argmin per subspace; ties → lowest
+    * codeword id ((d, j) lexicographic struct min, the oracle's ORDER BY).
+    */
+  private def pqCodesWide(e: DataFrame): DataFrame =
+    e.crossJoin(broadcast(pqCodebookRow(e)))
+      .select(col("vec_id") +: (0 until PqM).map { m =>
+        array_min(transform(
+          filter(col("cb"), c => c.getField("m") === m),
+          c => struct(
+            l2sq(slice(col("embedding"), m * PqDsub + 1, PqDsub), c.getField("c_sub")).as("d"),
+            c.getField("j").as("j"))))
+          .getField("j").as(s"code$m")
+      }: _*)
+
   /** The PQ (product-quantization) ANN path — the third classical index
     * family next to LSH and IVF, and the one that actually SHRINKS the
     * corpus: each 64-float vector becomes M=4 nibble codes (16 B → 4 B
@@ -332,14 +361,13 @@ object SimilarityOps {
         .select(col("vec_id").cast("int").as("j"), col("embedding")),
       "j", "embedding")
       .select(col("m"), col("j"), col("sub").as("c_sub"))
-    // encode: nearest codeword per (vector, subspace) — (d, j) lexicographic
-    // argmin keeps the lowest j on ties
-    val ew = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d"), col("j"))
-    val codes = subvectors(e, "vec_id", "embedding")
-      .join(broadcast(cents), Seq("m"))
-      .select(col("vec_id"), col("m"), col("j"), l2sq(col("sub"), col("c_sub")).as("d"))
-      .withColumn("rn", row_number().over(ew)).where(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("j").as("code"))
+    // map-only encoding (see pqCodesWide), unpivoted to the narrow
+    // (vec_id, m, code) relation the ADC lookup joins on
+    val codes = pqCodesWide(e)
+      .select(col("vec_id"), explode(array((0 until PqM).map { m =>
+        struct(lit(m).as("m"), col(s"code$m").as("code"))
+      }: _*)).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.code").as("code"))
     // ADC distance table: query × every codeword of every subspace
     val dtable = subvectors(querySet(e), "q_id", "q_e")
       .join(broadcast(cents), Seq("m"))
@@ -383,25 +411,8 @@ object SimilarityOps {
     * PQ's pathological case; see the header note. The encoder, not the
     * search heuristic, is the part with an exact contract.)
     */
-  private def embedPqCodes(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir)
-    val cents = subvectors(
-      e.where(col("vec_id") < PqCodes)
-        .select(col("vec_id").cast("int").as("j"), col("embedding")),
-      "j", "embedding")
-      .select(col("m"), col("j"), col("sub").as("c_sub"))
-    val ew = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d"), col("j"))
-    subvectors(e, "vec_id", "embedding")
-      .join(broadcast(cents), Seq("m"))
-      .select(col("vec_id"), col("m"), col("j"),
-        l2sq(col("sub"), col("c_sub")).as("d"))
-      .withColumn("rn", row_number().over(ew)).where(col("rn") === 1)
-      .groupBy(col("vec_id"))
-      .agg(min(when(col("m") === 0, col("j"))).as("code0"),
-        (1 until PqM).map(m =>
-          min(when(col("m") === m, col("j"))).as(s"code$m")): _*)
-      .orderBy(col("vec_id"))
-  }
+  private def embedPqCodes(s: SparkSession, dir: String): DataFrame =
+    pqCodesWide(embeddings(s, dir)).orderBy(col("vec_id"))
 
   /** Recall@k of an approximate top-k against the brute-force truth: one
     * row per query point. Both sides break score ties identically

@@ -188,6 +188,13 @@ class PlanSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(plan).nonEmpty && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("PQ encoding is map-only: no shuffle before the final sort") {
+    val plan = physical(ops.SimilarityOps.queries("embed_pq_codes")(spark, Sf0001))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"encoding must be a broadcast-codebook projection, never a key shuffle\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("cumulative daily growth aggregates the fact table BEFORE windowing") {
     val plan = physical(ops.RelationalOps.queries("w9_cumulative_daily")(spark, Sf0001))
     // the running sum must window over the day rollup, not the raw events:
