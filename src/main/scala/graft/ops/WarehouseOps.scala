@@ -144,14 +144,82 @@ object WarehouseOps {
         col("valid_from"), col("is_current"))
       .orderBy(col("o_custkey"))
 
+  /** CDC snapshot diff: classify every key across two table versions as
+    * inserted / deleted / changed (unchanged keys are dropped — at corpus
+    * scale they are ~the whole table and the diff's entire point is to not
+    * materialize them). Engine shape: tag both snapshots, union, ONE
+    * groupBy on the key — never a full outer join (same row movement, but
+    * the aggregate form partial-aggregates map-side and needs no join
+    * state). Versions are derived deterministically from `orders`:
+    * yesterday drops every 97th key (⇒ inserted today), carries a
+    * +5 cents price on every 101st (⇒ changed today), and has retired
+    * keys today lacks (⇒ deleted).
+    */
+  private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val today = orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val yesterday = today.where(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey"), col("status"),
+        when(col("o_orderkey") % 101 === 0, col("cents") + 5)
+          .otherwise(col("cents")).as("cents"))
+      .unionByName(
+        today.where(col("o_orderkey") % 89 === 0)
+          .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+            lit("R").as("status"), col("cents")))
+    val tagged = yesterday.select(col("o_orderkey"), col("status"), col("cents"),
+        lit(1L).as("y"), lit(0L).as("t"))
+      .unionByName(today.select(col("o_orderkey"), col("status"), col("cents"),
+        lit(0L).as("y"), lit(1L).as("t")))
+    tagged.groupBy(col("o_orderkey"))
+      .agg(sum(col("y")).as("n_y"), sum(col("t")).as("n_t"),
+        count_distinct(struct(col("status"), col("cents"))).as("n_versions"))
+      .select(col("o_orderkey"),
+        when(col("n_y") === 0, "inserted")
+          .when(col("n_t") === 0, "deleted")
+          .when(col("n_versions") > 1, "changed")
+          .otherwise("unchanged").as("change"))
+      .where(col("change") =!= "unchanged")
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_merge_upsert" -> (mergeUpsert _),
+    "etl_snapshot_diff" -> (snapshotDiff _),
     "j3_range_join" -> (rangeJoin _),
     "scd2_history" -> (scd2History _),
     "scd2_snapshot" -> (scd2Snapshot _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    "etl_snapshot_diff" ->
+      """WITH today AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |yesterday AS (
+        |  SELECT o_orderkey, status,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN cents + 5 ELSE cents END AS cents
+        |  FROM today WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 200000000, 'R', cents FROM today WHERE o_orderkey % 89 = 0),
+        |tagged AS (
+        |  SELECT o_orderkey, status, cents, 1 AS y, 0 AS t FROM yesterday
+        |  UNION ALL
+        |  SELECT o_orderkey, status, cents, 0 AS y, 1 AS t FROM today),
+        |d AS (
+        |  SELECT o_orderkey, sum(y) AS n_y, sum(t) AS n_t,
+        |    count(DISTINCT (status, cents)) AS n_versions
+        |  FROM tagged GROUP BY o_orderkey)
+        |SELECT o_orderkey,
+        |  CASE WHEN n_y = 0 THEN 'inserted'
+        |       WHEN n_t = 0 THEN 'deleted'
+        |       WHEN n_versions > 1 THEN 'changed'
+        |       ELSE 'unchanged' END AS change
+        |FROM d
+        |WHERE NOT (n_y > 0 AND n_t > 0 AND n_versions = 1)
+        |ORDER BY o_orderkey""".stripMargin,
     "etl_merge_upsert" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus,

@@ -113,4 +113,18 @@ class WarehouseOpsSpec extends AnyFunSuite {
     val engine = snap.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(engine == expected)
   }
+
+  test("snapshot diff classifies exactly the synthetic mutations, nothing else") {
+    val diff = ops.WarehouseOps.queries("etl_snapshot_diff")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keys = Tables.load(spark, Sf0001, "orders")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val expected =
+      keys.filter(_ % 97 == 0).map(_ -> "inserted") ++
+        keys.filter(_ % 89 == 0).map(k => (k + 200000000L) -> "deleted") ++
+        keys.filter(k => k % 101 == 0 && k % 97 != 0).map(_ -> "changed")
+    assert(diff == expected.toMap, "diff must equal the mutation recipe exactly")
+    assert(Set("inserted", "deleted", "changed").subsetOf(diff.values.toSet),
+      "all three change classes must fire at sf0.001")
+  }
 }
