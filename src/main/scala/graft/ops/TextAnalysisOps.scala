@@ -269,7 +269,57 @@ object TextAnalysisOps {
       .orderBy(col("doc_id"))
   }
 
+  private[graft] val BpeRounds = 3
+
+  /** BPE merge induction — the first `BpeRounds` merges of byte-pair
+    * encoding learned FROM the corpus, the tokenizer-training primitive of
+    * every LLM data stack. Classic two-phase shape: ONE corpus shuffle
+    * builds the word-frequency table (at 100 TB that is the whole cost —
+    * the iteration then runs on the |vocab|-sized relation), then each
+    * round counts weighted adjacent symbol pairs, takes the
+    * (count DESC, pair ASC) argmax — a 1-row control-plane decision, like
+    * the watermark reads — and applies the merge as a non-overlapping
+    * left-to-right replace on the space-joined symbol string (both engines'
+    * `replace` contract, so " l l l " merges greedily the same way). All
+    * counts are exact integers; the DuckDB oracle replays the rounds
+    * unrolled and must produce the identical merge table.
+    */
+  private def taBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wf = documents(s, dir)
+      .select(explode(toks).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .select(col("wf"), concat(lit(" "),
+        array_join(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+          " "), lit(" ")).as("syms"))
+      .cache()
+    def topPair(cur: DataFrame): (String, String, Long) = {
+      val row = cur
+        .select(col("wf"), expr("filter(split(syms, ' '), x -> x != '')").as("a"))
+        .select(col("wf"), explode(expr(
+          "zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1), " +
+            "(l, r) -> struct(l, r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wf")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()(0)
+      (row.getString(0), row.getString(1), row.getLong(2))
+    }
+    val merges = (1 to BpeRounds).foldLeft(
+      (wf, List.empty[(Int, String, String, String, Long)])) {
+      case ((cur, acc), k) =>
+        val (l, r, n) = topPair(cur)
+        val next = cur.select(col("wf"),
+          call_function("replace", col("syms"),
+            lit(s" $l $r "), lit(s" $l$r ")).as("syms"))
+        (next, acc :+ ((k, l, r, l + r, n)))
+    }._2
+    merges.toDF("rnk", "left_sym", "right_sym", "merged", "n_pairs")
+      .orderBy(col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_bpe_merges" -> (taBpeMerges _),
     "ta_langid" -> (taLangid _),
     "ta_quality_score" -> (taQuality _),
     "ta_token_count" -> (taTokenCount _),
@@ -407,6 +457,36 @@ object TextAnalysisOps {
       s"""SELECT word, count(*) AS n
          |FROM (SELECT unnest($duckToks) AS word FROM documents)
          |GROUP BY word ORDER BY n DESC, word LIMIT $VocabK""".stripMargin,
+    // the three merge rounds unrolled; parallel unnest zips the adjacent
+    // symbol slices, and replace() shares the engine's non-overlapping
+    // left-to-right contract
+    "ta_bpe_merges" -> {
+      def round(k: Int): String =
+        s""",
+           |p$k AS (
+           |  SELECT l, r, CAST(sum(wf) AS BIGINT) AS n
+           |  FROM (
+           |    SELECT wf, unnest(a[1:len(a)-1]) AS l, unnest(a[2:len(a)]) AS r
+           |    FROM (SELECT wf, list_filter(string_split(syms, ' '), x -> x <> '') AS a
+           |          FROM w${k - 1}))
+           |  GROUP BY l, r),
+           |m$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+           |w$k AS (
+           |  SELECT wf, replace(syms, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ') AS syms
+           |  FROM w${k - 1} CROSS JOIN m$k)""".stripMargin
+      val rounds = (1 to BpeRounds).map(round).mkString
+      val out = (1 to BpeRounds).map(k =>
+        s"SELECT $k AS rnk, l AS left_sym, r AS right_sym, l || r AS merged, n AS n_pairs FROM m$k")
+        .mkString("\nUNION ALL\n")
+      s"""WITH w0 AS (
+         |  SELECT count(*) AS wf,
+         |    ' ' || array_to_string(
+         |      list_transform(range(1, len(word)+1), i -> word[i]), ' ') || ' ' AS syms
+         |  FROM (SELECT unnest($duckToks) AS word FROM documents)
+         |  GROUP BY word)$rounds
+         |$out
+         |ORDER BY rnk""".stripMargin
+    },
     // lower(nfc_normalize(..)) mirrors the engine's NFC-then-lowercase
     // order; RE2's \s and Java's \s agree on every whitespace char that
     // can appear here (divergence is only U+000B, absent by construction).

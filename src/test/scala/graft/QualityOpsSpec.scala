@@ -70,6 +70,31 @@ class QualityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE merges equal a driver-side reference implementation") {
+    val engine = ops.TextAnalysisOps.queries("ta_bpe_merges")(spark, Sf0001)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    // reference: exact BPE with greedy left-to-right non-overlapping merges
+    var words: Map[List[String], Long] = Tables.load(spark, Sf0001, "documents")
+      .select(explode(functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0).map(_.toString).toList -> r.getLong(1)).toMap
+    def applyMerge(syms: List[String], l: String, r: String): List[String] = syms match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: applyMerge(rest, l, r)
+      case a :: rest => a :: applyMerge(rest, l, r)
+      case Nil => Nil
+    }
+    val expected = (1 to 3).map { k =>
+      val counts = words.toSeq.flatMap { case (syms, wf) =>
+        syms.zip(syms.drop(1)).map(p => p -> wf)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val ((l, r), n) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+      words = words.toSeq.map { case (syms, wf) => applyMerge(syms, l, r) -> wf }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (k, l, r, n)
+    }
+    assert(engine.toSeq == expected, s"engine ${engine.toSeq} vs reference $expected")
+  }
+
   test("LM familiarity: integer invariants, mass conservation, and join shape") {
     val out = ops.TextAnalysisOps.queries("ta_lm_familiarity")(spark, Sf0001).cache()
     val docs = Tables.load(spark, Sf0001, "documents")
