@@ -8,8 +8,9 @@ import org.apache.spark.sql.SparkSession
   *    baseline), ann_lsh_recall / ann_ivf_recall (they embed that baseline
   *    as truth), dedup_ngram_jaccard (the sampled ground-truth verifier);
   *  - deliberate ONE-ROW broadcast cross joins (a scalar carried as a
-  *    column, never a pair explosion): embed_kmeans / semdedup_prune (the
-  *    centroid array row), search_invindex_topk (the corpus-count row).
+  *    column, never a pair explosion): embed_kmeans / semdedup_prune /
+  *    embed_outliers (the centroid array row), embed_pq_codes (the
+  *    codebook row), search_invindex_topk (the corpus-count row).
   * Anything else appearing here is a regression.
   */
 object PlanAudit {
