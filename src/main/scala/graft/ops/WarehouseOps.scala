@@ -184,15 +184,66 @@ object WarehouseOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Full-outer reconciliation: the dimension ⟗ fact-rollup audit — which
+    * customers have large orders, which are dormant at that tier, and
+    * whether any order rows are orphaned (no customer). The rollup side
+    * aggregates FIRST (one
+    * partial-agg shuffle collapses the fact table to |custkeys| rows), so
+    * the full-outer join itself is dimension-sized; the report is the
+    * 3-row side × measure summary. Completes the join-type matrix next to
+    * inner/left/anti/semi (J1), as-of (J2), range (J3), salted (J4).
+    */
+  /** "Large order" floor: splits every shipped SF into a populated 'both'
+    * AND 'customer_only' side (93/150 customers at sf0.001, 962/1500 at
+    * sf0.01), so the full-outer semantics are actually exercised.
+    */
+  private val LargeOrderFloor = 450000
+
+  private def j5FullOuterRecon(s: SparkSession, dir: String): DataFrame = {
+    val byCust = orders(s, dir)
+      .where(col("o_totalprice") >= LargeOrderFloor)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    cust.join(byCust, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+          .when(col("o_custkey").isNull, "customer_only")
+          .otherwise("orders_only").as("side"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n_orders")).as("n_orders"),
+        sum(col("cents")).as("cents"))
+      .orderBy(col("side"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_merge_upsert" -> (mergeUpsert _),
     "etl_snapshot_diff" -> (snapshotDiff _),
+    "j5_full_outer_recon" -> (j5FullOuterRecon _),
     "j3_range_join" -> (rangeJoin _),
     "scd2_history" -> (scd2History _),
     "scd2_snapshot" -> (scd2Snapshot _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    "j5_full_outer_recon" ->
+      """WITH o AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE o_totalprice >= 450000 GROUP BY o_custkey)
+        |SELECT side, count(*) AS n_keys,
+        |  CAST(sum(n_orders) AS BIGINT) AS n_orders, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM (
+        |  SELECT CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
+        |              WHEN o_custkey IS NULL THEN 'customer_only'
+        |              ELSE 'orders_only' END AS side,
+        |    coalesce(n_orders, 0) AS n_orders, coalesce(cents, 0) AS cents
+        |  FROM customer FULL OUTER JOIN o ON c_custkey = o_custkey)
+        |GROUP BY side ORDER BY side""".stripMargin,
     "etl_snapshot_diff" ->
       """WITH today AS (
         |  SELECT o_orderkey, o_orderstatus AS status,

@@ -114,6 +114,19 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(engine == expected)
   }
 
+  test("full-outer reconciliation conserves keys and order mass across sides") {
+    val rows = ops.WarehouseOps.queries("j5_full_outer_recon")(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.contains("both") && rows.contains("customer_only"),
+      s"both join sides must be populated at sf0.001: $rows")
+    val nCust = Tables.load(spark, Sf0001, "customer").count()
+    assert(rows.values.map(_._1).sum == nCust, "every customer key lands on exactly one side")
+    val nLarge = Tables.load(spark, Sf0001, "orders")
+      .where(col("o_totalprice") >= 450000).count()
+    assert(rows.values.map(_._2).sum == nLarge, "large-order count conserved through the join")
+    assert(rows("customer_only")._2 == 0 && rows("customer_only")._3 == 0)
+  }
+
   test("snapshot diff classifies exactly the synthetic mutations, nothing else") {
     val diff = ops.WarehouseOps.queries("etl_snapshot_diff")(spark, Sf0001)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
