@@ -244,10 +244,49 @@ object ScaleOps {
       .orderBy(col("file_id"))
   }
 
+  /** Retention cutoff: keeps the last 20 of the 30 fixture days at every
+    * SF, so the vacuum provably deletes something AND leaves something.
+    */
+  private val RetentionCutoff = "2024-01-11"
+
+  /** Retention vacuum — the third maintenance move next to compaction and
+    * backfill: drop every date partition older than the cutoff by DELETING
+    * PARTITION DIRECTORIES (O(expired partitions) filesystem calls — never
+    * a rewrite of surviving data, never a row-level scan). The read-back
+    * rollup is oracled against the source filtered to the retention window,
+    * so the hash check proves the vacuum dropped exactly the expired dates
+    * and nothing else. At 100 TB this plus partition pruning is the entire
+    * cost model of retention: expiry is metadata work.
+    */
+  private def etlVacuumRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").select(
+      col("event_id"),
+      round(col("value") * 100).cast("long").as("value_cents"),
+      date_format(col("ts"), "yyyy-MM-dd").as("export_date"))
+    val dest = graft.util.TempDirs.create("graft_vacuumq_")
+    ev.write.mode(SaveMode.Append).partitionBy("export_date").parquet(dest)
+    // expire: directory deletes only — storage-agnostic via Hadoop FS
+    val (fsys, root) = {
+      val p = new org.apache.hadoop.fs.Path(dest)
+      (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+    }
+    fsys.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("export_date=") &&
+        name.stripPrefix("export_date=") < RetentionCutoff)
+        fsys.delete(st.getPath, true)
+    }
+    s.read.parquet(dest)
+      .groupBy(col("export_date").cast("string").as("export_date"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("value_cents")).as("value_cents"))
+      .orderBy(col("export_date"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j4_salted_skew_join" -> (j4SaltedSkewJoin _),
     "etl_compact_dest" -> (etlCompactDest _),
     "etl_backfill_window" -> (etlBackfillWindow _),
+    "etl_vacuum_retention" -> (etlVacuumRetention _),
     "layout_zorder" -> (layoutZorder _)
   )
 
@@ -267,6 +306,12 @@ object ScaleOps {
       """SELECT strftime(ts, '%Y-%m-%d') AS export_date, count(*) AS n_rows,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // only the retention window survives the vacuum
+    "etl_vacuum_retention" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS export_date, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-11'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "layout_zorder" ->
       s"""WITH d AS (
          |  SELECT doc_id,

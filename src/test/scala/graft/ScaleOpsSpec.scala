@@ -87,6 +87,19 @@ class ScaleOpsSpec extends AnyFunSuite {
       Tables.load(spark, Sf0001, "events").count())
   }
 
+  test("vacuum deletes exactly the expired partitions (20 of 30 days survive)") {
+    import org.apache.spark.sql.functions._
+    val out = ops.ScaleOps.queries("etl_vacuum_retention")(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet.forall(_ >= "2024-01-11"), s"expired dates survived: ${out.keySet}")
+    val expected = Tables.load(spark, Sf0001, "events")
+      .where(date_format(col("ts"), "yyyy-MM-dd") >= "2024-01-11")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == expected)
+    assert(out.size == 20, s"fixture spans 30 days; retention keeps 20, got ${out.size}")
+  }
+
   test("bucketed tables join co-located: no shuffle exchange before the join") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql("DROP TABLE IF EXISTS b_orders")
