@@ -412,6 +412,34 @@ object RelationalOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Ingest-volume anomaly screen, W10 (extension): flag days whose event
+    * volume moved more than ±30 % day-over-day — the pipeline-health alarm
+    * every scheduled ingest watches. Same agg-then-window shape as W9
+    * (the rollup is |days| rows); the threshold test is pure integer
+    * cross-multiplication (`|n−prev|·10 > prev·3`), so the flag can never
+    * diverge between engines on a float boundary.
+    */
+  private def w10(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("day"))
+    // the raw fixture ingests uniformly (no natural ±30% move at any SF),
+    // so the alarm is made observable the PII-fixture way: one day's rows
+    // are injected twice more (a 3× spike on the 15th, the collapse back
+    // on the 16th), mirrored literally in the oracle
+    val ev = events(s, dir).select(col("ts"))
+    val spiked = ev.unionByName(
+      ev.where(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-15")
+        .crossJoin(s.range(2).select(lit(1).as("__dup"))).select(col("ts")))
+    spiked
+      .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .where(col("prev_n").isNotNull &&
+        abs(col("n") - col("prev_n")) * 10 > col("prev_n") * 3)
+      .select(col("day"), col("n"), col("prev_n"))
+      .orderBy(col("day"))
+  }
+
   /** At-least-once boundary duplication, W5/N1: the rows the next run
     * re-reads because its predicate is `>= watermark`
     * (reference: billing_etl.py:280).
@@ -518,6 +546,7 @@ object RelationalOps {
     "w5_boundary_duplicates" -> (w5 _),
     "w8_gap_sessionize" -> (w8 _),
     "w9_cumulative_daily" -> (w9 _),
+    "w10_volume_anomaly" -> (w10 _),
     "a6_window_suite" -> (a6WindowSuite _),
     "j2_asof_join" -> (j2 _),
     "w7_no_data_short_circuit" -> (w7 _),
@@ -633,6 +662,18 @@ object RelationalOps {
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
          |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "w10_volume_anomaly" ->
+      """WITH spiked AS (
+        |  SELECT ts FROM events
+        |  UNION ALL
+        |  SELECT ts FROM events, range(2) WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'),
+        |d AS (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*) AS n
+        |  FROM spiked GROUP BY 1),
+        |l AS (SELECT day, n, lag(n) OVER (ORDER BY day) AS prev_n FROM d)
+        |SELECT day, n, prev_n FROM l
+        |WHERE prev_n IS NOT NULL AND abs(n - prev_n) * 10 > prev_n * 3
+        |ORDER BY day""".stripMargin,
     "a6_window_suite" ->
       """SELECT user_id, event_id,
         |  CAST(row_number() OVER wts AS INTEGER) AS rn,
