@@ -40,6 +40,23 @@ object TextAnalysisOps {
       .select(col("doc_id"), col("stopword_ratio"), col("lang_pred"))
       .orderBy(col("doc_id"))
 
+  /** Classifier-evaluation confusion matrix: the `ta_langid` heuristic's
+    * predictions crossed with the labeled `lang` column — the eval table
+    * every filter model ships with (here it also quantifies exactly how
+    * blunt the stopword heuristic is: it can only say en/und). One
+    * partial-agg shuffle on the (label, prediction) pair.
+    */
+  private def taLangidConfusion(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("lang"), toks.as("w"))
+      .select(col("lang"),
+        when((stopwordCount(col("w")).cast("double") /
+          greatest(size(col("w")), lit(1)).cast("double")) >= 0.03, "en")
+          .otherwise("und").as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_pred"))
+
   /** Quality score: mean word length, type-token ratio, stopword ratio, and
     * a length prior, combined with fixed weights. Every term is a ratio of
     * ints → the double is engine-exact.
@@ -321,6 +338,7 @@ object TextAnalysisOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_bpe_merges" -> (taBpeMerges _),
     "ta_langid" -> (taLangid _),
+    "ta_langid_confusion" -> (taLangidConfusion _),
     "ta_quality_score" -> (taQuality _),
     "ta_token_count" -> (taTokenCount _),
     "ta_fingerprint" -> (taFingerprint _),
@@ -378,6 +396,14 @@ object TextAnalysisOps {
          |      greatest(len(w), 1)::DOUBLE AS stopword_ratio
          |  FROM (SELECT doc_id, $duckToks w FROM documents))
          |ORDER BY doc_id""".stripMargin,
+    "ta_langid_confusion" ->
+      s"""SELECT lang, lang_pred, count(*) AS n FROM (
+         |  SELECT lang,
+         |    CASE WHEN len(list_filter(w, x -> list_contains($duckStop, x)))::DOUBLE /
+         |              greatest(len(w), 1)::DOUBLE >= 0.03
+         |         THEN 'en' ELSE 'und' END AS lang_pred
+         |  FROM (SELECT lang, $duckToks w FROM documents))
+         |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
     "ta_quality_score" ->
       s"""SELECT doc_id, n_words, round(ttr, 6) AS ttr, round(stop_ratio, 6) AS stop_ratio,
          |  round(ttr * 0.5 + stop_ratio * 0.3 +
