@@ -213,6 +213,18 @@ object StreamingIngest {
     * what the DuckDB oracle replays.
     */
   def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    // stream-stream joins allocate FOUR state stores per shuffle partition
+    // (left/right × keyToNumValues/keyWithIndexToValue); at 32 partitions
+    // the per-micro-batch store open/commit dominates a modest-cardinality
+    // join. 8 partitions is the right grain for per-user state here —
+    // a real deployment sizes this to key cardinality, not to cores.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try streamIntervalJoinInner(spark, dir)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def streamIntervalJoinInner(spark: SparkSession, dir: String): DataFrame = {
     val ev = eventsStream(spark, dir)
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
