@@ -44,6 +44,9 @@ object AnnTune {
         score(s"ivf nprobe=$nprobe a=$assign",
           ops.SimilarityOps.annIvfTopk(spark, dir, nprobe, assign))
       }
+      // PQ: ADC shortlist + exact rerank (uniform-random corpora are the
+      // family's pathological case — this line documents how much)
+      score("pq m=4 codes=64 short=100", ops.SimilarityOps.annPqTopk(spark, dir))
     }
     spark.stop()
   }
