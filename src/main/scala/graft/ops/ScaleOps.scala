@@ -150,10 +150,15 @@ object ScaleOps {
     * asserts the file count actually shrinks.
     */
   private def etlCompactDest(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(s, dir, "events").select(
-      col("event_id"), col("user_id"),
-      round(col("value") * 100).cast("long").as("value_cents"),
-      date_format(col("ts"), "yyyy-MM-dd").as("export_date"))
+    // compaction is periodic maintenance over RECENT partitions (see
+    // compactDatePartitions' doc) — the demo window is the last 10 fixture
+    // days, exactly the date-pruned slice a nightly job would rewrite
+    val ev = Tables.load(s, dir, "events")
+      .where(date_format(col("ts"), "yyyy-MM-dd") >= "2024-01-21")
+      .select(
+        col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("export_date"))
     val dest = graft.util.TempDirs.create("graft_compactq_")
     ev.where(col("event_id") % 2 === 0).repartition(4)
       .write.mode(SaveMode.Append).partitionBy("export_date").parquet(dest)
@@ -300,7 +305,8 @@ object ScaleOps {
     "etl_compact_dest" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS export_date, count(*) AS n_rows,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM events WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-21'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the clean rollup: a correct backfill must erase the duplicate appends
     "etl_backfill_window" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS export_date, count(*) AS n_rows,
