@@ -12,9 +12,10 @@ import graft.functions.NativeVector
   * set.
   *
   * Tiers:
-  *   - `embed_neardup_cosine` — near-duplicate detection, sign-LSH bucketed
-  *     candidates → exact-cosine verify (the embedding member of the dedup
-  *     family);
+  *   - `embed_neardup_cosine` — near-duplicate detection, multi-table
+  *     sign-LSH candidates (analytic miss ≤ 1e-12 at the cosine ≥ 0.99
+  *     contract, corpus-size-derived bits) → exact-cosine verify (the
+  *     embedding member of the dedup family);
   *   - `ann_bruteforce_topk` — exact top-k for a broadcast query set: one
   *     linear scan of the corpus, the correctness baseline;
   *   - `ann_lsh_recall` / `ann_ivf_recall` — the bucketed ANN paths, graded
@@ -59,10 +60,41 @@ object SimilarityOps {
   private val LshBands = 32
   private val LshBits = 4
   private val LshSeed = 1337
-  /** Near-dup bucketing: one 12-bit table (buckets only gate the exact
-    * verify; scale-invariance makes true duplicates always collide).
+
+  /** Near-dup gate contract: any pair with cosine ≥ [[NeardupCosine]] is
+    * nominated for the exact verify with miss probability ≤
+    * [[NeardupTargetMiss]] (over the seeded hyperplane draw). The gate is a
+    * multi-table sign-LSH family: `bands` tables of `bits` hyperplanes,
+    * radius-1 multi-probe on ONE side of the candidate join, so a pair
+    * collides when ANY band's two signatures are within hamming 1.
     */
-  private val NeardupBits = 12
+  private val NeardupCosine = 0.99
+  private val NeardupTargetMiss = 1e-12
+
+  /** Bucket granularity grows with the corpus so the expected bucket
+    * occupancy (and with it the within-bucket verify cost) stays ~O(1)
+    * rows per bucket per table: 2^bits ≈ 16·n. Floor 12 keeps tiny corpora
+    * honestly bucketed; cap 32 is the packed-key-width limit of
+    * [[graft.functions.LshKeysExpr]] — beyond n ≈ 2^28 vectors, shard the
+    * corpus (by source/time) before the gate, which a 100 TB pipeline does
+    * anyway.
+    */
+  private[graft] def neardupBits(n: Long): Int = {
+    val b = math.ceil(math.log(n.max(2).toDouble) / math.log(2)).toInt + 4
+    math.min(32, math.max(12, b))
+  }
+
+  /** Smallest table count L with (1 − f)^L ≤ [[NeardupTargetMiss]], where
+    * f = P[one band's signatures land within hamming 1] at the contract
+    * angle θ = acos([[NeardupCosine]]): with p = 1 − θ/π per hyperplane,
+    * f = p^bits + bits·p^(bits−1)·(1−p). Pairs ABOVE the contract cosine
+    * collide strictly more often, so the bound holds corpus-wide.
+    */
+  private[graft] def neardupBands(bits: Int): Int = {
+    val p = 1.0 - math.acos(NeardupCosine) / math.Pi
+    val f = math.pow(p, bits) + bits * math.pow(p, bits - 1) * (1 - p)
+    math.max(1, math.ceil(math.log(NeardupTargetMiss) / math.log1p(-f)).toInt)
+  }
   /** IVF: centroids = vec_id ≤ 15 corpus sample; each corpus vector is
     * indexed under its `IvfAssign` nearest lists (redundant assignment —
     * the standard fix for neighbors straddling a Voronoi boundary, at
@@ -87,69 +119,133 @@ object SimilarityOps {
   private def cosine(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
 
-  /** Corpus plus injected scaled duplicates (×2 per 50th vector — cosine
-    * exactly 1 with the original; the raw corpus has no pair above 0.8).
+  /** Alternating ±12.5 % per-coordinate scaling: a deterministic NEAR-but-
+    * not-exact copy. With ε = 1/8 and ρ = (Σ±e_i²)/(Σe_i²) ∈ (−1, 1), the
+    * pair's cosine is (1+ερ)/√(1+2ερ+ε²) ∈ [√(1−ε²), 1) = [0.99216, 1) —
+    * always inside the c ≥ 0.99 contract, never exactly 1. Both factors
+    * (9/8, 7/8) are exact binary floats, so DuckDB replays the float
+    * arithmetic bit-identically (double multiply + round-to-float ≡ float
+    * multiply; a float×float product always fits a double exactly).
     */
-  private def withScaledDups(e: DataFrame): DataFrame =
+  private def perturb(e: Column): Column =
+    transform(e, (x, i) =>
+      x * when(i % 2 === 0, lit(1.125f)).otherwise(lit(0.875f)))
+
+  /** Corpus plus planted duplicates: ×2-scaled exact copies (cosine
+    * exactly 1) per 50th vector, and alternating-scaled NEAR copies
+    * (cosine ≈ 0.992, see [[perturb]]) per (50k+10)th vector. The raw
+    * corpus has no pair above ~0.8, so the planted pairs are the complete
+    * c ≥ 0.99 truth set — and the near copies exercise exactly the case a
+    * single scale-invariant signature could miss.
+    */
+  private def neardupFixture(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("embedding")).unionByName(
       e.where(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      .unionByName(
+        e.where(col("vec_id") % 50 === 10)
+          .select((col("vec_id") + 300000).as("vec_id"),
+            perturb(col("embedding")).as("embedding")))
 
-  /** Embedding near-dup: sign-LSH bucket join (NO cartesian — scaling
-    * preserves the signature, so true duplicates always collide), then
-    * exact cosine ≥ 0.99 verification of candidates only. The signature is
-    * a single native expression — map-only, no shuffle before the join.
+  /** Embedding near-dup: multi-table sign-LSH candidate generation (one
+    * side emits its `bands` index keys, the other additionally every 1-bit
+    * flip — a pair is nominated when ANY band lands within hamming 1),
+    * then exact cosine ≥ 0.99 verification of the DISTINCT candidate id
+    * pairs only. Analytic guarantee: miss ≤ 1e-12 per qualifying pair (see
+    * [[neardupBands]]) — this holds for genuinely near (not just scaled)
+    * pairs, unlike a single scale-invariant signature. Key generation is a
+    * single native expression — map-only, no shuffle before the equality
+    * join; candidates are narrow (a_id, b_id) rows and embeddings are
+    * fetched back by id join for the verify, so the wide vectors never
+    * ride through the candidate dedup.
     */
   private def embedNeardup(s: SparkSession, dir: String): DataFrame = {
-    val base = withScaledDups(embeddings(s, dir))
-    val fx = base.select(col("vec_id"), col("embedding"),
-      element_at(expr(s"graft_lsh_keys(embedding, 1, $NeardupBits, $LshSeed, 0)"), 1).as("sig"))
-    val a = fx.select(col("vec_id").as("a_id"), col("embedding").as("a_e"), col("sig"))
-    val b = fx.select(col("vec_id").as("b_id"), col("embedding").as("b_e"), col("sig"))
-    a.join(b, Seq("sig")).where(col("a_id") < col("b_id"))
+    val corpus = embeddings(s, dir)
+    val bits = neardupBits(corpus.count())
+    val bands = neardupBands(bits)
+    val base = neardupFixture(corpus)
+    val exact = base.select(col("vec_id").as("a_id"),
+      explode(expr(s"graft_lsh_keys(embedding, $bands, $bits, $LshSeed, 0)")).as("key"))
+    val probed = base.select(col("vec_id").as("b_id"),
+      explode(expr(s"graft_lsh_keys(embedding, $bands, $bits, $LshSeed, 1)")).as("key"))
+    val cand = exact.join(probed, Seq("key"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(base.select(col("vec_id").as("a_id"), col("embedding").as("a_e")), "a_id")
+      .join(base.select(col("vec_id").as("b_id"), col("embedding").as("b_e")), "b_id")
       .select(col("a_id"), col("b_id"), round(cosine(col("a_e"), col("b_e")), 6).as("c"))
       .where(col("c") >= 0.99)
-      .distinct()
       .orderBy(col("a_id"), col("b_id"))
   }
 
   // ------- incremental embedding dedup: batch vs persisted signature index
 
-  /** `(vec_id, sig)` signature-index rows — the same single-table
-    * sign-LSH bucket key the near-dup path uses. 8 bytes of key per vector,
-    * so the index of a 10^11-vector corpus is register-narrow next to the
-    * vectors themselves; at cluster scale it is persisted hash-bucketed on
-    * `sig` so only the (small) daily batch side shuffles.
+  /** `(vec_id, key)` multi-table signature-index rows — the same banded
+    * family the near-dup gate uses (`bands` packed longs per vector;
+    * `probeRadius = 1` additionally emits every 1-bit flip, the batch side
+    * of the candidate join). `bands`·8 bytes of key per vector keeps the
+    * index register-narrow next to the vectors themselves; at cluster
+    * scale it is persisted hash-bucketed on `key` so only the (small)
+    * daily batch side shuffles.
     */
-  def embedIndexRows(vectors: DataFrame): DataFrame = {
+  def embedIndexRows(vectors: DataFrame, bands: Int, bits: Int,
+                     probeRadius: Int = 0): DataFrame = {
     NativeVector.register(vectors.sparkSession)
     vectors.select(col("vec_id"),
-      element_at(expr(s"graft_lsh_keys(embedding, 1, $NeardupBits, $LshSeed, 0)"), 1)
-        .as("sig"))
+      explode(expr(s"graft_lsh_keys(embedding, $bands, $bits, $LshSeed, $probeRadius)"))
+        .as("key"))
   }
 
-  /** Append a batch's signature rows to the persisted index (write-once
-    * files; append adds new files, never rewrites existing ones).
+  /** The family parameters a persisted index was built with, pinned at
+    * creation in a one-row parquet sidecar (`<indexPath>_params`) — every
+    * later append and probe MUST reuse them, or keys stop being
+    * comparable across files.
     */
-  def appendToEmbedIndex(vectors: DataFrame, indexPath: String): Unit =
-    embedIndexRows(vectors).write.mode(SaveMode.Append).parquet(indexPath)
+  def embedIndexParams(spark: SparkSession, indexPath: String): Option[(Int, Int)] =
+    if (graft.util.Fs.exists(spark, indexPath + "_params"))
+      spark.read.parquet(indexPath + "_params").select(col("bands"), col("bits"))
+        .collect().headOption.map(r => (r.getInt(0), r.getInt(1)))
+    else None
 
-  /** Near-dups of `batch` against vectors already in the index: equality
-    * join on the signature (scale-invariance ⇒ a scaled copy collides with
-    * its original for certain), then exact-cosine verification of the
-    * candidates only — corpus embeddings are fetched by joining the touched
-    * ids, not by re-scanning or re-signaturing the corpus.
+  /** Append a batch's signature rows to the persisted index (write-once
+    * files; append adds new files, never rewrites existing ones). The
+    * first append derives (bands, bits) from the batch size and pins them
+    * in the sidecar; subsequent appends reuse the pinned values.
+    */
+  def appendToEmbedIndex(vectors: DataFrame, indexPath: String): Unit = {
+    val spark = vectors.sparkSession
+    val (bands, bits) = embedIndexParams(spark, indexPath).getOrElse {
+      val b = neardupBits(vectors.count())
+      val p = (neardupBands(b), b)
+      import spark.implicits._
+      Seq(p).toDF("bands", "bits").write.mode(SaveMode.Overwrite)
+        .parquet(indexPath + "_params")
+      p
+    }
+    embedIndexRows(vectors, bands, bits).write.mode(SaveMode.Append).parquet(indexPath)
+  }
+
+  /** Near-dups of `batch` against vectors already in the index: the batch
+    * emits its banded keys plus every 1-bit flip (radius-1 multi-probe),
+    * candidates are the key equality join against the index (miss ≤ 1e-12
+    * for any pair at cosine ≥ 0.99 — covers genuinely near pairs, not
+    * just scaled copies), then exact-cosine verification of the candidates
+    * only — corpus embeddings are fetched by joining the touched ids, not
+    * by re-scanning or re-signaturing the corpus.
     */
   def dedupAgainstEmbedIndex(batch: DataFrame, corpusVectors: DataFrame,
                              indexPath: String): DataFrame = {
     val spark = batch.sparkSession
+    val (bands, bits) = embedIndexParams(spark, indexPath).getOrElse(
+      throw new IllegalStateException(s"no params sidecar for index $indexPath"))
     // the parquet file listing is captured HERE, so the lazy result is
     // pinned to the index as of this call — appending the batch afterwards
     // cannot feed it back into its own candidate set
     val index = spark.read.parquet(indexPath)
-    val candidates = embedIndexRows(batch).as("n")
-      .join(index.as("i"), col("n.sig") === col("i.sig"))
+    val candidates = embedIndexRows(batch, bands, bits, probeRadius = 1).as("n")
+      .join(index.as("i"), col("n.key") === col("i.key"))
       .select(col("n.vec_id").as("new_id"), col("i.vec_id").as("corpus_id"))
       .distinct()
     candidates
@@ -162,24 +258,25 @@ object SimilarityOps {
       .orderBy(col("new_id"), col("corpus_id"))
   }
 
-  /** Today's batch: ×2-scaled copies of every 50th corpus vector (true
-    * near-dups — cosine exactly 1, and the scale-invariant signature
-    * collides with the original for certain) plus negated copies of every
-    * (50k+25)th vector (cosine −1 — random bucket collisions may nominate
-    * them, the exact verify must reject every one).
+  /** Today's batch, three planted populations against the corpus:
+    *   - ×2-scaled copies of every 50th vector — cosine exactly 1, the
+    *     easy case (any scale-invariant signature collides);
+    *   - alternating-scaled NEAR copies of every (50k+10)th vector —
+    *     cosine ≈ 0.992 but NOT 1 (see [[perturb]]): the case a single
+    *     signature could miss, which the multi-table multi-probe family
+    *     nominates with miss ≤ 1e-12;
+    *   - negated copies of every (50k+25)th vector — cosine −1: every
+    *     band's signature is the exact complement (hamming = bits ≥ 2),
+    *     so the gate never even nominates them, and any random bucket
+    *     collision of unrelated vectors is rejected by the exact verify.
     *
-    * Fixture contract (oracle soundness): the `embed_incremental` oracle is
-    * the EXHAUSTIVE batch×corpus cosine join at c ≥ 0.99, while one 12-bit
-    * sign-LSH signature guarantees collision only at cosine exactly 1
-    * (scale invariance); a natural 0.99 ≤ c < 1 pair would collide with
-    * only ~57 % probability and could fail the oracle. This corpus has no
-    * such pair — uniform random embeddings top out near cosine ~0.3
-    * across batch×corpus (asserted in IncrementalDedupSpec "fixture has no
-    * near-but-not-exact cross pairs"), so the planted exact copies are the
-    * complete c ≥ 0.99 truth set at every shipped scale factor. A corpus
-    * with genuine near-but-not-exact neighbours needs the multi-table
-    * multi-probe index (`ann_lsh_recall`'s 32×4-bit family), not this
-    * single-signature dedup gate.
+    * Oracle soundness: the `embed_incremental` oracle is the EXHAUSTIVE
+    * batch×corpus cosine join at c ≥ 0.99. The gate's analytic miss bound
+    * (≤ 1e-12 per qualifying pair, [[neardupBands]]) makes gate ≡
+    * exhaustive-join deterministic in practice under the fixed seed; the
+    * raw corpus tops out near cosine ~0.3 across batch×corpus, so the
+    * planted populations are the complete truth set at every shipped
+    * scale factor.
     */
   private def embedBatch(e: DataFrame): DataFrame =
     e.where(col("vec_id") % 50 === 0)
@@ -189,6 +286,10 @@ object SimilarityOps {
         e.where(col("vec_id") % 50 === 25)
           .select((col("vec_id") + 200000).as("vec_id"),
             transform(col("embedding"), x => x * lit(-1.0f)).as("embedding")))
+      .unionByName(
+        e.where(col("vec_id") % 50 === 10)
+          .select((col("vec_id") + 300000).as("vec_id"),
+            perturb(col("embedding")).as("embedding")))
 
   /** Registered query: index the corpus, dedup the day's batch against the
     * index, then append the batch (the next day's batch would see it).
@@ -506,27 +607,43 @@ object SimilarityOps {
         |    list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[]) AS span
         |  FROM embeddings)
         |ORDER BY vec_id""".stripMargin,
+    // the perturbed branch replays graft's float arithmetic exactly:
+    // float×float products fit a DOUBLE exactly, so DOUBLE-multiply +
+    // round-to-FLOAT ≡ Spark's FLOAT multiply (factors 9/8, 7/8 are exact)
     "embed_neardup_cosine" ->
       """WITH fx AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
         |  SELECT vec_id + 100000, list_transform(embedding, x -> x * 2)
-        |  FROM embeddings WHERE vec_id % 50 = 0)
+        |  FROM embeddings WHERE vec_id % 50 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 300000,
+        |    list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i]::DOUBLE *
+        |             (CASE WHEN (i - 1) % 2 = 0 THEN 1.125 ELSE 0.875 END) AS FLOAT))
+        |  FROM embeddings WHERE vec_id % 50 = 10)
         |SELECT a_id, b_id, c FROM (
         |  SELECT a.vec_id a_id, b.vec_id b_id,
         |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) c
         |  FROM fx a JOIN fx b ON a.vec_id < b.vec_id)
         |WHERE c >= 0.99 ORDER BY a_id, b_id""".stripMargin,
     // the exhaustive batch×corpus truth — the banded index must find
-    // exactly these pairs (scaled copies collide by scale-invariance; the
-    // negated probes and every random bucket collision fail the verify)
+    // exactly these pairs (scaled AND perturbed copies are nominated with
+    // analytic miss ≤ 1e-12; the negated probes and every random bucket
+    // collision fail the exact verify)
     "embed_incremental" ->
       """WITH batch AS (
         |  SELECT vec_id + 100000 AS new_id, list_transform(embedding, x -> x * 2) AS e
         |  FROM embeddings WHERE vec_id % 50 = 0
         |  UNION ALL
         |  SELECT vec_id + 200000 AS new_id, list_transform(embedding, x -> x * (-1)) AS e
-        |  FROM embeddings WHERE vec_id % 50 = 25)
+        |  FROM embeddings WHERE vec_id % 50 = 25
+        |  UNION ALL
+        |  SELECT vec_id + 300000 AS new_id,
+        |    list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i]::DOUBLE *
+        |             (CASE WHEN (i - 1) % 2 = 0 THEN 1.125 ELSE 0.875 END) AS FLOAT)) AS e
+        |  FROM embeddings WHERE vec_id % 50 = 10)
         |SELECT new_id, corpus_id, c FROM (
         |  SELECT b.new_id, o.vec_id AS corpus_id,
         |    round(list_cosine_similarity(b.e::DOUBLE[], o.embedding::DOUBLE[]), 6) AS c

@@ -46,16 +46,30 @@ class IncrementalDedupSpec extends AnyFunSuite {
         s"existing index file must survive an append untouched: $path")
     }
     assert(after.size > before.size, "append must add new files")
-    assert(spark.read.parquet(idx).count() == corpusRows + batch.count())
+    // params are pinned at creation; the append must reuse them, emitting
+    // `bands` key rows per vector
+    val Some((bands, bits)) = ops.SimilarityOps.embedIndexParams(spark, idx)
+    assert(spark.read.parquet(idx).count() == corpusRows + batch.count() * bands)
+    assert(bits == ops.SimilarityOps.neardupBits(corpus.count()))
   }
 
   test("embedding batch-vs-index dedup equals the exhaustive cosine join") {
     val idx = s"${tmpDir("eidx_spec_")}/index"
     val corpus = Tables.load(spark, Sf0001, "embeddings")
       .select(col("vec_id"), col("embedding"))
+    // all three planted populations: exact scaled copies, NEAR-but-not-
+    // exact alternating-scaled copies (cosine ≈ 0.992 — the case a single
+    // scale-invariant signature could miss), and negated decoys
     val batch = corpus.where(col("vec_id") % 50 === 0)
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      .unionByName(corpus.where(col("vec_id") % 50 === 10)
+        .select((col("vec_id") + 300000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x * when(i % 2 === 0, lit(1.125f)).otherwise(lit(0.875f))).as("embedding")))
+      .unionByName(corpus.where(col("vec_id") % 50 === 25)
+        .select((col("vec_id") + 200000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(-1.0f)).as("embedding")))
     ops.SimilarityOps.appendToEmbedIndex(corpus, idx)
     val got = ops.SimilarityOps.dedupAgainstEmbedIndex(batch, corpus, idx)
       .select("new_id", "corpus_id").collect()
@@ -69,6 +83,10 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expected)
     assert(expected.nonEmpty, "fixture must exercise at least one batch-vs-corpus pair")
+    assert(expected.exists(_._1 >= 300000),
+      "fixture must exercise near-but-not-exact (cosine < 1) pairs")
+    assert(!expected.exists(p => p._1 >= 200000 && p._1 < 300000),
+      "negated decoys must never survive the exact verify")
   }
 
   test("batch-vs-index dedup equals the exhaustive batch×corpus Jaccard join") {

@@ -73,12 +73,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(perQuery.nonEmpty && perQuery.forall(_ <= 10))
   }
 
-  test("embedding near-dup catches every injected scaled duplicate") {
-    val pairs = ops.SimilarityOps.queries("embed_neardup_cosine")(spark, Sf0001)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val expected = Tables.load(spark, Sf0001, "embeddings")
-      .where(org.apache.spark.sql.functions.col("vec_id") % 50 === 0)
+  test("embedding near-dup catches every scaled AND every perturbed plant") {
+    import org.apache.spark.sql.functions.col
+    val rows = ops.SimilarityOps.queries("embed_neardup_cosine")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = rows.map(t => (t._1, t._2)).toSet
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    val scaled = e.where(col("vec_id") % 50 === 0)
       .collect().map(r => (r.getLong(0), r.getLong(0) + 100000)).toSet
-    assert(pairs == expected)
+    val perturbed = e.where(col("vec_id") % 50 === 10)
+      .collect().map(r => (r.getLong(0), r.getLong(0) + 300000)).toSet
+    assert(pairs == scaled ++ perturbed)
+    // the perturbed plants are genuinely near-but-NOT-exact: the analytic
+    // window for alternating ±1/8 scaling is [√(1−ε²), 1) = [0.99216, 1)
+    rows.filter(_._2 >= 300000).foreach { case (a, b, c) =>
+      assert(c >= 0.99216 && c < 1.0, s"perturbed pair ($a,$b) cosine $c")
+    }
+    rows.filter(_._2 < 300000).foreach { case (a, b, c) =>
+      assert(c == 1.0, s"scaled pair ($a,$b) cosine $c")
+    }
   }
 }
