@@ -425,11 +425,14 @@ object RelationalOps {
     // the raw fixture ingests uniformly (no natural ±30% move at any SF),
     // so the alarm is made observable the PII-fixture way: one day's rows
     // are injected twice more (a 3× spike on the 15th, the collapse back
-    // on the 16th), mirrored literally in the oracle
+    // on the 16th), mirrored literally in the oracle. The duplication is
+    // an explode over a 2-element literal array — a generator, not a
+    // join, so no BroadcastNestedLoopJoin enters the plan
     val ev = events(s, dir).select(col("ts"))
     val spiked = ev.unionByName(
       ev.where(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-15")
-        .crossJoin(s.range(2).select(lit(1).as("__dup"))).select(col("ts")))
+        .select(col("ts"), explode(array(lit(0), lit(1))).as("__dup"))
+        .select(col("ts")))
     spiked
       .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n"))

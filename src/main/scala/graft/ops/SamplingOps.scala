@@ -258,13 +258,18 @@ object SamplingOps {
     * moments. Spark's `corr` (and DuckDB's) accumulates doubles in
     * partition order — non-deterministic across engines and cluster
     * layouts. Here the five moments (Σx, Σy, Σxy, Σx², Σy²) are BIGINT
-    * sums — order-independent, overflow-safe at any shipped SF (n·Σx²
-    * ≲ 1e14 ≪ 2⁶³) — and the only float ops are one subtraction-free
-    * integer→double cast each, one product, one sqrt, one division: every
-    * step correctly rounded, so round(·, 6) is bit-identical everywhere.
+    * sums — order-independent — and the discriminant products run in
+    * DECIMAL(38,0) on BOTH engines: exact integers up to 1e38 (n·Σx² is
+    * ~1e14 at the shipped SFs), and past the bound both engines fail
+    * loudly (Spark ANSI decimal overflow, DuckDB decimal overflow)
+    * instead of one wrapping silently while the other errors. The only
+    * float ops are one exact-integer→double cast each, one product, one
+    * sqrt, one division: every step correctly rounded, so round(·, 6) is
+    * bit-identical everywhere.
     * One partial-agg shuffle on lang; the formula runs on |langs| rows.
     */
-  private def statsCorrExact(s: SparkSession, dir: String): DataFrame =
+  private def statsCorrExact(s: SparkSession, dir: String): DataFrame = {
+    def d(c: Column): Column = c.cast("decimal(38,0)")
     documents(s, dir)
       .select(col("lang"), col("n_chars").as("x"),
         size(tokens(col("text"))).cast("long").as("y"))
@@ -276,14 +281,15 @@ object SamplingOps {
         sum(col("y") * col("y")).as("syy"))
       .select(col("lang"), col("n"),
         when(
-          (col("n") * col("sxx") - col("sx") * col("sx")) === 0 ||
-            (col("n") * col("syy") - col("sy") * col("sy")) === 0, lit(null))
+          (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) === 0 ||
+            (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))) === 0, lit(null))
           .otherwise(round(
-            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6))
+            (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))).cast("double") /
+              sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))).cast("double") *
+                (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))).cast("double")), 6))
           .as("corr_chars_tokens"))
       .orderBy(col("lang"))
+  }
 
   /** Temperature-scaled source rebalance (α = 0.5): the standard move that
     * up-weights small high-quality sources relative to the dominant crawl
@@ -386,9 +392,11 @@ object SamplingOps {
         |    CAST(sum(y * y) AS BIGINT) AS syy
         |  FROM t GROUP BY lang)
         |SELECT lang, n,
-        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
-        |       ELSE round((n * sxy - sx * sy)::DOUBLE /
-        |              sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
+        |  CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx = 0
+        |         OR n::HUGEINT * syy - sy::HUGEINT * sy = 0 THEN NULL
+        |       ELSE round((n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE /
+        |              sqrt((n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE
+        |                 * (n::HUGEINT * syy - sy::HUGEINT * sy)::DOUBLE), 6)
         |  END AS corr_chars_tokens
         |FROM m ORDER BY lang""".stripMargin,
     "mix_temperature_weights" ->

@@ -439,11 +439,11 @@ object SimilarityOps {
 
   /** The PQ (product-quantization) ANN path — the third classical index
     * family next to LSH and IVF, and the one that actually SHRINKS the
-    * corpus: each 64-float vector becomes M=4 nibble codes (16 B → 4 B
+    * corpus: each 64-float vector becomes M=4 byte-wide codes (16 B → 4 B
     * here; 256 B → 8 B for production float32×64). Codebooks are a
-    * deterministic corpus sample per subspace (vec_id < 16 — the IVF
-    * centroid convention; production k-means only changes codebook
-    * quality, not the plan). Search is the textbook two stages:
+    * deterministic corpus sample per subspace (vec_id < [[PqCodes]] = 64 —
+    * the same sampling convention as the IVF centroids; production
+    * k-means only changes codebook quality, not the plan). Search is the textbook two stages:
     *  1. ADC — the query precomputes its distance to every codeword (a
     *     M×codes table, broadcast), then each corpus CODE row is scored by
     *     pure table lookup: an equi-join on (m, code) + a 4-term sum. No
