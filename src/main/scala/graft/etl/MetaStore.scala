@@ -13,22 +13,99 @@ import graft.model.{ClientBillingConfig, EtlStatus, StepStatus}
   * `user_stepper_form_step_status` — reference:
   * core/database/billing_etl_db.py:12-162, README.md:186-210).
   *
-  * Three tables under one root directory:
-  *   - `config`  — small, read-mostly; UPDATE (S9) is read-modify-overwrite
-  *   - `stepper` — same overwrite pattern (S10)
+  * Three logical tables:
+  *   - `config`  — small, read-mostly; UPDATE (S9) is whitelisted
+  *   - `stepper` — same update pattern (S10)
   *   - `status`  — append-only log (S8); never rewritten
   *
-  * Vanilla Spark tables have no in-place UPDATE, so overwrites are
-  * implemented as **versioned snapshots with an atomically-swapped CURRENT
-  * pointer** (write the new snapshot dir in full, then atomic-rename a tiny
-  * pointer file): readers either see the old version or the new one, never a
-  * half-written table. This is the write-temp-then-swap pattern of SURVEY
-  * §7.4.5 and gives last-writer-wins under concurrent updaters. Control
-  * tables are tiny (one row per org), so rewriting them whole is O(orgs),
-  * not O(data) — this never becomes a bottleneck at 100 TB of *billing*
-  * data because config/status volume scales with tenants, not rows.
+  * Two interchangeable backends implement the trait (MetaStoreSpec runs
+  * the same battery against both):
+  *   - [[FsMetaStore]] — versioned parquet snapshots + an atomically
+  *     swapped CURRENT pointer; no external service needed.
+  *   - [[JdbcMetaStore]] — a real JDBC database (embedded Derby in tests;
+  *     the URL/driver generalize to the reference's MySQL), read through
+  *     `spark.read.jdbc` and updated with genuine SQL UPDATEs, matching
+  *     the reference's `.rowcount` semantics.
   */
-final class MetaStore(val root: String)(implicit spark: SparkSession) {
+trait MetaStore {
+
+  // ------------------------------------------------------------------ config
+
+  /** Seed/replace the whole config table (test fixture path). */
+  def putConfigs(rows: Seq[ClientBillingConfig]): Unit
+
+  def configs: Dataset[ClientBillingConfig]
+
+  /** Config UPDATE sink, S9 (reference: billing_etl_db.py:122-162).
+    * Mirrors the reference's whitelist: only `pulsebillingdataset` and
+    * `pulsetableid` are updatable (billing_etl_db.py:126-129); other keys
+    * are ignored. Returns the number of rows affected.
+    */
+  def updateConfig(orgId: Int, projectId: String, fields: Map[String, String]): Long
+
+  /** Config point-lookup, S3/P2/F3 (reference: billing_etl_db.py:63-89).
+    * Driver-side single-row fetch — the table is tiny by construction.
+    */
+  def configFor(orgId: Int): Option[ClientBillingConfig] =
+    configs.where(col("org_id") === orgId).head(1).headOption
+
+  // ----------------------------------------------------------------- stepper
+
+  def putSteps(rows: Seq[StepStatus]): Unit
+
+  def steps: Dataset[StepStatus]
+
+  /** Step-status UPDATE sink, S10 (reference: billing_etl_db.py:91-120).
+    * Returns rows_affected, as the reference surfaces via `.rowcount`.
+    */
+  def updateStepCompleted(stepId: Int, orgId: Int, completed: Boolean): Long
+
+  // ------------------------------------------------------------------ status
+
+  /** Status append sink, S8 (reference: billing_etl_db.py:12-43). `seq` is
+    * orchestrator-assigned so the append-only log has a deterministic total
+    * order regardless of storage enumeration order.
+    */
+  def appendStatus(seq: Long, s: EtlStatus): Unit
+
+  def statusLog: DataFrame
+
+  /** Checkpoint top-1 read, S4/F2/O1/A3 (reference: billing_etl_db.py:45-61):
+    * latest SUCCESS watermark for (org, project), None on first run.
+    */
+  def lastSuccessWatermark(orgId: Int, projectId: String): Option[Timestamp] =
+    statusLog
+      .where(col("org_id") === orgId && col("project_id") === projectId &&
+        col("status") === EtlStatus.Success)
+      .agg(max(col("end_date_time")))
+      .head(1).headOption.flatMap(r => Option(r.getTimestamp(0)))
+
+  def nextStatusSeq: Long =
+    statusLog.agg(coalesce(max(col("seq")), lit(0L))).head().getLong(0) + 1L
+}
+
+object MetaStore {
+  /** The reference's updatable-column whitelist (billing_etl_db.py:126-129). */
+  val UpdatableConfigColumns: Set[String] = Set("pulsebillingdataset", "pulsetableid")
+
+  /** Default backend: versioned parquet + atomic pointer swap. */
+  def apply(root: String)(implicit spark: SparkSession): FsMetaStore =
+    new FsMetaStore(root)
+}
+
+/** Filesystem backend. Vanilla Spark tables have no in-place UPDATE, so
+  * overwrites are implemented as **versioned snapshots with an
+  * atomically-swapped CURRENT pointer** (write the new snapshot dir in
+  * full, then atomic-rename a tiny pointer file): readers either see the
+  * old version or the new one, never a half-written table. This is the
+  * write-temp-then-swap pattern of SURVEY §7.4.5 and gives
+  * last-writer-wins under concurrent updaters. Control tables are tiny
+  * (one row per org), so rewriting them whole is O(orgs), not O(data) —
+  * this never becomes a bottleneck at 100 TB of *billing* data because
+  * config/status volume scales with tenants, not rows.
+  */
+final class FsMetaStore(val root: String)(implicit spark: SparkSession)
+    extends MetaStore {
   import spark.implicits._
 
   private val configDir = s"$root/config"
@@ -60,30 +137,17 @@ final class MetaStore(val root: String)(implicit spark: SparkSession) {
   private def readVersioned(tableDir: String): Option[DataFrame] =
     currentVersion(tableDir).map(v => spark.read.parquet(s"$tableDir/$v"))
 
-  // ------------------------------------------------------------------ config
-
-  /** Seed/replace the whole config table (test fixture path). */
-  def putConfigs(rows: Seq[ClientBillingConfig]): Unit =
+  override def putConfigs(rows: Seq[ClientBillingConfig]): Unit =
     overwriteVersioned(configDir, rows.toDF())
 
-  def configs: Dataset[ClientBillingConfig] =
+  override def configs: Dataset[ClientBillingConfig] =
     readVersioned(configDir)
       .map(_.as[ClientBillingConfig])
       .getOrElse(spark.emptyDataset[ClientBillingConfig])
 
-  /** Config point-lookup, S3/P2/F3 (reference: billing_etl_db.py:63-89).
-    * Driver-side single-row fetch — the table is tiny by construction.
-    */
-  def configFor(orgId: Int): Option[ClientBillingConfig] =
-    configs.where($"org_id" === orgId).head(1).headOption
-
-  /** Config UPDATE sink, S9 (reference: billing_etl_db.py:122-162).
-    * Mirrors the reference's whitelist: only `pulsebillingdataset` and
-    * `pulsetableid` are updatable (billing_etl_db.py:126-129); other keys
-    * are ignored. Returns the number of rows affected.
-    */
-  def updateConfig(orgId: Int, projectId: String, fields: Map[String, String]): Long = {
-    val allowed = fields.view.filterKeys(Set("pulsebillingdataset", "pulsetableid")).toMap
+  override def updateConfig(orgId: Int, projectId: String,
+                            fields: Map[String, String]): Long = {
+    val allowed = fields.view.filterKeys(MetaStore.UpdatableConfigColumns).toMap
     if (allowed.isEmpty) return 0L
     val cur = configs
     val hit = $"org_id" === orgId && $"projectid" === projectId
@@ -97,20 +161,15 @@ final class MetaStore(val root: String)(implicit spark: SparkSession) {
     affected
   }
 
-  // ----------------------------------------------------------------- stepper
-
-  def putSteps(rows: Seq[StepStatus]): Unit =
+  override def putSteps(rows: Seq[StepStatus]): Unit =
     overwriteVersioned(stepperDir, rows.toDF())
 
-  def steps: Dataset[StepStatus] =
+  override def steps: Dataset[StepStatus] =
     readVersioned(stepperDir)
       .map(_.as[StepStatus])
       .getOrElse(spark.emptyDataset[StepStatus])
 
-  /** Step-status UPDATE sink, S10 (reference: billing_etl_db.py:91-120).
-    * Returns rows_affected, as the reference surfaces via `.rowcount`.
-    */
-  def updateStepCompleted(stepId: Int, orgId: Int, completed: Boolean): Long = {
+  override def updateStepCompleted(stepId: Int, orgId: Int, completed: Boolean): Long = {
     val cur = steps
     val hit = $"stepid" === stepId && $"org_id" === orgId
     val affected = cur.where(hit).count()
@@ -122,34 +181,15 @@ final class MetaStore(val root: String)(implicit spark: SparkSession) {
     affected
   }
 
-  // ------------------------------------------------------------------ status
-
-  /** Status append sink, S8 (reference: billing_etl_db.py:12-43). `seq` is
-    * orchestrator-assigned so the append-only log has a deterministic total
-    * order regardless of parquet file enumeration order.
-    */
-  def appendStatus(seq: Long, s: EtlStatus): Unit =
+  override def appendStatus(seq: Long, s: EtlStatus): Unit =
     Seq((seq, s.org_id, s.project_id, s.status, s.end_date_time.orNull))
       .toDF("seq", "org_id", "project_id", "status", "end_date_time")
       .coalesce(1).write.mode(SaveMode.Append).parquet(statusDir)
 
-  def statusLog: DataFrame =
+  override def statusLog: DataFrame =
     if (graft.util.Fs.hasParquetFiles(spark, statusDir))
       spark.read.parquet(statusDir)
     else
       Seq.empty[(Long, Int, String, String, Timestamp)]
         .toDF("seq", "org_id", "project_id", "status", "end_date_time")
-
-  /** Checkpoint top-1 read, S4/F2/O1/A3 (reference: billing_etl_db.py:45-61):
-    * latest SUCCESS watermark for (org, project), None on first run.
-    */
-  def lastSuccessWatermark(orgId: Int, projectId: String): Option[Timestamp] =
-    statusLog
-      .where($"org_id" === orgId && $"project_id" === projectId &&
-        $"status" === EtlStatus.Success)
-      .agg(max($"end_date_time"))
-      .head(1).headOption.flatMap(r => Option(r.getTimestamp(0)))
-
-  def nextStatusSeq: Long =
-    statusLog.agg(coalesce(max($"seq"), lit(0L))).head().getLong(0) + 1L
 }

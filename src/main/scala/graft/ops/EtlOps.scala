@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.etl.{CatalogOps, EtlJob, MetaStore}
+import graft.etl.{CatalogOps, EtlJob, JdbcMetaStore, MetaStore}
 import graft.model.{ClientBillingConfig, EngineError, EtlJobMessage, StepStatus}
 
 /** Oracle-checkable queries that exercise the end-to-end ETL slice
@@ -53,13 +53,13 @@ object EtlOps {
         _ => scala.collection.mutable.Map.empty)
       perSession.getOrElseUpdate(dir, runTwiceImpl(spark, dir))
     }
-    (new MetaStore(metaRoot)(spark), dest)
+    (MetaStore(metaRoot)(spark), dest)
   }
 
   private def runTwiceImpl(spark: SparkSession, dir: String): (String, String) = {
     implicit val s: SparkSession = spark
     val tmp = graft.util.TempDirs.create("graft_etl_")
-    val meta = new MetaStore(s"$tmp/meta")
+    val meta = MetaStore(s"$tmp/meta")
     meta.putConfigs(Seq(ClientBillingConfig(7, "proj_7", "client_ds", "client_tbl", None, None, None)))
     val dest = s"$tmp/dest"
     val src = Tables.load(spark, dir, "events")
@@ -98,7 +98,7 @@ object EtlOps {
   private def etlMissingConfig(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val tmp = graft.util.TempDirs.create("graft_etl_")
-    val meta = new MetaStore(s"$tmp/meta")
+    val meta = MetaStore(s"$tmp/meta")
     meta.putConfigs(Seq(ClientBillingConfig(7, "proj_7", "ds", "t", None, None, None)))
     val res = EtlJob.run(spark, meta, Tables.load(spark, dir, "events"), "ts",
       s"$tmp/dest", EtlJobMessage(999999), utcTs(Mid), sleeper = _ => ())
@@ -112,22 +112,39 @@ object EtlOps {
 
   /** Provisioning saga D1–D5: namespace + table created, then the S9 config
     * write-back and S10 stepper update are visible in the control tables.
+    * Parameterized over the control-plane backend so the SAME saga is
+    * oracled against both the FS store and the real-JDBC store.
     */
-  private def etlProvisionSaga(spark: SparkSession, dir: String): DataFrame = {
-    implicit val s: SparkSession = spark
-    val tmp = graft.util.TempDirs.create("graft_prov_")
-    val meta = new MetaStore(s"$tmp/meta")
-    meta.putConfigs(Seq(ClientBillingConfig(901, "proj_901", "ds", "t", None, None, None)))
-    meta.putSteps(Seq(StepStatus(3, 901, step_completed = false)))
-    val res = CatalogOps.provision(spark, meta, 901, "proj_901", sleeper = _ => ())
+  private def provisionSagaOn(spark: SparkSession, meta: MetaStore, orgId: Int): DataFrame = {
+    meta.putConfigs(Seq(ClientBillingConfig(orgId, s"proj_$orgId", "ds", "t", None, None, None)))
+    meta.putSteps(Seq(StepStatus(3, orgId, step_completed = false)))
+    val res = CatalogOps.provision(spark, meta, orgId, s"proj_$orgId", sleeper = _ => ())
     require(res.isRight, s"provision failed: $res")
     val out = meta.configs.toDF()
       .join(meta.steps.toDF().where(col("stepid") === 3), "org_id")
       .select(col("org_id"), col("pulsebillingdataset"), col("pulsetableid"),
         col("step_completed"))
     val materialized = out.collect() // capture before compensating the catalog
-    CatalogOps.dropNamespaceCascade(spark, CatalogOps.datasetName(901))
+    CatalogOps.dropNamespaceCascade(spark, CatalogOps.datasetName(orgId))
     spark.createDataFrame(spark.sparkContext.parallelize(materialized.toSeq), out.schema)
+  }
+
+  private def etlProvisionSaga(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val tmp = graft.util.TempDirs.create("graft_prov_")
+    provisionSagaOn(spark, MetaStore(s"$tmp/meta"), 901)
+  }
+
+  /** The same saga through the real-JDBC control plane (embedded Derby —
+    * the reference's MySQL shape): S9/S10 are genuine SQL UPDATEs with
+    * `.rowcount` semantics, and the read-back goes through
+    * `spark.read.jdbc`. Distinct org id keeps its catalog namespace and
+    * oracle row disjoint from the FS variant.
+    */
+  private def etlProvisionSagaJdbc(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val tmp = graft.util.TempDirs.create("graft_prov_jdbc_")
+    provisionSagaOn(spark, new JdbcMetaStore(s"jdbc:derby:$tmp/ctl;create=true"), 902)
   }
 
   /** Exact (idempotent) mode: same two-run schedule, strict-`>` resume +
@@ -137,7 +154,7 @@ object EtlOps {
   private def etlRunDestExact(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val tmp = graft.util.TempDirs.create("graft_etl_")
-    val meta = new MetaStore(s"$tmp/meta")
+    val meta = MetaStore(s"$tmp/meta")
     meta.putConfigs(Seq(ClientBillingConfig(7, "proj_7", "client_ds", "client_tbl", None, None, None)))
     val dest = s"$tmp/dest"
     val src = Tables.load(spark, dir, "events")
@@ -159,7 +176,7 @@ object EtlOps {
     implicit val s: SparkSession = spark
     import s.implicits._
     val tmp = graft.util.TempDirs.create("graft_etl_")
-    val meta = new MetaStore(s"$tmp/meta")
+    val meta = MetaStore(s"$tmp/meta")
     meta.putConfigs(Seq(ClientBillingConfig(7, "proj_7", "ds", "t", None, None, None)))
     val dest = s"$tmp/dest"
     val src = Tables.load(spark, dir, "events")
@@ -181,7 +198,7 @@ object EtlOps {
   private def etlTransformHook(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val tmp = graft.util.TempDirs.create("graft_etl_")
-    val meta = new MetaStore(s"$tmp/meta")
+    val meta = MetaStore(s"$tmp/meta")
     meta.putConfigs(Seq(ClientBillingConfig(7, "proj_7", "ds", "t", None, None, None)))
     val dest = s"$tmp/dest"
     val r = EtlJob.run(spark, meta, Tables.load(spark, dir, "events"), "ts", dest,
@@ -198,7 +215,7 @@ object EtlOps {
     implicit val s: SparkSession = spark
     import s.implicits._
     val tmp = graft.util.TempDirs.create("graft_etl_")
-    val meta = new MetaStore(s"$tmp/meta")
+    val meta = MetaStore(s"$tmp/meta")
     meta.putConfigs(Seq(ClientBillingConfig(7, "proj_7", "ds", "t", None, None, None)))
     var alert: Option[String] = None
     EtlJob.run(spark, meta, Tables.load(spark, dir, "events"), "ts", s"$tmp/dest",
@@ -215,6 +232,7 @@ object EtlOps {
     "etl_run_status" -> (etlRunStatus _),
     "etl_missing_config" -> (etlMissingConfig _),
     "etl_provision_saga" -> (etlProvisionSaga _),
+    "etl_provision_saga_jdbc" -> (etlProvisionSagaJdbc _),
     "w4_late_data_parity" -> (etlLateDataParity _),
     "u1_transform_hook" -> (etlTransformHook _),
     "u3_alert_hook" -> (etlAlertHook _)
@@ -262,6 +280,11 @@ object EtlOps {
       """SELECT CAST(901 AS INTEGER) AS org_id,
         |  'org_901_standard_export' AS pulsebillingdataset,
         |  'org_901_standard_export_table' AS pulsetableid,
+        |  CAST(true AS BOOLEAN) AS step_completed""".stripMargin,
+    "etl_provision_saga_jdbc" ->
+      """SELECT CAST(902 AS INTEGER) AS org_id,
+        |  'org_902_standard_export' AS pulsebillingdataset,
+        |  'org_902_standard_export_table' AS pulsetableid,
         |  CAST(true AS BOOLEAN) AS step_completed""".stripMargin
   )
 }

@@ -14,7 +14,7 @@ class CatalogOpsSpec extends AnyFunSuite {
   private implicit lazy val s: org.apache.spark.sql.SparkSession = spark
 
   test("provision saga creates namespace + table and writes back config/step") {
-    val m = new MetaStore(tmpDir("saga_"))
+    val m = MetaStore(tmpDir("saga_"))
     m.putConfigs(Seq(ClientBillingConfig(801, "p801", "bd", "t", None, None, None)))
     m.putSteps(Seq(StepStatus(3, 801, step_completed = false)))
     val res = CatalogOps.provision(spark, m, 801, "p801", sleeper = _ => ())
@@ -31,7 +31,7 @@ class CatalogOpsSpec extends AnyFunSuite {
   }
 
   test("saga failure compensates by dropping the namespace cascade") {
-    val m = new MetaStore(tmpDir("saga_"))
+    val m = MetaStore(tmpDir("saga_"))
     // no config row for this org → the S9 write-back step must fail
     m.putConfigs(Seq(ClientBillingConfig(1, "p1", "bd", "t", None, None, None)))
     val res = CatalogOps.provision(spark, m, 802, "p802", sleeper = _ => ())
@@ -41,7 +41,7 @@ class CatalogOpsSpec extends AnyFunSuite {
   }
 
   test("created table carries the full nested billing-export schema") {
-    val m = new MetaStore(tmpDir("saga_"))
+    val m = MetaStore(tmpDir("saga_"))
     m.putConfigs(Seq(ClientBillingConfig(803, "p803", "bd", "t", None, None, None)))
     m.putSteps(Seq(StepStatus(3, 803, step_completed = false)))
     CatalogOps.provision(spark, m, 803, "p803", sleeper = _ => ())

@@ -19,7 +19,7 @@ class CrashReplaySpec extends AnyFunSuite {
 
   private def crashThenRecover(mode: EtlJob.Mode): (Long, Long) = {
     val root = tmpDir("crash_")
-    val meta = new MetaStore(s"$root/meta")
+    val meta = MetaStore(s"$root/meta")
     meta.putConfigs(Seq(ClientBillingConfig(7, "proj_7", "ds", "t", None, None, None)))
     val events = Tables.load(spark, Sf0001, "events")
     val mid = utcTs("2024-01-15 00:00:00")

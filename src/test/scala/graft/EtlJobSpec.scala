@@ -17,7 +17,7 @@ class EtlJobSpec extends AnyFunSuite {
 
   private def freshMeta(orgs: Int*): (MetaStore, String) = {
     val root = tmpDir("etl_spec_")
-    val meta = new MetaStore(s"$root/meta")
+    val meta = MetaStore(s"$root/meta")
     meta.putConfigs(orgs.map(o => ClientBillingConfig(o, s"proj_$o", "ds", "t", None, None, None)))
     (meta, root)
   }

@@ -87,7 +87,7 @@ class PlanSpec extends AnyFunSuite {
   test("date-partitioned destination prunes partitions on a time filter") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val root = tmpDir("prune_")
-    val meta = new graft.etl.MetaStore(s"$root/meta")
+    val meta = graft.etl.MetaStore(s"$root/meta")
     meta.putConfigs(Seq(graft.model.ClientBillingConfig(7, "p", "d", "t", None, None, None)))
     graft.etl.EtlJob.run(spark, meta, Tables.load(spark, Sf0001, "events"), "ts",
       s"$root/dest", graft.model.EtlJobMessage(7), utcTs("2024-02-01 00:00:00"),

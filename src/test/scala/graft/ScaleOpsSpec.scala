@@ -48,7 +48,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     import graft.etl.{EtlJob, MetaStore}
     import graft.model.{ClientBillingConfig, EtlJobMessage}
     val root = tmpDir("compact_")
-    val meta = new MetaStore(s"$root/meta")
+    val meta = MetaStore(s"$root/meta")
     meta.putConfigs(Seq(ClientBillingConfig(7, "p", "d", "t", None, None, None)))
     val events = Tables.load(spark, Sf0001, "events")
     Seq("2024-01-10 00:00:00", "2024-01-20 00:00:00", "2024-02-01 00:00:00").foreach { t =>

@@ -34,7 +34,7 @@ class WatermarkPropertySpec extends AnyFunSuite {
     import sp.implicits._
     val prop = Prop.forAll(offsetsGen, runTimesGen) { (offsets, runMillis) =>
       val root = tmpDir("wm_prop_")
-      val meta = new MetaStore(s"$root/meta")
+      val meta = MetaStore(s"$root/meta")
       meta.putConfigs(Seq(ClientBillingConfig(1, "p", "d", "t", None, None, None)))
       val src = offsets.zipWithIndex
         .map { case (off, i) => (i.toLong, new Timestamp(base + off * 1000L)) }
