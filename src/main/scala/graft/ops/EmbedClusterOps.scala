@@ -29,9 +29,19 @@ import graft.Tables
   */
 object EmbedClusterOps {
 
-  private val K = 8
+  private val KFloor = 8
   private val Iters = 3
   private val Scale = 10000
+
+  /** Corpus-derived cluster count, k ≈ √n/4 (floor [[KFloor]]): average
+    * cluster size grows only as ~4√n, so SemDeDup's within-cluster
+    * all-pairs work is O(n^1.5), never O(n²), and the centroid row stays
+    * kilobytes at any n. The same expression runs as the `kp` CTE in the
+    * oracle SQL (sqrt and /4 are correctly-rounded doubles in both
+    * engines, so the derived k can never disagree).
+    */
+  private[graft] def kFor(n: Long): Int =
+    math.max(KFloor, math.ceil(math.sqrt(n.max(1L).toDouble) / 4).toInt)
 
   /** Quantized vectors `(vec_id, q: array<long>)`. */
   private def quantized(vectors: DataFrame): DataFrame =
@@ -90,7 +100,7 @@ object EmbedClusterOps {
   /** `Iters` Lloyd passes from deterministic seeds (the k smallest vec_ids,
     * cid = rank); returns `(vec_id, cid)`.
     */
-  def kmeansAssign(vectors: DataFrame, k: Int = K, iters: Int = Iters): DataFrame =
+  def kmeansAssign(vectors: DataFrame, k: Int = 0, iters: Int = Iters): DataFrame =
     kmeansDistances(vectors, k, iters).select(col("vec_id"), col("cid"))
 
   /** Final assignment WITH the exact distance to the assigned centroid —
@@ -98,12 +108,14 @@ object EmbedClusterOps {
     * deterministic pipeline as [[kmeansAssign]]; `d` is the identical
     * integer-ratio double the argmin minimized.
     */
-  def kmeansDistances(vectors: DataFrame, k: Int = K, iters: Int = Iters): DataFrame = {
+  def kmeansDistances(vectors: DataFrame, k: Int = 0, iters: Int = Iters): DataFrame = {
     // each Lloyd pass re-reads the quantized relation (3 assigns + 2
     // updates): cache it once instead of re-scanning + re-quantizing
     val vecs = quantized(vectors).cache()
+    // k = 0 (default) derives the cluster count from the corpus size
+    val kk = if (k > 0) k else kFor(vecs.count())
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
-    val seeds = vecs.orderBy(col("vec_id")).limit(k)
+    val seeds = vecs.orderBy(col("vec_id")).limit(kk)
       .select((row_number().over(w) - 1).cast("int").as("cid"),
         col("q").as("s"), lit(1L).as("n"))
     val finalCents = (1 until iters).foldLeft(seeds) { (cents, _) =>
@@ -193,10 +205,12 @@ object EmbedClusterOps {
   private def kmeansBodySql(iters: Int): String = {
     val sb = new StringBuilder(
       s""",
+         |kp AS (
+         |  SELECT GREATEST($KFloor, CAST(ceil(sqrt(count(*)) / 4) AS INTEGER)) AS k FROM v),
          |c0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
-         |    q AS s, CAST(1 AS BIGINT) AS n
-         |  FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT $K))""".stripMargin)
+         |  SELECT CAST(rn - 1 AS INTEGER) AS cid, q AS s, CAST(1 AS BIGINT) AS n
+         |  FROM (SELECT q, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+         |  WHERE rn <= (SELECT k FROM kp))""".stripMargin)
     for (i <- 1 to iters) {
       sb.append(
         s""",

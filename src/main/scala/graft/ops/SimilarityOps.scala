@@ -95,14 +95,30 @@ object SimilarityOps {
     val f = math.pow(p, bits) + bits * math.pow(p, bits - 1) * (1 - p)
     math.max(1, math.ceil(math.log(NeardupTargetMiss) / math.log1p(-f)).toInt)
   }
-  /** IVF: centroids = vec_id ≤ 15 corpus sample; each corpus vector is
-    * indexed under its `IvfAssign` nearest lists (redundant assignment —
-    * the standard fix for neighbors straddling a Voronoi boundary, at
-    * `IvfAssign`× index size); queries probe their `IvfNprobe` nearest
-    * lists.
+  /** IVF: centroids = the `vec_id < nlists` corpus sample; each corpus
+    * vector is indexed under its `IvfAssign` nearest lists (redundant
+    * assignment — the standard fix for neighbors straddling a Voronoi
+    * boundary, at `IvfAssign`× index size); queries probe their `nprobe`
+    * nearest lists.
     */
-  private val IvfNprobe = 8
+  private val IvfNprobeFloor = 8
   private val IvfAssign = 3
+
+  /** Corpus-derived IVF list count ≈ √n/2 (floor 16): posting lists stay
+    * ~2√n long, so a query's `nprobe` lists are O(√n) work instead of the
+    * brute-force O(n). At 100 TB the lists are the partition key; this is
+    * the knob that keeps any one list smaller than an executor.
+    */
+  private[graft] def ivfNlists(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.max(1L).toDouble) / 2).toInt)
+
+  /** Probe count rides the list count (half the lists, floor 8) so the
+    * probed fraction — and with it the recall floor — survives the
+    * list-count growth; absolute per-query work still shrinks ~√n-fold
+    * versus brute force.
+    */
+  private[graft] def ivfNprobe(nlists: Int): Int =
+    math.max(IvfNprobeFloor, (nlists + 1) / 2)
   /** Per-query-point recall floors asserted by the oracle. Measured minima
     * across sf0.001/0.01/0.1 (AnnTune): LSH 1.00 at every query point
     * (analytic per-neighbor miss ≈ 5e-8 at the 10th-NN angle), IVF 0.90.
@@ -353,15 +369,19 @@ object SimilarityOps {
     * partitions the corpus into posting lists; each query probes only its
     * `nprobe` nearest lists. Per-query work is O(corpus/nlists × nprobe):
     * at 100 TB the posting lists are the partition key and a query touches
-    * `nprobe` of 16+ partitions instead of all of them. Centroids here are
-    * a deterministic corpus sample (vec_id ≤ 15 — present at every sf);
-    * a production build would k-means them, which only changes centroid
-    * quality, not the plan shape.
+    * `nprobe` of the [[ivfNlists]] corpus-derived partitions instead of
+    * all of them. Centroids here are a deterministic corpus sample
+    * (vec_id < nlists — present at every sf); a production build would
+    * k-means them, which only changes centroid quality, not the plan
+    * shape.
     */
-  def annIvfTopk(s: SparkSession, dir: String, nprobe: Int = IvfNprobe,
+  def annIvfTopk(s: SparkSession, dir: String, nprobe: Int = 0,
                  assignFactor: Int = IvfAssign): DataFrame = {
     val e = embeddings(s, dir)
-    val cent = e.where(col("vec_id") <= 15)
+    // nlists scales with the corpus; nprobe (when not pinned) rides it
+    val nlists = ivfNlists(e.count())
+    val probeN = if (nprobe > 0) nprobe else ivfNprobe(nlists)
+    val cent = e.where(col("vec_id") < nlists)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))
     // assignment: every vector → its assignFactor nearest centroids (one
     // broadcast pass; redundant assignment trades index size for recall)
@@ -375,7 +395,7 @@ object SimilarityOps {
     val qw = Window.partitionBy(col("q_id")).orderBy(col("qc").desc, col("c_id"))
     val probes = querySet(e).crossJoin(broadcast(cent))
       .select(col("q_id"), col("q_e"), col("c_id"), cosine(col("q_e"), col("c_e")).as("qc"))
-      .withColumn("rn", row_number().over(qw)).where(col("rn") <= nprobe)
+      .withColumn("rn", row_number().over(qw)).where(col("rn") <= probeN)
       .select(col("q_id"), col("q_e"), col("c_id"))
     val candidates = assign.join(broadcast(probes), Seq("c_id"))
       .where(col("vec_id") =!= col("q_id"))

@@ -73,6 +73,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(perQuery.nonEmpty && perQuery.forall(_ <= 10))
   }
 
+  test("scale-derived knobs grow with the corpus; recall floors hold at the larger sf") {
+    val Sf01 = "/root/testdata/sf0.1"
+    val nSmall = Tables.load(spark, Sf0001, "embeddings").count()
+    val nLarge = Tables.load(spark, Sf01, "embeddings").count()
+    assert(nLarge > nSmall, "fixture precondition")
+    // the derivations must actually move between shipped corpus sizes —
+    // constants in disguise would pass every small-sf test and still be
+    // the wrong plan at 100 TB
+    assert(ops.SimilarityOps.ivfNlists(nLarge) > ops.SimilarityOps.ivfNlists(nSmall),
+      s"ivf nlists must grow: ${ops.SimilarityOps.ivfNlists(nSmall)} -> " +
+        s"${ops.SimilarityOps.ivfNlists(nLarge)}")
+    assert(ops.SimilarityOps.neardupBits(nLarge) > ops.SimilarityOps.neardupBits(nSmall),
+      "near-dup bucket bits must grow")
+    assert(ops.EmbedClusterOps.kFor(nLarge) > ops.EmbedClusterOps.kFor(nSmall),
+      "k-means k must grow")
+    // growing the knobs must not sink recall: same floors as the sf0.001
+    // asserts, at the sf where the derived values have actually changed
+    val lsh = recalls(ops.SimilarityOps.lshRecall(spark, Sf01))
+    assert(lsh.min >= 0.9 && lsh.sum / lsh.size >= 0.95,
+      s"sf0.1 LSH recall: min ${lsh.min}, mean ${lsh.sum / lsh.size}")
+    val ivf = recalls(ops.SimilarityOps.ivfRecall(spark, Sf01))
+    assert(ivf.min >= 0.5 && ivf.sum / ivf.size >= 0.9,
+      s"sf0.1 IVF recall: min ${ivf.min}, mean ${ivf.sum / ivf.size}")
+  }
+
   test("embedding near-dup catches every scaled AND every perturbed plant") {
     import org.apache.spark.sql.functions.col
     val rows = ops.SimilarityOps.queries("embed_neardup_cosine")(spark, Sf0001)
