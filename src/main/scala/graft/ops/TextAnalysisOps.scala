@@ -286,7 +286,7 @@ object TextAnalysisOps {
       .orderBy(col("doc_id"))
   }
 
-  private[graft] val BpeRounds = 3
+  private[graft] val BpeRounds = 16
 
   /** BPE merge induction — the first `BpeRounds` merges of byte-pair
     * encoding learned FROM the corpus, the tokenizer-training primitive of
@@ -326,9 +326,16 @@ object TextAnalysisOps {
       (wf, List.empty[(Int, String, String, String, Long)])) {
       case ((cur, acc), k) =>
         val (l, r, n) = topPair(cur)
+        // localCheckpoint truncates the replace-on-replace lineage: without
+        // it round K carries a K-deep expression chain through analysis and
+        // execution, so per-round cost grows with K — invisible at 3
+        // rounds, fatal at a real tokenizer's 30-50k merges. With it every
+        // round re-plans from a materialized |vocab|-row relation and
+        // per-round wall time stays flat.
         val next = cur.select(col("wf"),
           call_function("replace", col("syms"),
             lit(s" $l $r "), lit(s" $l$r ")).as("syms"))
+          .localCheckpoint()
         (next, acc :+ ((k, l, r, l + r, n)))
     }._2
     merges.toDF("rnk", "left_sym", "right_sym", "merged", "n_pairs")
@@ -483,28 +490,32 @@ object TextAnalysisOps {
       s"""SELECT word, count(*) AS n
          |FROM (SELECT unnest($duckToks) AS word FROM documents)
          |GROUP BY word ORDER BY n DESC, word LIMIT $VocabK""".stripMargin,
-    // the three merge rounds unrolled; parallel unnest zips the adjacent
+    // the merge rounds unrolled; parallel unnest zips the adjacent
     // symbol slices, and replace() shares the engine's non-overlapping
-    // left-to-right contract
+    // left-to-right contract. Every per-round CTE is MATERIALIZED — each
+    // w(k) is referenced twice (pair count + next round's replace), so
+    // inlined CTEs would re-evaluate the whole chain per reference:
+    // 2^rounds scans of the corpus at 16 rounds (the engine's
+    // localCheckpoint plays the same lineage-capping role)
     "ta_bpe_merges" -> {
       def round(k: Int): String =
         s""",
-           |p$k AS (
+           |p$k AS MATERIALIZED (
            |  SELECT l, r, CAST(sum(wf) AS BIGINT) AS n
            |  FROM (
            |    SELECT wf, unnest(a[1:len(a)-1]) AS l, unnest(a[2:len(a)]) AS r
            |    FROM (SELECT wf, list_filter(string_split(syms, ' '), x -> x <> '') AS a
            |          FROM w${k - 1}))
            |  GROUP BY l, r),
-           |m$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
-           |w$k AS (
+           |m$k AS MATERIALIZED (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+           |w$k AS MATERIALIZED (
            |  SELECT wf, replace(syms, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ') AS syms
            |  FROM w${k - 1} CROSS JOIN m$k)""".stripMargin
       val rounds = (1 to BpeRounds).map(round).mkString
       val out = (1 to BpeRounds).map(k =>
         s"SELECT $k AS rnk, l AS left_sym, r AS right_sym, l || r AS merged, n AS n_pairs FROM m$k")
         .mkString("\nUNION ALL\n")
-      s"""WITH w0 AS (
+      s"""WITH w0 AS MATERIALIZED (
          |  SELECT count(*) AS wf,
          |    ' ' || array_to_string(
          |      list_transform(range(1, len(word)+1), i -> word[i]), ' ') || ' ' AS syms

@@ -78,12 +78,22 @@ class QualityOpsSpec extends AnyFunSuite {
       .select(explode(functions.TextFunctions.tokens(col("text"))).as("w"))
       .groupBy("w").count()
       .collect().map(r => r.getString(0).map(_.toString).toList -> r.getLong(1)).toMap
+    // replays the ENGINE's contract — non-overlapping left-to-right string
+    // replace on " s1 s2 ... ": a match consumes its trailing space, so the
+    // token immediately after a merge cannot START the next match
+    // ([a,b,a,b] -> [ab, a, b], not [ab, ab]). Both the engine and the
+    // DuckDB oracle share this `replace` semantic; the reference must too,
+    // or a corpus where a selected pair repeats back-to-back diverges.
     def applyMerge(syms: List[String], l: String, r: String): List[String] = syms match {
-      case a :: b :: rest if a == l && b == r => (l + r) :: applyMerge(rest, l, r)
+      case a :: b :: rest if a == l && b == r =>
+        (l + r) :: (rest match {
+          case c :: tail => c :: applyMerge(tail, l, r)
+          case Nil => Nil
+        })
       case a :: rest => a :: applyMerge(rest, l, r)
       case Nil => Nil
     }
-    val expected = (1 to 3).map { k =>
+    val expected = (1 to ops.TextAnalysisOps.BpeRounds).map { k =>
       val counts = words.toSeq.flatMap { case (syms, wf) =>
         syms.zip(syms.drop(1)).map(p => p -> wf)
       }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
