@@ -10,17 +10,19 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, partition-parallel batched processing
   * (`mapPartitions`, the JVM analogue of `mapInPandas` batches), frame
-  * chunking, feature vector shape — is real and tested. So are the image
-  * and audio codecs: `decodeImagePixels` is a real PNG/JPEG/BMP decode via
-  * the JDK's `javax.imageio`, and `decodeWavSamples` a real RIFF/WAV parse
-  * via `javax.sound.sampled` — no external libraries, and both are
-  * round-trip oracle-checked (`mm_image_decode` / `mm_audio_decode`
-  * regenerate the decoded statistics from the closed-form payload formulas
-  * in DuckDB without touching a codec). VIDEO decode is the one genuinely
-  * stubbed modality — no JVM-builtin video codec exists — so video rows
-  * flow through `byteValues` (byte-level features over the opaque payload)
-  * and the fixed-size frame slicer; swap in JavaCV/ffmpeg bindings to go
-  * live, nothing else changes.
+  * chunking, feature vector shape — is real and tested. So are all three
+  * codecs: `decodeImagePixels` is a real PNG/JPEG/BMP decode via the JDK's
+  * `javax.imageio`, `decodeWavSamples` a real RIFF/WAV parse via
+  * `javax.sound.sampled`, and `decodeVideoFrames` a real container parse
+  * (GMV1: length-prefixed per-frame still payloads — motion-PNG, the
+  * lossless cousin of MJPEG's concatenated-JPEG stream) with ImageIO
+  * decoding every frame. No external libraries anywhere, and every codec
+  * is round-trip oracle-checked: the `mm_*` queries regenerate the DECODED
+  * statistics from the closed-form payload formulas in DuckDB without
+  * touching a codec, so a codec bug breaks the hash match. Swapping the
+  * per-frame codec for JPEG (true MJPEG) or an ffmpeg binding changes
+  * `decodeVideoFramePayloads` only — the per-frame fan-out, feature, and
+  * sampling paths are codec-agnostic.
   */
 object Multimodal {
 
@@ -142,6 +144,66 @@ object Multimodal {
     finally ais.close()
   }
 
+  // ------------------------------------------------------------ video codec
+
+  /** "GMV1" container magic. */
+  private val VideoMagic = 0x474d5631
+
+  /** Encode a sequence of already-encoded still-frame payloads (PNGs from
+    * [[encodePng]]) as a GMV1 container: magic, frame count, then a
+    * length-prefixed payload per frame — the lossless motion-PNG cousin of
+    * a raw MJPEG stream, parseable with zero non-JDK code.
+    */
+  def encodeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(VideoMagic)
+    out.writeInt(frames.length)
+    frames.foreach { f => out.writeInt(f.length); out.write(f) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Parse a GMV1 container back to its per-frame payloads. Throws on
+    * corrupt input (bad magic, negative/overlong frame) — callers route
+    * those to a quarantine column, same contract as the image decode.
+    */
+  def decodeVideoFramePayloads(payload: Array[Byte]): Array[Array[Byte]] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(payload))
+    require(in.readInt() == VideoMagic, "payload is not a GMV1 video container")
+    val n = in.readInt()
+    require(n >= 0 && n <= payload.length, "corrupt frame count")
+    Array.fill(n) {
+      val len = in.readInt()
+      require(len >= 0 && len <= payload.length, "corrupt frame length")
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      buf
+    }
+  }
+
+  /** REAL video decode: container parse + ImageIO decode of every frame;
+    * returns (width, height, per-frame row-major grayscale samples).
+    * Frames must agree on dimensions (the fixed-raster contract every
+    * training pipeline enforces before batching).
+    */
+  def decodeVideoFrames(payload: Array[Byte]): (Int, Int, Array[Array[Int]]) = {
+    val frames = decodeVideoFramePayloads(payload).map(decodeImagePixels)
+    require(frames.nonEmpty, "video has no frames")
+    val (w, h, _) = frames(0)
+    require(frames.forall(f => f._1 == w && f._2 == h),
+      "frames disagree on dimensions")
+    (w, h, frames.map(_._3))
+  }
+
+  /** REAL video resize: per-frame [[resizeImage]] box-average downscale,
+    * re-encoded into a fresh container — same integer math as the image
+    * path, frame structure preserved.
+    */
+  def resizeVideo(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] =
+    encodeVideo(decodeVideoFramePayloads(payload).toSeq
+      .map(f => resizeImage(f, outW, outH)))
+
   /** Partition-parallel feature extraction. Batched per partition like
     * `mapInPandas`: each task decodes its partition's payloads locally and
     * emits fixed-width feature vectors — no driver involvement, no shuffle.
@@ -153,7 +215,8 @@ object Multimodal {
         val px = m.media_type match {
           case "image" => decodeImagePixels(m.payload)._3
           case "audio" => decodeWavSamples(m.payload)
-          case _ => byteValues(m.payload) // video: opaque until a codec lands
+          case "video" => decodeVideoFrames(m.payload)._3.flatten // temporal raster
+          case _ => byteValues(m.payload) // unknown modality: opaque bytes
         }
         val n = px.length
         // Exact integer accumulators, then two IEEE-double ops: sum and
@@ -229,9 +292,10 @@ object Multimodal {
     encodePng(out, outW, outH)
   }
 
-  /** Opaque-payload resize stand-in (video: every k-th byte) — keeps the
-    * output *shape* (smaller payload, same record structure) realistic for
-    * the modality with no JVM-builtin codec.
+  /** Opaque-payload resize stand-in (every k-th byte) for modalities with
+    * no codec — keeps the output *shape* (smaller payload, same record
+    * structure) realistic; image/video use the real [[resizeImage]] /
+    * [[resizeVideo]] paths.
     */
   def resizeStub(media: Dataset[MediaRecord], factor: Int)(implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._

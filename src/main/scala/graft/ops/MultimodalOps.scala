@@ -10,20 +10,20 @@ import graft.multimodal.Multimodal.MediaRecord
 /** Multimodal queries over a deterministic media fixture with REAL payloads:
   * image rows are actual PNGs (grayscale rasters from a closed-form pixel
   * formula), audio rows actual RIFF/WAV streams (8-bit PCM from a sample
-  * formula), video rows opaque bytes (no JVM-builtin video codec exists —
-  * document text stands in). Because the pixel/sample formulas are
+  * formula), video rows actual GMV1 motion-PNG containers (per-frame PNGs
+  * from a (t, x, y) pixel formula). Because the pixel/sample formulas are
   * closed-form, DuckDB reproduces the DECODED statistics without any codec
-  * — so the JDK ImageIO/AudioSystem round-trips are themselves
-  * oracle-checked: a codec bug breaks the hash match.
+  * — so the JDK ImageIO/AudioSystem round-trips (including the per-frame
+  * video decode) are themselves oracle-checked: a codec bug breaks the
+  * hash match.
   *
   * Formulas (id = doc_id):
   *   image: w = id%16+4, h = id%12+4, pixel(x,y) = (id·31 + x·7 + y·13) % 256
   *   audio: n = id%200+8, sample(i) = (id·17 + i·5) % 256
-  *   video: payload = UTF-8 text bytes (ASCII), dims from n_chars
+  *   video: frames = id%6+2, w/h as image,
+  *          pixel(t,x,y) = (id·31 + t·11 + x·7 + y·13) % 256
   */
 object MultimodalOps {
-
-  private val FrameBytes = 64
 
   /** The typed media fixture: one MediaRecord per document, modality by
     * doc_id mod 3, payloads generated in partition-parallel map tasks
@@ -32,9 +32,8 @@ object MultimodalOps {
   private def mediaFixture(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
     Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("n_chars").cast("long"), col("text"))
-      .as[(Long, Long, String)]
-      .map { case (id, nChars, text) =>
+      .select(col("doc_id")).as[Long]
+      .map { id =>
         (id % 3) match {
           case 0 =>
             val w = (id % 16 + 4).toInt
@@ -49,16 +48,24 @@ object MultimodalOps {
             val smp = Array.tabulate(n)(i => ((id * 17 + i * 5) % 256).toInt)
             MediaRecord(id, "audio", n, 1, Multimodal.encodeWav(smp))
           case _ =>
-            MediaRecord(id, "video", (nChars % 640 + 1).toInt, (nChars % 480 + 1).toInt,
-              text.getBytes("UTF-8"))
+            val w = (id % 16 + 4).toInt
+            val h = (id % 12 + 4).toInt
+            val frames = (0 until (id % 6 + 2).toInt).map { t =>
+              val px = Array.tabulate(w * h) { i =>
+                val x = i % w; val y = i / w
+                ((id * 31 + t * 11 + x * 7 + y * 13) % 256).toInt
+              }
+              Multimodal.encodePng(px, w, h)
+            }
+            MediaRecord(id, "video", w, h, Multimodal.encodeVideo(frames))
         }
       }
   }
 
-  /** Decode round-trip + metadata: image/audio payloads are REALLY decoded
-    * (ImageIO / AudioSystem) and the recovered shape is emitted; video
-    * payloads (opaque) emit a content md5. All three reproduce in DuckDB
-    * from the formulas / the text column.
+  /** Decode round-trip + metadata: every modality is REALLY decoded
+    * (ImageIO / AudioSystem / GMV1 container + per-frame ImageIO) and the
+    * recovered shape is emitted. All three reproduce in DuckDB from the
+    * formulas.
     */
   private def mmDecodeMeta(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
@@ -71,20 +78,35 @@ object MultimodalOps {
         case "audio" =>
           Multimodal.decodeWavSamples(m.payload).length.toString
         case _ =>
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(m.payload).map("%02x".format(_)).mkString
+          val (w, h, frames) = Multimodal.decodeVideoFrames(m.payload)
+          s"${frames.length}f:${w}x$h"
       }
       (m.media_id, m.media_type, m.width, m.height, check)
     }.toDF("media_id", "media_type", "width", "height", "content_check")
       .orderBy(col("media_id"))
   }
 
-  /** Fixed-size frame sampling — a video operation, over the video rows. */
-  private def mmFrameSample(s: SparkSession, dir: String): DataFrame =
-    Multimodal.sampleFrames(
-        mediaFixture(s, dir).toDF().where(col("media_type") === "video"),
-        "payload", FrameBytes)
+  /** REAL video frame sampling: parse the container, ImageIO-decode the
+    * kept frames (every 2nd — the stride sample a training pipeline takes
+    * before feature extraction), and emit exact integer per-frame stats.
+    * The oracle re-derives every value from the (t, x, y) pixel formula,
+    * so the check covers container parse + per-frame decode + selection.
+    * (The byte-level chunker [[Multimodal.sampleFrames]] remains the
+    * codec-free path for OPAQUE payloads — spec-covered, not oracled.)
+    */
+  private def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    mediaFixture(s, dir).filter(_.media_type == "video").flatMap { m =>
+      val (w, h, frames) = Multimodal.decodeVideoFrames(m.payload)
+      frames.zipWithIndex.collect { case (px, t) if t % 2 == 0 =>
+        var sum = 0L; var sq = 0L
+        px.foreach { v => sum += v; sq += v.toLong * v }
+        (m.media_id, t, w, h, sum, sq)
+      }
+    }.toDF("media_id", "frame_idx", "w", "h", "sum_px", "sumsq_px")
       .orderBy(col("media_id"), col("frame_idx"))
+  }
 
   /** The decode → feature-extract path via typed mapPartitions: real codec
     * per modality, exact integer stats over the DECODED values (×10⁴ so
@@ -228,27 +250,34 @@ object MultimodalOps {
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 16 + 4 AS INTEGER)
-        |       WHEN doc_id % 3 = 1 THEN CAST(doc_id % 200 + 8 AS INTEGER)
-        |       ELSE CAST(n_chars % 640 + 1 AS INTEGER) END AS width,
-        |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 12 + 4 AS INTEGER)
-        |       WHEN doc_id % 3 = 1 THEN CAST(1 AS INTEGER)
-        |       ELSE CAST(n_chars % 480 + 1 AS INTEGER) END AS height,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 200 + 8 AS INTEGER)
+        |       ELSE CAST(doc_id % 16 + 4 AS INTEGER) END AS width,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(1 AS INTEGER)
+        |       ELSE CAST(doc_id % 12 + 4 AS INTEGER) END AS height,
         |  CASE WHEN doc_id % 3 = 0 THEN (doc_id % 16 + 4) || 'x' || (doc_id % 12 + 4)
         |       WHEN doc_id % 3 = 1 THEN CAST(doc_id % 200 + 8 AS VARCHAR)
-        |       ELSE md5(text) END AS content_check
+        |       ELSE (doc_id % 6 + 2) || 'f:' || (doc_id % 16 + 4) || 'x' || (doc_id % 12 + 4)
+        |  END AS content_check
         |FROM documents ORDER BY media_id""".stripMargin,
+    // every kept frame's exact pixel sums re-derived from the (t, x, y)
+    // formula — the codec-free replay of container parse + frame decode +
+    // stride-2 selection
     "mm_frame_sample" ->
-      // video rows only; document text is ASCII, so varchar slicing matches
-      // the engine's byte slicing exactly (duckdb's md5/substring lack BLOB
-      // overloads)
-      s"""SELECT doc_id AS media_id, CAST(f.i AS INTEGER) AS frame_idx,
-         |  md5(substring(text, (f.i * $FrameBytes + 1)::INTEGER, $FrameBytes)) AS frame_md5
-         |FROM documents,
-         |  LATERAL (SELECT unnest(range(0,
-         |    ((octet_length(encode(text)) - 1) // $FrameBytes) + 1)) AS i) f
-         |WHERE doc_id % 3 = 2
-         |ORDER BY media_id, frame_idx""".stripMargin,
+      """WITH vid AS (
+        |  SELECT doc_id AS media_id, CAST(doc_id % 16 + 4 AS INTEGER) AS w,
+        |    CAST(doc_id % 12 + 4 AS INTEGER) AS h, doc_id % 6 + 2 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT media_id, w, h, t.t FROM vid,
+        |    LATERAL (SELECT unnest(range(0, nf)) AS t) t
+        |  WHERE t.t % 2 = 0)
+        |SELECT media_id, CAST(t AS INTEGER) AS frame_idx, w, h,
+        |  CAST(list_sum(list_transform(range(0, w*h), i ->
+        |    (media_id*31 + t*11 + (i%w)*7 + (i//w)*13) % 256)) AS BIGINT) AS sum_px,
+        |  CAST(list_sum(list_transform(range(0, w*h), i ->
+        |    ((media_id*31 + t*11 + (i%w)*7 + (i//w)*13) % 256)
+        |      * ((media_id*31 + t*11 + (i%w)*7 + (i//w)*13) % 256))) AS BIGINT) AS sumsq_px
+        |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
     "mm_features" ->
       // per-modality stats recomputed WITHOUT a codec, from the same
       // closed-form values the engine encoded — a codec round-trip check
@@ -270,16 +299,16 @@ object MultimodalOps {
         |        WHERE d.doc_id % 3 = 1)
         |  GROUP BY doc_id
         |), vid AS (
-        |  SELECT d.doc_id, coalesce(st.n, 0) AS n, coalesce(st.s, 0) AS s, coalesce(st.sq, 0) AS sq
-        |  FROM documents d LEFT JOIN (
-        |    SELECT doc_id, count(*) AS n,
-        |      CAST(sum(code) AS BIGINT) AS s, CAST(sum(code * code) AS BIGINT) AS sq
-        |    FROM (SELECT d0.doc_id, ascii(substring(d0.text, f.i::INTEGER, 1)) AS code
-        |          FROM documents d0,
-        |            LATERAL (SELECT unnest(range(1, octet_length(encode(d0.text)) + 1)) AS i) f
-        |          WHERE d0.doc_id % 3 = 2)
-        |    GROUP BY doc_id) st ON d.doc_id = st.doc_id
-        |  WHERE d.doc_id % 3 = 2
+        |  SELECT doc_id, count(*) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS sq
+        |  FROM (SELECT d.doc_id,
+        |          (d.doc_id * 31 + t.ti * 11 + x.xi * 7 + y.yi * 13) % 256 AS v
+        |        FROM documents d,
+        |          LATERAL (SELECT unnest(range(0, d.doc_id % 6 + 2)) AS ti) t,
+        |          LATERAL (SELECT unnest(range(0, d.doc_id % 16 + 4)) AS xi) x,
+        |          LATERAL (SELECT unnest(range(0, d.doc_id % 12 + 4)) AS yi) y
+        |        WHERE d.doc_id % 3 = 2)
+        |  GROUP BY doc_id
         |), uni AS (
         |  SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid
         |)

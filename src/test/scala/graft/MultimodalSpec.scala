@@ -14,9 +14,9 @@ class MultimodalSpec extends AnyFunSuite {
 
   private implicit lazy val sp: org.apache.spark.sql.SparkSession = spark
 
-  // opaque payload → the byte-value (video) path
+  // opaque payload → the byte-value fallback path (unknown modality)
   private def media(payload: Array[Byte], id: Long = 1L): MediaRecord =
-    MediaRecord(id, "video", 640, 480, payload)
+    MediaRecord(id, "opaque", 640, 480, payload)
 
   test("PNG round-trip: ImageIO decode recovers the exact raster") {
     val w = 19; val h = 15
@@ -54,14 +54,49 @@ class MultimodalSpec extends AnyFunSuite {
     import sp.implicits._
     val px = Array.tabulate(4 * 4)(i => i * 16)
     val smp = Array.tabulate(32)(i => i * 8)
+    val f0 = Array.tabulate(2 * 2)(i => i * 10)
+    val f1 = Array.tabulate(2 * 2)(i => i * 10 + 100)
     val rows = Seq(
       MediaRecord(1L, "image", 4, 4, Multimodal.encodePng(px, 4, 4)),
       MediaRecord(2L, "audio", 32, 1, Multimodal.encodeWav(smp)),
-      MediaRecord(3L, "video", 1, 1, Array[Byte](10, 20)))
+      MediaRecord(3L, "video", 2, 2, Multimodal.encodeVideo(Seq(
+        Multimodal.encodePng(f0, 2, 2), Multimodal.encodePng(f1, 2, 2)))),
+      MediaRecord(4L, "opaque", 1, 1, Array[Byte](10, 20)))
     val out = Multimodal.extractFeatures(rows.toDS()).collect().map(f => f.media_id -> f).toMap
     assert(out(1L).n_vals == 16 && out(1L).mean_val == px.sum.toDouble / 16)
     assert(out(2L).n_vals == 32 && out(2L).mean_val == smp.sum.toDouble / 32)
-    assert(out(3L).n_vals == 2 && out(3L).mean_val == 15.0)
+    // video: features run over the concatenated DECODED frames
+    assert(out(3L).n_vals == 8 && out(3L).mean_val == (f0.sum + f1.sum).toDouble / 8)
+    assert(out(4L).n_vals == 2 && out(4L).mean_val == 15.0)
+  }
+
+  test("GMV1 video round-trip: container + per-frame ImageIO recover exact rasters") {
+    val w = 5; val h = 3
+    val frames = (0 until 4).map(t => Array.tabulate(w * h)(i => (t * 50 + i * 7) % 256))
+    val payload = Multimodal.encodeVideo(frames.map(f => Multimodal.encodePng(f, w, h)))
+    val (dw, dh, decoded) = Multimodal.decodeVideoFrames(payload)
+    assert(dw == w && dh == h && decoded.length == 4)
+    decoded.zip(frames).foreach { case (got, want) => assert(got.toSeq == want.toSeq) }
+  }
+
+  test("corrupt video containers throw instead of decoding garbage") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeVideoFrames("not a container".getBytes("UTF-8"))
+    }
+    // truncated mid-frame: readFully hits EOF
+    val good = Multimodal.encodeVideo(Seq(Multimodal.encodePng(Array.fill(4)(7), 2, 2)))
+    intercept[Exception] {
+      Multimodal.decodeVideoFrames(good.take(good.length - 3))
+    }
+  }
+
+  test("real video resize downscales every frame with the image box-average") {
+    val w = 8; val h = 4
+    val frames = (0 until 3).map(_ => Array.fill(w * h)(42))
+    val payload = Multimodal.encodeVideo(frames.map(f => Multimodal.encodePng(f, w, h)))
+    val (dw, dh, out) = Multimodal.decodeVideoFrames(Multimodal.resizeVideo(payload, 4, 2))
+    assert(dw == 4 && dh == 2 && out.length == 3)
+    assert(out.forall(_.forall(_ == 42)), "area-average of a constant frame is exact")
   }
 
   test("feature extraction emits exact byte statistics and a 16-bin histogram") {
