@@ -15,7 +15,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Corpus tables are immutable inputs, so the (dir, name) → DataFrame plan
+  // is memoized per session: every load otherwise re-runs file listing +
+  // footer schema inference on the driver (~100 ms each), which dominates
+  // short queries and at cluster scale hammers the object store with
+  // redundant LIST/HEAD calls — a catalog caches listings for the same
+  // reason. Weak keys so a retired session's plans don't outlive it.
+  private val cache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val per = cache.synchronized {
+      cache.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+    }
+    per.getOrElseUpdate((dir, name), doLoad(spark, dir, name))
+  }
+
+  private def doLoad(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
     // default (PARQUET_TYPE_ILLEGAL). Read nanos as long, then rescale to a
     // micros TimestampType column (test data is micro-precision, so the
