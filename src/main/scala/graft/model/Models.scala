@@ -65,4 +65,7 @@ object EngineError {
   final case class LoadFailed(detail: String) extends EngineError {
     def message = s"load failed: $detail"
   }
+  final case class CredentialDenied(orgId: Int, serviceAccount: String) extends EngineError {
+    def message = s"credential denied for org_id=$orgId sa=$serviceAccount"
+  }
 }

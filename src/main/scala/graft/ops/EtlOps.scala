@@ -210,6 +210,51 @@ object EtlOps {
       .orderBy(col("event_id"))
   }
 
+  /** N5 — per-tenant credential scoping: each org's source is read through
+    * a credential issued for THAT org (scoped to the relation via per-read
+    * options, the Spark mechanism for per-bucket object-store auth — see
+    * [[graft.etl.TenantCredentials]]); a revoked tenant fails CLOSED and
+    * contributes nothing. Output is the per-org run ledger: status, rows
+    * loaded, persisted watermark.
+    */
+  private def etlTenantScoped(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val tmp = graft.util.TempDirs.create("graft_tenant_")
+    val meta = MetaStore(s"$tmp/meta")
+    meta.putConfigs(Seq(
+      ClientBillingConfig(11, "proj_11", "ds", "t", None, None, Some("sa-11@tenant11")),
+      ClientBillingConfig(12, "proj_12", "ds", "t", None, None, Some("sa-12@tenant12")),
+      ClientBillingConfig(13, "proj_13", "ds", "t", None, None, Some("sa-13@tenant13"))))
+    // each tenant owns a physically separate source dir (org 11: odd
+    // user_id bucket, org 12: even) — laid down in ONE partitioned write;
+    // org 13 needs no dir at all: its read is denied before the path is
+    // touched
+    Tables.load(spark, dir, "events")
+      .withColumn("org", lit(12) - (col("user_id") % 2))
+      .write.partitionBy("org").parquet(s"$tmp/src")
+    val sources = new graft.etl.TenantCredentials.TenantSources(spark, meta,
+      new graft.etl.TenantCredentials.CachingBroker(
+        new graft.etl.TenantCredentials.StaticBroker(revoked = Set(13))),
+      cfg => s"$tmp/src/org=${cfg.org_id}", () => 0L)
+    val ledger = Seq(11, 12, 13).map { org =>
+      sources.read(org) match {
+        case Right(src) =>
+          val r = EtlJob.run(spark, meta, src, "ts", s"$tmp/dest/org_$org",
+            EtlJobMessage(org), utcTs(Mid), sleeper = _ => ())
+          val rep = r.fold(e => sys.error(s"run failed for org $org: ${e.message}"), identity)
+          (org, rep.status, rep.rowsExtracted, Option(rep.watermark))
+        case Left(_: EngineError.CredentialDenied) =>
+          (org, "DENIED", 0L, None: Option[Timestamp])
+        case Left(e) => sys.error(s"unexpected error for org $org: ${e.message}")
+      }
+    }
+    ledger.toDF("org_id", "status", "rows_loaded", "wm")
+      .select(col("org_id"), col("status"), col("rows_loaded"),
+        fmt(col("wm")).as("watermark"))
+      .orderBy(col("org_id"))
+  }
+
   /** U3 — the alert hook fires on terminal failure with the org context. */
   private def etlAlertHook(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -233,6 +278,7 @@ object EtlOps {
     "etl_missing_config" -> (etlMissingConfig _),
     "etl_provision_saga" -> (etlProvisionSaga _),
     "etl_provision_saga_jdbc" -> (etlProvisionSagaJdbc _),
+    "etl_tenant_scoped" -> (etlTenantScoped _),
     "w4_late_data_parity" -> (etlLateDataParity _),
     "u1_transform_hook" -> (etlTransformHook _),
     "u3_alert_hook" -> (etlAlertHook _)
@@ -248,6 +294,17 @@ object EtlOps {
          |WHERE ts >= (SELECT max(ts) FROM events WHERE ts < TIMESTAMP '$Mid')
          |  AND ts < TIMESTAMP '$End'
          |ORDER BY event_id""".stripMargin,
+    "etl_tenant_scoped" ->
+      s"""SELECT CAST(11 AS INTEGER) AS org_id, 'SUCCESS' AS status,
+         |  count(*) AS rows_loaded, strftime(max(ts), '$DuckTsFmt') AS watermark
+         |FROM events WHERE ts < TIMESTAMP '$Mid' AND user_id % 2 = 1
+         |UNION ALL
+         |SELECT CAST(12 AS INTEGER), 'SUCCESS',
+         |  count(*), strftime(max(ts), '$DuckTsFmt')
+         |FROM events WHERE ts < TIMESTAMP '$Mid' AND user_id % 2 = 0
+         |UNION ALL
+         |SELECT CAST(13 AS INTEGER), 'DENIED', CAST(0 AS BIGINT), CAST(NULL AS VARCHAR)
+         |ORDER BY org_id""".stripMargin,
     "etl_run_status" ->
       s"""SELECT CAST(seq AS BIGINT) AS seq, CAST(7 AS INTEGER) AS org_id,
          |  'proj_7' AS project_id, status,
