@@ -115,14 +115,65 @@ object NativeVector {
     new GenericArrayData(out)
   }
 
+  /** Nearest centroid under the k-means integer metric, one compiled pass.
+    *
+    * Bit-identical to the composable `array_min(transform(cents,
+    * struct(dist, cid)))` formulation in [[graft.ops.EmbedClusterOps]]:
+    * per centroid `acc = Σ (n·qᵢ − sᵢ)²` in int64 array order (overflow
+    * wraps identically), `d = (double) acc / (double)(n·n)`, winner by
+    * lexicographic (d, cid). The HOF version allocates a zip_with array
+    * and evaluates interpreted lambdas per (row × centroid); this is the
+    * k-means hot path (n·k evaluations per Lloyd pass), so it gets the
+    * same native treatment as cosine. Null on any null element or a
+    * length mismatch — the conservative mirror of null propagation
+    * through zip_with/aggregate.
+    */
+  def intArgmin(q: ArrayData, cents: ArrayData): Any = {
+    val k = cents.numElements()
+    val dim = q.numElements()
+    if (k == 0) return null
+    var i = 0
+    while (i < dim) { if (q.isNullAt(i)) return null; i += 1 }
+    var bestD = Double.PositiveInfinity
+    var bestCid = Int.MaxValue
+    var any = false
+    var t = 0
+    while (t < k) {
+      if (cents.isNullAt(t)) return null
+      val c = cents.getStruct(t, 3)
+      val cid = c.getInt(0)
+      val s = c.getArray(1)
+      val n = c.getLong(2)
+      if (s.numElements() != dim) return null
+      var acc = 0L
+      var j = 0
+      while (j < dim) {
+        if (s.isNullAt(j)) return null
+        val d0 = n * q.getLong(j) - s.getLong(j)
+        acc += d0 * d0
+        j += 1
+      }
+      val d = acc.toDouble / (n * n).toDouble
+      if (!any || d < bestD || (d == bestD && cid < bestCid)) {
+        any = true; bestD = d; bestCid = cid
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, bestCid))
+  }
+
   /** Idempotently register the expressions as SQL functions
     * (`graft_cosine(a, b)`, `graft_lsh_keys(vec, nBands, bitsPerBand,
-    * seed, probeRadius)` — the four config args must be literals).
+    * seed, probeRadius)` — the four config args must be literals — and
+    * `graft_int_argmin(q, cents)`).
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_cosine",
       exprs => CosineExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_int_argmin",
+      exprs => IntArgminExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_lsh_keys", exprs => {
       def intLit(e: Expression, what: String): Int = e match {
         case Literal(v: Int, IntegerType) => v
@@ -167,6 +218,37 @@ case class CosineExpr(left: Expression, right: Expression) extends BinaryExpress
     })
   override def prettyName: String = "graft_cosine"
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+case class IntArgminExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _),
+          ArrayType(StructType(Array(
+            StructField(_, IntegerType, _, _),
+            StructField(_, ArrayType(LongType, _), _, _),
+            StructField(_, LongType, _, _))), _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<long>, array<struct<cid:int, s:array<long>, n:long>>), " +
+        s"got ${l.catalogString}, ${r.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("cid", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(q: Any, cents: Any): Any =
+    NativeVector.intArgmin(q.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, c) => {
+      val tmp = ctx.freshName("argmin")
+      s"""
+      Object $tmp = graft.functions.NativeVector$$.MODULE$$.intArgmin($q, $c);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $tmp; }
+      """
+    })
+  override def prettyName: String = "graft_int_argmin"
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IntArgminExpr =
     copy(left = newLeft, right = newRight)
 }
 

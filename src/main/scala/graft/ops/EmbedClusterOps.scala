@@ -65,18 +65,28 @@ object EmbedClusterOps {
     * IS "min d, lowest cid on ties" — the oracle's `ORDER BY d, cid`
     * mirror. (A fold with `when(dist < acc.d)` would evaluate every
     * distance twice — once in the predicate, once in the kept struct.)
+    *
+    * Kept as the readable reference; the hot path runs
+    * `graft_int_argmin` — the same math in one compiled pass
+    * ([[graft.functions.NativeVector.intArgmin]], equivalence pinned in
+    * NativeVectorSpec) — because n·k HOF evaluations per Lloyd pass pay an
+    * interpreted-lambda + zip_with-allocation tax that dominates the whole
+    * k-means family once k is corpus-derived.
     */
-  private def bestCid(cents: Column, q: Column): Column =
+  private[graft] def bestStructComposable(cents: Column, q: Column): Column =
     array_min(transform(cents,
       c => struct(dist(c, q).as("d"), c.getField("cid").as("cid"))))
-      .getField("cid")
+
+  private def bestStruct(cents: Column, q: Column): Column =
+    call_function("graft_int_argmin", q, cents)
 
   /** One assignment pass: vectors × broadcast 1-row centroid array. */
   private def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val centsRow = cents
       .agg(sort_array(collect_list(struct(col("cid"), col("s"), col("n")))).as("cents"))
     vecs.crossJoin(broadcast(centsRow))
-      .select(col("vec_id"), col("q"), bestCid(col("cents"), col("q")).as("cid"))
+      .select(col("vec_id"), col("q"),
+        bestStruct(col("cents"), col("q")).getField("cid").as("cid"))
   }
 
   /** Centroid update from an assignment; a cluster that lost every point
@@ -109,6 +119,7 @@ object EmbedClusterOps {
     * integer-ratio double the argmin minimized.
     */
   def kmeansDistances(vectors: DataFrame, k: Int = 0, iters: Int = Iters): DataFrame = {
+    graft.functions.NativeVector.register(vectors.sparkSession)
     // each Lloyd pass re-reads the quantized relation (3 assigns + 2
     // updates): cache it once instead of re-scanning + re-quantizing
     val vecs = quantized(vectors).cache()
@@ -124,9 +135,7 @@ object EmbedClusterOps {
     val centsRow = finalCents
       .agg(sort_array(collect_list(struct(col("cid"), col("s"), col("n")))).as("cents"))
     vecs.crossJoin(broadcast(centsRow))
-      .select(col("vec_id"),
-        array_min(transform(col("cents"),
-          c => struct(dist(c, col("q")).as("d"), c.getField("cid").as("cid")))).as("best"))
+      .select(col("vec_id"), bestStruct(col("cents"), col("q")).as("best"))
       .select(col("vec_id"), col("best.cid").as("cid"), col("best.d").as("d"))
   }
 

@@ -300,6 +300,21 @@ object TextAnalysisOps {
     * `replace` contract, so " l l l " merges greedily the same way). All
     * counts are exact integers; the DuckDB oracle replays the rounds
     * unrolled and must produce the identical merge table.
+    *
+    * Why rounds are NOT batched (one count job selecting the top-K
+    * non-interacting pairs): batching is only semantics-preserving if no
+    * pair CREATED by merge #1 can outrank the pre-selected pair #2 — and
+    * that can happen. If (a,b) has 100 occurrences and (c,d) 50,
+    * sequential BPE may find (x,ab) at 90 after the first merge and pick
+    * it next; a batch that pre-committed to (c,d) diverges from every
+    * standard tokenizer. The new pair's count is bounded only by the
+    * FIRST pair's count, so no cheap gap test makes a batch safe.
+    * The scalable shape is therefore one 1-row argmax job per round over
+    * the checkpointed |vocab|-row relation (~100 ms/round flat): 50 k
+    * merges ≈ 1.5 h of driver-paced control-plane decisions driving
+    * cluster-sized counting jobs — the same shape as any iterative
+    * trainer, and the corpus-sized work (the initial word-frequency
+    * shuffle) happens exactly once.
     */
   private def taBpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

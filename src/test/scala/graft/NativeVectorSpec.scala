@@ -107,6 +107,39 @@ class NativeVectorSpec extends AnyFunSuite {
       s"native signatures must not shuffle (the old posexplode->groupBy did)\n$plan")
   }
 
+  test("native int argmin is bit-identical to the composable array_min formulation") {
+    val q = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 10000) as long))").as("q"))
+    val centsRow = q.where(col("vec_id") < 7)
+      .select(col("vec_id").cast("int").as("cid"), col("q").as("s"), lit(1L).as("n"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("s"), col("n")))).as("cents"))
+    val both = q.crossJoin(broadcast(centsRow))
+      .select(
+        call_function("graft_int_argmin", col("q"), col("cents")).as("native"),
+        ops.EmbedClusterOps.bestStructComposable(col("cents"), col("q")).as("composable"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val n = r.getStruct(0)
+      val c = r.getStruct(1)
+      assert(n.getDouble(0) == c.getDouble(0) && n.getInt(1) == c.getInt(1),
+        s"native $n vs composable $c")
+    }
+  }
+
+  test("int argmin breaks distance ties to the lowest cid; n > 1 scaling exact") {
+    NativeVector.register(spark)
+    // cid 7 is the SAME point expressed as an n=3 centroid (s = 3q), cids
+    // 2 and 5 are n=1 copies — all three at distance 0; lowest cid wins
+    val r = spark.sql(
+      """SELECT graft_int_argmin(array(10L, -20L),
+        |  array(struct(7, array(30L, -60L), 3L),
+        |        struct(2, array(10L, -20L), 1L),
+        |        struct(5, array(10L, -20L), 1L))) AS r""".stripMargin)
+      .selectExpr("r.d", "r.cid").collect()(0)
+    assert(r.getDouble(0) == 0.0 && r.getInt(1) == 2)
+  }
+
   test("ANN LSH candidate generation never plans a cartesian/nested-loop join") {
     val plan = ops.SimilarityOps.annLshTopk(spark, Sf0001)
       .queryExecution.executedPlan.toString
