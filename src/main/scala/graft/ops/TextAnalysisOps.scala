@@ -316,8 +316,21 @@ object TextAnalysisOps {
     * trainer, and the corpus-sized work (the initial word-frequency
     * shuffle) happens exactly once.
     */
+  // merges are a pure function of the corpus dir (data is immutable), and
+  // both ta_bpe_merges and ta_bpe_encode need them — train once per dir
+  private val bpeMemo =
+    scala.collection.concurrent.TrieMap.empty[String, List[(Int, String, String, String, Long)]]
+
+  private def trainedMerges(s: SparkSession, dir: String): List[(Int, String, String, String, Long)] =
+    bpeMemo.getOrElseUpdate(dir, trainMergesImpl(s, dir))
+
   private def taBpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    trainedMerges(s, dir).toDF("rnk", "left_sym", "right_sym", "merged", "n_pairs")
+      .orderBy(col("rnk"))
+  }
+
+  private def trainMergesImpl(s: SparkSession, dir: String): List[(Int, String, String, String, Long)] = {
     val wf = documents(s, dir)
       .select(explode(toks).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wf"))
@@ -353,12 +366,46 @@ object TextAnalysisOps {
           .localCheckpoint()
         (next, acc :+ ((k, l, r, l + r, n)))
     }._2
-    merges.toDF("rnk", "left_sym", "right_sym", "merged", "n_pairs")
-      .orderBy(col("rnk"))
+    wf.unpersist()
+    merges
+  }
+
+  /** Tokenizer APPLICATION — the other half of the BPE loop: encode every
+    * document with the [[BpeRounds]] learned merges. The merge table is
+    * kilobytes of driver state; encoding is the merge chain folded into ONE
+    * whole-stage-codegen projection (16 chained `replace` calls on the
+    * space-joined symbol string — the same left-to-right non-overlapping
+    * contract training used), so the corpus is tokenized in a single
+    * map-only pass with no shuffle before the per-doc rollup: exactly how
+    * a 100 TB corpus meets a trained tokenizer. Output is the per-doc
+    * ledger (words, post-merge tokens) — n_tokens < chars proves merges
+    * fired; the DuckDB oracle re-derives the merges AND re-encodes, so
+    * train and apply are cross-checked end to end.
+    */
+  private def taBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = trainedMerges(s, dir)
+    val syms0 = concat(lit(" "),
+      array_join(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        " "), lit(" "))
+    val symsN = merges.foldLeft(syms0) { case (c, (_, l, r, _, _)) =>
+      call_function("replace", c, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("word"))
+      .select(col("doc_id"), symsN.as("syms"), length(col("word")).as("n_chars"))
+      .select(col("doc_id"),
+        size(expr("filter(split(syms, ' '), x -> x != '')")).as("n_toks"),
+        col("n_chars"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_bpe_merges" -> (taBpeMerges _),
+    "ta_bpe_encode" -> (taBpeEncode _),
     "ta_langid" -> (taLangid _),
     "ta_langid_confusion" -> (taLangidConfusion _),
     "ta_quality_score" -> (taQuality _),
@@ -405,6 +452,34 @@ object TextAnalysisOps {
 
   private val duckToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+  /** The BPE training replay as a CTE chain (w0 … w[[BpeRounds]]), shared
+    * by the train and encode oracles. `word` is carried through every
+    * round so the encode oracle can join documents back to their token
+    * counts; MATERIALIZED is load-bearing (each w(k) is referenced twice —
+    * inlining would re-evaluate the chain 2^rounds times).
+    */
+  private lazy val bpeOracleChain: String = {
+    def round(k: Int): String =
+      s""",
+         |p$k AS MATERIALIZED (
+         |  SELECT l, r, CAST(sum(wf) AS BIGINT) AS n
+         |  FROM (
+         |    SELECT wf, unnest(a[1:len(a)-1]) AS l, unnest(a[2:len(a)]) AS r
+         |    FROM (SELECT wf, list_filter(string_split(syms, ' '), x -> x <> '') AS a
+         |          FROM w${k - 1}))
+         |  GROUP BY l, r),
+         |m$k AS MATERIALIZED (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT word, wf, replace(syms, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ') AS syms
+         |  FROM w${k - 1} CROSS JOIN m$k)""".stripMargin
+    s"""w0 AS MATERIALIZED (
+       |  SELECT word, count(*) AS wf,
+       |    ' ' || array_to_string(
+       |      list_transform(range(1, len(word)+1), i -> word[i]), ' ') || ' ' AS syms
+       |  FROM (SELECT unnest($duckToks) AS word FROM documents)
+       |  GROUP BY word)""".stripMargin + (1 to BpeRounds).map(round).mkString
+  }
   private val duckStop =
     Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -513,32 +588,26 @@ object TextAnalysisOps {
     // 2^rounds scans of the corpus at 16 rounds (the engine's
     // localCheckpoint plays the same lineage-capping role)
     "ta_bpe_merges" -> {
-      def round(k: Int): String =
-        s""",
-           |p$k AS MATERIALIZED (
-           |  SELECT l, r, CAST(sum(wf) AS BIGINT) AS n
-           |  FROM (
-           |    SELECT wf, unnest(a[1:len(a)-1]) AS l, unnest(a[2:len(a)]) AS r
-           |    FROM (SELECT wf, list_filter(string_split(syms, ' '), x -> x <> '') AS a
-           |          FROM w${k - 1}))
-           |  GROUP BY l, r),
-           |m$k AS MATERIALIZED (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
-           |w$k AS MATERIALIZED (
-           |  SELECT wf, replace(syms, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ') AS syms
-           |  FROM w${k - 1} CROSS JOIN m$k)""".stripMargin
-      val rounds = (1 to BpeRounds).map(round).mkString
       val out = (1 to BpeRounds).map(k =>
         s"SELECT $k AS rnk, l AS left_sym, r AS right_sym, l || r AS merged, n AS n_pairs FROM m$k")
         .mkString("\nUNION ALL\n")
-      s"""WITH w0 AS MATERIALIZED (
-         |  SELECT count(*) AS wf,
-         |    ' ' || array_to_string(
-         |      list_transform(range(1, len(word)+1), i -> word[i]), ' ') || ' ' AS syms
-         |  FROM (SELECT unnest($duckToks) AS word FROM documents)
-         |  GROUP BY word)$rounds
+      s"""WITH $bpeOracleChain
          |$out
          |ORDER BY rnk""".stripMargin
     },
+    // same training replay, then the APPLY side: every word's w16 symbol
+    // string IS its token sequence, joined back to the per-doc word list
+    "ta_bpe_encode" ->
+      s"""WITH $bpeOracleChain,
+         |tok AS MATERIALIZED (
+         |  SELECT word, len(list_filter(string_split(syms, ' '), x -> x <> '')) AS n_toks
+         |  FROM w$BpeRounds)
+         |SELECT d.doc_id, count(*) AS n_words, CAST(sum(t.n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(len(d.word)) AS BIGINT) AS n_chars
+         |FROM (SELECT doc_id, unnest($duckToks) AS word FROM documents) d
+         |JOIN tok t ON d.word = t.word
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // lower(nfc_normalize(..)) mirrors the engine's NFC-then-lowercase
     // order; RE2's \s and Java's \s agree on every whitespace char that
     // can appear here (divergence is only U+000B, absent by construction).

@@ -70,6 +70,45 @@ class QualityOpsSpec extends AnyFunSuite {
     }
   }
 
+  // replays the ENGINE's contract — non-overlapping left-to-right string
+  // replace on " s1 s2 ... ": a match consumes its trailing space, so the
+  // token immediately after a merge cannot START the next match
+  // ([a,b,a,b] -> [ab, a, b], not [ab, ab]). Both the engine and the
+  // DuckDB oracle share this `replace` semantic; the reference must too,
+  // or a corpus where a selected pair repeats back-to-back diverges.
+  private def applyMerge(syms: List[String], l: String, r: String): List[String] = syms match {
+    case a :: b :: rest if a == l && b == r =>
+      (l + r) :: (rest match {
+        case c :: tail => c :: applyMerge(tail, l, r)
+        case Nil => Nil
+      })
+    case a :: rest => a :: applyMerge(rest, l, r)
+    case Nil => Nil
+  }
+
+  test("BPE encode tokenizes every document with the learned merges") {
+    val merges = ops.TextAnalysisOps.queries("ta_bpe_merges")(spark, Sf0001)
+      .collect().map(r => (r.getString(1), r.getString(2))).toList
+    val docWords = Tables.load(spark, Sf0001, "documents")
+      .select(col("doc_id"), explode(functions.TextFunctions.tokens(col("text"))).as("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val tokCount = docWords.map(_._2).distinct.map { w =>
+      val enc = merges.foldLeft(w.map(_.toString).toList) {
+        case (syms, (l, r)) => applyMerge(syms, l, r)
+      }
+      w -> enc.size.toLong
+    }.toMap
+    val expected = docWords.groupBy(_._1).map { case (id, ws) =>
+      (id, ws.length.toLong, ws.map(x => tokCount(x._2)).sum, ws.map(_._2.length.toLong).sum)
+    }.toSet
+    val engine = ops.TextAnalysisOps.queries("ta_bpe_encode")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(engine == expected)
+    // the merges genuinely compress: strictly fewer tokens than characters
+    val (toks, chars) = (engine.toSeq.map(_._3).sum, engine.toSeq.map(_._4).sum)
+    assert(toks < chars, s"encode produced $toks tokens over $chars chars — no merge fired")
+  }
+
   test("BPE merges equal a driver-side reference implementation") {
     val engine = ops.TextAnalysisOps.queries("ta_bpe_merges")(spark, Sf0001)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
@@ -78,21 +117,6 @@ class QualityOpsSpec extends AnyFunSuite {
       .select(explode(functions.TextFunctions.tokens(col("text"))).as("w"))
       .groupBy("w").count()
       .collect().map(r => r.getString(0).map(_.toString).toList -> r.getLong(1)).toMap
-    // replays the ENGINE's contract — non-overlapping left-to-right string
-    // replace on " s1 s2 ... ": a match consumes its trailing space, so the
-    // token immediately after a merge cannot START the next match
-    // ([a,b,a,b] -> [ab, a, b], not [ab, ab]). Both the engine and the
-    // DuckDB oracle share this `replace` semantic; the reference must too,
-    // or a corpus where a selected pair repeats back-to-back diverges.
-    def applyMerge(syms: List[String], l: String, r: String): List[String] = syms match {
-      case a :: b :: rest if a == l && b == r =>
-        (l + r) :: (rest match {
-          case c :: tail => c :: applyMerge(tail, l, r)
-          case Nil => Nil
-        })
-      case a :: rest => a :: applyMerge(rest, l, r)
-      case Nil => Nil
-    }
     val expected = (1 to ops.TextAnalysisOps.BpeRounds).map { k =>
       val counts = words.toSeq.flatMap { case (syms, wf) =>
         syms.zip(syms.drop(1)).map(p => p -> wf)
