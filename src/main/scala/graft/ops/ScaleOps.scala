@@ -287,7 +287,41 @@ object ScaleOps {
       .orderBy(col("export_date"))
   }
 
+  /** Reproducibility manifest — the dataset-card fingerprint a training
+    * pipeline publishes with every corpus snapshot: one row per day
+    * partition with an order-independent content fingerprint. Two
+    * accumulators, both insensitive to row order / partitioning / cluster
+    * size: `bit_xor` over a 60-bit md5 prefix (tamper-evident, can never
+    * overflow) and a checked 40-bit-per-row sum (bounded by 2^63 up to
+    * ~8 M rows per partition — beyond that the xor alone carries the
+    * guarantee). Row cost is one md5 over the stable string columns
+    * (timestamps via the shared format; `value` is summed as DECIMAL, not
+    * hashed — float-to-string rendering is the one thing the two engines
+    * may disagree on). Map-only + per-day partial agg: at 100 TB this is
+    * the cheapest full-corpus integrity check there is, and two manifests
+    * diff in O(days) to localize corruption or divergence between
+    * environments — the cross-environment story without a row-level
+    * compare.
+    */
+  private def auditManifest(s: SparkSession, dir: String): DataFrame = {
+    val fp = md5(concat_ws("|",
+      col("event_id"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+      col("user_id"), col("event_type"), coalesce(col("props"), lit(""))))
+    Tables.load(s, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_id"), col("value"), fp.as("fp"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(cast(conv(substring(fp, 1, 15), 16, 10) as bigint))").as("content_xor"),
+        sum(expr("cast(conv(substring(fp, 1, 10), 16, 10) as bigint)")).as("content_sum"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"),
+        sum(col("value").cast("decimal(18,2)")).as("value_sum"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_manifest" -> (auditManifest _),
     "j4_salted_skew_join" -> (j4SaltedSkewJoin _),
     "etl_compact_dest" -> (etlCompactDest _),
     "etl_backfill_window" -> (etlBackfillWindow _),
@@ -296,6 +330,16 @@ object ScaleOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "audit_manifest" -> {
+      val fp = "md5(event_id || '|' || strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' || " +
+        "user_id || '|' || event_type || '|' || coalesce(props, ''))"
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_rows,
+         |  bit_xor(('0x' || substr($fp, 1, 15))::BIGINT) AS content_xor,
+         |  CAST(sum(('0x' || substr($fp, 1, 10))::BIGINT) AS BIGINT) AS content_sum,
+         |  min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+         |  sum(CAST(value AS DECIMAL(18,2))) AS value_sum
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "j4_salted_skew_join" ->
       """SELECT s_nationkey, count(*) AS n_items,
         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)

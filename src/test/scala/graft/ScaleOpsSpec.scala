@@ -100,6 +100,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.size == 20, s"fixture spans 30 days; retention keeps 20, got ${out.size}")
   }
 
+  test("manifest fingerprint is tamper-evident and localizes the damaged day") {
+    val clean = ScaleOps.queries("audit_manifest")(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(1))).toMap
+    // copy the corpus with ONE row's event_type flipped, re-manifest
+    val tampered = tmpDir("manifest_tamper_")
+    val ev = Tables.load(spark, Sf0001, "events")
+    val victim = ev.select(min(col("event_id"))).collect()(0).getLong(0)
+    ev.withColumn("event_type",
+        when(col("event_id") === victim, lit("TAMPERED")).otherwise(col("event_type")))
+      .write.parquet(s"$tampered/events.parquet")
+    val dirty = ScaleOps.queries("audit_manifest")(spark, tampered)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(1))).toMap
+    val victimDay = ev.where(col("event_id") === victim)
+      .select(date_format(col("ts"), "yyyy-MM-dd")).collect()(0).getString(0)
+    assert(clean.keySet == dirty.keySet)
+    clean.foreach { case (day, (cx, cs, n)) =>
+      val (dx, ds, dn) = dirty(day)
+      assert(n == dn, s"row counts must not move ($day)")
+      if (day == victimDay)
+        assert(cx != dx && cs != ds, s"fingerprints must catch the flipped row on $day")
+      else
+        assert(cx == dx && cs == ds, s"untouched day $day must fingerprint identically")
+    }
+  }
+
   test("bucketed tables join co-located: no shuffle exchange before the join") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql("DROP TABLE IF EXISTS b_orders")
