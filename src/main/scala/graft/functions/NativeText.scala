@@ -54,13 +54,14 @@ object NativeText {
   def tokenHashes(s: UTF8String): ArrayData =
     new GenericArrayData(tokenHashArray(s))
 
-  /** Distinct position-mixed n-gram hashes (sorted; set semantics) over
-    * the token-hash stream: each window of `n` token hashes is folded
-    * through chained xxhash rounds — non-linear in each slot (a
+  /** Position-ordered n-gram hashes (slot i = the window starting at token
+    * i; bag semantics — no sort, no dedup): each window of `n` token hashes
+    * is folded through chained xxhash rounds — non-linear in each slot (a
     * GF(2)-linear mix like xor-shift collides on small vocabularies where
-    * a^c == d^e).
+    * a^c == d^e). The positional form feeds the duplicated-SPAN detector,
+    * where WHERE a window sits matters as much as what it hashes to.
     */
-  private def ngramHashArray(th: Array[Long], n: Int): Array[Long] = {
+  private def ngramPosHashArray(th: Array[Long], n: Int): Array[Long] = {
     if (th.length < n) return Array.empty[Long]
     val mixed = new Array[Long](th.length - n + 1)
     var i = 0
@@ -71,9 +72,19 @@ object NativeText {
       mixed(i) = acc
       i += 1
     }
+    mixed
+  }
+
+  /** Distinct n-gram hashes (sorted; set semantics): the positional stream
+    * above, sorted and deduplicated in place (the positional array is
+    * freshly allocated per call, so the in-place sort is private).
+    */
+  private def ngramHashArray(th: Array[Long], n: Int): Array[Long] = {
+    if (th.length < n) return Array.empty[Long]
+    val mixed = ngramPosHashArray(th, n)
     java.util.Arrays.sort(mixed)
     var uniq = 1
-    i = 1
+    var i = 1
     while (i < mixed.length) { if (mixed(i) != mixed(i - 1)) uniq += 1; i += 1 }
     val out = new Array[Long](uniq)
     out(0) = mixed(0)
@@ -96,6 +107,12 @@ object NativeText {
     */
   def ngram8Hashes(s: UTF8String): ArrayData =
     new GenericArrayData(ngramHashArray(tokenHashArray(s), 8))
+
+  /** Position-ordered 8-gram hashes (slot i = window at token i) — the
+    * per-position feature stream for exact duplicated-span detection.
+    */
+  def ngram8PosHashes(s: UTF8String): ArrayData =
+    new GenericArrayData(ngramPosHashArray(tokenHashArray(s), 8))
 
   /** 60-bit SimHash in one compiled pass (same token hashes as
     * `graft_token_hashes`, so identical to the explode+aggregate
@@ -258,6 +275,8 @@ object NativeText {
       exprs => RepetitionStatsExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_ngram8_hashes",
       exprs => Ngram8HashesExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_ngram8_pos_hashes",
+      exprs => Ngram8PosHashesExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_normalize_text",
       exprs => NormalizeTextExpr(exprs.head), "built-in")
   }
@@ -317,6 +336,14 @@ case class Ngram8HashesExpr(child: Expression) extends NativeTextExpr {
   override protected def compute(s: UTF8String): ArrayData = NativeText.ngram8Hashes(s)
   override def prettyName: String = "graft_ngram8_hashes"
   override protected def withNewChildInternal(newChild: Expression): Ngram8HashesExpr =
+    copy(child = newChild)
+}
+
+case class Ngram8PosHashesExpr(child: Expression) extends NativeTextExpr {
+  override protected def methodName: String = "ngram8PosHashes"
+  override protected def compute(s: UTF8String): ArrayData = NativeText.ngram8PosHashes(s)
+  override def prettyName: String = "graft_ngram8_pos_hashes"
+  override protected def withNewChildInternal(newChild: Expression): Ngram8PosHashesExpr =
     copy(child = newChild)
 }
 

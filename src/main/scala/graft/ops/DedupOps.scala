@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -209,6 +210,67 @@ object DedupOps {
       .where(col("j") >= JaccardThreshold)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Exact duplicated-SPAN detection — the substring-level member of the
+    * dedup family (the document-level paths above treat a doc as one unit;
+    * web corpora also repeat PARAGRAPHS across otherwise-distinct pages:
+    * boilerplate, quoted passages, syndicated fragments — the case the
+    * "Deduplicating Training Data Makes Language Models Better" line of
+    * work targets with suffix arrays). Engine shape, suffix-array-free and
+    * fully distributed:
+    *
+    *  1. one map-only pass emits position-ordered 8-gram hashes per doc
+    *     (native expression — no token strings materialized);
+    *  2. a gram is DUPLICATED when it occurs in ≥ 2 distinct docs — one
+    *     partial-agg'd count-distinct shuffle over narrow (hash, doc_id)
+    *     rows (8-byte keys; the text itself never shuffles);
+    *  3. each doc's duplicated positions collapse into maximal islands
+    *     (consecutive window starts → `pos − row_number()` grouping — the
+    *     gaps-and-islands move, per-doc windows so no global sort), and an
+    *     island of grams [p, q] is the duplicated token span
+    *     [p, q + 7] — exactly the region a span-level dedup would excise.
+    *
+    * At 100 TB both shuffles are proportional to the token stream, not the
+    * document bytes, and the window runs per doc_id — embarrassingly
+    * parallel. Cross-doc (not within-doc) repetition is the contract:
+    * within-doc repeats are a quality signal (`ta_repetition`), not
+    * duplication.
+    */
+  def spanDedup(docs: DataFrame): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    val grams = docs.select(col("doc_id"),
+      posexplode(expr("graft_ngram8_pos_hashes(text)")).as(Seq("pos", "g")))
+    val dup = grams.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("g"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams.join(dup, "g")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(8)).cast("long").as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Documents plus planted 50-token EXCERPTS (every 25th long-enough doc
+    * re-appears under doc_id+2000000 as tokens 11..60 of the original) —
+    * the corpus's natural cross-doc 8-gram repeats are sparse single
+    * windows, so the fixture is what makes island MERGING observable: the
+    * excerpt is one 43-gram island in both the copy and its source. Oracle
+    * builds the same fixture.
+    */
+  private[graft] def withSpanDups(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.where(col("doc_id") % 25 === 0 && size(toks) >= 60)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat_ws(" ", slice(toks, 11, 50)).as("text")))
+  }
+
+  private def dedupSpanExact(s: SparkSession, dir: String): DataFrame =
+    spanDedup(withSpanDups(documents(s, dir)))
+
   /** Cross-source contamination matrix: which corpus sources near-duplicate
     * each other, and how much. Reuses the verified MinHash-LSH pair
     * pipeline (same banded candidates, same exact-Jaccard verify — so the
@@ -238,6 +300,7 @@ object DedupOps {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_span_exact" -> (dedupSpanExact _),
     "dedup_source_matrix" -> (dedupSourceMatrix _)
   )
 
@@ -301,6 +364,36 @@ object DedupOps {
          |JOIN documents da ON pairs.a_id = da.doc_id
          |JOIN documents db ON pairs.b_id = db.doc_id
          |GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin,
-    "dedup_simhash" -> duckPairs("")
+    "dedup_simhash" -> duckPairs(""),
+    // String 8-grams mirror the engine's positional hashes (identical
+    // islands modulo 64-bit collisions); same planted-excerpt fixture,
+    // same cross-doc (count-distinct ≥ 2) duplication contract, same
+    // gaps-and-islands collapse.
+    "dedup_span_exact" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(list_slice(w, 11, 60), ' ') AS text
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') w
+        |        FROM documents)
+        |  WHERE doc_id % 25 = 0 AND len(w) >= 60),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') w
+        |  FROM base),
+        |pg AS (
+        |  SELECT doc_id, i AS pos, array_to_string(list_slice(w, i + 1, i + 8), ' ') AS g
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 7)) AS i
+        |        FROM tok WHERE len(w) >= 8)),
+        |dup AS (SELECT g FROM pg GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |r AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM pg JOIN dup USING (g))
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
+        |FROM r GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
   )
 }
