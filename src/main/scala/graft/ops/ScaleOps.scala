@@ -294,10 +294,14 @@ object ScaleOps {
     * size: `bit_xor` over a 60-bit md5 prefix (tamper-evident, can never
     * overflow) and a checked 40-bit-per-row sum (bounded by 2^63 up to
     * ~8 M rows per partition — beyond that the xor alone carries the
-    * guarantee). Row cost is one md5 over the stable string columns
-    * (timestamps via the shared format; `value` is summed as DECIMAL, not
-    * hashed — float-to-string rendering is the one thing the two engines
-    * may disagree on). Map-only + per-day partial agg: at 100 TB this is
+    * guarantee). Every fingerprint input is integer-canonical: the
+    * timestamp enters the hash as epoch MICROSECONDS (a BIGINT both
+    * engines render identically — formatted fractional seconds do not
+    * survive a TIMESTAMP_NS vs TIMESTAMP reader split), every nullable
+    * column is coalesced on BOTH engines (never rely on concat_ws null
+    * skipping — the oracle's `||` propagates NULL instead), and `value`
+    * is summed as BIGINT cents, not DECIMAL (decimal width/rendering is
+    * engine-specific). Map-only + per-day partial agg: at 100 TB this is
     * the cheapest full-corpus integrity check there is, and two manifests
     * diff in O(days) to localize corruption or divergence between
     * environments — the cross-environment story without a row-level
@@ -305,8 +309,11 @@ object ScaleOps {
     */
   private def auditManifest(s: SparkSession, dir: String): DataFrame = {
     val fp = md5(concat_ws("|",
-      col("event_id"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
-      col("user_id"), col("event_type"), coalesce(col("props"), lit(""))))
+      coalesce(col("event_id").cast("string"), lit("")),
+      coalesce(unix_micros(col("ts")).cast("string"), lit("")),
+      coalesce(col("user_id").cast("string"), lit("")),
+      coalesce(col("event_type"), lit("")),
+      coalesce(col("props"), lit(""))))
     Tables.load(s, dir, "events")
       .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
         col("event_id"), col("value"), fp.as("fp"))
@@ -316,7 +323,7 @@ object ScaleOps {
         sum(expr("cast(conv(substring(fp, 1, 10), 16, 10) as bigint)")).as("content_sum"),
         min(col("event_id")).as("min_event_id"),
         max(col("event_id")).as("max_event_id"),
-        sum(col("value").cast("decimal(18,2)")).as("value_sum"))
+        sum(expr("cast(round(value * 100) as bigint)")).as("value_cents"))
       .orderBy(col("day"))
   }
 
@@ -331,13 +338,18 @@ object ScaleOps {
 
   val oracleSql: Map[String, String] = Map(
     "audit_manifest" -> {
-      val fp = "md5(event_id || '|' || strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' || " +
-        "user_id || '|' || event_type || '|' || coalesce(props, ''))"
+      // integer-canonical: ts enters the md5 as epoch-microseconds BIGINT
+      // (cast to micro TIMESTAMP first so a TIMESTAMP_NS reader agrees),
+      // every nullable input coalesced, value summed as BIGINT cents.
+      val fp = "md5(coalesce(CAST(event_id AS VARCHAR), '') || '|' || " +
+        "coalesce(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), '') || '|' || " +
+        "coalesce(CAST(user_id AS VARCHAR), '') || '|' || " +
+        "coalesce(event_type, '') || '|' || coalesce(props, ''))"
       s"""SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_rows,
          |  bit_xor(('0x' || substr($fp, 1, 15))::BIGINT) AS content_xor,
          |  CAST(sum(('0x' || substr($fp, 1, 10))::BIGINT) AS BIGINT) AS content_sum,
          |  min(event_id) AS min_event_id, max(event_id) AS max_event_id,
-         |  sum(CAST(value AS DECIMAL(18,2))) AS value_sum
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "j4_salted_skew_join" ->
