@@ -41,7 +41,12 @@ object Bench {
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // optional query-name args restrict the sweep (local iteration only;
+    // the round driver passes none, so it always times the full surface)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }.toSeq
+    selected.sortBy(_._1).foreach { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()

@@ -103,6 +103,17 @@ object MetaStore {
   * (one row per org), so rewriting them whole is O(orgs), not O(data) —
   * this never becomes a bottleneck at 100 TB of *billing* data because
   * config/status volume scales with tenants, not rows.
+  *
+  * Because the tables are O(tenants), the authoritative working copy lives
+  * on the DRIVER: each read-modify-write folds the affected-row count into
+  * one in-memory pass and issues exactly one Spark write job (the durable
+  * snapshot), instead of a scan job + a count job + a rewrite job. Reads
+  * serve a LocalRelation-backed Dataset from a snapshot cache keyed by the
+  * CURRENT pointer version — every access still probes the pointer (one
+  * small FS read), so a concurrent updater's swap invalidates this
+  * instance's cache; the cache removes the Spark scan, not the coherence
+  * check. This mirrors what the reference gets for free from MySQL: the
+  * control plane is row-at-a-time state, not a distributed dataset.
   */
 final class FsMetaStore(val root: String)(implicit spark: SparkSession)
     extends MetaStore {
@@ -124,59 +135,81 @@ final class FsMetaStore(val root: String)(implicit spark: SparkSession)
   private def currentVersion(tableDir: String): Option[String] =
     graft.util.Fs.readSmallText(spark, currentPointer(tableDir)).map(_.trim)
 
-  /** Write `df` as a fresh snapshot, then atomically repoint CURRENT
+  /** tableDir -> (pointer version it was collected at, driver-side rows). */
+  private val snapCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Seq[Any])]
+
+  /** Write `rows` as a fresh snapshot, then atomically repoint CURRENT
     * (write-in-full + rename-OVERWRITE; see Fs.writeSmallTextAtomic for the
-    * S3 caveat).
+    * S3 caveat), and seed the snapshot cache with the rows just written.
     */
-  private def overwriteVersioned(tableDir: String, df: DataFrame): Unit = {
+  private def overwriteVersioned(tableDir: String, df: DataFrame, rows: Seq[Any]): Unit = {
     val v = s"v_${UUID.randomUUID().toString.take(8)}"
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$tableDir/$v")
     graft.util.Fs.writeSmallTextAtomic(spark, currentPointer(tableDir), v)
+    snapCache.put(tableDir, (v, rows))
   }
 
-  private def readVersioned(tableDir: String): Option[DataFrame] =
-    currentVersion(tableDir).map(v => spark.read.parquet(s"$tableDir/$v"))
+  /** Driver-side rows at the CURRENT version; one Spark collect on first
+    * read per version, pointer-probe-only afterwards.
+    */
+  private def snapshotRows[T](tableDir: String)(read: String => Seq[T]): Seq[T] =
+    currentVersion(tableDir) match {
+      case None => Seq.empty
+      case Some(v) =>
+        snapCache.get(tableDir) match {
+          case Some((`v`, rows)) => rows.asInstanceOf[Seq[T]]
+          case _ =>
+            val rows = read(s"$tableDir/$v")
+            snapCache.put(tableDir, (v, rows))
+            rows
+        }
+    }
+
+  private def configRows: Seq[ClientBillingConfig] =
+    snapshotRows(configDir)(p => spark.read.parquet(p).as[ClientBillingConfig].collect().toSeq)
+
+  private def stepRows: Seq[StepStatus] =
+    snapshotRows(stepperDir)(p => spark.read.parquet(p).as[StepStatus].collect().toSeq)
 
   override def putConfigs(rows: Seq[ClientBillingConfig]): Unit =
-    overwriteVersioned(configDir, rows.toDF())
+    overwriteVersioned(configDir, rows.toDF(), rows)
 
-  override def configs: Dataset[ClientBillingConfig] =
-    readVersioned(configDir)
-      .map(_.as[ClientBillingConfig])
-      .getOrElse(spark.emptyDataset[ClientBillingConfig])
+  override def configs: Dataset[ClientBillingConfig] = configRows.toDS()
 
   override def updateConfig(orgId: Int, projectId: String,
                             fields: Map[String, String]): Long = {
     val allowed = fields.view.filterKeys(MetaStore.UpdatableConfigColumns).toMap
     if (allowed.isEmpty) return 0L
-    val cur = configs
-    val hit = $"org_id" === orgId && $"projectid" === projectId
-    val affected = cur.where(hit).count()
+    val rows = configRows
+    def hit(r: ClientBillingConfig) = r.org_id == orgId && r.projectid == projectId
+    val affected = rows.count(hit).toLong
     if (affected > 0) {
-      val updated = allowed.foldLeft(cur.toDF()) { case (df, (k, v)) =>
-        df.withColumn(k, when(hit, lit(v)).otherwise(col(k)))
+      val updated = rows.map { r =>
+        if (!hit(r)) r
+        else allowed.foldLeft(r) {
+          case (acc, ("pulsebillingdataset", v)) => acc.copy(pulsebillingdataset = Some(v))
+          case (acc, ("pulsetableid", v)) => acc.copy(pulsetableid = Some(v))
+          case (acc, _) => acc
+        }
       }
-      overwriteVersioned(configDir, updated.as[ClientBillingConfig].toDF())
+      overwriteVersioned(configDir, updated.toDF(), updated)
     }
     affected
   }
 
   override def putSteps(rows: Seq[StepStatus]): Unit =
-    overwriteVersioned(stepperDir, rows.toDF())
+    overwriteVersioned(stepperDir, rows.toDF(), rows)
 
-  override def steps: Dataset[StepStatus] =
-    readVersioned(stepperDir)
-      .map(_.as[StepStatus])
-      .getOrElse(spark.emptyDataset[StepStatus])
+  override def steps: Dataset[StepStatus] = stepRows.toDS()
 
   override def updateStepCompleted(stepId: Int, orgId: Int, completed: Boolean): Long = {
-    val cur = steps
-    val hit = $"stepid" === stepId && $"org_id" === orgId
-    val affected = cur.where(hit).count()
+    val rows = stepRows
+    def hit(r: StepStatus) = r.stepid == stepId && r.org_id == orgId
+    val affected = rows.count(hit).toLong
     if (affected > 0) {
-      val updated = cur.toDF()
-        .withColumn("step_completed", when(hit, lit(completed)).otherwise(col("step_completed")))
-      overwriteVersioned(stepperDir, updated.as[StepStatus].toDF())
+      val updated = rows.map(r => if (hit(r)) r.copy(step_completed = completed) else r)
+      overwriteVersioned(stepperDir, updated.toDF(), updated)
     }
     affected
   }
