@@ -55,6 +55,15 @@ object Bench {
         dt
       }
       try {
+        // Sweep hygiene: earlier queries' dead shuffles/broadcasts/
+        // accumulators are only reclaimed when the ContextCleaner's weak
+        // refs are processed — i.e. on GC. On a large heap GC is rare, so
+        // a late-alphabet query otherwise executes amid hundreds of MBs
+        // of another query's debris and bills for it (the full sweep was
+        // timing stream_* 2-4x slower than an isolated run). One explicit
+        // GC per query, outside the timed window, keeps each timing a
+        // property of the query's plan rather than of its sweep position.
+        System.gc()
         once() // per-query warmup (plan compilation, first-touch I/O)
         val runs = Seq.fill(timedRuns)(once()).sorted
         // true median: middle value, or mean of the two middles when even
