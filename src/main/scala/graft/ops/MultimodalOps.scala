@@ -28,11 +28,25 @@ object MultimodalOps {
   /** The typed media fixture: one MediaRecord per document, modality by
     * doc_id mod 3, payloads generated in partition-parallel map tasks
     * (the ingest edge of the pipeline — the decode edge reads them back).
+    *
+    * `only` restricts to one modality BEFORE the encode: the modality is a
+    * pure function of doc_id, so the restriction is a relational predicate
+    * on the scan (Catalyst sees it; at 100 TB the other two thirds of the
+    * corpus are never materialized, let alone encoded). Filtering the typed
+    * records after the map instead would pay the full three-modality codec
+    * cost and discard two thirds of it.
     */
-  private def mediaFixture(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+  private def mediaFixture(s: SparkSession, dir: String,
+                           only: Option[String] = None): Dataset[MediaRecord] = {
     import s.implicits._
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id")).as[Long]
+    val ids = Tables.load(s, dir, "documents").select(col("doc_id"))
+    val scoped = only match {
+      case Some("image") => ids.where(col("doc_id") % 3 === 0)
+      case Some("audio") => ids.where(col("doc_id") % 3 === 1)
+      case Some("video") => ids.where(col("doc_id") % 3 === 2)
+      case _ => ids
+    }
+    scoped.as[Long]
       .map { id =>
         (id % 3) match {
           case 0 =>
@@ -97,7 +111,7 @@ object MultimodalOps {
   private def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     import sp.implicits._
-    mediaFixture(s, dir).filter(_.media_type == "video").flatMap { m =>
+    mediaFixture(s, dir, Some("video")).flatMap { m =>
       val (w, h, frames) = Multimodal.decodeVideoFrames(m.payload)
       frames.zipWithIndex.collect { case (px, t) if t % 2 == 0 =>
         var sum = 0L; var sq = 0L
@@ -137,7 +151,7 @@ object MultimodalOps {
   private def mmPhash(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     import sp.implicits._
-    mediaFixture(s, dir).filter(_.media_type == "image").map { r =>
+    mediaFixture(s, dir, Some("image")).map { r =>
       val resized = Multimodal
         .decodeImagePixels(Multimodal.resizeImage(r.payload, 4, 4))._3
       val total = resized.map(_.toLong).sum
@@ -161,7 +175,7 @@ object MultimodalOps {
   private def mmAudioFp(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     import sp.implicits._
-    mediaFixture(s, dir).filter(_.media_type == "audio").map { r =>
+    mediaFixture(s, dir, Some("audio")).map { r =>
       val smp = Multimodal.decodeWavSamples(r.payload)
       val n = smp.length
       val boxes = (0 until 8).map { b =>
