@@ -20,13 +20,24 @@ object Tables {
   // footer schema inference on the driver (~100 ms each), which dominates
   // short queries and at cluster scale hammers the object store with
   // redundant LIST/HEAD calls — a catalog caches listings for the same
-  // reason. Weak keys so a retired session's plans don't outlive it.
+  // reason. The memoized plan pins the file listing at first load: files
+  // added to a (dir, name) later are invisible to that session — fine for
+  // this corpus contract, wrong for a landing zone (use the streaming
+  // source for those).
+  //
+  // A weak key alone cannot free a retired session here: the cached
+  // DataFrames strongly reference their session (df.sparkSession), so the
+  // value pins the key for the JVM lifetime. Retirement is instead
+  // detected explicitly — each load() sweeps out sessions whose
+  // SparkContext has stopped, whose plans are unusable anyway.
   private val cache =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val per = cache.synchronized {
+      val it = cache.keySet.iterator()
+      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
       cache.computeIfAbsent(spark,
         _ => scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
     }

@@ -229,18 +229,31 @@ object SimilarityOps {
     * files; append adds new files, never rewrites existing ones). The
     * first append derives (bands, bits) from the batch size and pins them
     * in the sidecar; subsequent appends reuse the pinned values.
+    *
+    * Ordering contract: rows are made durable BEFORE the sidecar is
+    * pinned, so a crash between the two leaves rows-without-params — a
+    * state every reader and every later append fails CLOSED on — and
+    * never params-without-rows, which readers would silently trust as a
+    * valid empty index whose derived family may not match the rows a
+    * concurrent first-appender was writing.
     */
   def appendToEmbedIndex(vectors: DataFrame, indexPath: String): Unit = {
     val spark = vectors.sparkSession
-    val (bands, bits) = embedIndexParams(spark, indexPath).getOrElse {
-      val b = neardupBits(vectors.count())
-      val p = (neardupBands(b), b)
-      import spark.implicits._
-      Seq(p).toDF("bands", "bits").write.mode(SaveMode.Overwrite)
-        .parquet(indexPath + "_params")
-      p
+    embedIndexParams(spark, indexPath) match {
+      case Some((bands, bits)) =>
+        embedIndexRows(vectors, bands, bits).write.mode(SaveMode.Append).parquet(indexPath)
+      case None =>
+        if (graft.util.Fs.hasParquetFiles(spark, indexPath))
+          throw new IllegalStateException(
+            s"index $indexPath has rows but no params sidecar " +
+              "(interrupted first append?) — rebuild the index")
+        val bits = neardupBits(vectors.count())
+        val bands = neardupBands(bits)
+        embedIndexRows(vectors, bands, bits).write.mode(SaveMode.Append).parquet(indexPath)
+        import spark.implicits._
+        Seq((bands, bits)).toDF("bands", "bits").write.mode(SaveMode.Overwrite)
+          .parquet(indexPath + "_params")
     }
-    embedIndexRows(vectors, bands, bits).write.mode(SaveMode.Append).parquet(indexPath)
   }
 
   /** Near-dups of `batch` against vectors already in the index: the batch
