@@ -295,11 +295,14 @@ object TextAnalysisOps {
     * the iteration then runs on the |vocab|-sized relation), then each
     * round counts weighted adjacent symbol pairs, takes the
     * (count DESC, pair ASC) argmax — a 1-row control-plane decision, like
-    * the watermark reads — and applies the merge as a non-overlapping
-    * left-to-right replace on the space-joined symbol string (both engines'
-    * `replace` contract, so " l l l " merges greedily the same way). All
-    * counts are exact integers; the DuckDB oracle replays the rounds
-    * unrolled and must produce the identical merge table.
+    * the watermark reads — and applies the merge as TWO non-overlapping
+    * left-to-right replaces on the space-joined symbol string (both
+    * engines' `replace` contract; the second pass catches back-to-back
+    * repeats of the pair whose shared boundary space the first pass
+    * consumed, so application matches standard greedy BPE exactly —
+    * [a,b,a,b] merges to [ab,ab]). All counts are exact integers; the
+    * DuckDB oracle replays the rounds unrolled and must produce the
+    * identical merge table.
     *
     * Why rounds are NOT batched (one count job selecting the top-K
     * non-interacting pairs): batching is only semantics-preserving if no
@@ -360,8 +363,17 @@ object TextAnalysisOps {
         // rounds, fatal at a real tokenizer's 30-50k merges. With it every
         // round re-plans from a materialized |vocab|-row relation and
         // per-round wall time stays flat.
+        // Two replace passes per merge = standard greedy left-to-right BPE.
+        // A single non-overlapping replace misses back-to-back repeats of
+        // the pair (the match consumes the shared boundary space:
+        // " a b a b " -> " ab a b "); every miss sits between pass-1
+        // merges, so the second pass catches exactly the missed
+        // occurrences and nothing more — [a,b,a,b] -> [ab,ab], matching
+        // reference BPE.
         val next = cur.select(col("wf"),
-          call_function("replace", col("syms"),
+          call_function("replace",
+            call_function("replace", col("syms"),
+              lit(s" $l $r "), lit(s" $l$r ")),
             lit(s" $l $r "), lit(s" $l$r ")).as("syms"))
           .localCheckpoint()
         (next, acc :+ ((k, l, r, l + r, n)))
@@ -373,8 +385,8 @@ object TextAnalysisOps {
   /** Tokenizer APPLICATION — the other half of the BPE loop: encode every
     * document with the [[BpeRounds]] learned merges. The merge table is
     * kilobytes of driver state; encoding is the merge chain folded into ONE
-    * whole-stage-codegen projection (16 chained `replace` calls on the
-    * space-joined symbol string — the same left-to-right non-overlapping
+    * whole-stage-codegen projection (two chained `replace` calls per
+    * merge on the space-joined symbol string — the same two-pass greedy
     * contract training used), so the corpus is tokenized in a single
     * map-only pass with no shuffle before the per-doc rollup: exactly how
     * a 100 TB corpus meets a trained tokenizer. Output is the per-doc
@@ -388,7 +400,11 @@ object TextAnalysisOps {
       array_join(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
         " "), lit(" "))
     val symsN = merges.foldLeft(syms0) { case (c, (_, l, r, _, _)) =>
-      call_function("replace", c, lit(s" $l $r "), lit(s" $l$r "))
+      // double replace per merge: same two-pass contract as training —
+      // back-to-back repeats of the pair merge like standard greedy BPE
+      call_function("replace",
+        call_function("replace", c, lit(s" $l $r "), lit(s" $l$r ")),
+        lit(s" $l $r "), lit(s" $l$r "))
     }
     documents(s, dir)
       .select(col("doc_id"), explode(toks).as("word"))
@@ -471,7 +487,9 @@ object TextAnalysisOps {
          |  GROUP BY l, r),
          |m$k AS MATERIALIZED (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
          |w$k AS MATERIALIZED (
-         |  SELECT word, wf, replace(syms, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ') AS syms
+         |  SELECT word, wf,
+         |    replace(replace(syms, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' '),
+         |            ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ') AS syms
          |  FROM w${k - 1} CROSS JOIN m$k)""".stripMargin
     s"""w0 AS MATERIALIZED (
        |  SELECT word, count(*) AS wf,
@@ -581,8 +599,8 @@ object TextAnalysisOps {
          |FROM (SELECT unnest($duckToks) AS word FROM documents)
          |GROUP BY word ORDER BY n DESC, word LIMIT $VocabK""".stripMargin,
     // the merge rounds unrolled; parallel unnest zips the adjacent
-    // symbol slices, and replace() shares the engine's non-overlapping
-    // left-to-right contract. Every per-round CTE is MATERIALIZED — each
+    // symbol slices, and the double replace() shares the engine's
+    // two-pass greedy contract. Every per-round CTE is MATERIALIZED — each
     // w(k) is referenced twice (pair count + next round's replace), so
     // inlined CTEs would re-evaluate the whole chain per reference:
     // 2^rounds scans of the corpus at 16 rounds (the engine's

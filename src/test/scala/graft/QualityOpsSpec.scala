@@ -70,18 +70,12 @@ class QualityOpsSpec extends AnyFunSuite {
     }
   }
 
-  // replays the ENGINE's contract — non-overlapping left-to-right string
-  // replace on " s1 s2 ... ": a match consumes its trailing space, so the
-  // token immediately after a merge cannot START the next match
-  // ([a,b,a,b] -> [ab, a, b], not [ab, ab]). Both the engine and the
-  // DuckDB oracle share this `replace` semantic; the reference must too,
-  // or a corpus where a selected pair repeats back-to-back diverges.
+  // replays standard greedy left-to-right BPE merge application — which
+  // the engine now matches exactly: its two replace passes per merge
+  // catch the back-to-back repeat a single non-overlapping replace would
+  // miss, so [a,b,a,b] -> [ab, ab] like every reference tokenizer.
   private def applyMerge(syms: List[String], l: String, r: String): List[String] = syms match {
-    case a :: b :: rest if a == l && b == r =>
-      (l + r) :: (rest match {
-        case c :: tail => c :: applyMerge(tail, l, r)
-        case Nil => Nil
-      })
+    case a :: b :: rest if a == l && b == r => (l + r) :: applyMerge(rest, l, r)
     case a :: rest => a :: applyMerge(rest, l, r)
     case Nil => Nil
   }
