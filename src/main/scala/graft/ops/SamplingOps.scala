@@ -257,29 +257,41 @@ object SamplingOps {
   /** Pearson correlation (chars vs tokens, per language) from EXACT integer
     * moments. Spark's `corr` (and DuckDB's) accumulates doubles in
     * partition order — non-deterministic across engines and cluster
-    * layouts. Here the five moments (Σx, Σy, Σxy, Σx², Σy²) are BIGINT
-    * sums — order-independent — and the discriminant products run in
-    * DECIMAL(38,0) on BOTH engines: exact integers up to 1e38 (n·Σx² is
-    * ~1e14 at the shipped SFs), and past the bound both engines fail
-    * loudly (Spark ANSI decimal overflow, DuckDB decimal overflow)
-    * instead of one wrapping silently while the other errors. The only
-    * float ops are one exact-integer→double cast each, one product, one
-    * sqrt, one division: every step correctly rounded, so round(·, 6) is
+    * layouts. Here the whole integer pipeline — per-row products, the five
+    * moment sums (Σx, Σy, Σxy, Σx², Σy²), and the discriminant products —
+    * runs in DECIMAL(38,0) on the engine side and HUGEINT (128-bit) on the
+    * oracle side: exact to ~1e38 on both, which covers 1e12 rows of
+    * 1e9-char documents (a 100 TB corpus leaves the moments near 1e20 —
+    * far past BIGINT's 9.2e18, where a long sum would WRAP SILENTLY, the
+    * worst divergence mode). Past 1e38 both engines fail loudly/nullably
+    * rather than producing a plausible wrong number. The only float ops
+    * are one exact-integer→double cast each, one product, one sqrt, one
+    * division: every step correctly rounded, so round(·, 6) is
     * bit-identical everywhere.
     * One partial-agg shuffle on lang; the formula runs on |langs| rows.
     */
-  private def statsCorrExact(s: SparkSession, dir: String): DataFrame = {
+  private def statsCorrExact(s: SparkSession, dir: String): DataFrame =
+    corrExactByGroup(
+      documents(s, dir)
+        .select(col("lang"), col("n_chars").as("x"),
+          size(tokens(col("text"))).cast("long").as("y")),
+      "lang")
+
+  /** The exact-moment corr pipeline over arbitrary (group, x, y) rows —
+    * factored out so the overflow spec can drive it at adversarial
+    * magnitudes that the documents fixture never reaches.
+    */
+  private[graft] def corrExactByGroup(rows: DataFrame, groupCol: String): DataFrame = {
     def d(c: Column): Column = c.cast("decimal(38,0)")
-    documents(s, dir)
-      .select(col("lang"), col("n_chars").as("x"),
-        size(tokens(col("text"))).cast("long").as("y"))
-      .groupBy(col("lang"))
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    rows
+      .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
-      .select(col("lang"), col("n"),
+        sum(d19(col("x"))).as("sx"), sum(d19(col("y"))).as("sy"),
+        sum(d19(col("x")) * d19(col("y"))).as("sxy"),
+        sum(d19(col("x")) * d19(col("x"))).as("sxx"),
+        sum(d19(col("y")) * d19(col("y"))).as("syy"))
+      .select(col(groupCol), col("n"),
         when(
           (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) === 0 ||
             (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))) === 0, lit(null))
@@ -288,7 +300,7 @@ object SamplingOps {
               sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))).cast("double") *
                 (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))).cast("double")), 6))
           .as("corr_chars_tokens"))
-      .orderBy(col("lang"))
+      .orderBy(col(groupCol))
   }
 
   /** Temperature-scaled source rebalance (α = 0.5): the standard move that
@@ -386,10 +398,10 @@ object SamplingOps {
         |  FROM documents),
         |m AS (
         |  SELECT lang, count(*) AS n,
-        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |    CAST(sum(x * y) AS BIGINT) AS sxy,
-        |    CAST(sum(x * x) AS BIGINT) AS sxx,
-        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x::HUGEINT * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(x::HUGEINT * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(y::HUGEINT * y) AS HUGEINT) AS syy
         |  FROM t GROUP BY lang)
         |SELECT lang, n,
         |  CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx = 0

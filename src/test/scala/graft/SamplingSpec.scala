@@ -205,6 +205,39 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-moments corr survives magnitudes where BIGINT moments wrap") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 12 rows of ~3e9-char "documents": Σx² ≈ 1.1e20, an order of magnitude
+    // past Long.MaxValue (9.2e18) — the 100 TB moment regime. A long-based
+    // moment pipeline wraps silently here; prove that, then prove the
+    // DECIMAL pipeline doesn't.
+    val xs = (0 until 12).map(i => 3_000_000_000L + i)
+    val longSxx = xs.map(x => x * x).sum // wrapped
+    val exactSxx = xs.map(x => BigInt(x) * BigInt(x)).sum
+    assert(BigInt(longSxx) != exactSxx, "fixture must actually exceed the long range")
+    // y = 2x exactly: corr is exactly 1. The discriminant (~1.7e3) is a
+    // tiny difference of ~1e20 moments, so any wrap or rounding upstream
+    // destroys the value rather than nudging it.
+    val rows = xs.map(x => ("g", x, 2L * x)).toDF("grp", "x", "y")
+    val out = ops.SamplingOps.corrExactByGroup(rows, "grp").collect()
+    assert(out.length == 1 && out(0).getLong(1) == 12L)
+    assert(out(0).getDouble(2) == 1.0,
+      s"perfectly-correlated adversarial-magnitude corr must be exactly 1.0, got ${out(0).getDouble(2)}")
+    // and a non-degenerate case checked against exact driver-side BigInt math
+    val ys = xs.zipWithIndex.map { case (x, i) => x + i.toLong * i }
+    val rows2 = xs.zip(ys).map { case (x, y) => ("g", x, y) }.toDF("grp", "x", "y")
+    val n = BigInt(xs.size)
+    val (sx, sy) = (xs.map(BigInt(_)).sum, ys.map(BigInt(_)).sum)
+    val sxy = xs.zip(ys).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+    val syy = ys.map(y => BigInt(y) * BigInt(y)).sum
+    val expected = (n * sxy - sx * sy).toDouble /
+      math.sqrt((n * exactSxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+    val got = ops.SamplingOps.corrExactByGroup(rows2, "grp").collect()(0).getDouble(2)
+    assert(math.abs(got - BigDecimal(expected).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+      s"decimal pipeline $got vs exact BigInt reference $expected")
+  }
+
   test("set-ops audit obeys inclusion-exclusion and both gates are non-trivial") {
     val m = ops.SamplingOps.queries("set_ops_splits")(spark, Sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
