@@ -29,9 +29,10 @@ import graft.Tables
   *    constant factor of star contraction at this shape.
   *  - The per-round shuffle carries 16 bytes/node+edge regardless of
   *    document size — the documents themselves never move.
-  *  - Lineage is truncated every round (`localCheckpoint`), so the plan
-  *    stays O(1) deep instead of O(rounds) — the classic iterative-Spark
-  *    trap where round N replays rounds 1..N−1.
+  *  - Lineage is truncated every round (via an injectable checkpointer:
+  *    `localCheckpoint` locally, reliable `checkpoint()` on a cluster),
+  *    so the plan stays O(1) deep instead of O(rounds) — the classic
+  *    iterative-Spark trap where round N replays rounds 1..N−1.
   *
   * The fixture graph is the union of the exact-dup edges (md5 groups from
   * the `dedup_exact` fixture — every 10th doc re-appears under
@@ -56,23 +57,46 @@ object ClusterOps {
     */
   private val MaxRounds = 32
 
+  /** Per-round lineage-truncation strategy for the iterative loop. */
+  type Checkpointer = DataFrame => DataFrame
+
+  /** Executor-block checkpoint: fastest, but blocks live on executors —
+    * an executor loss mid-iteration kills the job. The right default for
+    * local[] and tests.
+    */
+  val localCheckpointer: Checkpointer = _.localCheckpoint(eager = true)
+
+  /** Reliable checkpoint into `sparkContext.setCheckpointDir`'s location
+    * (HDFS/object store on a cluster): each round's labels survive
+    * executor loss, so a 1000-executor run resumes the iteration instead
+    * of restarting it. Pass this in cluster deployments; requires the
+    * checkpoint dir to be set, and costs one distributed write per round —
+    * the labels relation is (long, long) rows, so the write is narrow.
+    */
+  val reliableCheckpointer: Checkpointer = _.checkpoint(eager = true)
+
   /** Hash-min connected components over an (a_id, b_id) edge list.
     * Returns (doc_id, cluster_id) with cluster_id = min doc_id reachable.
     * Only nodes that appear in at least one edge are labeled — at corpus
     * scale the singleton majority never enters the iteration (their
     * cluster is trivially themselves; materializing them would make every
     * round scan the full corpus instead of the duplicate fringe).
+    *
+    * `checkpointer` picks where each round's labels are persisted —
+    * [[localCheckpointer]] (default, single-machine) or
+    * [[reliableCheckpointer]] (cluster fault tolerance).
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame,
+                          checkpointer: Checkpointer = localCheckpointer): DataFrame = {
     val spark = edges.sparkSession
     // Symmetrized adjacency, cached: reused every round.
     val adj = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
       .cache()
-    var labels = adj.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+    var labels = checkpointer(
+      adj.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
     // Convergence probe: per-node labels only ever DECREASE (min of a set
     // containing the old label), so the label sum is strictly monotone —
     // it moves iff some node changed. One cheap scalar agg over the
@@ -88,13 +112,13 @@ object ClusterOps {
         throw new IllegalStateException(
           s"connectedComponents did not converge in $MaxRounds rounds — degenerate edge set?")
       // Closed-neighborhood min: own label ∪ labels arriving over edges.
-      val next = adj
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("label"))
-        .union(labels)
-        .groupBy(col("id"))
-        .agg(min(col("label")).as("label"))
-        .localCheckpoint(true) // truncate lineage: O(1)-deep plan per round
+      val next = checkpointer( // truncate lineage: O(1)-deep plan per round
+        adj
+          .join(labels.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), col("label"))
+          .union(labels)
+          .groupBy(col("id"))
+          .agg(min(col("label")).as("label")))
       val nextSum = labelSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum

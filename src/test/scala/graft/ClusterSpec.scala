@@ -99,6 +99,28 @@ class ClusterSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("checkpoint strategy is injectable: honored every round, reliable path agrees") {
+    import spark.implicits._
+    val chain = (0L until 11L).map(i => (100L - i, 100L - i - 1)).toDF("a_id", "b_id")
+    // a recording checkpointer proves the loop truncates lineage through
+    // the injected strategy (init + one call per round), not a hardwired
+    // localCheckpoint
+    var calls = 0
+    val recording: ops.ClusterOps.Checkpointer = df => { calls += 1; df.localCheckpoint(true) }
+    val viaRecording = ops.ClusterOps.connectedComponents(chain, recording)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(calls >= 3, s"checkpointer must be invoked every round, saw $calls calls")
+    // the cluster-mode strategy (reliable checkpoint to the checkpoint
+    // dir) must produce identical labels
+    val ckDir = tmpDir("cc_ck_")
+    spark.sparkContext.setCheckpointDir(ckDir)
+    val viaReliable =
+      ops.ClusterOps.connectedComponents(chain, ops.ClusterOps.reliableCheckpointer)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaReliable == viaRecording)
+    assert(viaReliable == (89L to 100L).map(_ -> 89L).toMap)
+  }
+
   test("source contamination matrix conserves the verified pair count") {
     val matrix = ops.DedupOps.queries("dedup_source_matrix")(SparkTestBase.spark, SparkTestBase.Sf0001)
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
