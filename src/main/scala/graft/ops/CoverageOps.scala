@@ -140,6 +140,34 @@ object CoverageOps {
     s.read.orc(out).orderBy(col("event_id"))
   }
 
+  /** Schema-evolution source read: a landing zone accumulates files
+    * written under DIFFERENT schema versions (here: v1 files without the
+    * later-added `value_cents` column, v2 files with it — the additive
+    * evolution every long-lived pipeline performs). `mergeSchema` reads
+    * the union schema and null-fills the column where a file predates it;
+    * the query proves the contract end to end — total row count spans
+    * both versions, the evolved-column count equals exactly the v2 rows,
+    * and the sum is unaffected by the null-filled v1 rows. At scale,
+    * footer-merging every file is the expensive part (`mergeSchema` scans
+    * all footers): a production store pins the merged schema in a catalog
+    * instead — which is what reading with an explicit union schema models.
+    */
+  private def srcSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.TempDirs.create("graft_schevo_")
+    val ev = Tables.load(s, dir, "events")
+    ev.where(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"))
+      .write.mode("overwrite").parquet(s"$out/v1")
+    ev.where(col("event_id") % 2 =!= 0)
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .write.mode("overwrite").parquet(s"$out/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("value_cents")).as("n_evolved"),
+        sum(col("value_cents")).as("value_cents_sum"))
+  }
+
   /** Cardinality-estimation audit: `approx_count_distinct` (HLL++) per
     * event_type, graded against the exact distinct count computed in the
     * same query. The exact column is hash-checked by the oracle; the sketch
@@ -209,6 +237,7 @@ object CoverageOps {
     "src_json_roundtrip" -> (srcJsonRoundtrip _),
     "src_csv_roundtrip" -> (srcCsvRoundtrip _),
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
+    "src_schema_evolution" -> (srcSchemaEvolution _),
     "stats_approx_distinct" -> (statsApproxDistinct _),
     "stats_approx_quantile" -> (statsApproxQuantile _),
     // SQL API surface: ONE identical ANSI string runs on Spark (via
@@ -240,6 +269,15 @@ object CoverageOps {
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, value, props
          |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
          |ORDER BY event_id""".stripMargin,
+    // v1 rows (even event_id) predate the column: they count toward
+    // n_rows but contribute neither to n_evolved nor to the sum
+    "src_schema_evolution" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(CASE WHEN event_id % 2 <> 0 THEN 1 END) AS BIGINT) AS n_evolved,
+        |  CAST(sum(CASE WHEN event_id % 2 <> 0
+        |                THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+        |    AS value_cents_sum
+        |FROM events""".stripMargin,
     "src_csv_roundtrip" ->
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, value, props
          |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'

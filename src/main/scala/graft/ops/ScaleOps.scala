@@ -327,8 +327,102 @@ object ScaleOps {
       .orderBy(col("day"))
   }
 
+  /** J6 — bloom-filter semi-join reduction: the explicit form of the
+    * sketch-pushdown every warehouse applies when the dimension side is
+    * too big to broadcast as a hash relation but its KEY SET fits a few
+    * KBs of bloom. Build the sketch over the filtered dimension
+    * (distributed treeAggregate via the public `stat.bloomFilter`), ship
+    * ~KBs to the driver, and fold it into the fact scan as a foldable
+    * literal probe (`graft_bloom_contains`, Spark's own codegen
+    * BloomFilterMightContain): the fact table is pruned map-side BEFORE
+    * the join shuffle, so at 100 TB the shuffle carries ~|matching rows|
+    * instead of the full fact table. False positives are removed by the
+    * exact join that follows — the sketch changes the PLAN, never the
+    * result, which is exactly what the oracle checks (its SQL is the
+    * plain join). ScaleOpsSpec asserts the probe really prunes.
+    */
+  private def j6BloomSemijoin(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeBloom.register(s)
+    val dim = Tables.load(s, dir, "supplier")
+      .where(col("s_nationkey") === 7).select(col("s_suppkey"))
+    val bf = dim.stat.bloomFilter("s_suppkey", math.max(dim.count(), 64L), 0.01)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray }
+    val b64 = java.util.Base64.getEncoder.encodeToString(bytes)
+    val fact = Tables.load(s, dir, "lineitem").select(
+      col("l_suppkey"),
+      round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long").as("rev_cents"))
+    fact
+      .where(expr(s"graft_bloom_contains(unbase64('$b64'), cast(l_suppkey as bigint))"))
+      .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"), sum(col("rev_cents")).as("revenue_cents"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  /** Copy-on-write deletion propagation through a date-partitioned store:
+    * anti-join the tombstone keys out of EXACTLY the partitions that
+    * contain a hit, leaving every other partition's files untouched.
+    * Two-phase to keep the parquet overwrite safe (never read and
+    * overwrite the same files in one job): (1) one partition-pruned scan
+    * rewrites the affected partitions' survivors into a staging dir,
+    * (2) a dynamic-partition-overwrite swaps ONLY those partitions in.
+    * Cost is O(affected partitions), never O(history) — the shape a
+    * takedown/right-to-be-forgotten sweep needs on a 100 TB corpus, where
+    * deletion demands arrive daily but touch a sliver of the store.
+    * Returns the affected-partition values (the audit ledger entry).
+    */
+  def deleteFromDatePartitions(s: SparkSession, dest: String, partitionCol: String,
+                               tombstones: DataFrame, keyCol: String): Seq[String] = {
+    val snapshot = s.read.parquet(dest)
+    val affected = snapshot.join(broadcast(tombstones), Seq(keyCol), "left_semi")
+      .select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (affected.nonEmpty) {
+      val stage = graft.util.TempDirs.create("graft_tomb_stage_")
+      snapshot
+        .where(col(partitionCol).isin(affected: _*))
+        .join(broadcast(tombstones), Seq(keyCol), "left_anti")
+        .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(stage)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.read.parquet(stage).write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCol).parquet(dest)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    affected
+  }
+
+  /** The deletion sweep as an oracled operator: build a date-partitioned
+    * destination from the fixture, tombstone a deterministic user subset,
+    * run [[deleteFromDatePartitions]], and report the post-delete per-day
+    * rollup read back from the store. The oracle recomputes the rollup
+    * from the source with the tombstone predicate inverted, so the hash
+    * check proves the sweep deleted every targeted row and nothing else.
+    */
+  private def etlTombstoneDelete(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      round(col("value") * 100).cast("long").as("value_cents"),
+      date_format(col("ts"), "yyyy-MM-dd").as("export_date"))
+    val dest = graft.util.TempDirs.create("graft_tombq_")
+    ev.write.mode(SaveMode.Append).partitionBy("export_date").parquet(dest)
+    val tombstones = ev.where(col("user_id") % 97 === 0)
+      .select(col("user_id")).distinct()
+    deleteFromDatePartitions(s, dest, "export_date", tombstones, "user_id")
+    s.read.parquet(dest)
+      .groupBy(col("export_date").cast("string").as("export_date"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("value_cents")).as("value_cents"))
+      .orderBy(col("export_date"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_manifest" -> (auditManifest _),
+    "j6_bloom_semijoin" -> (j6BloomSemijoin _),
+    "etl_tombstone_delete" -> (etlTombstoneDelete _),
     "j4_salted_skew_join" -> (j4SaltedSkewJoin _),
     "etl_compact_dest" -> (etlCompactDest _),
     "etl_backfill_window" -> (etlBackfillWindow _),
@@ -352,6 +446,22 @@ object ScaleOps {
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // the sketch is a plan optimization, not a semantics change: the
+    // oracle is the PLAIN dimension-filtered join
+    "j6_bloom_semijoin" ->
+      """SELECT l_suppkey, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 7
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    // post-delete rollup == source rollup with the tombstone predicate
+    // inverted: every targeted row gone, nothing else touched
+    "etl_tombstone_delete" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS export_date, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events WHERE user_id % 97 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j4_salted_skew_join" ->
       """SELECT s_nationkey, count(*) AS n_items,
         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
