@@ -344,16 +344,24 @@ object ScaleOps {
   private def j6BloomSemijoin(s: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeBloom.register(s)
     val dim = Tables.load(s, dir, "supplier")
-      .where(col("s_nationkey") === 7).select(col("s_suppkey"))
-    val bf = dim.stat.bloomFilter("s_suppkey", math.max(dim.count(), 64L), 0.01)
-    val bytes = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray }
-    val b64 = java.util.Base64.getEncoder.encodeToString(bytes)
+      .where(col("s_nationkey") === 3).select(col("s_suppkey"))
+    val nDim = dim.count()
+    // empty dimension ⇒ empty join; stat.bloomFilter cannot build a
+    // zero-row sketch, so short-circuit the probe instead
+    val probe =
+      if (nDim == 0) lit(false)
+      else {
+        val bf = dim.stat.bloomFilter("s_suppkey", math.max(nDim, 64L), 0.01)
+        val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b)
+        val b64 = java.util.Base64.getEncoder.encodeToString(b.toByteArray)
+        expr(s"graft_bloom_contains(unbase64('$b64'), cast(l_suppkey as bigint))")
+      }
     val fact = Tables.load(s, dir, "lineitem").select(
       col("l_suppkey"),
       round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
         .cast("long").as("rev_cents"))
     fact
-      .where(expr(s"graft_bloom_contains(unbase64('$b64'), cast(l_suppkey as bigint))"))
+      .where(probe)
       .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("n_items"), sum(col("rev_cents")).as("revenue_cents"))
@@ -453,7 +461,7 @@ object ScaleOps {
         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
         |    AS revenue_cents
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE s_nationkey = 7
+        |WHERE s_nationkey = 3
         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     // post-delete rollup == source rollup with the tombstone predicate
     // inverted: every targeted row gone, nothing else touched

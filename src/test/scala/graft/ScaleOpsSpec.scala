@@ -100,6 +100,59 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.size == 20, s"fixture spans 30 days; retention keeps 20, got ${out.size}")
   }
 
+  test("bloom probe prunes the fact side before the join and loses no matches") {
+    graft.functions.NativeBloom.register(spark)
+    val dim = Tables.load(spark, Sf0001, "supplier")
+      .where(col("s_nationkey") === 3).select(col("s_suppkey"))
+    val bf = dim.stat.bloomFilter("s_suppkey", math.max(dim.count(), 64L), 0.01)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray }
+    val b64 = java.util.Base64.getEncoder.encodeToString(bytes)
+    val fact = Tables.load(spark, Sf0001, "lineitem").select(col("l_suppkey"))
+    val total = fact.count()
+    val exact = fact.join(dim, col("l_suppkey") === col("s_suppkey"), "left_semi").count()
+    val pruned =
+      fact.where(expr(s"graft_bloom_contains(unbase64('$b64'), cast(l_suppkey as bigint))"))
+    val kept = pruned.count()
+    // sketch contract: no false negatives (every match survives), real
+    // pruning (the 1% fpp bound keeps the pass-through close to exact)
+    assert(kept >= exact, "bloom must never drop a true match")
+    assert(kept < total, "bloom must actually prune")
+    assert(kept <= exact + math.max(10L, total / 50),
+      s"false-positive rate way past the configured 1% (kept=$kept exact=$exact total=$total)")
+    val plan = ScaleOps.queries("j6_bloom_semijoin")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bloom semijoin must stay an equi-join plan\n${plan.take(800)}")
+  }
+
+  test("tombstone sweep rewrites only partitions with hits; survivors intact") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import sp.implicits._
+    val dest = tmpDir("tomb_prune_")
+    // three day-partitions; the tombstoned user appears ONLY on day 2
+    val rows = Seq(
+      (1L, 100L, "2024-01-01"), (2L, 101L, "2024-01-01"),
+      (3L, 666L, "2024-01-02"), (4L, 102L, "2024-01-02"),
+      (5L, 103L, "2024-01-03"))
+      .toDF("event_id", "user_id", "export_date")
+    rows.write.mode("overwrite").partitionBy("export_date").parquet(dest)
+    def files(day: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dest/export_date=$day")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = Map("2024-01-01" -> files("2024-01-01"), "2024-01-03" -> files("2024-01-03"))
+    val affected = ScaleOps.deleteFromDatePartitions(
+      spark, dest, "export_date", Seq(666L).toDF("user_id"), "user_id")
+    assert(affected == Seq("2024-01-02"), s"only day 2 holds a hit, got $affected")
+    // untouched partitions keep their exact files — the O(affected) claim
+    assert(files("2024-01-01") == before("2024-01-01"))
+    assert(files("2024-01-03") == before("2024-01-03"))
+    val after = spark.read.parquet(dest)
+    assert(after.where(col("user_id") === 666L).isEmpty, "tombstoned rows must be gone")
+    assert(after.count() == 4, "exactly the tombstoned row deleted")
+  }
+
   test("manifest fingerprint is tamper-evident and localizes the damaged day") {
     val clean = ScaleOps.queries("audit_manifest")(spark, Sf0001)
       .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(1))).toMap
