@@ -91,6 +91,8 @@ object StreamingOps {
     "stream_sessionize" -> ((s, dir) => StreamingIngest.sessionWindows(s, dir)),
     "stream_interval_join" -> ((s, dir) => StreamingIngest.streamIntervalJoin(s, dir)),
     "stream_ingest_screen" -> (streamIngestScreen _),
+    "stream_bounded_batches" ->
+      ((s, dir) => StreamingIngest.streamBoundedBatches(s, dir)._1),
     "stream_etl_dest" -> ((s, dir) => {
       StreamingIngest.streamEtlToParquet(s, dir)
         .select(col("event_id"),
@@ -144,6 +146,11 @@ object StreamingOps {
     "stream_etl_dest" ->
       s"""SELECT event_id, strftime(ts, '$TsFmt') AS ts_iso, user_id, event_type, value, props
          |FROM events ORDER BY event_id""".stripMargin,
+    // rate-bounded ingest must deliver exactly the staged multiset:
+    // every event arrives once per staged copy, no more, no less
+    "stream_bounded_batches" ->
+      """SELECT event_id, CAST(count(*) * 3 AS BIGINT) AS n_copies
+        |FROM events GROUP BY event_id ORDER BY event_id""".stripMargin,
     // the batch screen's oracle minus the near-dup stage (see the Scaladoc)
     "stream_ingest_screen" ->
       s"""WITH ${IngestScreenOps.duckBatchCte},

@@ -168,6 +168,53 @@ object StreamingIngest {
       .orderBy(col("event_id"))
   }
 
+  /** Bounded-batch ingest: `maxFilesPerTrigger` caps how much source one
+    * micro-batch admits — the backpressure knob that turns "drain a 100 TB
+    * backlog" into a sequence of bounded units (bounded shuffle, bounded
+    * state delta, bounded sink commit) instead of one giant batch that
+    * OOMs or holds the sink transaction open for hours. The landing dir is
+    * staged with `copies` identical files and the cap forces one file per
+    * micro-batch, so AvailableNow must take ≥ `copies` batches (the spec
+    * asserts the count via the progress log); the drained rows must equal
+    * the plain batch union of the staged files — bounding the batches
+    * must never change WHAT is ingested, only WHEN.
+    *
+    * Returns (per-event copy counts, number of micro-batches executed).
+    */
+  def streamBoundedBatches(spark: SparkSession, dir: String,
+                           copies: Int = 3): (DataFrame, Long) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val stage = java.nio.file.Paths.get(graft.util.TempDirs.create("graft_stream_bounded_"))
+    (1 to copies).foreach { i =>
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve(s"events_$i.parquet"), java.nio.file.Paths.get(path))
+    }
+    val schema = spark.read.parquet(path).schema
+    val rows = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString)
+      .select(col("event_id"))
+    val name = s"stream_bounded_${System.nanoTime()}"
+    val q = rows.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nBatches = q.recentProgress.filter(_.numInputRows > 0).map(_.batchId).distinct.length.toLong
+    val out = spark.table(name)
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_copies"))
+      .orderBy(col("event_id"))
+    val materialized = {
+      val m = out.collect()
+      spark.createDataFrame(spark.sparkContext.parallelize(m.toSeq), out.schema)
+    }
+    spark.catalog.dropTempView(name)
+    unloadStateStores()
+    (materialized, nBatches)
+  }
+
   final case class KeyedEvent(user_id: Long, ts: Timestamp)
   final case class UserWatermark(user_id: Long, watermark: Timestamp)
 

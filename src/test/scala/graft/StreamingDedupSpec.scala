@@ -24,6 +24,16 @@ class StreamingDedupSpec extends AnyFunSuite {
       "without dedup, the staged duplicates must all arrive")
   }
 
+  test("maxFilesPerTrigger really bounds each micro-batch (and loses nothing)") {
+    val (out, nBatches) = StreamingIngest.streamBoundedBatches(spark, Sf0001, copies = 3)
+    assert(nBatches >= 3,
+      s"one staged file per micro-batch means >= 3 data batches, saw $nBatches")
+    val counts = out.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(counts.nonEmpty && counts.forall(_._2 == 3L),
+      "bounding batches must never change what is ingested, only when")
+    assert(counts.length == Tables.load(spark, Sf0001, "events").count())
+  }
+
   test("streaming dedup of the doubled source equals the batch table") {
     val streamed = StreamingIngest.streamDedupExact(spark, Sf0001)
     val batch = Tables.load(spark, Sf0001, "events")
