@@ -93,6 +93,8 @@ object StreamingOps {
     "stream_ingest_screen" -> (streamIngestScreen _),
     "stream_bounded_batches" ->
       ((s, dir) => StreamingIngest.streamBoundedBatches(s, dir)._1),
+    "stream_upsert_latest" ->
+      ((s, dir) => StreamingIngest.streamUpsertLatest(s, dir)),
     "stream_etl_dest" -> ((s, dir) => {
       StreamingIngest.streamEtlToParquet(s, dir)
         .select(col("event_id"),
@@ -146,6 +148,18 @@ object StreamingOps {
     "stream_etl_dest" ->
       s"""SELECT event_id, strftime(ts, '$TsFmt') AS ts_iso, user_id, event_type, value, props
          |FROM events ORDER BY event_id""".stripMargin,
+    // the merged store must converge to the batch per-key argmax — the
+    // at-least-once doubled source and the batch boundaries must both be
+    // invisible in the final state
+    "stream_upsert_latest" ->
+      s"""SELECT user_id, event_id AS last_event_id,
+         |  strftime(ts, '$TsFmt') AS last_ts_iso,
+         |  CAST(round(value * 100) AS BIGINT) AS last_value_cents
+         |FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // rate-bounded ingest must deliver exactly the staged multiset:
     // every event arrives once per staged copy, no more, no less
     "stream_bounded_batches" ->

@@ -34,6 +34,23 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(counts.length == Tables.load(spark, Sf0001, "events").count())
   }
 
+  test("foreachBatch upsert merges over multiple batches to the batch argmax") {
+    import org.apache.spark.sql.expressions.Window
+    val (out, nVersions) = StreamingIngest.streamUpsertLatestWithStats(spark, Sf0001)
+    assert(nVersions >= 2,
+      s"copies=2 + one file per trigger must merge over >= 2 snapshots, saw $nVersions")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    val expected = Tables.load(spark, Sf0001, "events")
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"))
+      .orderBy(col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = out.select(col("user_id"), col("last_event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected, "final store must equal the batch per-user argmax")
+  }
+
   test("streaming dedup of the doubled source equals the batch table") {
     val streamed = StreamingIngest.streamDedupExact(spark, Sf0001)
     val batch = Tables.load(spark, Sf0001, "events")
