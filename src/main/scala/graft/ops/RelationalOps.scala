@@ -274,6 +274,24 @@ object RelationalOps {
         pow(lit(2.0), col("id")).cast("int").as("delay_s"))
       .orderBy(col("attempt"))
 
+  /** C14 (extension) — semi-structured access through Spark 4's VARIANT:
+    * `parse_json` once at ingest into the binary variant encoding, then
+    * typed `variant_get` extraction feeding a numeric aggregate. At scale
+    * this is the replacement for per-query string JSON parsing (C3's
+    * shape): variant parses each value once, stores a binary tree that
+    * columnar readers can shred, and extraction is a codegen'd path walk —
+    * not a regex or a parser — so a props-heavy 100 TB corpus pays parse
+    * cost once, not per query per field.
+    */
+  private def c14(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).cast("long").as("k_sum"))
+      .orderBy(col("event_type"))
+
   private def w1(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .where(col("event_type") === "purchase" && col("user_id") === 5)
@@ -543,6 +561,7 @@ object RelationalOps {
     "c10_int_cast" -> (c10 _),
     "c12_substring_match" -> (c12 _),
     "c13_backoff_math" -> (c13 _),
+    "c14_variant_shred" -> (c14 _),
     "w1_resume_watermark" -> (w1 _),
     "w2_window_bound" -> (w2 _),
     "w3_tumbling_windows" -> (w3 _),
@@ -618,6 +637,12 @@ object RelationalOps {
       "SELECT event_id, decode(from_base64(to_base64(encode(props)))) AS payload FROM events ORDER BY event_id",
     "c3_json_parse" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events ORDER BY event_id",
+    "c14_variant_shred" ->
+      """SELECT event_type,
+        |  CAST(count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+        |    AS n_with_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "c4_json_serialize" ->
       """SELECT event_id,
         |  to_json(struct_pack(event_id := event_id, event_type := event_type))::VARCHAR AS js
