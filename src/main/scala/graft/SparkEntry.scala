@@ -24,7 +24,7 @@ object SparkEntry {
       ops.MultimodalOps.queries ++ ops.StreamingOps.queries ++
       ops.SamplingOps.queries ++ ops.IngestScreenOps.queries ++ ops.CoverageOps.queries ++
       ops.WarehouseOps.queries ++ ops.EmbedClusterOps.queries ++ ops.SearchOps.queries ++
-      ops.ScaleOps.queries
+      ops.ScaleOps.queries ++ ops.NestedBillingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -36,5 +36,5 @@ object SparkEntry {
       ops.MultimodalOps.oracleSql ++ ops.StreamingOps.oracleSql ++
       ops.SamplingOps.oracleSql ++ ops.IngestScreenOps.oracleSql ++ ops.CoverageOps.oracleSql ++
       ops.WarehouseOps.oracleSql ++ ops.EmbedClusterOps.oracleSql ++ ops.SearchOps.oracleSql ++
-      ops.ScaleOps.oracleSql
+      ops.ScaleOps.oracleSql ++ ops.NestedBillingOps.oracleSql
 }

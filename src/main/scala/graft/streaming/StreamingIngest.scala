@@ -198,24 +198,25 @@ object StreamingIngest {
       .option("maxFilesPerTrigger", 1)
       .parquet(stage.toString)
       .select(col("event_id"))
-    val name = s"stream_bounded_${System.nanoTime()}"
+    // File sink, not a memory sink: the drained rows are O(source), and a
+    // memory sink would hold them all on the driver (SCALE.md memory-sink
+    // rule). The parquet sink commits each bounded micro-batch to its own
+    // files — exactly the production landing shape — and the read-back
+    // aggregation is a distributed plan.
+    val sinkRoot = graft.util.TempDirs.create("graft_stream_bounded_sink_")
     val q = rows.writeStream
-      .format("memory").queryName(name)
+      .format("parquet")
+      .option("path", s"$sinkRoot/data")
+      .option("checkpointLocation", s"$sinkRoot/checkpoint")
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     val nBatches = q.recentProgress.filter(_.numInputRows > 0).map(_.batchId).distinct.length.toLong
-    val out = spark.table(name)
+    val out = spark.read.parquet(s"$sinkRoot/data")
       .groupBy(col("event_id")).agg(count(lit(1)).as("n_copies"))
       .orderBy(col("event_id"))
-    val materialized = {
-      val m = out.collect()
-      spark.createDataFrame(spark.sparkContext.parallelize(m.toSeq), out.schema)
-    }
-    spark.catalog.dropTempView(name)
-    unloadStateStores()
-    (materialized, nBatches)
+    (out, nBatches)
   }
 
   /** Streaming keyed upsert via `foreachBatch` — the production CDC sink:
