@@ -214,10 +214,16 @@ final class FsMetaStore(val root: String)(implicit spark: SparkSession)
     affected
   }
 
-  override def appendStatus(seq: Long, s: EtlStatus): Unit =
+  override def appendStatus(seq: Long, s: EtlStatus): Unit = {
+    // Stage privately, then rename into the log dir: a direct Spark Append
+    // from two concurrent jobs shares one `_temporary` workspace and loses
+    // writes (SURVEY §7.4 #3; caught by MetaStoreSpec's racing-saga test).
+    val stage = graft.util.TempDirs.create("graft_status_append_")
     Seq((seq, s.org_id, s.project_id, s.status, s.end_date_time.orNull))
       .toDF("seq", "org_id", "project_id", "status", "end_date_time")
-      .coalesce(1).write.mode(SaveMode.Append).parquet(statusDir)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+    graft.util.Fs.publishParquetFiles(spark, stage, statusDir)
+  }
 
   override def statusLog: DataFrame =
     if (graft.util.Fs.hasParquetFiles(spark, statusDir))

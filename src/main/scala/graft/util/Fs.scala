@@ -68,22 +68,52 @@ object Fs {
   }
 
   /** Atomically publish a small control file: write to a hidden sibling,
-    * then rename over the target with OVERWRITE semantics (FileContext —
-    * the Hadoop API that exposes atomic-replace; plain FileSystem.rename
-    * refuses an existing destination on HDFS). Atomic on HDFS and local
-    * filesystems; on S3A rename is copy+delete, so writers needing
+    * then rename over the target with OVERWRITE semantics. On HDFS,
+    * FileContext.rename(OVERWRITE) is the atomic-replace primitive. On the
+    * LOCAL filesystem Hadoop implements that overwrite as delete-then-
+    * rename — a concurrent reader can probe in the gap and see NO pointer
+    * at all (found by MetaStoreSpec's racing-saga test) — so local paths
+    * go through POSIX `rename(2)` (java.nio ATOMIC_MOVE), which replaces
+    * atomically. On S3A rename is copy+delete, so writers needing
     * cross-writer atomicity there should layer a conditional-put scheme —
     * readers still never see a torn file because the temp is written in
     * full first.
     */
   def writeSmallTextAtomic(spark: SparkSession, path: String, content: String): Unit = {
     val (f, p) = fs(spark, path)
-    val parent = p.getParent
-    if (parent != null) f.mkdirs(parent)
-    val tmp = new Path(parent, s".${p.getName}.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = f.create(tmp, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val fc = FileContext.getFileContext(p.toUri, spark.sessionState.newHadoopConf())
-    fc.rename(tmp, p, Options.Rename.OVERWRITE)
+    if (f.getScheme == "file") {
+      val target = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(target.getParent)
+      val tmp = java.nio.file.Files.createTempFile(target.getParent, s".${p.getName}_", ".tmp")
+      java.nio.file.Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val parent = p.getParent
+      if (parent != null) f.mkdirs(parent)
+      val tmp = new Path(parent, s".${p.getName}.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = f.create(tmp, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      val fc = FileContext.getFileContext(p.toUri, spark.sessionState.newHadoopConf())
+      fc.rename(tmp, p, Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Publish every parquet data file from a staging dir into `destDir`
+    * under a fresh unique name — the move-into-place append. Two Spark
+    * `Append` jobs on ONE directory share its `_temporary` workspace and
+    * can clobber each other's in-flight task files (the committer assumes
+    * a single job per output); staging privately and renaming per file
+    * (atomic on HDFS/local; unique names so never a collision) lets any
+    * number of concurrent appenders share a log directory safely.
+    */
+  def publishParquetFiles(spark: SparkSession, stageDir: String, destDir: String): Unit = {
+    val (f, dest) = fs(spark, destDir)
+    f.mkdirs(dest)
+    listParquetFiles(spark, stageDir).foreach { case (path, _) =>
+      val src = new Path(path)
+      val unique = new Path(dest, s"part-${java.util.UUID.randomUUID()}.parquet")
+      if (!f.rename(src, unique))
+        throw new java.io.IOException(s"failed to publish $src -> $unique")
+    }
   }
 }

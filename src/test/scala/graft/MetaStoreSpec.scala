@@ -93,6 +93,67 @@ class MetaStoreSpec extends AnyFunSuite {
     assert(m.nextStatusSeq == 2L)
   }
 
+  test("two racing same-org sagas: last-writer-wins, never torn, never duplicated (both backends)") {
+    // SURVEY §7.4 #3 — the reference just races (billing_etl_db.py:12-43 has
+    // no locking); the engine's contract is last-writer-wins DETERMINISM:
+    // every observable snapshot is some writer's COMPLETE update (the two
+    // whitelisted fields always carry the same tag), the final state is one
+    // writer's LAST update, rows never duplicate, and the disjoint-seq
+    // status appends all land. Each writer drives its own store instance
+    // over the same storage — the two-jobs-one-org shape.
+    val envs: Seq[(String, () => MetaStore)] = Seq(
+      { val root = tmpDir("meta_race_"); ("fs", () => MetaStore(root)) },
+      { val url = s"jdbc:derby:${tmpDir("meta_race_jdbc_")}/db;create=true"
+        ("jdbc", () => new JdbcMetaStore(url)) })
+    envs.foreach { case (name, make) =>
+      val seed = make()
+      seed.putConfigs(Seq(ClientBillingConfig(1, "p1", "bd", "t", None, None, None)))
+      seed.putSteps(Seq(StepStatus(3, 1, step_completed = false)))
+      val n = 10
+      val barrier = new java.util.concurrent.CyclicBarrier(3)
+      def saga(m: MetaStore, tag: String, seqBase: Long): Unit = {
+        barrier.await()
+        (1 to n).foreach { i =>
+          m.updateConfig(1, "p1", Map(
+            "pulsebillingdataset" -> s"ds_${tag}_$i", "pulsetableid" -> s"tb_${tag}_$i"))
+          m.updateStepCompleted(3, 1, completed = i % 2 == 0)
+          m.appendStatus(seqBase + i,
+            EtlStatus(1, "p1", EtlStatus.Success, Some(utcTs("2024-01-10 00:00:00"))))
+        }
+      }
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fa = Future(saga(make(), "a", 0L))
+      val fb = Future(saga(make(), "b", n.toLong))
+      val reader = Future {
+        val m = make()
+        barrier.await()
+        (1 to 50).foreach { _ =>
+          val c = m.configFor(1).get
+          val ds = c.pulsebillingdataset.getOrElse("bd")
+          val tb = c.pulsetableid.getOrElse("t")
+          assert((ds == "bd" && tb == "t") ||
+            ds.stripPrefix("ds_") == tb.stripPrefix("tb_"),
+            s"$name: torn snapshot observed: $ds / $tb")
+        }
+      }
+      Await.result(Future.sequence(Seq(fa, fb, reader)), Duration(180, "seconds"))
+      val fin = make() // fresh instance: no cache, reads storage as a new job would
+      assert(fin.configs.count() == 1, s"$name: racing overwrites must not duplicate rows")
+      val c = fin.configFor(1).get
+      val expected: Set[(Option[String], Option[String])] = Set(
+        (Some(s"ds_a_$n"), Some(s"tb_a_$n")), (Some(s"ds_b_$n"), Some(s"tb_b_$n")))
+      assert(expected.contains((c.pulsebillingdataset, c.pulsetableid)),
+        s"$name: final state must be one writer's LAST complete update, got " +
+          s"${c.pulsebillingdataset}/${c.pulsetableid}")
+      assert(fin.steps.count() == 1, s"$name: step table must not duplicate")
+      val seqs = fin.statusLog.select("seq").collect().map(_.getLong(0)).sorted
+      assert(seqs.toSeq == (1L to 2L * n).toSeq,
+        s"$name: all ${2 * n} concurrent status appends must land exactly once")
+    }
+  }
+
   test("JDBC store survives reopen: state lives in the database, not the object") {
     val dir = tmpDir("meta_jdbc_reopen_")
     val url = s"jdbc:derby:$dir/db;create=true"
