@@ -368,6 +368,46 @@ object ScaleOps {
       .orderBy(col("l_suppkey"))
   }
 
+  /** J6 at the size where the sketch PAYS: the dimension (urgent pre-1996
+    * orders, ~3% of the orders table) is, at 100 TB, billions of keys —
+    * far past any broadcast threshold, so the verify join MUST shuffle
+    * both sides. Without the sketch that shuffle carries the whole fact
+    * table; with it, the bloom probe (a few MB, built distributed,
+    * shipped once) prunes ~97% of the fact scan MAP-SIDE, so the shuffle
+    * carries ~|matching rows|. A `merge` join hint pins the shuffle-join
+    * shape so the measured plan IS the at-scale plan (sort-merge over the
+    * pruned fact), not a small-SF broadcast artifact; ScaleOpsSpec pins
+    * the ≥90% scan-row reduction and the probe-below-exchange ordering.
+    */
+  private def j6BloomPruneShuffle(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeBloom.register(s)
+    val dim = Tables.load(s, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00")))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val nDim = dim.count()
+    val probe =
+      if (nDim == 0) lit(false)
+      else {
+        val bf = dim.stat.bloomFilter("o_orderkey", math.max(nDim, 64L), 0.01)
+        val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b)
+        val b64 = java.util.Base64.getEncoder.encodeToString(b.toByteArray)
+        expr(s"graft_bloom_contains(unbase64('$b64'), cast(l_orderkey as bigint))")
+      }
+    val fact = Tables.load(s, dir, "lineitem").select(
+      col("l_orderkey"),
+      round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long").as("rev_cents"))
+    // false positives die in the exact join; the sketch changes the
+    // plan's traffic, never the result (oracle = the plain join)
+    fact
+      .where(probe)
+      .join(dim.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      .agg(count(lit(1)).as("n_items"), sum(col("rev_cents")).as("revenue_cents"))
+      .orderBy(col("order_month"))
+  }
+
   /** Copy-on-write deletion propagation through a date-partitioned store:
     * anti-join the tombstone keys out of EXACTLY the partitions that
     * contain a hit, leaving every other partition's files untouched.
@@ -430,6 +470,7 @@ object ScaleOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_manifest" -> (auditManifest _),
     "j6_bloom_semijoin" -> (j6BloomSemijoin _),
+    "j6_bloom_prune_shuffle" -> (j6BloomPruneShuffle _),
     "etl_tombstone_delete" -> (etlTombstoneDelete _),
     "j4_salted_skew_join" -> (j4SaltedSkewJoin _),
     "etl_compact_dest" -> (etlCompactDest _),
@@ -463,6 +504,14 @@ object ScaleOps {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |WHERE s_nationkey = 3
         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    // the sketch prunes the shuffle, never the result: oracle = plain join
+    "j6_bloom_prune_shuffle" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // post-delete rollup == source rollup with the tombstone predicate
     // inverted: every targeted row gone, nothing else touched
     "etl_tombstone_delete" ->

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.StreamingIngest
 
@@ -79,9 +78,8 @@ object StreamingOps {
           .when(col("__pii"), "pii_flagged")
           .when(!col("__keep"), "repetitive")
           .otherwise("accepted").as("disposition"))
-    StreamingIngest
-      .runToMemory(flagged, s"stream_screen_${System.nanoTime()}", OutputMode.Append())
-      .orderBy(col("doc_id"))
+    // file sink, not memory: one disposition row per arriving doc — O(input)
+    StreamingIngest.runToParquet(flagged).orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

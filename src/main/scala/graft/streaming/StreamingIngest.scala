@@ -40,7 +40,7 @@ object StreamingIngest {
       java.nio.file.Files.createSymbolicLink(
         stage.resolve(s"events_$i.parquet"), java.nio.file.Paths.get(path))
     }
-    val schema = spark.read.parquet(path).schema
+    val schema = probeSchema(spark, path)
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val raw = reader.parquet(stage.toString)
@@ -49,8 +49,29 @@ object StreamingIngest {
     else raw
   }
 
-  /** Drain an AvailableNow query into an in-memory table and return it. */
+  // The file source needs a user-supplied schema; probing it is a footer
+  // read but still a Spark job. A bench sweep builds dozens of streams over
+  // the same immutable fixture file, so memoize the probe per path (same
+  // immutable-dir assumption as Tables.load's plan cache).
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def probeSchema(spark: SparkSession, path: String) =
+    schemaMemo.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+
+  /** Drain an AvailableNow query into an in-memory table and return it.
+    *
+    * SCALE.md sink rule: the memory sink stores every output row on the
+    * driver, so it is admissible ONLY for Complete/Update-mode drains,
+    * where the output is the (bounded) aggregate state — O(groups), never
+    * O(input). Append-mode output is O(input rows) and must go through
+    * [[runToParquet]] instead; the `require` makes the rule load-bearing
+    * rather than advisory.
+    */
   private[graft] def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    require(mode != OutputMode.Append(),
+      "memory sink is driver-resident: Append-mode (O(input)) drains must use runToParquet " +
+        "(see SCALE.md 'Streaming sink rule')")
     val q = df.writeStream
       .format("memory")
       .queryName(name)
@@ -72,6 +93,26 @@ object StreamingIngest {
     spark.catalog.dropTempView(name)
     unloadStateStores()
     out
+  }
+
+  /** Drain an Append-mode AvailableNow query through a parquet file sink
+    * and return the distributed read-back — the production shape for
+    * O(input)-row streams (SCALE.md sink rule): each micro-batch commits
+    * its own files via the sink's WAL, nothing is ever driver-resident,
+    * and downstream operators run against a real distributed scan.
+    */
+  private[graft] def runToParquet(df: DataFrame): DataFrame = {
+    val root = graft.util.TempDirs.create("graft_stream_sink_")
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", s"$root/data")
+      .option("checkpointLocation", s"$root/checkpoint")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    unloadStateStores()
+    df.sparkSession.read.schema(df.schema).parquet(s"$root/data")
   }
 
   /** `StateStore.unloadAll()` is `private[sql]` at the Scala level but
@@ -164,11 +205,11 @@ object StreamingIngest {
     val deduped = eventsStream(spark, dir, copies = 2)
       .withWatermark("ts", "365 days")
       .dropDuplicatesWithinWatermark("event_id")
-    runToMemory(deduped, s"stream_dedup_${System.nanoTime()}", OutputMode.Append())
       .select(col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_iso"),
         col("user_id"))
-      .orderBy(col("event_id"))
+    // file sink, not memory: the deduped stream is O(input rows)
+    runToParquet(deduped).orderBy(col("event_id"))
   }
 
   /** Bounded-batch ingest: `maxFilesPerTrigger` caps how much source one
@@ -193,7 +234,7 @@ object StreamingIngest {
       java.nio.file.Files.createSymbolicLink(
         stage.resolve(s"events_$i.parquet"), java.nio.file.Paths.get(path))
     }
-    val schema = spark.read.parquet(path).schema
+    val schema = probeSchema(spark, path)
     val rows = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(stage.toString)
@@ -353,7 +394,7 @@ object StreamingIngest {
         col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("v_ts") < col("p_ts"))
       .select(col("purchase_id"), col("view_id"))
-    runToMemory(joined, s"stream_ivj_${System.nanoTime()}", OutputMode.Append())
-      .orderBy(col("purchase_id"), col("view_id"))
+    // file sink, not memory: join output is O(matches), unbounded with input
+    runToParquet(joined).orderBy(col("purchase_id"), col("view_id"))
   }
 }

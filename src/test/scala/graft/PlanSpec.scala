@@ -195,6 +195,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("memory sinks are confined to the bounded-drain helper (SCALE.md sink rule)") {
+    // the memory sink is driver-resident; the only sanctioned use is
+    // runToMemory's Complete/Update-mode aggregate drains. A new
+    // format("memory") anywhere else in src/main is a scale regression.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .filter(p => new String(java.nio.file.Files.readAllBytes(p)).contains("format(\"memory\")"))
+      .map(_.toString).toList
+    assert(offenders == List("src/main/scala/graft/streaming/StreamingIngest.scala"),
+      s"memory sink outside the sanctioned drain helper: $offenders")
+    // and the helper itself rejects O(input) drains at runtime
+    import org.apache.spark.sql.streaming.OutputMode
+    val stream = graft.streaming.StreamingIngest.eventsStream(spark, Sf0001)
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingIngest.runToMemory(stream, "guard_probe", OutputMode.Append())
+    }
+    assert(ex.getMessage.contains("runToParquet"))
+  }
+
   test("cumulative daily growth aggregates the fact table BEFORE windowing") {
     val plan = physical(ops.RelationalOps.queries("w9_cumulative_daily")(spark, Sf0001))
     // the running sum must window over the day rollup, not the raw events:
