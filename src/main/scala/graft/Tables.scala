@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (see /root/repo/TESTDATA.md).
   *
@@ -45,17 +45,41 @@ object Tables {
   }
 
   private def doLoad(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    // default (PARQUET_TYPE_ILLEGAL). Read nanos as long, then rescale to a
-    // micros TimestampType column (test data is micro-precision, so the
-    // narrowing is lossless). NanosTimestampPushdown rewrites watermark
-    // predicates on the derived column back onto the raw long so parquet
-    // row-group skipping still works.
+    // The ingest edge must absorb every timestamp encoding a real landing
+    // zone produces (the reference tolerates timezone-naive timestamps end
+    // to end — core/services/billing_etl.py:35-40 serializes bare
+    // isoformat() and the warehouse coerces on load):
+    //   - TIMESTAMP(NANOS): Spark 4 refuses it by default
+    //     (PARQUET_TYPE_ILLEGAL). Read nanos as long, rescale to micros
+    //     TimestampType (test data is micro-precision → lossless).
+    //     NanosTimestampPushdown rewrites watermark predicates on the
+    //     derived column back onto the raw long so row-group skipping works.
+    //   - TIMESTAMP(MICROS, isAdjustedToUTC=false) — what pandas/DuckDB
+    //     write by default — which Spark 4 infers as TIMESTAMP_NTZ.
+    //     Disable NTZ inference so it lands as TimestampType directly
+    //     (session TZ is pinned UTC, so the reading is exact and matches
+    //     the DuckDB oracle's naive view of the same bytes).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     graft.plans.NanosTimestampPushdown.register(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    val rescaled =
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    normalizeNtz(rescaled)
+  }
+
+  /** Belt-and-braces for sources loaded outside the conf's reach (e.g. a
+    * schema inferred before the conf was set): cast any remaining
+    * TIMESTAMP_NTZ column to TimestampType. The session TZ is pinned UTC,
+    * so the cast is the identity on the underlying micros.
+    */
+  private[graft] def normalizeNtz(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    if (ntz.isEmpty) df
+    else ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
   }
 }

@@ -41,7 +41,23 @@ object IncrementalExtract {
     */
   def batchStats(extracted: DataFrame, watermarkCol: String): BatchStats = {
     val r = extracted.agg(count(lit(1)), max(col(watermarkCol))).head()
-    BatchStats(r.getLong(0), Option(r.getTimestamp(1)))
+    // Total over every JVM shape a timestamp-ish column can surface as
+    // (LTZ → java.sql.Timestamp, NTZ → LocalDateTime, datetimeJava8API →
+    // Instant): a future source-type drift degrades to a typed error here,
+    // not a ClassCastException three layers deep.
+    val wm = r.get(1) match {
+      case null                        => None
+      case t: Timestamp                => Some(t)
+      case i: java.time.Instant        => Some(Timestamp.from(i))
+      case ldt: java.time.LocalDateTime =>
+        // Naive values are interpreted as UTC — the session TZ is pinned
+        // UTC, so this matches what the LTZ read of the same bytes yields.
+        Some(Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC)))
+      case other => throw new IllegalArgumentException(
+        s"watermark column '$watermarkCol' yielded unsupported type " +
+          s"${other.getClass.getName}: $other")
+    }
+    BatchStats(r.getLong(0), wm)
   }
 
   /** W2 + W7 — the persisted watermark rule (reference: billing_etl.py:160-168):

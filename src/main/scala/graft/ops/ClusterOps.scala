@@ -89,6 +89,7 @@ object ClusterOps {
   def connectedComponents(edges: DataFrame,
                           checkpointer: Checkpointer = localCheckpointer): DataFrame = {
     val spark = edges.sparkSession
+    val log = org.apache.log4j.Logger.getLogger(getClass)
     // Symmetrized adjacency, cached: reused every round.
     val adj = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -124,7 +125,13 @@ object ClusterOps {
       prevSum = nextSum
       labels = next
       round += 1
+      // Diagnostic heartbeat: rounds ≈ component diameter, so a corpus that
+      // suddenly chains (e.g. templated near-dups) shows up here FIRST —
+      // before it shows up as a silent N× bench regression.
+      log.warn(s"connectedComponents round=$round labelSum=$nextSum converged=$converged")
     }
+    log.warn(s"connectedComponents done rounds=$round nodes=${labels.count()} " +
+      s"symEdges=${adj.count()}")
     adj.unpersist()
     labels
   }

@@ -180,12 +180,17 @@ object EtlOps {
     meta.putConfigs(Seq(ClientBillingConfig(7, "proj_7", "ds", "t", None, None, None)))
     val dest = s"$tmp/dest"
     val src = Tables.load(spark, dir, "events")
-    EtlJob.run(spark, meta, src, "ts", dest, EtlJobMessage(7), utcTs(Mid), sleeper = _ => ())
+    // A parity query must fail loudly, never aggregate an empty dest into a
+    // plausible (0, 0): both runs are checked like buildNestedDest does.
+    val r1 = EtlJob.run(spark, meta, src, "ts", dest, EtlJobMessage(7), utcTs(Mid),
+      sleeper = _ => ())
+    require(r1.isRight, s"parity run1 failed: $r1")
     // the "late" arrival: event-time far inside run1's already-committed window
     val late = Seq((-999L, utcTs("2024-01-02 00:00:00"), -1L, "late", 0.0, null: String))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    EtlJob.run(spark, meta, src.unionByName(late), "ts", dest,
+    val r2 = EtlJob.run(spark, meta, src.unionByName(late), "ts", dest,
       EtlJobMessage(7), utcTs(End), sleeper = _ => ())
+    require(r2.isRight, s"parity run2 failed: $r2")
     val dst = EtlJob.readDestination(spark, dest)
     dst.agg(
       sum(when(col("event_id") === -999L, 1L).otherwise(0L)).as("late_rows_loaded"),

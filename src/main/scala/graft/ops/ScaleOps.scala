@@ -353,8 +353,10 @@ object ScaleOps {
       else {
         val bf = dim.stat.bloomFilter("s_suppkey", math.max(nDim, 64L), 0.01)
         val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b)
-        val b64 = java.util.Base64.getEncoder.encodeToString(b.toByteArray)
-        expr(s"graft_bloom_contains(unbase64('$b64'), cast(l_suppkey as bigint))")
+        // typed binary literal — ships with the task binary (broadcast once
+        // per stage), never round-trips through SQL text
+        call_function("graft_bloom_contains",
+          lit(b.toByteArray), col("l_suppkey").cast("bigint"))
       }
     val fact = Tables.load(s, dir, "lineitem").select(
       col("l_suppkey"),
@@ -369,15 +371,20 @@ object ScaleOps {
   }
 
   /** J6 at the size where the sketch PAYS: the dimension (urgent pre-1996
-    * orders, ~3% of the orders table) is, at 100 TB, billions of keys —
-    * far past any broadcast threshold, so the verify join MUST shuffle
-    * both sides. Without the sketch that shuffle carries the whole fact
-    * table; with it, the bloom probe (a few MB, built distributed,
-    * shipped once) prunes ~97% of the fact scan MAP-SIDE, so the shuffle
-    * carries ~|matching rows|. A `merge` join hint pins the shuffle-join
-    * shape so the measured plan IS the at-scale plan (sort-merge over the
-    * pruned fact), not a small-SF broadcast artifact; ScaleOpsSpec pins
-    * the ≥90% scan-row reduction and the probe-below-exchange ordering.
+    * orders, ~3% of the orders table) is far past any broadcast threshold
+    * at warehouse scale, so the verify join MUST shuffle both sides.
+    * Without the sketch that shuffle carries the whole fact table; with
+    * it, the bloom probe (built distributed, shipped to the driver once,
+    * re-broadcast with the task binary) prunes ~97% of the fact scan
+    * MAP-SIDE, so the shuffle carries ~|matching rows|. Sketch sizing is
+    * the real scale limit: 1% fpp costs ~9.6 bits/key, so ~100M dimension
+    * keys is ~120 MB — fine as a task-binary literal — while billions of
+    * keys would be GBs; past that, raise the fpp (FPs die in the exact
+    * join anyway) or fall back to partition-level pruning. A `merge` join
+    * hint pins the shuffle-join shape so the measured plan IS the at-scale
+    * plan (sort-merge over the pruned fact), not a small-SF broadcast
+    * artifact; ScaleOpsSpec pins the ≥90% scan-row reduction and PlanSpec
+    * pins the probe sitting below the fact-side Exchange.
     */
   private def j6BloomPruneShuffle(s: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeBloom.register(s)
@@ -391,8 +398,8 @@ object ScaleOps {
       else {
         val bf = dim.stat.bloomFilter("o_orderkey", math.max(nDim, 64L), 0.01)
         val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b)
-        val b64 = java.util.Base64.getEncoder.encodeToString(b.toByteArray)
-        expr(s"graft_bloom_contains(unbase64('$b64'), cast(l_orderkey as bigint))")
+        call_function("graft_bloom_contains",
+          lit(b.toByteArray), col("l_orderkey").cast("bigint"))
       }
     val fact = Tables.load(s, dir, "lineitem").select(
       col("l_orderkey"),

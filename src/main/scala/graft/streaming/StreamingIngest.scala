@@ -31,6 +31,7 @@ object StreamingIngest {
   def eventsStream(spark: SparkSession, dir: String, copies: Int = 1,
                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val path = s"$dir/events.parquet"
     // The file source wants a directory of files (its real-world shape:
     // a landing zone receiving parquet drops). Stage the single-table file
@@ -52,12 +53,28 @@ object StreamingIngest {
   // The file source needs a user-supplied schema; probing it is a footer
   // read but still a Spark job. A bench sweep builds dozens of streams over
   // the same immutable fixture file, so memoize the probe per path (same
-  // immutable-dir assumption as Tables.load's plan cache).
+  // immutable-dir assumption as Tables.load's plan cache). The probe pins
+  // its confs (nanosAsLong, no NTZ inference) itself, and the memoized
+  // value is normalized on every retrieval, so a schema cached by an
+  // earlier session under different confs cannot leak NTZ downstream.
   private val schemaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
-  private def probeSchema(spark: SparkSession, path: String) =
-    schemaMemo.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+  private def probeSchema(spark: SparkSession, path: String) = {
+    val probed = schemaMemo.computeIfAbsent(path, { p =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      spark.read.parquet(p).schema
+    })
+    // Naive (NTZ) timestamps must not cross the ingest edge: hand the file
+    // source an LTZ schema instead — the parquet reader fills TimestampType
+    // from the same int64 micros, exact under the pinned-UTC session.
+    org.apache.spark.sql.types.StructType(probed.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        f.copy(dataType = org.apache.spark.sql.types.TimestampType)
+      else f
+    })
+  }
 
   /** Drain an AvailableNow query into an in-memory table and return it.
     *
@@ -112,7 +129,14 @@ object StreamingIngest {
       .start()
     q.awaitTermination()
     unloadStateStores()
-    df.sparkSession.read.schema(df.schema).parquet(s"$root/data")
+    // A drained query that commits zero micro-batches never creates the
+    // data dir; the empty stream's result is an empty frame, not an
+    // AnalysisException from the read-back.
+    val spark = df.sparkSession
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$root/data")))
+      spark.read.schema(df.schema).parquet(s"$root/data")
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
   }
 
   /** `StateStore.unloadAll()` is `private[sql]` at the Scala level but

@@ -200,13 +200,21 @@ class PlanSpec extends AnyFunSuite {
     // runToMemory's Complete/Update-mode aggregate drains. A new
     // format("memory") anywhere else in src/main is a scale regression.
     import scala.jdk.CollectionConverters._
+    // resolve src/main robustly: sbt forks tests with cwd = project root, but
+    // don't silently pass if that ever changes
     val root = java.nio.file.Paths.get("src/main/scala")
-    val offenders = java.nio.file.Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
-      .filter(p => new String(java.nio.file.Files.readAllBytes(p)).contains("format(\"memory\")"))
-      .map(_.toString).toList
-    assert(offenders == List("src/main/scala/graft/streaming/StreamingIngest.scala"),
-      s"memory sink outside the sanctioned drain helper: $offenders")
+    assert(java.nio.file.Files.isDirectory(root),
+      s"expected to run from the project root; cwd=${java.nio.file.Paths.get("").toAbsolutePath}")
+    val allowed = Set("src/main/scala/graft/streaming/StreamingIngest.scala")
+    val walk = java.nio.file.Files.walk(root)
+    val offenders =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala"))
+        .filter(p => new String(java.nio.file.Files.readAllBytes(p)).contains("format(\"memory\")"))
+        .map(_.toString).toSet
+      finally walk.close()
+    assert(offenders.subsetOf(allowed),
+      s"memory sink outside the sanctioned drain helper: ${offenders -- allowed}")
     // and the helper itself rejects O(input) drains at runtime
     import org.apache.spark.sql.streaming.OutputMode
     val stream = graft.streaming.StreamingIngest.eventsStream(spark, Sf0001)

@@ -125,6 +125,55 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"bloom semijoin must stay an equi-join plan\n${plan.take(800)}")
   }
 
+  test("j6 prune-shuffle: SMJ plan, probe below the fact exchange, ≥90% pruned") {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val df = ops.ScaleOps.queries("j6_bloom_prune_shuffle")(spark, Sf0001)
+    df.collect() // materialize so the AQE final plan (with real stages) exists
+    // AQE hides materialized stages behind QueryStageExec leaves — expand them
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: inner.flatMap(flatten)
+    }
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      s"merge hint must pin a sort-merge join, not a small-SF broadcast\n${nodes.head}")
+    // the probe must prune MAP-SIDE: a Filter carrying BloomFilterMightContain
+    // strictly below some Exchange (i.e. before any shuffle write)
+    val probeBelowExchange = nodes.collect { case e: Exchange => e }.exists { e =>
+      flatten(e.child).exists {
+        case f: FilterExec => f.condition.find(_.isInstanceOf[BloomFilterMightContain]).isDefined
+        case _ => false
+      }
+    }
+    assert(probeBelowExchange,
+      s"bloom probe must sit below the fact-side exchange\n${nodes.head}")
+    // and it must actually prune ≥90% of the fact scan (matching fraction is
+    // ~3.4% at this SF; 1% fpp leaves the kept set well under 10%)
+    graft.functions.NativeBloom.register(spark)
+    val dim = Tables.load(spark, Sf0001, "orders")
+      .where(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00")))
+      .select(col("o_orderkey"))
+    val bf = dim.stat.bloomFilter("o_orderkey", math.max(dim.count(), 64L), 0.01)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray }
+    val fact = Tables.load(spark, Sf0001, "lineitem").select(col("l_orderkey"))
+    val total = fact.count()
+    val kept = fact.where(call_function("graft_bloom_contains",
+      lit(bytes), col("l_orderkey").cast("bigint"))).count()
+    assert(kept <= total / 10,
+      s"probe must prune >=90% of the fact scan (kept=$kept total=$total)")
+    val exact = fact.join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(kept >= exact, "bloom must never drop a true match")
+  }
+
   test("tombstone sweep rewrites only partitions with hits; survivors intact") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     import sp.implicits._
