@@ -95,6 +95,12 @@ object EtlJob {
     var lastError: Throwable = null
     var lastWatermark: Option[Timestamp] = None
 
+    def prof[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      if (sys.env.contains("GRAFT_ETL_PROF"))
+        println(f"[etlprof] $tag: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
     var attempt = 0
     while (attempt < maxRetries) {
       try {
@@ -105,14 +111,14 @@ object EtlJob {
           case Exact =>
             source.where(col(watermarkCol) > lit(start) && col(watermarkCol) < lit(jobTime))
         }
-        val stats = IncrementalExtract.batchStats(extracted, watermarkCol)
+        val stats = prof("batchStats")(IncrementalExtract.batchStats(extracted, watermarkCol))
         val endDateTime = IncrementalExtract.newWatermark(stats, jobTime)
         lastWatermark = Some(endDateTime)
 
         // Status ordering is load-then-commit (reference: billing_etl.py:173-198):
         // IN_PROGRESS carries the candidate watermark before the load starts.
-        meta.appendStatus(meta.nextStatusSeq,
-          EtlStatus(message.org_id, projectId, EtlStatus.InProgress, Some(endDateTime)))
+        prof("statusInProgress")(meta.appendStatus(meta.nextStatusSeq,
+          EtlStatus(message.org_id, projectId, EtlStatus.InProgress, Some(endDateTime))))
 
         val transformed = transform(extracted)
 
@@ -121,10 +127,19 @@ object EtlJob {
         // Exact mode overwrites only the touched date partitions, making
         // crash-replay idempotent.
         if (stats.rows > 0) {
+          // REBALANCE(export_date) before the partitioned write: without it
+          // every task writes a sliver of every date it saw (tasks × dates
+          // small files per run — a compaction debt the destination pays on
+          // every read). The AQE rebalance coalesces each date to ~one
+          // advisory-sized file on small runs AND splits a hot date across
+          // tasks on huge ones — the shape a 100 TB daily increment needs.
+          // Plain repartition(col) would pin one task per date (hot-date
+          // bottleneck); no-AQE sessions degrade to the pre-rebalance plan.
           val out = transformed.withColumn("export_date", to_date(col(watermarkCol)))
+            .hint("rebalance", col("export_date"))
           mode match {
             case Parity =>
-              out.write.mode(SaveMode.Append).partitionBy("export_date").parquet(destDir)
+              prof("parityWrite")(out.write.mode(SaveMode.Append).partitionBy("export_date").parquet(destDir))
             case Exact =>
               // The window may start mid-partition (a run boundary is rarely
               // date-aligned), and dynamic overwrite replaces WHOLE
@@ -162,8 +177,8 @@ object EtlJob {
 
         onBeforeCommit()
 
-        meta.appendStatus(meta.nextStatusSeq,
-          EtlStatus(message.org_id, projectId, EtlStatus.Success, Some(endDateTime)))
+        prof("statusSuccess")(meta.appendStatus(meta.nextStatusSeq,
+          EtlStatus(message.org_id, projectId, EtlStatus.Success, Some(endDateTime))))
 
         return Right(RunReport(message.org_id, projectId, stats.rows, endDateTime,
           EtlStatus.Success, attempt + 1))

@@ -214,15 +214,90 @@ final class FsMetaStore(val root: String)(implicit spark: SparkSession)
     affected
   }
 
+  // The status log is control-plane state: O(runs × tenants) 1-row events,
+  // exactly what the reference keeps in MySQL. Launching a distributed
+  // Spark job (scheduler + commit protocol, ~0.4 s) to write ONE row — and
+  // another to read the max seq back — made the control plane the dominant
+  // cost of every ETL run. Appends therefore go through parquet-mr on the
+  // driver (the same move Delta/Iceberg make for their metadata files):
+  // write a 1-row parquet to a hidden staging name, fsync, rename into the
+  // log — atomic on HDFS/local, unique names so concurrent appenders never
+  // collide (MetaStoreSpec's racing-saga test). Data-plane writes still go
+  // through Spark; this path is for rows that were never distributed.
+  private val StatusFileSchema: org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    Types.buildMessage()
+      .required(INT64).named("seq")
+      .required(INT32).named("org_id")
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("project_id")
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("status")
+      .optional(INT64)
+        .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS))
+        .named("end_date_time")
+      .named("spark_schema")
+  }
+
+  /** Driver-side mirror of the log, keyed by (unique) file name. Files
+    * appended by THIS instance are cached at write time; files from other
+    * writers are picked up by listing the log dir (one FS LIST) and read in
+    * one batched Spark job on first sight — so the steady state launches no
+    * jobs at all, while a concurrent appender's rows are never missed.
+    */
+  private val statusFileRows =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Int, String, String, Option[Timestamp])]]
+
+  private def statusRowsDriver(): Seq[(Long, Int, String, String, Option[Timestamp])] = {
+    val files = graft.util.Fs.listParquetFiles(spark, statusDir)
+      .map { case (p, _) => new org.apache.hadoop.fs.Path(p).getName -> p }
+    val unknown = files.filterNot { case (name, _) => statusFileRows.contains(name) }
+    if (unknown.nonEmpty) {
+      val byFile = spark.read.parquet(unknown.map(_._2): _*)
+        .select(input_file_name().as("_f"), col("seq"), col("org_id"),
+          col("project_id"), col("status"), col("end_date_time"))
+        .collect()
+        .groupBy(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName)
+      unknown.foreach { case (name, _) =>
+        statusFileRows.put(name, byFile.getOrElse(name, Array.empty).toSeq
+          .map(r => (r.getLong(1), r.getInt(2), r.getString(3), r.getString(4),
+            Option(r.getTimestamp(5)))))
+      }
+    }
+    files.flatMap { case (name, _) => statusFileRows.getOrElse(name, Seq.empty) }
+  }
+
   override def appendStatus(seq: Long, s: EtlStatus): Unit = {
-    // Stage privately, then rename into the log dir: a direct Spark Append
-    // from two concurrent jobs shares one `_temporary` workspace and loses
-    // writes (SURVEY §7.4 #3; caught by MetaStoreSpec's racing-saga test).
-    val stage = graft.util.TempDirs.create("graft_status_append_")
-    Seq((seq, s.org_id, s.project_id, s.status, s.end_date_time.orNull))
-      .toDF("seq", "org_id", "project_id", "status", "end_date_time")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
-    graft.util.Fs.publishParquetFiles(spark, stage, statusDir)
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(statusDir)
+    val fsys = dir.getFileSystem(conf)
+    fsys.mkdirs(dir)
+    val fileName = s"part-${UUID.randomUUID()}.parquet"
+    // leading dot: invisible to Spark reads; ".tmp" suffix: invisible to
+    // Fs.listParquetFiles — readers never see the file until the rename
+    val stage = new Path(dir, s".$fileName.tmp")
+    val target = new Path(dir, fileName)
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(stage, conf))
+      .withType(StatusFileSchema)
+      .withConf(conf)
+      .build()
+    try {
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(StatusFileSchema)
+      g.add("seq", seq)
+      g.add("org_id", s.org_id)
+      g.add("project_id", s.project_id)
+      g.add("status", s.status)
+      s.end_date_time.foreach { t =>
+        val i = t.toInstant
+        g.add("end_date_time", i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      }
+      writer.write(g)
+    } finally writer.close()
+    if (!fsys.rename(stage, target))
+      throw new java.io.IOException(s"failed to publish status row $stage -> $target")
+    statusFileRows.put(fileName,
+      Seq((seq, s.org_id, s.project_id, s.status, s.end_date_time)))
   }
 
   override def statusLog: DataFrame =
@@ -231,4 +306,18 @@ final class FsMetaStore(val root: String)(implicit spark: SparkSession)
     else
       Seq.empty[(Long, Int, String, String, Timestamp)]
         .toDF("seq", "org_id", "project_id", "status", "end_date_time")
+
+  // Driver-side overrides of the trait's Spark-job reads: same semantics
+  // (MetaStoreSpec runs the battery against both backends), none of the
+  // per-run job-launch cost. JdbcMetaStore keeps the trait defaults — its
+  // reads are already row-at-a-time SQL.
+  override def lastSuccessWatermark(orgId: Int, projectId: String): Option[Timestamp] = {
+    val hits = statusRowsDriver().collect {
+      case (_, o, p, st, Some(ts)) if o == orgId && p == projectId && st == EtlStatus.Success => ts
+    }
+    if (hits.isEmpty) None else Some(hits.max((a: Timestamp, b: Timestamp) => a.compareTo(b)))
+  }
+
+  override def nextStatusSeq: Long =
+    statusRowsDriver().foldLeft(0L)((m, r) => math.max(m, r._1)) + 1L
 }
