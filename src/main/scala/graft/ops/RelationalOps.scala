@@ -531,7 +531,58 @@ object RelationalOps {
         sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
       .orderBy(col("c_mktsegment"))
 
+  /** Q3-shaped shipping-priority: three-table join, selective dim filter,
+    * deterministic top-10. Join strategy is deliberately UNHINTED —
+    * customer/orders/lineitem all scale with the corpus, so the right
+    * physical join flips from broadcast (small SF) to shuffle (100 TB);
+    * that decision belongs to Catalyst + AQE, not the query author.
+    * Revenue in cents (round→long) so both engines agree bit-exactly.
+    */
+  private def q3(s: SparkSession, dir: String): DataFrame = {
+    val cut = "1998-03-15 00:00:00"
+    lineitem(s, dir).where(col("l_shipdate") > ts(cut))
+      .join(orders(s, dir).where(col("o_orderdate") < ts(cut)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, dir).where(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("revenue_cents"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5-shaped local-supplier volume: six-table join. nation/region are
+    * FIXED-cardinality dims (25 / 5 rows at any SF) — broadcasting them is
+    * correct at 100 TB, so that hint is pinned here; the scaling tables
+    * (customer/orders/lineitem/supplier) stay unhinted for AQE.
+    */
+  private def q5(s: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.load(s, dir, "nation")
+    val regions = Tables.load(s, dir, "region").where(col("r_name") === "ASIA")
+    lineitem(s, dir)
+      .join(orders(s, dir).where(
+        col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1998-01-01 00:00:00")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(regions), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_shipping_priority" -> (q3 _),
+    "q5_local_supplier" -> (q5 _),
     "s1_incremental_scan" -> (s1 _),
     "s2_count_scan" -> (s2 _),
     "s3_config_point_lookup" -> (s3 _),
@@ -578,6 +629,32 @@ object RelationalOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue_cents DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue_cents DESC, n_name""".stripMargin,
     "s1_incremental_scan" ->
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, event_type, value, props
          |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
