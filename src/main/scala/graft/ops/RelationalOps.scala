@@ -580,9 +580,47 @@ object RelationalOps {
       .orderBy(col("revenue_cents").desc, col("n_name"))
   }
 
+  /** Q18-shaped large-order screen: join against an AGGREGATED subquery.
+    * The having-filter runs on the grouped lineitem relation BEFORE the
+    * joins, so at 100 TB the join probe side is |qualifying orders|
+    * (tiny), not |lineitem| — the aggregate-then-join ordering is the
+    * whole point of the shape. Quantities are exact integers in the
+    * fixture (and in TPC-H), so the HAVING threshold is ulp-safe.
+    */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val big = lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+      .where(col("sum_qty") > 250)
+    orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        round(col("o_totalprice") * 100).cast("long").as("totalprice_cents"),
+        col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** Distinct-aggregate per group (Expand-based two-phase distinct): how
+    * many distinct suppliers and parts served each return-flag class.
+    * Catalyst plans this as partial-distinct below the shuffle — the only
+    * scalable shape for COUNT(DISTINCT) over a 100 TB fact table.
+    */
+  private def a7(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_shipping_priority" -> (q3 _),
     "q5_local_supplier" -> (q5 _),
+    "q18_large_orders" -> (q18 _),
+    "a7_distinct_agg" -> (a7 _),
     "s1_incremental_scan" -> (s1 _),
     "s2_count_scan" -> (s2 _),
     "s3_config_point_lookup" -> (s3 _),
@@ -629,6 +667,22 @@ object RelationalOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q18_large_orders" ->
+      """SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  round(o_totalprice * 100)::BIGINT AS totalprice_cents, sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+    "a7_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         |  CAST(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) AS BIGINT) AS revenue_cents
