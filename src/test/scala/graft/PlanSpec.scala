@@ -224,6 +224,27 @@ class PlanSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("runToParquet"))
   }
 
+  test("analytic joins: fixed dims broadcast, no cartesian, distinct via Expand") {
+    // q5: nation/region are fixed-cardinality at any SF — their broadcasts
+    // are pinned; everything else is AQE's call. No plan may go cartesian.
+    val q5 = physical(ops.RelationalOps.queries("q5_local_supplier")(spark, Sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(q5).length >= 2,
+      s"nation/region must broadcast\n$q5")
+    Seq("q3_shipping_priority", "q5_local_supplier", "q18_large_orders").foreach { q =>
+      val p = physical(ops.RelationalOps.queries(q)(spark, Sf0001))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay equi-joined\n$p")
+    }
+    // q18: the HAVING aggregate must sit below the joins (probe side is
+    // |qualifying orders|, not |lineitem|)
+    val q18 = physical(ops.RelationalOps.queries("q18_large_orders")(spark, Sf0001))
+    assert(q18.contains("partial_sum") || q18.contains("partial"),
+      s"grouped-lineitem agg must plan a partial below its shuffle\n$q18")
+    // a7: per-group multi-distinct goes through Expand (two-phase distinct)
+    val a7 = physical(ops.RelationalOps.queries("a7_distinct_agg")(spark, Sf0001))
+    assert(a7.contains("Expand"), s"COUNT(DISTINCT) must plan via Expand\n$a7")
+  }
+
   test("cumulative daily growth aggregates the fact table BEFORE windowing") {
     val plan = physical(ops.RelationalOps.queries("w9_cumulative_daily")(spark, Sf0001))
     // the running sum must window over the day rollup, not the raw events:
