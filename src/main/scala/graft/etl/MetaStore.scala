@@ -177,6 +177,12 @@ final class FsMetaStore(val root: String)(implicit spark: SparkSession)
 
   override def configs: Dataset[ClientBillingConfig] = configRows.toDS()
 
+  // point-lookup straight off the driver snapshot — no Dataset analysis
+  // per run (the trait default is kept for the JDBC backend, where the
+  // lookup IS a SQL query)
+  override def configFor(orgId: Int): Option[ClientBillingConfig] =
+    configRows.find(_.org_id == orgId)
+
   override def updateConfig(orgId: Int, projectId: String,
                             fields: Map[String, String]): Long = {
     val allowed = fields.view.filterKeys(MetaStore.UpdatableConfigColumns).toMap

@@ -357,6 +357,19 @@ object StreamingIngest {
     */
   def statefulUserWatermark(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // state-store grain: one provider per shuffle partition is opened and
+    // committed every micro-batch; per-user max-ts state is modest-
+    // cardinality, so 8 partitions (the interval join's rationale) beats
+    // paying 32 store commits per batch. A real deployment sizes this to
+    // key cardinality, not cores.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try statefulUserWatermarkInner(spark, dir)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def statefulUserWatermarkInner(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val updates = eventsStream(spark, dir)
       .select(col("user_id"), col("ts"))
       .as[KeyedEvent]
