@@ -11,10 +11,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** Flagship: the §7.1 end-to-end incremental ETL slice on sf0.001
-    * (two watermarked runs over `events`; driver smoke-checks rows>0).
+    * (watermarked run over `events`; driver smoke-checks rows>0).
+    *
+    * The extraction window is DATA-DRIVEN (jobTime = max(ts) + 1 s), not a
+    * fixed date constant, so the smoke check stays non-vacuous even if a
+    * fixture regeneration moves the events table's date span — the oracle
+    * queries keep their fixed windows (mirrored in SQL), but the driver's
+    * rows>0 gate must never hinge on a generator constant.
     */
-  def entry(spark: SparkSession): DataFrame =
-    ops.EtlOps.queries("etl_run_dest")(spark, "/root/testdata/sf0.001")
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    implicit val s: SparkSession = spark
+    val dir = "/root/testdata/sf0.001"
+    val tmp = graft.util.TempDirs.create("graft_entry_")
+    val meta = etl.MetaStore(s"$tmp/meta")
+    meta.putConfigs(Seq(graft.model.ClientBillingConfig(
+      1, "proj_entry", "ds", "t", None, None, None)))
+    val src = Tables.load(spark, dir, "events")
+    val jobTime = new java.sql.Timestamp(
+      src.agg(max(col("ts"))).head().getTimestamp(0).getTime + 1000L)
+    val r = etl.EtlJob.run(spark, meta, src, "ts", s"$tmp/dest",
+      graft.model.EtlJobMessage(1), jobTime, sleeper = _ => ())
+    require(r.isRight, s"entry run failed: $r")
+    etl.EtlJob.readDestination(spark, s"$tmp/dest")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
