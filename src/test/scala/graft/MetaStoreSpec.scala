@@ -93,6 +93,27 @@ class MetaStoreSpec extends AnyFunSuite {
     assert(m.nextStatusSeq == 2L)
   }
 
+  test("FS status log: a second instance's appends are visible through the driver cache") {
+    // the driver-side status mirror must never go stale against a foreign
+    // appender: visibility comes from the per-read FS listing, and rows of
+    // unseen files are fetched in one batched read
+    val root = tmpDir("meta_xinst_")
+    val a = MetaStore(s"$root/meta")
+    val b = MetaStore(s"$root/meta")
+    val t1 = utcTs("2024-01-10 00:00:00")
+    val t2 = utcTs("2024-01-12 00:00:00")
+    a.appendStatus(1, EtlStatus(1, "p1", EtlStatus.Success, Some(t1)))
+    // B has never read the log: must discover A's file
+    assert(b.lastSuccessWatermark(1, "p1").contains(t1))
+    assert(b.nextStatusSeq == 2L)
+    b.appendStatus(2, EtlStatus(1, "p1", EtlStatus.Success, Some(t2)))
+    // A's cache is warm from its own append: must still pick up B's file
+    assert(a.lastSuccessWatermark(1, "p1").contains(t2))
+    assert(a.nextStatusSeq == 3L)
+    // and the Spark-side DataFrame view agrees with the driver mirror
+    assert(a.statusLog.count() == 2)
+  }
+
   test("two racing same-org sagas: last-writer-wins, never torn, never duplicated (both backends)") {
     // SURVEY §7.4 #3 — the reference just races (billing_etl_db.py:12-43 has
     // no locking); the engine's contract is last-writer-wins DETERMINISM:
