@@ -49,13 +49,20 @@ import graft.Tables
   */
 object ClusterOps {
 
-  /** Propagation-round ceiling. Components in a dedup graph have tiny
-    * diameter (see header); 32 rounds of doubling-reach min-propagation is
-    * astronomically past any real duplicate family, so hitting the ceiling
-    * means the edge generator produced something degenerate — fail loudly
-    * rather than emit a non-fixpoint labeling.
+  /** Propagation-round ceiling. Each round is one edge-propagation PLUS one
+    * pointer-jump (label-of-label), so reach doubles per round: 32 rounds
+    * covers components of diameter ~2^32 — hitting the ceiling means the
+    * edge generator produced something degenerate (a label cycle, which the
+    * min-semantics make impossible) — fail loudly rather than emit a
+    * non-fixpoint labeling.
     */
   private val MaxRounds = 32
+
+  /** Rounds of plain one-hop propagation before pointer jumping engages —
+    * past any real dedup component's diameter, so the common case never
+    * pays the per-round self-join.
+    */
+  private val JumpAfter = 3
 
   /** Per-round lineage-truncation strategy for the iterative loop. */
   type Checkpointer = DataFrame => DataFrame
@@ -113,13 +120,35 @@ object ClusterOps {
         throw new IllegalStateException(
           s"connectedComponents did not converge in $MaxRounds rounds — degenerate edge set?")
       // Closed-neighborhood min: own label ∪ labels arriving over edges.
-      val next = checkpointer( // truncate lineage: O(1)-deep plan per round
+      // Checkpointed BEFORE the (possible) jump: the jump self-joins this
+      // relation, and a self-join over the live union+agg plan trips
+      // Catalyst's constraint rewriting — a materialized LogicalRDD
+      // self-joins cleanly (and lineage truncation was needed here anyway).
+      val propagated = checkpointer(
         adj
           .join(labels.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"), col("label"))
           .union(labels)
           .groupBy(col("id"))
           .agg(min(col("label")).as("label")))
+      // Dedup components are overwhelmingly diameter ≤ 3 (an edge means
+      // near-identical content), so plain propagation converges in 2-3
+      // rounds and the common case should not pay for pathology insurance.
+      // If it HASN'T converged by then — a templated-doc chain, a crawl
+      // with boilerplate — switch on pointer jumping (label-of-label):
+      // reach doubles per round → O(log diameter) total instead of
+      // O(diameter), converging any chain long before MaxRounds. One extra
+      // equality join on narrow (long, long) rows per late round;
+      // min-labels guarantee label ≤ id, so the jump can only decrease.
+      val next =
+        if (round < JumpAfter) propagated
+        else {
+          val lookup = propagated.select(col("id").as("lid"), col("label").as("llabel"))
+          checkpointer(
+            propagated.join(lookup, col("label") === col("lid"), "left")
+              .select(col("id"),
+                least(col("label"), coalesce(col("llabel"), col("label"))).as("label")))
+        }
       val nextSum = labelSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum

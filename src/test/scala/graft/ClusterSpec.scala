@@ -99,6 +99,25 @@ class ClusterSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("pointer jumping converges a 64-node chain in O(log n) rounds") {
+    import spark.implicits._
+    // 63 edges in a path: plain one-hop min-propagation needs 63 rounds
+    // (past the MaxRounds ceiling); the per-round pointer jump doubles
+    // reach, so convergence must land well inside the ceiling
+    val chain = (0L until 63L).map(i => (1000L + i, 1000L + i + 1)).toDF("a_id", "b_id")
+    var calls = 0
+    val counting: ops.ClusterOps.Checkpointer = df => { calls += 1; df.localCheckpoint(true) }
+    val labels = ops.ClusterOps.connectedComponents(chain, counting)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == (1000L to 1063L).map(_ -> 1000L).toMap)
+    // calls = 1 init + 1 per plain round (first JumpAfter=3) + 2 per
+    // jumping round; pure one-hop propagation would need 63 rounds (64+
+    // calls), while 3 + O(log 63) jumping rounds stays ≤ ~14 rounds —
+    // anything near 64 calls means the jump stopped doubling reach
+    assert(calls <= 28,
+      s"pointer jumping should converge in O(log n) rounds, saw $calls checkpointer calls")
+  }
+
   test("checkpoint strategy is injectable: honored every round, reliable path agrees") {
     import spark.implicits._
     val chain = (0L until 11L).map(i => (100L - i, 100L - i - 1)).toDF("a_id", "b_id")
