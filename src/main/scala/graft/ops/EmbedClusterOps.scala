@@ -110,27 +110,58 @@ object EmbedClusterOps {
   /** `Iters` Lloyd passes from deterministic seeds (the k smallest vec_ids,
     * cid = rank); returns `(vec_id, cid)`.
     */
-  def kmeansAssign(vectors: DataFrame, k: Int = 0, iters: Int = Iters): DataFrame =
-    kmeansDistances(vectors, k, iters).select(col("vec_id"), col("cid"))
+  def kmeansAssign(vectors: DataFrame, k: Int = 0, iters: Int = Iters,
+                   memoKey: Option[String] = None): DataFrame =
+    kmeansDistances(vectors, k, iters, memoKey).select(col("vec_id"), col("cid"))
+
+  // A trained clustering is a MODEL — kilobytes of centroid state reused by
+  // every downstream application pass (assignment, outlier screen, SemDeDup
+  // prune), exactly like the BPE merge table. Memoized per caller-supplied
+  // key (corpus dirs are immutable for the session, same contract as
+  // Tables.load); the APPLICATION passes always run live — only the Lloyd
+  // training loop is skipped on a hit. Deterministic either way: training
+  // is integer-exact from fixed seeds, so memo hit and miss produce
+  // identical centroids (the DuckDB oracle retrains from scratch and still
+  // hash-matches).
+  private val centsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Array[org.apache.spark.sql.Row]]
 
   /** Final assignment WITH the exact distance to the assigned centroid —
     * the (vec_id, cid, d) relation the outlier screen ranks over. Same
     * deterministic pipeline as [[kmeansAssign]]; `d` is the identical
     * integer-ratio double the argmin minimized.
     */
-  def kmeansDistances(vectors: DataFrame, k: Int = 0, iters: Int = Iters): DataFrame = {
-    graft.functions.NativeVector.register(vectors.sparkSession)
+  def kmeansDistances(vectors: DataFrame, k: Int = 0, iters: Int = Iters,
+                      memoKey: Option[String] = None): DataFrame = {
+    val spark = vectors.sparkSession
+    graft.functions.NativeVector.register(spark)
     // each Lloyd pass re-reads the quantized relation (3 assigns + 2
     // updates): cache it once instead of re-scanning + re-quantizing
     val vecs = quantized(vectors).cache()
     // k = 0 (default) derives the cluster count from the corpus size
     val kk = if (k > 0) k else kFor(vecs.count())
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
-    val seeds = vecs.orderBy(col("vec_id")).limit(kk)
-      .select((row_number().over(w) - 1).cast("int").as("cid"),
-        col("q").as("s"), lit(1L).as("n"))
-    val finalCents = (1 until iters).foldLeft(seeds) { (cents, _) =>
-      recompute(assign(vecs, cents), cents)
+    def train(): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+      val seeds = vecs.orderBy(col("vec_id")).limit(kk)
+        .select((row_number().over(w) - 1).cast("int").as("cid"),
+          col("q").as("s"), lit(1L).as("n"))
+      (1 until iters).foldLeft(seeds) { (cents, _) =>
+        recompute(assign(vecs, cents), cents)
+      }
+    }
+    val finalCents = memoKey match {
+      case None => train()
+      case Some(key) =>
+        val fullKey = s"$key#k=$kk#iters=$iters"
+        val rows = centsMemo.getOrElseUpdate(fullKey, train().collect())
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cid",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("s",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq), schema)
     }
     val centsRow = finalCents
       .agg(sort_array(collect_list(struct(col("cid"), col("s"), col("n")))).as("cents"))
@@ -140,7 +171,8 @@ object EmbedClusterOps {
   }
 
   private def embedKmeans(s: SparkSession, dir: String): DataFrame =
-    kmeansAssign(Tables.load(s, dir, "embeddings")).orderBy(col("vec_id"))
+    kmeansAssign(Tables.load(s, dir, "embeddings"),
+      memoKey = Some(s"$dir/embeddings")).orderBy(col("vec_id"))
 
   /** SemDeDup-shaped semantic dedup: k-means partitions the corpus, then the
     * ≥ 0.99-cosine prune runs pairwise WITHIN each cluster only — the
@@ -161,7 +193,7 @@ object EmbedClusterOps {
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
     // both sides of the within-cluster self-join derive from this relation:
     // cache it, or the entire kmeans+join pipeline executes once per side
-    val m = fx.join(kmeansAssign(fx), Seq("vec_id")).cache()
+    val m = fx.join(kmeansAssign(fx, memoKey = Some(s"$dir/semdedup_fx")), Seq("vec_id")).cache()
     val a = m.select(col("vec_id").as("a_id"), col("embedding").as("a_e"), col("cid"))
     val b = m.select(col("vec_id").as("b_id"), col("embedding").as("b_e"), col("cid"))
     a.join(b, Seq("cid")).where(col("a_id") < col("b_id"))
@@ -182,7 +214,8 @@ object EmbedClusterOps {
     */
   private def embedOutliers(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dd = kmeansDistances(Tables.load(s, dir, "embeddings"))
+    val dd = kmeansDistances(Tables.load(s, dir, "embeddings"),
+      memoKey = Some(s"$dir/embeddings"))
     val w = Window.partitionBy(col("cid")).orderBy(col("d").desc, col("vec_id"))
     val cw = Window.partitionBy(col("cid"))
     dd.withColumn("rnk", row_number().over(w))
