@@ -201,8 +201,13 @@ object NestedBillingOps {
     * `events` + the fixture's arithmetic — a hash match means every
     * array-of-struct value survived parquet → JSON → parquet intact.
     */
-  private def etlNestedCredits(spark: SparkSession, dir: String): DataFrame = {
-    val rows = EtlJob.readDestination(spark, nestedDest(spark, dir))
+  private def etlNestedCredits(spark: SparkSession, dir: String): DataFrame =
+    nestedRollup(EtlJob.readDestination(spark, nestedDest(spark, dir)))
+
+  /** The shared rollup over a destination's nested rows — see
+    * [[etlNestedCredits]]'s doc for what each column proves.
+    */
+  private def nestedRollup(rows: DataFrame): DataFrame =
     rows.select(
         col("service.id").as("service_id"),
         col("cost"), col("credits"), col("labels"),
@@ -226,17 +231,46 @@ object NestedBillingOps {
         sum(round(col("cost") * 100).cast("long")).as("cost_cents"),
         date_format(max(col("usage_start_time")), TsFmt).as("max_usage_start"))
       .orderBy(col("service_id"))
+
+  /** The nested path as a STREAM: the billing landing zone consumed by the
+    * streaming file source with the full 26-field nested schema (arrays of
+    * structs through `readStream`), the JSON boundary applied per
+    * micro-batch, drained through the parquet file sink, and the rollup
+    * computed from the sink's read-back. Same oracle as the batch twin —
+    * a hash match proves the nested values survive the STREAMING ingest
+    * edge byte-identically too.
+    */
+  private def streamNestedCredits(spark: SparkSession, dir: String): DataFrame = {
+    val stream = spark.readStream
+      .schema(BillingExportSchema.schema)
+      .parquet(nestedLanding(spark, dir))
+      .where(col("export_time") < lit(utcTs(JobEnd)))
+    nestedRollup(graft.streaming.StreamingIngest.runToParquet(jsonBoundary(stream)))
   }
 
+  /** Batch-written landing zone of raw [[billingRows]] (the upstream
+    * producer's drop dir), memoized per (session, sfDir) like the dest.
+    */
+  private def nestedLanding(spark: SparkSession, dir: String): String =
+    destMemo.synchronized {
+      destMemo.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"landing:$dir", {
+          val stage = graft.util.TempDirs.create("graft_nested_landing_")
+          billingRows(spark, dir).write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
+          stage
+        })
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "etl_nested_credits" -> (etlNestedCredits _)
+    "etl_nested_credits" -> (etlNestedCredits _),
+    "stream_nested_credits" -> (streamNestedCredits _)
   )
 
-  val oracleSql: Map[String, String] = Map(
-    // mirrors the fixture arithmetic exactly: quarters/halves make every
-    // credit an exact binary fraction, so round() is engine-independent
-    "etl_nested_credits" ->
-      s"""SELECT event_type AS service_id,
+  // mirrors the fixture arithmetic exactly: quarters/halves make every
+  // credit an exact binary fraction, so round() is engine-independent
+  private val nestedCreditsSql: String =
+    s"""SELECT event_type AS service_id,
          |  count(*) AS n_rows,
          |  CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_credits,
          |  CAST(sum(CASE WHEN event_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_credits,
@@ -252,5 +286,10 @@ object NestedBillingOps {
          |  strftime(max(ts), '$DuckTsFmt') AS max_usage_start
          |FROM events WHERE ts < TIMESTAMP '$JobEnd'
          |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "etl_nested_credits" -> nestedCreditsSql,
+    // the streaming twin lands in the same relation — same oracle
+    "stream_nested_credits" -> nestedCreditsSql
   )
 }
