@@ -28,8 +28,12 @@ object SparkEntry {
     meta.putConfigs(Seq(graft.model.ClientBillingConfig(
       1, "proj_entry", "ds", "t", None, None, None)))
     val src = Tables.load(spark, dir, "events")
-    val jobTime = new java.sql.Timestamp(
-      src.agg(max(col("ts"))).head().getTimestamp(0).getTime + 1000L)
+    // same type-drift-tolerant decode as IncrementalExtract.batchStats —
+    // the driver supplies this session, so its datetime conf is not ours
+    val maxTs = etl.IncrementalExtract
+      .batchStats(src, "ts").maxWatermark
+      .getOrElse(throw new IllegalStateException("events table is empty"))
+    val jobTime = new java.sql.Timestamp(maxTs.getTime + 1000L)
     val r = etl.EtlJob.run(spark, meta, src, "ts", s"$tmp/dest",
       graft.model.EtlJobMessage(1), jobTime, sleeper = _ => ())
     require(r.isRight, s"entry run failed: $r")

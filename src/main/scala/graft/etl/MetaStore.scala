@@ -292,8 +292,10 @@ final class FsMetaStore(val root: String)(implicit spark: SparkSession)
       val g = new org.apache.parquet.example.data.simple.SimpleGroup(StatusFileSchema)
       g.add("seq", seq)
       g.add("org_id", s.org_id)
-      g.add("project_id", s.project_id)
-      g.add("status", s.status)
+      // optional fields: a null simply stays absent (the Spark write path
+      // this replaced tolerated nulls; Binary.fromString(null) would NPE)
+      if (s.project_id != null) g.add("project_id", s.project_id)
+      if (s.status != null) g.add("status", s.status)
       s.end_date_time.foreach { t =>
         val i = t.toInstant
         g.add("end_date_time", i.getEpochSecond * 1000000L + i.getNano / 1000L)

@@ -156,11 +156,13 @@ object ClusterOps {
       round += 1
       // Diagnostic heartbeat: rounds ≈ component diameter, so a corpus that
       // suddenly chains (e.g. templated near-dups) shows up here FIRST —
-      // before it shows up as a silent N× bench regression.
-      log.warn(s"connectedComponents round=$round labelSum=$nextSum converged=$converged")
+      // before it shows up as a silent N× bench regression. Per-round lines
+      // at INFO (debug trail); one summary at WARN so it survives the
+      // bench's WARN log level. Only values already computed are logged —
+      // no extra jobs on the hot path.
+      log.info(s"connectedComponents round=$round labelSum=$nextSum converged=$converged")
     }
-    log.warn(s"connectedComponents done rounds=$round nodes=${labels.count()} " +
-      s"symEdges=${adj.count()}")
+    log.warn(s"connectedComponents done rounds=$round labelSum=$prevSum")
     adj.unpersist()
     labels
   }

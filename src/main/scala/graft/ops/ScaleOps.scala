@@ -341,23 +341,29 @@ object ScaleOps {
     * result, which is exactly what the oracle checks (its SQL is the
     * plain join). ScaleOpsSpec asserts the probe really prunes.
     */
+  /** Build the map-side bloom probe for a semi-join reduction: distributed
+    * sketch over `dim(keyCol)`, shipped to the driver, folded back in as a
+    * typed binary literal (travels with the task binary — broadcast once
+    * per stage, never round-tripped through SQL text). Empty dimension ⇒
+    * `lit(false)` (stat.bloomFilter cannot build a zero-row sketch, and an
+    * empty dim means an empty join anyway).
+    */
+  private def bloomProbe(dim: DataFrame, keyCol: String,
+                         probeCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    graft.functions.NativeBloom.register(dim.sparkSession)
+    val nDim = dim.count()
+    if (nDim == 0) lit(false)
+    else {
+      val bf = dim.stat.bloomFilter(keyCol, math.max(nDim, 64L), 0.01)
+      val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b)
+      call_function("graft_bloom_contains", lit(b.toByteArray), probeCol.cast("bigint"))
+    }
+  }
+
   private def j6BloomSemijoin(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.NativeBloom.register(s)
     val dim = Tables.load(s, dir, "supplier")
       .where(col("s_nationkey") === 3).select(col("s_suppkey"))
-    val nDim = dim.count()
-    // empty dimension ⇒ empty join; stat.bloomFilter cannot build a
-    // zero-row sketch, so short-circuit the probe instead
-    val probe =
-      if (nDim == 0) lit(false)
-      else {
-        val bf = dim.stat.bloomFilter("s_suppkey", math.max(nDim, 64L), 0.01)
-        val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b)
-        // typed binary literal — ships with the task binary (broadcast once
-        // per stage), never round-trips through SQL text
-        call_function("graft_bloom_contains",
-          lit(b.toByteArray), col("l_suppkey").cast("bigint"))
-      }
+    val probe = bloomProbe(dim, "s_suppkey", col("l_suppkey"))
     val fact = Tables.load(s, dir, "lineitem").select(
       col("l_suppkey"),
       round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
@@ -387,20 +393,11 @@ object ScaleOps {
     * pins the probe sitting below the fact-side Exchange.
     */
   private def j6BloomPruneShuffle(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.NativeBloom.register(s)
     val dim = Tables.load(s, dir, "orders")
       .where(col("o_orderpriority") === "1-URGENT" &&
         col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00")))
       .select(col("o_orderkey"), col("o_orderdate"))
-    val nDim = dim.count()
-    val probe =
-      if (nDim == 0) lit(false)
-      else {
-        val bf = dim.stat.bloomFilter("o_orderkey", math.max(nDim, 64L), 0.01)
-        val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b)
-        call_function("graft_bloom_contains",
-          lit(b.toByteArray), col("l_orderkey").cast("bigint"))
-      }
+    val probe = bloomProbe(dim, "o_orderkey", col("l_orderkey"))
     val fact = Tables.load(s, dir, "lineitem").select(
       col("l_orderkey"),
       round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)

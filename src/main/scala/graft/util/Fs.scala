@@ -85,8 +85,15 @@ object Fs {
       val target = java.nio.file.Paths.get(p.toUri.getPath)
       java.nio.file.Files.createDirectories(target.getParent)
       val tmp = java.nio.file.Files.createTempFile(target.getParent, s".${p.getName}_", ".tmp")
-      java.nio.file.Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      try {
+        java.nio.file.Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case e: Throwable =>
+          // never leave an orphan temp next to the live pointer
+          try java.nio.file.Files.deleteIfExists(tmp) catch { case _: Throwable => () }
+          throw e
+      }
     } else {
       val parent = p.getParent
       if (parent != null) f.mkdirs(parent)
@@ -98,22 +105,4 @@ object Fs {
     }
   }
 
-  /** Publish every parquet data file from a staging dir into `destDir`
-    * under a fresh unique name — the move-into-place append. Two Spark
-    * `Append` jobs on ONE directory share its `_temporary` workspace and
-    * can clobber each other's in-flight task files (the committer assumes
-    * a single job per output); staging privately and renaming per file
-    * (atomic on HDFS/local; unique names so never a collision) lets any
-    * number of concurrent appenders share a log directory safely.
-    */
-  def publishParquetFiles(spark: SparkSession, stageDir: String, destDir: String): Unit = {
-    val (f, dest) = fs(spark, destDir)
-    f.mkdirs(dest)
-    listParquetFiles(spark, stageDir).foreach { case (path, _) =>
-      val src = new Path(path)
-      val unique = new Path(dest, s"part-${java.util.UUID.randomUUID()}.parquet")
-      if (!f.rename(src, unique))
-        throw new java.io.IOException(s"failed to publish $src -> $unique")
-    }
-  }
 }

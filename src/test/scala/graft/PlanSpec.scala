@@ -235,11 +235,33 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q must stay equi-joined\n$p")
     }
-    // q18: the HAVING aggregate must sit below the joins (probe side is
-    // |qualifying orders|, not |lineitem|)
-    val q18 = physical(ops.RelationalOps.queries("q18_large_orders")(spark, Sf0001))
-    assert(q18.contains("partial_sum") || q18.contains("partial"),
-      s"grouped-lineitem agg must plan a partial below its shuffle\n$q18")
+    // q18: the HAVING aggregate must sit BELOW the joins (the join probes
+    // |qualifying orders|, not |lineitem|) — walk the tree: some join node
+    // must have an Aggregate with the sum_qty filter inside its subtree
+    locally {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      def nodes(p: SparkPlan): Seq[SparkPlan] = {
+        val inner = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        p +: inner.flatMap(nodes)
+      }
+      val plan = ops.RelationalOps.queries("q18_large_orders")(spark, Sf0001)
+        .queryExecution.executedPlan
+      val aggBelowJoin = nodes(plan).collect { case j: BaseJoinExec => j }.exists(j =>
+        j.children.exists(side => nodes(side).exists {
+          case a: BaseAggregateExec =>
+            a.aggregateExpressions.exists(_.toString.contains("sum"))
+          case _ => false
+        }))
+      assert(aggBelowJoin,
+        s"grouped-lineitem HAVING agg must sit below the join\n$plan")
+    }
     // a7: per-group multi-distinct goes through Expand (two-phase distinct)
     val a7 = physical(ops.RelationalOps.queries("a7_distinct_agg")(spark, Sf0001))
     assert(a7.contains("Expand"), s"COUNT(DISTINCT) must plan via Expand\n$a7")
