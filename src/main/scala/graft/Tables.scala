@@ -23,26 +23,12 @@ object Tables {
   // reason. The memoized plan pins the file listing at first load: files
   // added to a (dir, name) later are invisible to that session — fine for
   // this corpus contract, wrong for a landing zone (use the streaming
-  // source for those).
-  //
-  // A weak key alone cannot free a retired session here: the cached
-  // DataFrames strongly reference their session (df.sparkSession), so the
-  // value pins the key for the JVM lifetime. Retirement is instead
-  // detected explicitly — each load() sweeps out sessions whose
-  // SparkContext has stopped, whose plans are unusable anyway.
-  private val cache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+  // source for those). The cached DataFrames strongly reference their
+  // session, so retirement relies on SessionMemo's stopped-context sweep.
+  private val cache = new graft.util.SessionMemo[(String, String), DataFrame]
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val per = cache.synchronized {
-      val it = cache.keySet.iterator()
-      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
-      cache.computeIfAbsent(spark,
-        _ => scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
-    }
-    per.getOrElseUpdate((dir, name), doLoad(spark, dir, name))
-  }
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.getOrElseUpdate(spark, (dir, name))(doLoad(spark, dir, name))
 
   private def doLoad(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The ingest edge must absorb every timestamp encoding a real landing

@@ -37,22 +37,16 @@ object EtlOps {
 
   // etl_run_dest and etl_run_status examine two facets of the SAME
   // deterministic schedule — memoize per (session, sfDir) so one Verify or
-  // Bench JVM executes the pipeline once, not once per facet. Keyed on the
-  // session OBJECT (weakly) rather than its identity hash, and the value
+  // Bench JVM executes the pipeline once, not once per facet. The value
   // holds only PATHS (a MetaStore would capture the session through its
-  // implicit constructor arg, strongly referencing the key and making the
-  // weak entry uncollectable); callers rebuild the stateless MetaStore
-  // wrapper on access.
-  private val runTwiceMemo =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, (String, String)]]()
+  // implicit constructor arg, strongly referencing the weak key); callers
+  // rebuild the stateless MetaStore wrapper on access.
+  private val runTwiceMemo = new graft.util.SessionMemo[String, (String, String)]
 
   /** Run the two-run ETL schedule into fresh temp storage; return (meta, destDir). */
   private def runTwice(spark: SparkSession, dir: String): (MetaStore, String) = {
-    val (metaRoot, dest) = runTwiceMemo.synchronized {
-      val perSession = runTwiceMemo.computeIfAbsent(spark,
-        _ => scala.collection.mutable.Map.empty)
-      perSession.getOrElseUpdate(dir, runTwiceImpl(spark, dir))
-    }
+    val (metaRoot, dest) =
+      runTwiceMemo.getOrElseUpdate(spark, dir)(runTwiceImpl(spark, dir))
     (MetaStore(metaRoot)(spark), dest)
   }
 
@@ -230,10 +224,7 @@ object EtlOps {
     // sweep measures the credential-scoping semantics once instead of
     // re-executing the whole pipeline per invocation (same memo shape as
     // runTwiceMemo; TenantScopeSpec drills the broker directly).
-    val ledger = tenantMemo.synchronized {
-      tenantMemo.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(dir, tenantLedger(spark, dir))
-    }
+    val ledger = tenantMemo.getOrElseUpdate(spark, dir)(tenantLedger(spark, dir))
     ledger.toDF("org_id", "status", "rows_loaded", "wm")
       .select(col("org_id"), col("status"), col("rows_loaded"),
         fmt(col("wm")).as("watermark"))
@@ -241,8 +232,7 @@ object EtlOps {
   }
 
   private val tenantMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, Seq[(Int, String, Long, Option[Timestamp])]]]()
+    new graft.util.SessionMemo[String, Seq[(Int, String, Long, Option[Timestamp])]]
 
   private def tenantLedger(spark: SparkSession, dir: String): Seq[(Int, String, Long, Option[Timestamp])] = {
     implicit val s: SparkSession = spark

@@ -169,16 +169,12 @@ object NestedBillingOps {
   }
 
   // The dest fixture is deterministic per (session, sfDir) — build it once
-  // per JVM (same memo shape as EtlOps.runTwiceMemo; values are PATHS only
-  // so the weak key stays collectable).
-  private val destMemo =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
+  // per JVM (values are PATHS only, so the weak session key stays
+  // collectable; see SessionMemo for the invariants).
+  private val destMemo = new graft.util.SessionMemo[String, String]
 
   private def nestedDest(spark: SparkSession, dir: String): String =
-    destMemo.synchronized {
-      destMemo.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(dir, buildNestedDest(spark, dir))
-    }
+    destMemo.getOrElseUpdate(spark, dir)(buildNestedDest(spark, dir))
 
   private def buildNestedDest(spark: SparkSession, dir: String): String = {
     implicit val s: SparkSession = spark
@@ -252,14 +248,11 @@ object NestedBillingOps {
     * producer's drop dir), memoized per (session, sfDir) like the dest.
     */
   private def nestedLanding(spark: SparkSession, dir: String): String =
-    destMemo.synchronized {
-      destMemo.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(s"landing:$dir", {
-          val stage = graft.util.TempDirs.create("graft_nested_landing_")
-          billingRows(spark, dir).write
-            .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
-          stage
-        })
+    destMemo.getOrElseUpdate(spark, s"landing:$dir") {
+      val stage = graft.util.TempDirs.create("graft_nested_landing_")
+      billingRows(spark, dir).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
+      stage
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
