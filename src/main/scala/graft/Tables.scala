@@ -58,14 +58,27 @@ object Tables {
 
   /** Belt-and-braces for sources loaded outside the conf's reach (e.g. a
     * schema inferred before the conf was set): cast any remaining
-    * TIMESTAMP_NTZ column to TimestampType. The session TZ is pinned UTC,
-    * so the cast is the identity on the underlying micros.
+    * TIMESTAMP_NTZ to TimestampType — including NTZ nested inside
+    * struct/array/map columns (a struct→struct cast rewrites just the
+    * changed leaves). The session TZ is pinned UTC, so the cast is the
+    * identity on the underlying micros.
     */
   private[graft] def normalizeNtz(df: DataFrame): DataFrame = {
-    val ntz = df.schema.fields.collect {
-      case f if f.dataType == TimestampNTZType => f.name
+    def deNtz(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+      dt match {
+        case TimestampNTZType => TimestampType
+        case s: org.apache.spark.sql.types.StructType =>
+          org.apache.spark.sql.types.StructType(
+            s.fields.map(f => f.copy(dataType = deNtz(f.dataType))))
+        case a: org.apache.spark.sql.types.ArrayType => a.copy(elementType = deNtz(a.elementType))
+        case m: org.apache.spark.sql.types.MapType =>
+          m.copy(keyType = deNtz(m.keyType), valueType = deNtz(m.valueType))
+        case other => other
+      }
+    val changed = df.schema.fields.collect {
+      case f if deNtz(f.dataType) != f.dataType => f.name -> deNtz(f.dataType)
     }
-    if (ntz.isEmpty) df
-    else ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+    if (changed.isEmpty) df
+    else changed.foldLeft(df) { case (d, (name, t)) => d.withColumn(name, col(name).cast(t)) }
   }
 }
