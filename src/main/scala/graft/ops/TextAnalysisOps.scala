@@ -394,21 +394,28 @@ object TextAnalysisOps {
     * fired; the DuckDB oracle re-derives the merges AND re-encodes, so
     * train and apply are cross-checked end to end.
     */
-  private def taBpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val merges = trainedMerges(s, dir)
+  /** The learned merge chain folded into ONE codegen projection over a
+    * `word` column: chained double-`replace` per merge (same two-pass
+    * greedy contract as training — back-to-back repeats of a pair merge
+    * like standard BPE).
+    */
+  private def encodedSyms(merges: List[(Int, String, String, String, Long)]):
+      org.apache.spark.sql.Column = {
     val syms0 = concat(lit(" "),
       array_join(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
         " "), lit(" "))
-    val symsN = merges.foldLeft(syms0) { case (c, (_, l, r, _, _)) =>
-      // double replace per merge: same two-pass contract as training —
-      // back-to-back repeats of the pair merge like standard greedy BPE
+    merges.foldLeft(syms0) { case (c, (_, l, r, _, _)) =>
       call_function("replace",
         call_function("replace", c, lit(s" $l $r "), lit(s" $l$r ")),
         lit(s" $l $r "), lit(s" $l$r "))
     }
+  }
+
+  private def taBpeEncode(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .select(col("doc_id"), explode(toks).as("word"))
-      .select(col("doc_id"), symsN.as("syms"), length(col("word")).as("n_chars"))
+      .select(col("doc_id"), encodedSyms(trainedMerges(s, dir)).as("syms"),
+        length(col("word")).as("n_chars"))
       .select(col("doc_id"),
         size(expr("filter(split(syms, ' '), x -> x != '')")).as("n_toks"),
         col("n_chars"))
@@ -417,11 +424,35 @@ object TextAnalysisOps {
         sum(col("n_toks")).as("n_tokens"),
         sum(col("n_chars")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
-  }
+
+  /** Tokenizer FERTILITY by language — tokens per word and per 1000 chars,
+    * the standard report for judging how a trained tokenizer treats each
+    * language slice of the corpus (high fertility = the vocabulary
+    * under-serves that language). Integer milli-metrics (exact `div`) so
+    * both engines agree bit-exactly; same map-only encode projection as
+    * [[taBpeEncode]], one |langs|-row aggregate.
+    */
+  private def taBpeFertility(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("lang"), explode(toks).as("word"))
+      .select(col("lang"), encodedSyms(trainedMerges(s, dir)).as("syms"),
+        length(col("word")).as("n_chars"))
+      .select(col("lang"),
+        size(expr("filter(split(syms, ' '), x -> x != '')")).as("n_toks"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).cast("long").as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+        expr("(n_tokens * 1000) div n_words").as("toks_per_kword"),
+        expr("(n_tokens * 1000) div n_chars").as("toks_per_kchar"))
+      .orderBy(col("lang"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_bpe_merges" -> (taBpeMerges _),
     "ta_bpe_encode" -> (taBpeEncode _),
+    "ta_bpe_fertility" -> (taBpeFertility _),
     "ta_langid" -> (taLangid _),
     "ta_langid_confusion" -> (taLangidConfusion _),
     "ta_quality_score" -> (taQuality _),
@@ -626,6 +657,23 @@ object TextAnalysisOps {
          |JOIN tok t ON d.word = t.word
          |GROUP BY d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // fertility = the encode replay grouped by language; integer
+    // milli-metrics via floor division (both operands positive, so
+    // DuckDB's // and Spark's div agree)
+    "ta_bpe_fertility" ->
+      s"""WITH $bpeOracleChain,
+         |tok AS MATERIALIZED (
+         |  SELECT word, len(list_filter(string_split(syms, ' '), x -> x <> '')) AS n_toks
+         |  FROM w$BpeRounds)
+         |SELECT d.lang, count(*) AS n_words, CAST(sum(t.n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(len(d.word)) AS BIGINT) AS n_chars,
+         |  CAST((CAST(sum(t.n_toks) AS BIGINT) * 1000) // count(*) AS BIGINT) AS toks_per_kword,
+         |  CAST((CAST(sum(t.n_toks) AS BIGINT) * 1000) // CAST(sum(len(d.word)) AS BIGINT)
+         |    AS BIGINT) AS toks_per_kchar
+         |FROM (SELECT lang, unnest($duckToks) AS word FROM documents) d
+         |JOIN tok t ON d.word = t.word
+         |GROUP BY d.lang
+         |ORDER BY d.lang""".stripMargin,
     // lower(nfc_normalize(..)) mirrors the engine's NFC-then-lowercase
     // order; RE2's \s and Java's \s agree on every whitespace char that
     // can appear here (divergence is only U+000B, absent by construction).
