@@ -112,8 +112,92 @@ object IngestScreenOps {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // Corrupt-drop handling: a cross-environment landing zone receives
+  // whatever upstream wrote, including torn/garbage files (a crashed
+  // writer, a partial copy). The ingest edge must route around them —
+  // never crash the whole batch, never silently drop good rows.
+
+  /** Probe every data file's parquet footer; return (readable, quarantined)
+    * path lists. Driver-side loop here — the probe is one footer read per
+    * file, and a landing zone's file count is control-plane sized; at
+    * cluster scale the same probe runs as a mapPartitions over the file
+    * list with the quarantine rename per task.
+    */
+  private[graft] def probeFooters(s: SparkSession, landing: String): (Seq[String], Seq[String]) = {
+    val conf = s.sessionState.newHadoopConf()
+    val visible = graft.util.Fs.listParquetFiles(s, landing).map(_._1)
+      // Spark's reader convention: dot-prefixed path segments are invisible
+      // — which also keeps an earlier sweep's .quarantine out of the probe
+      .filterNot(_.split('/').exists(seg => seg.startsWith(".") || seg.startsWith("_")))
+    val (good, bad) = visible.partition { p =>
+      try {
+        org.apache.parquet.hadoop.ParquetFileReader
+          .open(org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(p), conf))
+          .close()
+        true
+      } catch { case _: Throwable => false }
+    }
+    (good, bad)
+  }
+
+  /** Destructive variant: rename unreadable drops into `$landing/.quarantine/`
+    * so subsequent whole-directory reads are clean (exercised by
+    * IngestScreenSpec; the registered query uses the non-destructive probe
+    * so bench runs stay idempotent).
+    */
+  private[graft] def quarantineSweep(s: SparkSession, landing: String): Seq[String] = {
+    val conf = s.sessionState.newHadoopConf()
+    val (_, bad) = probeFooters(s, landing)
+    val qdir = new org.apache.hadoop.fs.Path(landing, ".quarantine")
+    val fsys = qdir.getFileSystem(conf)
+    fsys.mkdirs(qdir)
+    bad.foreach { p =>
+      val src = new org.apache.hadoop.fs.Path(p)
+      if (!fsys.rename(src, new org.apache.hadoop.fs.Path(qdir, src.getName)))
+        throw new java.io.IOException(s"failed to quarantine $src")
+    }
+    bad
+  }
+
+  // landing fixture: the events table as 3 good drops + one torn file
+  // (valid parquet truncated mid-footer) + one non-parquet garbage drop
+  private val corruptLandingMemo = new graft.util.SessionMemo[String, String]
+
+  private def corruptLanding(s: SparkSession, dir: String): String =
+    corruptLandingMemo.getOrElseUpdate(s, dir) {
+      val landing = graft.util.TempDirs.create("graft_corrupt_landing_")
+      Tables.load(s, dir, "events").repartition(3)
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(landing)
+      val aGood = java.nio.file.Files.list(java.nio.file.Paths.get(landing))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val bytes = java.nio.file.Files.readAllBytes(aGood)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(landing, "torn-drop.parquet"),
+        java.util.Arrays.copyOf(bytes, math.max(64, bytes.length / 3)))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(landing, "garbage-drop.parquet"),
+        Array.fill[Byte](512)(0x5A))
+      landing
+    }
+
+  /** The quarantine screen as a query: survivors of the footer probe read
+    * normally and aggregate to the full events table (proof no good row
+    * was lost), with the quarantined-drop count alongside.
+    */
+  private def ingestCorruptQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val (good, bad) = probeFooters(s, corruptLanding(s, dir))
+    require(good.nonEmpty, "corrupt-landing fixture lost its good files")
+    s.read.parquet(good: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .withColumn("n_quarantined", lit(bad.size))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ingest_screen_pipeline" -> (ingestScreen _)
+    "ingest_screen_pipeline" -> (ingestScreen _),
+    "ingest_corrupt_quarantine" -> (ingestCorruptQuarantine _)
   )
 
   /** Oracle: the same five-way disposition rebuilt relationally in DuckDB —
@@ -164,6 +248,13 @@ object IngestScreenOps {
        |  FROM t LEFT JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // survivors == the whole events table; the two planted bad drops are a
+    // fixture constant
+    "ingest_corrupt_quarantine" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+        |  2 AS n_quarantined
+        |FROM events""".stripMargin,
     "ingest_screen_pipeline" ->
       s"""WITH $duckBatchCte,
          |corpus AS (

@@ -53,6 +53,26 @@ class IngestScreenSpec extends AnyFunSuite {
       s"engine=$engineNear bruteforce=$nearOnly")
   }
 
+  test("corrupt-drop quarantine: sweep moves only the bad files, dir reads clean") {
+    val landing = tmpDir("corrupt_sweep_")
+    Tables.load(spark, Sf0001, "events").limit(100).repartition(2)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(landing)
+    // plant one torn file (truncated valid parquet) and one garbage drop
+    val aGood = java.nio.file.Files.list(java.nio.file.Paths.get(landing))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    val bytes = java.nio.file.Files.readAllBytes(aGood)
+    java.nio.file.Files.write(java.nio.file.Paths.get(landing, "torn.parquet"),
+      java.util.Arrays.copyOf(bytes, math.max(64, bytes.length / 2)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(landing, "junk.parquet"),
+      Array.fill[Byte](256)(0x17))
+    val quarantined = ops.IngestScreenOps.quarantineSweep(spark, landing)
+    assert(quarantined.map(p => p.split('/').last).toSet == Set("torn.parquet", "junk.parquet"))
+    // the directory now reads whole, and no good row was lost
+    assert(spark.read.parquet(landing).count() == 100)
+    // idempotent: a second sweep finds nothing
+    assert(ops.IngestScreenOps.quarantineSweep(spark, landing).isEmpty)
+  }
+
   test("streaming screen agrees with the batch screen on every shared stage") {
     val streamed = ops.StreamingOps.queries("stream_ingest_screen")(spark, Sf0001)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
