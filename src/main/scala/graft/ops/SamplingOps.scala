@@ -277,6 +277,30 @@ object SamplingOps {
           size(tokens(col("text"))).cast("long").as("y")),
       "lang")
 
+  /** Schema/data profiling — the first pass every pipeline runs on a new
+    * source: per-column row count, null count, and EXACT distinct count
+    * over the events table, one row per column. All six distinct-counts
+    * run in ONE aggregation job (Catalyst plans multi-distinct via Expand
+    * — a single pass over the fact table, ×|columns| expanded rows, each
+    * with map-side partial aggregation), then the 1-row aggregate unpivots
+    * via `stack`. At 100 TB swap `countDistinct` for
+    * `approx_count_distinct` per column (the HLL++ audit shape
+    * `stats_approx_distinct` already grades that trade).
+    */
+  private def statsColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val cols = Seq("event_id", "event_type", "props", "ts", "user_id", "value")
+    val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+      countDistinct(col(c)).as(s"dist_$c")))
+    ev.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${cols.size}, " +
+          cols.map(c => s"'$c', n, null_$c, dist_$c").mkString(", ") +
+          ") as (col_name, n_rows, n_null, n_distinct)"))
+      .orderBy(col("col_name"))
+  }
+
   /** The exact-moment corr pipeline over arbitrary (group, x, y) rows —
     * factored out so the overflow spec can drive it at adversarial
     * magnitudes that the documents fixture never reaches.
@@ -370,6 +394,7 @@ object SamplingOps {
     "mix_temperature_weights" -> (mixTemperatureWeights _),
     "mix_pivot_matrix" -> (mixPivotMatrix _),
     "stats_corr_exact" -> (statsCorrExact _),
+    "stats_column_profile" -> (statsColumnProfile _),
     "chunk_fixed_tokens" -> (chunkFixedTokens _),
     "batch_length_buckets" -> (batchLengthBuckets _),
     "mix_stratified_sample" -> (mixStratifiedSample _),
@@ -389,6 +414,15 @@ object SamplingOps {
       s"""SELECT source,
          |  $cells
          |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
+    "stats_column_profile" -> {
+      val cols = Seq("event_id", "event_type", "props", "ts", "user_id", "value")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM events""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
     "stats_corr_exact" ->
       """WITH t AS (
