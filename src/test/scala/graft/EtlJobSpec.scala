@@ -134,19 +134,22 @@ class EtlJobSpec extends AnyFunSuite {
   }
 
   test("partitioned write coalesces each date to O(1) files (rebalance)") {
-    val (meta, root) = freshMeta(7)
-    val res = EtlJob.run(spark, meta, events, "ts", s"$root/dest",
-      EtlJobMessage(7), utcTs("2024-01-15 00:00:00"), sleeper = _ => ())
-    assert(res.isRight, s"$res")
     // without the pre-write REBALANCE(export_date), every task writes a
-    // sliver of every date it saw — tasks × dates small files per run
-    val perDate = graft.util.Fs.listParquetFiles(spark, s"$root/dest")
-      .map(_._1)
-      .groupBy(p => p.split('/').takeWhile(!_.endsWith(".parquet")).last)
-    assert(perDate.nonEmpty)
-    perDate.foreach { case (date, files) =>
-      assert(files.size <= 2,
-        s"$date has ${files.size} files — the rebalance-before-write is gone")
+    // sliver of every date it saw — tasks × dates small files per run;
+    // BOTH duplicate-handling modes must keep the compact shape
+    Seq(EtlJob.Parity -> "parity", EtlJob.Exact -> "exact").foreach { case (mode, name) =>
+      val (meta, root) = freshMeta(7)
+      val res = EtlJob.run(spark, meta, events, "ts", s"$root/dest",
+        EtlJobMessage(7), utcTs("2024-01-15 00:00:00"), sleeper = _ => (), mode = mode)
+      assert(res.isRight, s"$name: $res")
+      val perDate = graft.util.Fs.listParquetFiles(spark, s"$root/dest")
+        .map(_._1)
+        .groupBy(p => p.split('/').takeWhile(!_.endsWith(".parquet")).last)
+      assert(perDate.nonEmpty, name)
+      perDate.foreach { case (date, files) =>
+        assert(files.size <= 2,
+          s"$name/$date has ${files.size} files — the rebalance-before-write is gone")
+      }
     }
   }
 
