@@ -152,6 +152,34 @@ object CoverageOps {
     * all footers): a production store pins the merged schema in a catalog
     * instead — which is what reading with an explicit union schema models.
     */
+  /** JDBC sink→source parity for the DATA plane (the control plane already
+    * has its own JDBC backend): the extraction slice written through
+    * `spark.write.jdbc` into embedded Derby — the reference's MySQL shape,
+    * URL/driver generalize — and read back as a PARALLEL PARTITIONED scan
+    * (`partitionColumn`/`numPartitions`): each executor issues its own
+    * bounded `WHERE event_id >= lo AND < hi` query, the only JDBC read
+    * shape that scales past one connection. Timestamps travel as
+    * java.sql.Timestamp (Derby TIMESTAMP holds nanos — micros preserved);
+    * the ISO re-format on read-back proves it.
+    */
+  private def srcJdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val url = s"jdbc:derby:${graft.util.TempDirs.create("graft_jdbc_rt_")}/data;create=true"
+    val slice = Tables.load(s, dir, "events")
+      .where(col("ts") >= to_timestamp(lit(W0)) && col("ts") < to_timestamp(lit(W1)))
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"), col("props"))
+    slice.write.mode("overwrite").jdbc(url, "events_slice", new java.util.Properties)
+    val bounds = slice.agg(min(col("event_id")), max(col("event_id"))).head()
+    s.read
+      .option("partitionColumn", "event_id")
+      .option("lowerBound", bounds.getLong(0))
+      .option("upperBound", bounds.getLong(1) + 1)
+      .option("numPartitions", 8)
+      .jdbc(url, "events_slice", new java.util.Properties)
+      .select(col("event_id"), date_format(col("ts"), TsFmt).as("ts_iso"),
+        col("user_id"), col("value"), col("props"))
+      .orderBy(col("event_id"))
+  }
+
   private def srcSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
     val out = graft.util.TempDirs.create("graft_schevo_")
     val ev = Tables.load(s, dir, "events")
@@ -237,6 +265,7 @@ object CoverageOps {
     "src_json_roundtrip" -> (srcJsonRoundtrip _),
     "src_csv_roundtrip" -> (srcCsvRoundtrip _),
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
+    "src_jdbc_roundtrip" -> (srcJdbcRoundtrip _),
     "src_schema_evolution" -> (srcSchemaEvolution _),
     "stats_approx_distinct" -> (statsApproxDistinct _),
     "stats_approx_quantile" -> (statsApproxQuantile _),
@@ -279,6 +308,10 @@ object CoverageOps {
         |    AS value_cents_sum
         |FROM events""".stripMargin,
     "src_csv_roundtrip" ->
+      s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, value, props
+         |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
+         |ORDER BY event_id""".stripMargin,
+    "src_jdbc_roundtrip" ->
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, value, props
          |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
          |ORDER BY event_id""".stripMargin,
