@@ -195,9 +195,31 @@ object IngestScreenOps {
       .withColumn("n_quarantined", lit(bad.size))
   }
 
+  /** The tolerate-don't-quarantine strategy, and its streaming shape: the
+    * file stream consumes the same corrupt landing zone with the
+    * `ignoreCorruptFiles` reader option — tasks skip unreadable files
+    * instead of failing the batch — drains through the parquet sink, and
+    * must still aggregate to the FULL events table. The probe supplies the
+    * skipped-drop count for the report (in production that number comes
+    * from the same footer sweep, run as the landing zone's audit).
+    */
+  private def streamCorruptTolerant(s: SparkSession, dir: String): DataFrame = {
+    val landing = corruptLanding(s, dir)
+    val (_, bad) = probeFooters(s, landing)
+    val stream = s.readStream
+      .schema(Tables.load(s, dir, "events").schema)
+      .option("ignoreCorruptFiles", "true")
+      .parquet(landing)
+    graft.streaming.StreamingIngest.runToParquet(stream)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .withColumn("n_quarantined", lit(bad.size))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_screen_pipeline" -> (ingestScreen _),
-    "ingest_corrupt_quarantine" -> (ingestCorruptQuarantine _)
+    "ingest_corrupt_quarantine" -> (ingestCorruptQuarantine _),
+    "stream_corrupt_tolerant" -> (streamCorruptTolerant _)
   )
 
   /** Oracle: the same five-way disposition rebuilt relationally in DuckDB —
@@ -251,6 +273,12 @@ object IngestScreenOps {
     // survivors == the whole events table; the two planted bad drops are a
     // fixture constant
     "ingest_corrupt_quarantine" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+        |  2 AS n_quarantined
+        |FROM events""".stripMargin,
+    // the streaming tolerate-strategy lands in the same relation
+    "stream_corrupt_tolerant" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
         |  2 AS n_quarantined
