@@ -150,10 +150,23 @@ object StreamingIngest {
       cls.getMethod("unloadAll").invoke(cls.getField("MODULE$").get(null))
     } catch { case _: Throwable => () }
 
+  /** Stateful-query grain: one state-store provider is opened, committed,
+    * and maintained per shuffle partition per micro-batch, so partition
+    * count is a STATE knob, not a parallelism knob — size it to key
+    * cardinality (users/windows here), not to cores. Every stateful drain
+    * in this file runs under this wrapper; a real deployment tunes the
+    * number per query.
+    */
+  private def withStateGrain[A](spark: SparkSession, partitions: Int = 8)(f: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** W3 as a *streaming* windowed aggregation: tumbling 1-day event-time
     * windows with a 1-hour watermark, complete at AvailableNow drain.
     */
-  def tumblingDaily(spark: SparkSession, dir: String): DataFrame = {
+  def tumblingDaily(spark: SparkSession, dir: String): DataFrame = withStateGrain(spark) {
     val agg = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day").as("win"))
@@ -175,7 +188,7 @@ object StreamingIngest {
     * watermark at scale; AvailableNow + Complete drains the full table for
     * the oracle compare.
     */
-  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame = withStateGrain(spark) {
     val agg = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"),
@@ -225,7 +238,7 @@ object StreamingIngest {
     * uses a horizon wider than the dataset's event-time span, so the drain
     * provably equals the batch DISTINCT and the DuckDB oracle can check it.
     */
-  def streamDedupExact(spark: SparkSession, dir: String): DataFrame = {
+  def streamDedupExact(spark: SparkSession, dir: String): DataFrame = withStateGrain(spark) {
     val deduped = eventsStream(spark, dir, copies = 2)
       .withWatermark("ts", "365 days")
       .dropDuplicatesWithinWatermark("event_id")
@@ -355,18 +368,8 @@ object StreamingIngest {
     * (org, project) in MySQL). Update-mode output; the final row per key is
     * the resume watermark.
     */
-  def statefulUserWatermark(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // state-store grain: one provider per shuffle partition is opened and
-    // committed every micro-batch; per-user max-ts state is modest-
-    // cardinality, so 8 partitions (the interval join's rationale) beats
-    // paying 32 store commits per batch. A real deployment sizes this to
-    // key cardinality, not cores.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try statefulUserWatermarkInner(spark, dir)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+  def statefulUserWatermark(spark: SparkSession, dir: String): DataFrame =
+    withStateGrain(spark) { statefulUserWatermarkInner(spark, dir) }
 
   private def statefulUserWatermarkInner(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -406,14 +409,9 @@ object StreamingIngest {
     */
   def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
     // stream-stream joins allocate FOUR state stores per shuffle partition
-    // (left/right × keyToNumValues/keyWithIndexToValue); at 32 partitions
-    // the per-micro-batch store open/commit dominates a modest-cardinality
-    // join. 8 partitions is the right grain for per-user state here —
-    // a real deployment sizes this to key cardinality, not to cores.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try streamIntervalJoinInner(spark, dir)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // (left/right × keyToNumValues/keyWithIndexToValue), so the grain
+    // matters here most of all
+    withStateGrain(spark) { streamIntervalJoinInner(spark, dir) }
   }
 
   private def streamIntervalJoinInner(spark: SparkSession, dir: String): DataFrame = {
