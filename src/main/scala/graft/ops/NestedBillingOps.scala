@@ -250,7 +250,10 @@ object NestedBillingOps {
   private def nestedLanding(spark: SparkSession, dir: String): String =
     destMemo.getOrElseUpdate(spark, s"landing:$dir") {
       val stage = graft.util.TempDirs.create("graft_nested_landing_")
-      billingRows(spark, dir).write
+      // a real landing zone is many drops, not one: the source scan is a
+      // single split at this SF, and without the repartition the stream's
+      // map phase (the per-row JSON boundary) would run on ONE task
+      billingRows(spark, dir).repartition(16).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
       stage
     }
