@@ -411,7 +411,7 @@ object StreamingIngest {
     // stream-stream joins allocate FOUR state stores per shuffle partition
     // (left/right × keyToNumValues/keyWithIndexToValue), so the grain
     // matters here most of all
-    withStateGrain(spark) { streamIntervalJoinInner(spark, dir) }
+    withStateGrain(spark, 4) { streamIntervalJoinInner(spark, dir) }
   }
 
   private def streamIntervalJoinInner(spark: SparkSession, dir: String): DataFrame = {
