@@ -461,6 +461,43 @@ object RelationalOps {
       .orderBy(col("day"))
   }
 
+  /** Date-spine gap-fill / resample, W11 (extension): the daily rollup of a
+    * SPARSE event class (high-value purchases here) has holes — days where
+    * nothing qualified — but every downstream consumer of a daily series
+    * (dashboards, anomaly screens like W10, training-mix schedulers) needs
+    * a dense axis. Generate the full per-type date spine, mark the gaps,
+    * and carry the last observed daily value forward.
+    *
+    * Scale shape: the ONLY full-corpus work is the one partial-agg rollup
+    * shuffle (100 TB → |types|×|days| rows). Spine bounds come from a
+    * 1-row aggregate OF THE ROLLUP (broadcast), the spine itself is a
+    * `sequence` generator over those bounds (never a join against the
+    * fact), and the forward-fill window sorts |types|×|days| rows. A
+    * gap-fill windowed over the raw fact table would sort petabytes;
+    * this never touches the fact again after the rollup.
+    */
+  private def w11(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(s, dir)
+      .where(col("value") >= 300.0)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    val bounds = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val spine = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds)) // 1-row bounds: generator input, not a join fanout
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    spine.join(daily, Seq("event_type", "d"), "left")
+      .withColumn("cents_ff", last(col("cents"), ignoreNulls = true).over(w))
+      .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        coalesce(col("cents_ff"), lit(0L)).as("cents_ff"),
+        col("n_obs").isNull.as("is_gap"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** At-least-once boundary duplication, W5/N1: the rows the next run
     * re-reads because its predicate is `>= watermark`
     * (reference: billing_etl.py:280).
@@ -658,6 +695,7 @@ object RelationalOps {
     "w8_gap_sessionize" -> (w8 _),
     "w9_cumulative_daily" -> (w9 _),
     "w10_volume_anomaly" -> (w10 _),
+    "w11_gap_fill" -> (w11 _),
     "a6_window_suite" -> (a6WindowSuite _),
     "j2_asof_join" -> (j2 _),
     "w7_no_data_short_circuit" -> (w7 _),
@@ -845,6 +883,25 @@ object RelationalOps {
         |        CAST(round(value * 100) AS BIGINT) AS cents FROM events)
         |WINDOW wts AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, rn""".stripMargin,
+    "w11_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS d, count(*) AS n_obs,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE value >= 300.0 GROUP BY 1, 2),
+        |b AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+        |spine AS (
+        |  SELECT t.event_type, g.d
+        |  FROM (SELECT DISTINCT event_type FROM daily) t,
+        |       (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM b) g),
+        |j AS (SELECT s.event_type, s.d, daily.n_obs, daily.cents
+        |      FROM spine s LEFT JOIN daily ON s.event_type = daily.event_type AND s.d = daily.d)
+        |SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+        |  CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs,
+        |  CAST(COALESCE(last_value(cents IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS cents_ff,
+        |  n_obs IS NULL AS is_gap
+        |FROM j ORDER BY event_type, day""".stripMargin,
     "w9_cumulative_daily" ->
       """WITH d AS (
         |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
