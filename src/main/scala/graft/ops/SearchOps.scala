@@ -140,9 +140,90 @@ object SearchOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixed query-document ids for the hybrid retriever — present at every
+    * shipped SF (documents and embeddings share the 0-based id space).
+    */
+  private[graft] val FusionQueryDocs: Seq[Int] = Seq(7, 23, 41)
+  private[graft] val FusionCandidates = 20 // per-retriever candidate depth
+  private[graft] val FusionTopK = 5
+  private[graft] val FusionMissRank = FusionCandidates + 1
+
+  /** Hybrid retrieval fusion — the RAG-era retrieval shape: a LEXICAL
+    * candidate list (trigram-overlap, the sparse retriever) and a VECTOR
+    * candidate list (int8-quantized dot product, the dense retriever) are
+    * fused by Borda rank sum, so a doc surfacing in BOTH lists beats a doc
+    * that tops only one. All-integer scoring end to end (shared-shingle
+    * counts, quantized dot products, rank sums), so the DuckDB oracle
+    * replays every rank bit-exactly — no float fusion-weight hazard.
+    *
+    * Scale shape: fusion happens on CANDIDATE LISTS (≤ N per retriever per
+    * query), never on corpus-sized rankings — ranking the full corpus per
+    * query would sort 100 TB per question. The lexical leg is a posting
+    * join against the broadcast query shingles (work ∝ the query docs'
+    * posting lists); the dense leg is the brute-force scan baseline (map-
+    * only: broadcast query codes × one corpus pass), with the IVF posting
+    * route (`ann_ivf_recall`) as the drop-in at scale; both legs finish
+    * with a map-side WindowGroupLimit top-N, and the full-outer fusion
+    * join carries ≤ 2·N·|queries| rows.
+    */
+  private def searchHybridFusion(s: SparkSession, dir: String): DataFrame = {
+    val qids = FusionQueryDocs.map(x => x: Any)
+
+    // lexical retriever: distinct-trigram posting join; count = |q ∩ d|
+    val shingled = documents(s, dir)
+      .select(col("doc_id"), explode(trigrams(toks)).as("g"))
+    val qGrams = shingled.where(col("doc_id").isin(qids: _*))
+      .select(col("doc_id").as("q_id"), col("g"))
+    val lex = shingled.join(broadcast(qGrams), "g")
+      .where(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("lex_score"))
+    val wl = Window.partitionBy(col("q_id"))
+      .orderBy(col("lex_score").desc, col("doc_id"))
+    val lexTop = lex.withColumn("r_lex", row_number().over(wl))
+      .where(col("r_lex") <= FusionCandidates)
+      .select(col("q_id"), col("doc_id"), col("r_lex"))
+
+    // dense retriever: per-vector affine int8 codes (the exact
+    // embed_quantize_int8 formula) -> integer dot vs broadcast query codes
+    val e = col("embedding")
+    val mn = array_min(e).cast("double")
+    val span = array_max(e).cast("double") - array_min(e).cast("double")
+    val codes =
+      when(span > 0,
+        transform(e, x => round((x.cast("double") - mn) * 255 / span).cast("long")))
+        .otherwise(transform(e, _ => lit(0L)))
+    val coded = Tables.load(s, dir, "embeddings").select(col("vec_id"), codes.as("c"))
+    val qCodes = coded.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("c").as("qc"))
+    val vec = coded.crossJoin(broadcast(qCodes)) // |queries| rows broadcast: map-only fanout
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        aggregate(zip_with(col("qc"), col("c"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot"))
+    val wv = Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("doc_id"))
+    val vecTop = vec.withColumn("r_vec", row_number().over(wv))
+      .where(col("r_vec") <= FusionCandidates)
+      .select(col("q_id"), col("doc_id"), col("r_vec"))
+
+    // Borda fusion over the two candidate lists; absence costs rank N+1
+    val fused = lexTop.join(vecTop, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        coalesce(col("r_lex"), lit(FusionMissRank)).as("r_lex"),
+        coalesce(col("r_vec"), lit(FusionMissRank)).as("r_vec"))
+      .withColumn("borda", col("r_lex") + col("r_vec"))
+    val wf = Window.partitionBy(col("q_id")).orderBy(col("borda"), col("doc_id"))
+    fused.withColumn("rank", row_number().over(wf))
+      .where(col("rank") <= FusionTopK)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        col("r_lex"), col("r_vec"), col("borda"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_invindex_topk" -> (searchInvindexTopK _),
     "search_phrase" -> (searchPhrase _),
+    "search_hybrid_fusion" -> (searchHybridFusion _),
     "ta_tfidf_topk" -> (taTfidfTopK _)
   )
 
@@ -152,7 +233,48 @@ object SearchOps {
   private def queryValuesSql: String =
     SearchQueries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
 
+  private def fusionIdsSql: String = FusionQueryDocs.mkString(", ")
+
   val oracleSql: Map[String, String] = Map(
+    // trigram formula shared with the dedup family (DedupOps.duckShingled);
+    // int8 code formula shared with embed_quantize_int8's oracle
+    "search_hybrid_fusion" ->
+      s"""WITH tok AS (${DedupOps.duckShingled("")}),
+         |q AS (SELECT doc_id AS q_id, t AS qt FROM tok WHERE doc_id IN ($fusionIdsSql)),
+         |lex AS (
+         |  SELECT q.q_id, d.doc_id, len(list_intersect(q.qt, d.t)) AS lex_score
+         |  FROM q, tok d
+         |  WHERE d.doc_id <> q.q_id AND len(list_intersect(q.qt, d.t)) > 0),
+         |lex_r AS (
+         |  SELECT q_id, doc_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY lex_score DESC, doc_id) AS r_lex
+         |  FROM lex QUALIFY r_lex <= $FusionCandidates),
+         |codes AS (
+         |  SELECT vec_id,
+         |    CASE WHEN span > 0 THEN list_transform(e, x -> CAST(round((x - mn) * 255 / span) AS BIGINT))
+         |         ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS c
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |          list_min(embedding::DOUBLE[]) AS mn,
+         |          list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[]) AS span
+         |        FROM embeddings)),
+         |qc AS (SELECT vec_id AS q_id, c AS qcodes FROM codes WHERE vec_id IN ($fusionIdsSql)),
+         |vec AS (
+         |  SELECT qc.q_id, codes.vec_id AS doc_id,
+         |    list_sum(list_transform(range(1, len(c) + 1), i -> qcodes[i] * c[i])) AS dot
+         |  FROM qc, codes WHERE codes.vec_id <> qc.q_id),
+         |vec_r AS (
+         |  SELECT q_id, doc_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, doc_id) AS r_vec
+         |  FROM vec QUALIFY r_vec <= $FusionCandidates),
+         |f AS (
+         |  SELECT COALESCE(l.q_id, v.q_id) AS q_id, COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |    CAST(COALESCE(l.r_lex, $FusionMissRank) AS INTEGER) AS r_lex,
+         |    CAST(COALESCE(v.r_vec, $FusionMissRank) AS INTEGER) AS r_vec,
+         |    CAST(COALESCE(l.r_lex, $FusionMissRank) + COALESCE(v.r_vec, $FusionMissRank) AS INTEGER) AS borda
+         |  FROM lex_r l FULL OUTER JOIN vec_r v ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
+         |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY borda, doc_id) AS INTEGER) AS rank,
+         |  doc_id, r_lex, r_vec, borda
+         |FROM f QUALIFY rank <= $FusionTopK ORDER BY q_id, rank""".stripMargin,
     "search_invindex_topk" ->
       s"""WITH q(query_id, word) AS (VALUES $queryValuesSql),
          |tok AS (SELECT doc_id, unnest($duckToks) AS word FROM documents),

@@ -84,4 +84,33 @@ class SearchSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"adjacency must stay an equi-join on (doc_id, offset)\n${plan.take(800)}")
   }
+
+  test("hybrid fusion: candidate-bounded, both retrievers contribute, plan shape") {
+    import ops.SearchOps._
+    val df = ops.SearchOps.queries("search_hybrid_fusion")(spark, Sf0001)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    // exactly K fused hits per query doc, ranks total and 1-based
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length == FusionTopK, s"query $q returned ${rs.length} rows")
+      assert(rs.map(_._2).sorted.toSeq == (1 to FusionTopK), s"ranks not dense for $q")
+    }
+    // ranks never exceed the miss sentinel, borda is their exact sum,
+    // and the query doc never retrieves itself
+    rows.foreach { case (q, _, d, rl, rv, b) =>
+      assert(d != q, s"query $q retrieved itself")
+      assert(rl >= 1 && rl <= FusionMissRank && rv >= 1 && rv <= FusionMissRank)
+      assert(b == rl + rv, s"borda $b != $rl + $rv")
+    }
+    // fusion is non-degenerate at sf0.001: at least one fused hit came
+    // from each retriever's list (not all misses on either side)
+    assert(rows.exists(_._4 < FusionMissRank), "no lexical candidate survived fusion")
+    assert(rows.exists(_._5 < FusionMissRank), "no vector candidate survived fusion")
+    // plan: lexical leg is a broadcast hash join on the shingle key; the
+    // only nested-loop is the deliberate broadcast of |queries| code rows
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
 }
