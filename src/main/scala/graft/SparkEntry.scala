@@ -48,7 +48,8 @@ object SparkEntry {
       ops.MultimodalOps.queries ++ ops.StreamingOps.queries ++
       ops.SamplingOps.queries ++ ops.IngestScreenOps.queries ++ ops.CoverageOps.queries ++
       ops.WarehouseOps.queries ++ ops.EmbedClusterOps.queries ++ ops.SearchOps.queries ++
-      ops.ScaleOps.queries ++ ops.NestedBillingOps.queries
+      ops.ScaleOps.queries ++ ops.NestedBillingOps.queries ++
+      ops.ProductAnalyticsOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -60,5 +61,6 @@ object SparkEntry {
       ops.MultimodalOps.oracleSql ++ ops.StreamingOps.oracleSql ++
       ops.SamplingOps.oracleSql ++ ops.IngestScreenOps.oracleSql ++ ops.CoverageOps.oracleSql ++
       ops.WarehouseOps.oracleSql ++ ops.EmbedClusterOps.oracleSql ++ ops.SearchOps.oracleSql ++
-      ops.ScaleOps.oracleSql ++ ops.NestedBillingOps.oracleSql
+      ops.ScaleOps.oracleSql ++ ops.NestedBillingOps.oracleSql ++
+      ops.ProductAnalyticsOps.oracleSql
 }

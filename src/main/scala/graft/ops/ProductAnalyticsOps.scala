@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Product-analytics operators over the `events` stream — the funnel and
+  * cohort reports every warehouse-backed analytics stack (the reference's
+  * BigQuery estate included) serves daily. Both are sequence-aware: they
+  * depend on per-user event ORDER, not just per-user counts, which is the
+  * capability the plain aggregate family (A1–A7) does not exercise.
+  *
+  * Scale shape (both): exactly ONE fact-table shuffle — the user_id
+  * partition that every per-user window/rollup shares — then all further
+  * work is on per-user constants or |cohorts|×|offsets|-sized rollups.
+  * A 100 TB event history with a billion users shuffles once by user and
+  * never sorts globally.
+  */
+object ProductAnalyticsOps {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** First-touch funnel: view → click → purchase, strictly ordered. Each
+    * step's timestamp is the user's FIRST qualifying event after the
+    * previous step (the standard first-touch attribution funnel). The
+    * three conditional window-mins stack over the SAME user partition, so
+    * Catalyst plans one Exchange + one Sort feeding three Window operators
+    * — the step dependency (step n's predicate references step n−1's
+    * result) costs no extra shuffle.
+    */
+  private def funnelConversion(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val perUser = events(s, dir)
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"), col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"), col("ts"))).over(w))
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+      .distinct() // t1..t3 are per-user constants: one row per user
+    perUser
+      .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"))
+      .select(expr(
+        "stack(3, 'step1_view', n1, 'step2_click', n2, 'step3_purchase', n3) " +
+          "as (step, n_users)"))
+      .orderBy(col("step"))
+  }
+
+  /** Daily retention cohorts: users grouped by first-seen day, activity
+    * counted per (cohort, day-offset) cell — the retention triangle. The
+    * cohort day rides the same user-partition window as the funnel; the
+    * final rollup is |cohort days| × |offsets| cells with a two-phase
+    * distinct-user count (Expand + partial agg — never a per-cell
+    * collect).
+    */
+  private def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events(s, dir)
+      .withColumn("cohort_day", date_trunc("DAY", min(col("ts")).over(w)))
+      .groupBy(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        datediff(date_trunc("DAY", col("ts")), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_conversion" -> (funnelConversion _),
+    "cohort_retention" -> (cohortRetention _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // same stacked conditional-window formulation; count(col) = non-nulls
+    "funnel_conversion" ->
+      """WITH a AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM events),
+        |b AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM a),
+        |c AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM b),
+        |d AS (SELECT DISTINCT user_id, t1, t2, t3 FROM c)
+        |SELECT step, n_users FROM (
+        |  SELECT 'step1_view' AS step, count(t1) AS n_users FROM d
+        |  UNION ALL SELECT 'step2_click', count(t2) FROM d
+        |  UNION ALL SELECT 'step3_purchase', count(t3) FROM d)
+        |ORDER BY step""".stripMargin,
+    "cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+        |  FROM events GROUP BY 1)
+        |SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort,
+        |  CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS INTEGER)
+        |    AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -188,6 +188,16 @@ class PlanSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(plan).nonEmpty && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("funnel stacks its three dependent windows over ONE user_id shuffle") {
+    val plan = physical(ops.ProductAnalyticsOps.queries("funnel_conversion")(spark, Sf0001))
+    // step n's predicate references step n-1's window result, yet all three
+    // conditional mins must share a single user_id Exchange (plus the
+    // per-user distinct and the stack'd 3-row final aggregate)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 1,
+      s"the three funnel windows must share one user_id partitioning\n$plan")
+    assert("Window".r.findAllIn(plan).nonEmpty && !plan.contains("Join"), plan)
+  }
+
   test("PQ encoding is map-only: no shuffle before the final sort") {
     val plan = physical(ops.SimilarityOps.queries("embed_pq_codes")(spark, Sf0001))
     assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
