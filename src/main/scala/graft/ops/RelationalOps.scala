@@ -559,6 +559,29 @@ object RelationalOps {
         col("gid").cast("long").as("gid"))
       .orderBy(col("gid"), col("returnflag"), col("linestatus"))
 
+  /** Explicit GROUPING SETS, A8 (extension): the NON-hierarchical grouping
+    * rollup cannot express — revenue by (flag, status), by flag alone, AND
+    * by status alone, all from ONE fact scan via the same Expand operator
+    * (a UNION ALL of three aggregates would scan the fact three times).
+    * Completes the grouped-aggregation family: groupBy (A4), rollup (A5),
+    * Expand-based multi-distinct (A7), arbitrary sets (A8).
+    */
+  private def a8GroupingSets(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("revenue"), col("n_rows"), col("gid").cast("long").as("gid"))
+      .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+
   /** Headline join+agg (bench shape): fact-to-dim broadcast join then group. */
   private def q2(s: SparkSession, dir: String): DataFrame =
     orders(s, dir)
@@ -701,7 +724,8 @@ object RelationalOps {
     "w7_no_data_short_circuit" -> (w7 _),
     "q1_pricing_summary" -> (q1 _),
     "q2_segment_revenue" -> (q2 _),
-    "a5_rollup_revenue" -> (a5Rollup _)
+    "a5_rollup_revenue" -> (a5Rollup _),
+    "a8_grouping_sets" -> (a8GroupingSets _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -960,6 +984,16 @@ object RelationalOps {
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
+    "a8_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
+        |  count(*) AS n_rows,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))
         |ORDER BY gid, returnflag, linestatus""".stripMargin
   )
 }

@@ -471,7 +471,33 @@ object ScaleOps {
       .orderBy(col("export_date"))
   }
 
+  /** Key-skew diagnostics — the report you run BEFORE choosing a join
+    * strategy: per-key cardinality rollup, top-10 heaviest keys, each
+    * key's load relative to a uniform spread (exact milli-ratio via
+    * integer cross-multiplication — no float division to diverge between
+    * engines), and the heavy-hitter flag (> 2× uniform share, the
+    * threshold where AQE skew-splitting / the `j4` salting path starts to
+    * pay). Shape: one partial-agg key rollup (the only fact-table
+    * shuffle), a 1-row broadcast of (n_keys, total), distributed
+    * TakeOrdered top-10 — the final row_number window ranks 10 rows.
+    */
+  private def statsKeySkew(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = Tables.load(s, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val t = k.agg(count(lit(1)).as("n_keys"), sum(col("n_events")).as("total"))
+    k.crossJoin(broadcast(t))
+      .orderBy(col("n_events").desc, col("user_id")).limit(10)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("n_events").desc, col("user_id"))))
+      .select(col("rnk"), col("user_id"), col("n_events"),
+        expr("n_events * 1000 * n_keys div total").as("uniform_x1000"),
+        (col("n_events") * col("n_keys") > col("total") * 2).as("is_heavy"))
+      .orderBy(col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_key_skew" -> (statsKeySkew _),
     "audit_manifest" -> (auditManifest _),
     "j6_bloom_semijoin" -> (j6BloomSemijoin _),
     "j6_bloom_prune_shuffle" -> (j6BloomPruneShuffle _),
@@ -484,6 +510,15 @@ object ScaleOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stats_key_skew" ->
+      """WITH k AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS n_keys, CAST(sum(n_events) AS BIGINT) AS total FROM k)
+        |SELECT CAST(row_number() OVER (ORDER BY n_events DESC, user_id) AS INTEGER) AS rnk,
+        |  user_id, n_events,
+        |  CAST(n_events * 1000 * n_keys // total AS BIGINT) AS uniform_x1000,
+        |  n_events * n_keys > total * 2 AS is_heavy
+        |FROM k, t
+        |ORDER BY rnk LIMIT 10""".stripMargin,
     "audit_manifest" -> {
       // integer-canonical: ts enters the md5 as epoch-microseconds BIGINT
       // (cast to micro TIMESTAMP first so a TIMESTAMP_NS reader agrees),
