@@ -93,6 +93,8 @@ object StreamingOps {
       ((s, dir) => StreamingIngest.streamBoundedBatches(s, dir)._1),
     "stream_upsert_latest" ->
       ((s, dir) => StreamingIngest.streamUpsertLatest(s, dir)),
+    "stream_cohort_retention" ->
+      ((s, dir) => StreamingIngest.streamCohortRetention(s, dir)),
     "stream_etl_dest" -> ((s, dir) => {
       StreamingIngest.streamEtlToParquet(s, dir)
         .select(col("event_id"),
@@ -103,6 +105,9 @@ object StreamingOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the stateful stream (at-least-once doubled, one file per batch) must
+    // converge to the batch cohort report — same oracle as the batch twin
+    "stream_cohort_retention" -> ProductAnalyticsOps.oracleSql("cohort_retention"),
     // the streaming interval join must converge to the batch interval join
     "stream_interval_join" ->
       """SELECT p.event_id AS purchase_id, v.event_id AS view_id

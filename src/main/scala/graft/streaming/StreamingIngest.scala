@@ -360,6 +360,50 @@ object StreamingIngest {
     (out, nVersions)
   }
 
+  /** Retention cohorts as a stateful stream — the streaming twin of the
+    * batch `cohort_retention`. Per-user state is (earliest-seen day,
+    * active-day set): BOTH components are order-INSENSITIVE (min only
+    * decreases, the set only grows), so the drain converges to the batch
+    * answer no matter how the at-least-once doubled source splits into
+    * micro-batches or which order days arrive — the property that makes a
+    * cohort report safe to run incrementally where the order-SENSITIVE
+    * funnel is not (its step-n threshold moves when an earlier step-(n−1)
+    * event arrives late; that one stays batch). Update-mode emissions are
+    * folded at the drain by the same monotonicity: min(cohort) + union of
+    * day-sets ≡ the final state. State per user is O(horizon days), and
+    * the memory drain carries per-user aggregates, never input rows.
+    */
+  def streamCohortRetention(spark: SparkSession, dir: String): DataFrame =
+    withStateGrain(spark) {
+      import spark.implicits._
+      val updates = eventsStream(spark, dir, copies = 2, maxFilesPerTrigger = Some(1))
+        .select(col("user_id"),
+          date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+        .as[(Long, String)]
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+          (user: Long, rows: Iterator[(Long, String)],
+           state: GroupState[(String, Set[String])]) =>
+            val incoming = rows.map(_._2).toSet
+            val (prevMin, prevDays) = state.getOption.getOrElse(("~", Set.empty[String]))
+            val days = prevDays ++ incoming // '~' sorts after any ISO date
+            val cohort = (incoming + prevMin).min
+            state.update((cohort, days))
+            (user, cohort, days.toSeq.sorted)
+        }
+        .toDF("user_id", "cohort", "days")
+      val drained = runToMemory(updates,
+        s"stream_cohort_${System.nanoTime()}", OutputMode.Update())
+      drained.groupBy(col("user_id"))
+        .agg(min(col("cohort")).as("cohort"),
+          array_distinct(flatten(collect_list(col("days")))).as("days"))
+        .select(col("user_id"), col("cohort"), explode(col("days")).as("day"))
+        .groupBy(col("cohort"),
+          datediff(to_date(col("day")), to_date(col("cohort"))).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort"), col("day_offset"))
+    }
+
   final case class KeyedEvent(user_id: Long, ts: Timestamp)
   final case class UserWatermark(user_id: Long, watermark: Timestamp)
 

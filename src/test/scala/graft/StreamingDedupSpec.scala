@@ -61,6 +61,20 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("stateful cohort stream equals the batch cohort report") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingIngest.streamCohortRetention(spark, Sf0001)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val batch = ops.ProductAnalyticsOps.queries("cohort_retention")(spark, Sf0001)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(streamed.nonEmpty, "fixture must produce at least one cohort cell")
+    // multiple offsets per cohort = the day-set union across micro-batches
+    // actually accumulated (not one batch swallowing everything)
+    assert(streamed.map(_._1).distinct.size < streamed.size,
+      "expected cohorts spanning several day offsets")
+    assert(streamed == batch)
+  }
+
   test("stream-stream interval join converges to the batch interval join") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.StreamingIngest.streamIntervalJoin(spark, Sf0001)
