@@ -220,7 +220,45 @@ object WarehouseOps {
       .orderBy(col("side"))
   }
 
+  /** Temporal dimension join, J7 (extension): facts enriched against the
+    * SCD2 version VALID AT FACT TIME — the consumer side of the scd2
+    * family (history builds the intervals, snapshot reads one instant,
+    * this joins a whole fact stream against them). Dimension: each user's
+    * spend-tier history, versioned by their purchase events (a purchase
+    * opens a new validity interval at its timestamp). Fact: click events,
+    * each matched to the tier interval containing its timestamp; clicks
+    * before the first purchase keep tier −1 via the left join.
+    *
+    * Scale shape: an EQUI-join on the user key carries the interval
+    * predicate as a residual filter — per-key version counts are small
+    * (|purchases per user|), so the per-key product is bounded and the
+    * join shuffles each side once by user_id. The pure range-join banding
+    * (`j3`) is for intervals WITHOUT an equi key; when a key exists,
+    * key+residual is the shape that survives 100 TB.
+    */
+  private def j7TemporalDimJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = events(s, dir).where(col("event_type") === "purchase")
+      .select(col("user_id").as("d_user"),
+        expr("least(cast(round(value * 100) as bigint) div 10000, 3)").as("tier"),
+        col("ts").as("valid_from"), col("event_id"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("d_user")).orderBy(col("valid_from"), col("event_id"))))
+      .drop("event_id")
+    val fact = events(s, dir).where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    fact.join(dim,
+        col("user_id") === col("d_user") && col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")),
+        "left_outer")
+      .groupBy(coalesce(col("tier"), lit(-1L)).as("tier"))
+      .agg(count(lit(1)).as("n_clicks"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("tier"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j7_temporal_dim_join" -> (j7TemporalDimJoin _),
     "etl_merge_upsert" -> (mergeUpsert _),
     "etl_snapshot_diff" -> (snapshotDiff _),
     "j5_full_outer_recon" -> (j5FullOuterRecon _),
@@ -230,6 +268,20 @@ object WarehouseOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "j7_temporal_dim_join" ->
+      """WITH dim AS (
+        |  SELECT user_id AS d_user,
+        |    least(CAST(round(value * 100) AS BIGINT) // 10000, 3) AS tier,
+        |    ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM events WHERE event_type = 'purchase'),
+        |fact AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+        |SELECT COALESCE(d.tier, -1) AS tier, count(*) AS n_clicks,
+        |  count(DISTINCT f.user_id) AS n_users
+        |FROM fact f LEFT JOIN dim d ON f.user_id = d.d_user
+        |  AND f.ts >= d.valid_from AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j5_full_outer_recon" ->
       """WITH o AS (
         |  SELECT o_custkey, count(*) AS n_orders,

@@ -188,6 +188,18 @@ class PlanSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(plan).nonEmpty && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("temporal dim join stays an equi-join with an interval residual") {
+    val plan = physical(ops.WarehouseOps.queries("j7_temporal_dim_join")(spark, Sf0001))
+    // the key+residual shape: user_id equi-join (BHJ here, SMJ at scale)
+    // carrying the validity-interval predicate — never a nested loop over
+    // the fact × every dimension version
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("valid_from") && plan.contains("valid_to"),
+      s"interval residual must ride the equi-join\n$plan")
+  }
+
   test("funnel stacks its three dependent windows over ONE user_id shuffle") {
     val plan = physical(ops.ProductAnalyticsOps.queries("funnel_conversion")(spark, Sf0001))
     // step n's predicate references step n-1's window result, yet all three
