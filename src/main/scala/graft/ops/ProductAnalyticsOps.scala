@@ -68,9 +68,50 @@ object ProductAnalyticsOps {
       .orderBy(col("cohort"), col("day_offset"))
   }
 
+  /** Event-path transition matrix: for every user, each event's successor
+    * by time — the Markov-chain view of user journeys (the input to path
+    * exploration / next-step prediction). One `lead` window over the
+    * shared user_id partitioning, then a \|types\|²-sized rollup.
+    */
+  private def pathTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Market-basket co-purchase pairs over `lineitem`: parts bought
+    * together in ≥ 2 orders, top-20 by support — the collaborative-filter
+    * prep every commerce warehouse runs. Scale shape: the pair generator
+    * is a SELF-EQUI-JOIN on the order key (pairs per order ~ C(items,2)
+    * with items small and bounded), never an all-parts cross product; the
+    * `<` on part keys halves the pairs and canonicalizes (a,b) ordering;
+    * pair counts partial-aggregate map-side; top-20 is a distributed
+    * TakeOrdered. At 100 TB the only heavy key would be a mega-order —
+    * which the `stats_key_skew` report flags for capping upstream.
+    */
+  private def basketCopurchase(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    a.join(b, Seq("l_orderkey"))
+      .where(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .where(col("n_orders") >= 2)
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel_conversion" -> (funnelConversion _),
-    "cohort_retention" -> (cohortRetention _)
+    "cohort_retention" -> (cohortRetention _),
+    "path_transitions" -> (pathTransitions _),
+    "basket_copurchase" -> (basketCopurchase _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -91,6 +132,23 @@ object ProductAnalyticsOps {
         |  UNION ALL SELECT 'step2_click', count(t2) FROM d
         |  UNION ALL SELECT 'step3_purchase', count(t3) FROM d)
         |ORDER BY step""".stripMargin,
+    "path_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        |FROM o WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "basket_copurchase" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+        |FROM items a JOIN items b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
     "cohort_retention" ->
       """WITH f AS (
         |  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
