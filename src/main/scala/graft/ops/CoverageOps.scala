@@ -255,6 +255,33 @@ object CoverageOps {
       .orderBy(col("event_type"))
   }
 
+  /** Heavy-hitters sketch audit — `approx_top_k` (the third leg of the
+    * sketch-audit family: HLL cardinality, GK quantiles, now frequent
+    * items), graded against the exact top-10 computed in the same query.
+    * maxItemsTracked (65536) exceeds the key cardinality at every shipped
+    * SF, so the sketch is provably exact here and the booleans pin that
+    * envelope; at 100 TB the tracked set is smaller than the key space
+    * and this same audit (run on a sampled slice) measures the drift —
+    * the ann_*_recall pattern. k=200 keeps every exact-top-10 key safely
+    * inside the sketch's emission even at the smallest SF's tie density.
+    */
+  private def statsApproxTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(s, dir, "events")
+    val sketch = ev.agg(expr("approx_top_k(user_id, 200, 65536)").as("tk"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("n_exact").desc, col("user_id"))))
+    exact.crossJoin(broadcast(sketch)) // 1-row sketch: audit input, not a join fanout
+      .select(col("rnk"), col("user_id"), col("n_exact"),
+        exists(col("tk"), x => x("item") === col("user_id")).as("in_sketch"),
+        (size(filter(col("tk"),
+          x => x("item") === col("user_id") && x("count") === col("n_exact"))) === 1)
+          .as("count_matches"))
+      .orderBy(col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_star_projection" -> (p1 _),
     "f2_conjunctive_equality" -> (f2 _),
@@ -269,6 +296,7 @@ object CoverageOps {
     "src_schema_evolution" -> (srcSchemaEvolution _),
     "stats_approx_distinct" -> (statsApproxDistinct _),
     "stats_approx_quantile" -> (statsApproxQuantile _),
+    "stats_approx_topk" -> (statsApproxTopk _),
     // SQL API surface: ONE identical ANSI string runs on Spark (via
     // GraftSession temp views) and on the DuckDB oracle — the reference
     // user's ship-SQL-text habit, preserved verbatim.
@@ -319,6 +347,13 @@ object CoverageOps {
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, value, props
          |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
          |ORDER BY event_id""".stripMargin,
+    "stats_approx_topk" ->
+      """WITH k AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY n_exact DESC, user_id) AS INTEGER) AS rnk,
+        |  user_id, n_exact,
+        |  CAST(true AS BOOLEAN) AS in_sketch,
+        |  CAST(true AS BOOLEAN) AS count_matches
+        |FROM k QUALIFY rnk <= 10 ORDER BY rnk""".stripMargin,
     "stats_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  CAST(true AS BOOLEAN) AS within_5pct
