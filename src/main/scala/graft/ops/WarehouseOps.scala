@@ -257,7 +257,55 @@ object WarehouseOps {
       .orderBy(col("tier"))
   }
 
+  /** Incremental view maintenance, IVM (extension): a materialized daily
+    * rollup kept current under an APPEND + RETRACTION delta without ever
+    * rescanning the history — the BigQuery-materialized-view / Delta-MV
+    * shape. The MV holds per-(type, day) partial aggregates (count + cents
+    * sum); the delta carries weight ±1 rows (appends +1, corrections −1
+    * with negated measures); the merge is `MV partials ∪ delta partials →
+    * one groupBy`, with `HAVING n > 0` eliminating fully-retracted groups
+    * (the IVM edge everyone gets wrong — exercised here by retracting an
+    * entire (type, day) cell). Merge cost is O(|MV| + |delta|); the
+    * registered result is oracled against a from-scratch recompute over
+    * the corrected fact, which is exactly the IVM correctness contract.
+    * The MV is genuinely materialized (parquet round-trip), so the merge
+    * plan's only inputs are the MV file and the delta slice.
+    */
+  private def etlIvmRollup(s: SparkSession, dir: String): DataFrame = {
+    val Cutoff = "2024-01-20"
+    val dayCol = date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd")
+    val centsCol = round(col("value") * 100).cast("long")
+    val ev = events(s, dir).select(col("event_id"), col("event_type"),
+      dayCol.as("day"), centsCol.as("cents"))
+    val hist = ev.where(col("day") < Cutoff)
+    // materialize the MV for real: the merge below reads these partials
+    // back from parquet, never the history fact
+    val mvPath = graft.util.TempDirs.create("graft_ivm_mv_")
+    hist.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .write.mode("overwrite").parquet(mvPath)
+    val mv = s.read.parquet(mvPath)
+    // delta: appends at/after the cutoff (+1) and two correction sweeps
+    // over history (−1, negated measures): a scattered-row retraction and
+    // a FULL-cell retraction (forces the n→0 group elimination)
+    val retractPred = (col("event_id") % 50 === 0 && col("day") === "2024-01-10") ||
+      (col("event_type") === "error" && col("day") === "2024-01-05")
+    val deltaRows = ev.where(col("day") >= Cutoff)
+      .select(col("event_type"), col("day"), lit(1L).as("w"), col("cents"))
+      .unionByName(hist.where(retractPred)
+        .select(col("event_type"), col("day"), lit(-1L).as("w"),
+          (-col("cents")).as("cents")))
+    val deltaPartials = deltaRows.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("w")).as("n"), sum(col("cents")).as("cents"))
+    mv.unionByName(deltaPartials)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+      .where(col("n") > 0)
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_ivm_rollup" -> (etlIvmRollup _),
     "j7_temporal_dim_join" -> (j7TemporalDimJoin _),
     "etl_merge_upsert" -> (mergeUpsert _),
     "etl_snapshot_diff" -> (snapshotDiff _),
@@ -268,6 +316,21 @@ object WarehouseOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // IVM contract: merged MV ≡ a from-scratch rollup of the corrected fact
+    "etl_ivm_rollup" ->
+      """WITH f AS (
+        |  SELECT event_id, event_type,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |corrected AS (
+        |  SELECT * FROM f
+        |  WHERE NOT (event_id % 50 = 0 AND day = '2024-01-10')
+        |    AND NOT (event_type = 'error' AND day = '2024-01-05'))
+        |SELECT event_type, day, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM corrected GROUP BY 1, 2
+        |ORDER BY event_type, day""".stripMargin,
     "j7_temporal_dim_join" ->
       """WITH dim AS (
         |  SELECT user_id AS d_user,

@@ -140,4 +140,20 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(Set("inserted", "deleted", "changed").subsetOf(diff.values.toSet),
       "all three change classes must fire at sf0.001")
   }
+
+  test("IVM merge drops the fully-retracted cell (non-vacuously)") {
+    import org.apache.spark.sql.functions._
+    // the ('error', 2024-01-05) cell must exist in the history ...
+    val cellRows = Tables.load(spark, Sf0001, "events")
+      .where(col("event_type") === "error" &&
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd") === "2024-01-05")
+      .count()
+    assert(cellRows > 0, "fixture must populate the fully-retracted cell")
+    // ... and be absent from the merged view: the n→0 elimination fired
+    val merged = ops.WarehouseOps.queries("etl_ivm_rollup")(spark, Sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!merged.contains(("error", "2024-01-05")),
+      "fully-retracted group survived the IVM merge")
+    assert(merged.nonEmpty)
+  }
 }
