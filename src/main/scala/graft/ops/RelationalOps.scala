@@ -498,6 +498,28 @@ object RelationalOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Time-RANGE rolling window, W14 (extension): per event, the same
+    * user's activity in the PRECEDING HOUR — a RangeFrame over event-time
+    * micros, the window shape none of the ROWS-frame queries (A6, W8)
+    * exercise. Rate-limiting, velocity features, and fraud screens are
+    * all this frame. Ordering key is integer epoch-micros so the frame
+    * bounds are exact in both engines (two events at the same microsecond
+    * fall in each other's frame — RANGE semantics, identically on both
+    * sides). One user_id shuffle, like every window in this family.
+    */
+  private def w14RollingHour(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("cents_1h", sum(col("cents")).over(w))
+      .select(col("user_id"), col("event_id"), col("n_1h"), col("cents_1h"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** At-least-once boundary duplication, W5/N1: the rows the next run
     * re-reads because its predicate is `>= watermark`
     * (reference: billing_etl.py:280).
@@ -719,6 +741,7 @@ object RelationalOps {
     "w9_cumulative_daily" -> (w9 _),
     "w10_volume_anomaly" -> (w10 _),
     "w11_gap_fill" -> (w11 _),
+    "w14_rolling_hour" -> (w14RollingHour _),
     "a6_window_suite" -> (a6WindowSuite _),
     "j2_asof_join" -> (j2 _),
     "w7_no_data_short_circuit" -> (w7 _),
@@ -907,6 +930,15 @@ object RelationalOps {
         |        CAST(round(value * 100) AS BIGINT) AS cents FROM events)
         |WINDOW wts AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, rn""".stripMargin,
+    "w14_rolling_hour" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |        CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "w11_gap_fill" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS d, count(*) AS n_obs,

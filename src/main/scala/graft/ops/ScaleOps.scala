@@ -496,8 +496,37 @@ object ScaleOps {
       .orderBy(col("rnk"))
   }
 
+  /** Distribution-drift monitor: the `value` distribution of the first
+    * half of the month vs the second, bucketed into 10 fixed bands and
+    * compared by exact per-mille shares — the data-quality screen a
+    * production pipeline runs between corpus snapshots (the PSI report's
+    * integer skeleton: per-bucket shares and their drift, without the
+    * float log term, so the oracle is bit-exact). One fact scan with
+    * conditional partial aggs (never two scans), a 1-row broadcast of the
+    * period totals, |buckets| rows out. The drift flag (>20‰ share move)
+    * is integer cross-multiplication.
+    */
+  private def statsBucketDrift(s: SparkSession, dir: String): DataFrame = {
+    val Split = "2024-01-16"
+    val ev = Tables.load(s, dir, "events").select(
+      least(floor(col("value") / 50).cast("long"), lit(9L)).as("bucket"),
+      (date_format(col("ts"), "yyyy-MM-dd") < Split).as("p1"))
+    val buckets = ev.groupBy(col("bucket"))
+      .agg(sum(when(col("p1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("p1"), 1L).otherwise(0L)).as("n2"))
+    val totals = buckets.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    buckets.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n1"), col("n2"),
+        expr("n1 * 1000 div t1").as("share1_milli"),
+        expr("n2 * 1000 div t2").as("share2_milli"),
+        (abs(col("n1") * col("t2") - col("n2") * col("t1")) * 50
+          > col("t1") * col("t2")).as("drifted"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_key_skew" -> (statsKeySkew _),
+    "stats_bucket_drift" -> (statsBucketDrift _),
     "audit_manifest" -> (auditManifest _),
     "j6_bloom_semijoin" -> (j6BloomSemijoin _),
     "j6_bloom_prune_shuffle" -> (j6BloomPruneShuffle _),
@@ -510,6 +539,22 @@ object ScaleOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stats_bucket_drift" ->
+      """WITH e AS (
+        |  SELECT least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket,
+        |    strftime(ts, '%Y-%m-%d') < '2024-01-16' AS p1
+        |  FROM events),
+        |b AS (
+        |  SELECT bucket,
+        |    CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2 FROM b)
+        |SELECT bucket, n1, n2,
+        |  CAST(n1 * 1000 // t1 AS BIGINT) AS share1_milli,
+        |  CAST(n2 * 1000 // t2 AS BIGINT) AS share2_milli,
+        |  abs(n1 * t2 - n2 * t1) * 50 > t1 * t2 AS drifted
+        |FROM b, t ORDER BY bucket""".stripMargin,
     "stats_key_skew" ->
       """WITH k AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
         |t AS (SELECT count(*) AS n_keys, CAST(sum(n_events) AS BIGINT) AS total FROM k)
