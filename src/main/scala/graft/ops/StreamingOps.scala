@@ -95,6 +95,8 @@ object StreamingOps {
       ((s, dir) => StreamingIngest.streamUpsertLatest(s, dir)),
     "stream_cohort_retention" ->
       ((s, dir) => StreamingIngest.streamCohortRetention(s, dir)),
+    "stream_bucket_drift" ->
+      ((s, dir) => StreamingIngest.streamBucketDrift(s, dir)),
     "stream_etl_dest" -> ((s, dir) => {
       StreamingIngest.streamEtlToParquet(s, dir)
         .select(col("event_id"),
@@ -108,6 +110,9 @@ object StreamingOps {
     // the stateful stream (at-least-once doubled, one file per batch) must
     // converge to the batch cohort report — same oracle as the batch twin
     "stream_cohort_retention" -> ProductAnalyticsOps.oracleSql("cohort_retention"),
+    // order-insensitive conditional counts: the stream must converge to
+    // the identical batch drift report
+    "stream_bucket_drift" -> ScaleOps.oracleSql("stats_bucket_drift"),
     // the streaming interval join must converge to the batch interval join
     "stream_interval_join" ->
       """SELECT p.event_id AS purchase_id, v.event_id AS view_id

@@ -178,6 +178,38 @@ object StreamingIngest {
       .orderBy(col("window_start"))
   }
 
+  /** The distribution-drift monitor as an always-on stream — the twin of
+    * the batch `stats_bucket_drift`, here because its aggregate is pure
+    * conditional COUNTING: commutative, order-insensitive, no per-event
+    * ordering dependency — the same admission rule that let the cohort
+    * report stream while the funnel stayed batch. The engine holds
+    * |buckets| grouped counters in state; Complete mode drains that
+    * bounded table and the per-mille/drift arithmetic runs on the drained
+    * |buckets| rows, so the oracle is the identical batch SQL. At scale
+    * this runs continuously against the landing zone and the drift flags
+    * page before a skewed upstream poisons the corpus.
+    */
+  def streamBucketDrift(spark: SparkSession, dir: String): DataFrame = withStateGrain(spark) {
+    val Split = "2024-01-16"
+    val buckets = eventsStream(spark, dir)
+      .select(
+        least(floor(col("value") / 50).cast("long"), lit(9L)).as("bucket"),
+        (date_format(col("ts"), "yyyy-MM-dd") < Split).as("p1"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("p1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("p1"), 1L).otherwise(0L)).as("n2"))
+    val drained = runToMemory(buckets,
+      s"stream_drift_${System.nanoTime()}", OutputMode.Complete())
+    val totals = drained.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    drained.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n1"), col("n2"),
+        expr("n1 * 1000 div t1").as("share1_milli"),
+        expr("n2 * 1000 div t2").as("share2_milli"),
+        (abs(col("n1") * col("t2") - col("n2") * col("t1")) * 50
+          > col("t1") * col("t2")).as("drifted"))
+      .orderBy(col("bucket"))
+  }
+
   /** W8's gap sessionization as a *streaming* session-window aggregation:
     * `session_window(ts, gap)` merges an event into the open session when
     * it lands at or within `gap` of the session's last event (probe-pinned:
