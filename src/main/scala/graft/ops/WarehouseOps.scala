@@ -278,7 +278,7 @@ object WarehouseOps {
     * interval-table sibling of `etl_ivm_rollup`'s aggregate algebra.
     */
   private def scd2Incremental(s: SparkSession, dir: String): DataFrame = {
-    val Cutoff = "1997-01-01"
+    val Cutoff = "2001-07-01"
     val all = orders(s, dir)
     val histPath = graft.util.TempDirs.create("graft_scd2_v1_")
     scd2Of(all.where(col("o_orderdate") < Cutoff))

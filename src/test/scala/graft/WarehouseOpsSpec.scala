@@ -141,6 +141,23 @@ class WarehouseOpsSpec extends AnyFunSuite {
       "all three change classes must fire at sf0.001")
   }
 
+  test("incremental SCD2 exercises both the pass-through and re-window paths") {
+    import org.apache.spark.sql.functions._
+    val Cutoff = "2001-07-01"
+    val hist = ops.WarehouseOps.queries("scd2_incremental")(spark, Sf0001)
+      .select(col("o_custkey"), col("valid_from"), col("valid_to")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // a closed interval crossing the cutoff can only come from the
+    // re-window path closing yesterday's open row — the merge's point
+    assert(hist.exists { case (_, from, to) =>
+      from < Cutoff && to >= Cutoff && !to.startsWith("9999") },
+      "no interval crosses the cutoff: re-windowing never fired")
+    // and some keys must have taken the untouched pass-through path
+    val byKey = hist.groupBy(_._1)
+    assert(byKey.exists(_._2.forall(_._2 < Cutoff)),
+      "every key re-windowed: the anti-join pass-through path never fired")
+  }
+
   test("IVM merge drops the fully-retracted cell (non-vacuously)") {
     import org.apache.spark.sql.functions._
     // the ('error', 2024-01-05) cell must exist in the history ...
