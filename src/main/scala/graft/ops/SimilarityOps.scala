@@ -548,6 +548,44 @@ object SimilarityOps {
   private def embedPqCodes(s: SparkSession, dir: String): DataFrame =
     pqCodesWide(embeddings(s, dir)).orderBy(col("vec_id"))
 
+  /** Two-stage retrieval with TRUNCATED-dimension candidates (the
+    * Matryoshka / dimension-reduction serving shape): stage 1 scores the
+    * corpus on only the first [[TruncDims]] of 64 dimensions — at scale
+    * that is a scan of a quarter of the vector bytes (or a separate
+    * narrow column) — keeps a per-query shortlist of
+    * `TopK ×` [[TruncShortlistX]], and stage 2 reranks ONLY the shortlist
+    * with full-dimension cosine. The registered query grades stage-1
+    * recall against the full-dimension brute force, pinning what the
+    * cheaper scan costs in quality on THIS corpus — uniform-random
+    * embeddings are the worst case for prefix truncation (no energy
+    * compaction), so the floor is honest, not flattering.
+    */
+  private[graft] val TruncDims = 16
+  private[graft] val TruncShortlistX = 8
+
+  def annTruncatedRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val q = querySet(e)
+    val shortlist = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("embedding"), col("q_e"),
+        round(cosine(slice(col("q_e"), 1, TruncDims),
+          slice(col("embedding"), 1, TruncDims)), 6).as("c16"))
+    val w16 = Window.partitionBy(col("q_id")).orderBy(col("c16").desc, col("vec_id"))
+    val candidates = shortlist.withColumn("rn16", row_number().over(w16))
+      .where(col("rn16") <= TopK * TruncShortlistX)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(cosine(col("q_e"), col("embedding")), 6).desc, col("vec_id"))
+    candidates.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  private[graft] def truncRecallProbe(s: SparkSession, dir: String): Seq[Double] =
+    recallVsExact(s, dir, annTruncatedRerank(s, dir))
+      .collect().map(_.getDouble(1)).toSeq.sorted
+
   /** Recall@k of an approximate top-k against the brute-force truth: one
     * row per query point. Both sides break score ties identically
     * (c desc, vec_id), so recall is a fixed number per corpus and config —

@@ -67,6 +67,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.sum / r.size >= 0.7, s"mean PQ recall, got ${r.sum / r.size}")
   }
 
+  test("truncated-dim shortlist + full-dim rerank: honest recall, k bound") {
+    // Matryoshka-style serving: stage 1 scans only the first 16 of 64
+    // dims, stage 2 reranks the 80-candidate shortlist at full width.
+    // Uniform-random embeddings have NO energy compaction in the prefix —
+    // the worst case for truncation — so like PQ this path is spec-graded
+    // with floors the corpus supports (LSH remains the high-recall route);
+    // on real MRL-trained embeddings the same plan approaches full recall.
+    val df = ops.SimilarityOps.annTruncatedRerank(spark, Sf0001)
+    val perQuery = df.groupBy("q_id").count().collect().map(_.getLong(1))
+    assert(perQuery.nonEmpty && perQuery.forall(_ <= 10))
+    val r = ops.SimilarityOps.truncRecallProbe(spark, Sf0001)
+    assert(r.min >= 0.3, s"per-query truncated-rerank floor, got min ${r.min}")
+    assert(r.sum / r.size >= 0.5, s"mean truncated-rerank recall, got ${r.sum / r.size}")
+  }
+
   test("LSH top-k respects the k bound per query") {
     val lsh = ops.SimilarityOps.annLshTopk(spark, Sf0001)
     val perQuery = lsh.groupBy("q_id").count().collect().map(_.getLong(1))
