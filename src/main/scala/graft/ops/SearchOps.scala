@@ -169,9 +169,15 @@ object SearchOps {
   private def searchHybridFusion(s: SparkSession, dir: String): DataFrame = {
     val qids = FusionQueryDocs.map(x => x: Any)
 
-    // lexical retriever: distinct-trigram posting join; count = |q ∩ d|
+    // lexical retriever: distinct-trigram posting join; count = |q ∩ d|.
+    // Shingles come from the native codegen expression (one compiled
+    // tokenize→hash→mix pass) — the HOF trigrams() formulation is the
+    // documented 15 s trap at sf0.1 (SCALE.md, dedup signatures); hash
+    // keys intersect with the same cardinalities as the string trigrams
+    // the oracle uses (the repo-wide shingle-hash convention).
+    graft.functions.NativeText.register(s)
     val shingled = documents(s, dir)
-      .select(col("doc_id"), explode(trigrams(toks)).as("g"))
+      .select(col("doc_id"), explode(expr("graft_shingle_hashes(text)")).as("g"))
     val qGrams = shingled.where(col("doc_id").isin(qids: _*))
       .select(col("doc_id").as("q_id"), col("g"))
     val lex = shingled.join(broadcast(qGrams), "g")
