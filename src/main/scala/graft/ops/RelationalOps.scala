@@ -206,6 +206,42 @@ object RelationalOps {
       .limit(100)
       .select(col("event_id"))
 
+  /** O4: GLOBAL row numbering without the single-partition window.
+    * `row_number() OVER (ORDER BY …)` with no PARTITION BY funnels the
+    * whole table through one reducer — the canonical accidental
+    * scale-killer when assigning a stable training-order index to a
+    * corpus. The distributed shape: (1) range-partition by the global
+    * order key so each partition holds a contiguous slice,
+    * (2) materialize ONCE (localCheckpoint — the range partitioner
+    * samples, so recomputing between jobs could re-draw boundaries and
+    * desynchronize the offsets from the rows), (3) count per partition —
+    * an O(P)-row driver prefix-sum, the only driver-side work,
+    * (4) per-partition row_number plus the broadcast offset. Each reducer
+    * sorts only its own slice; total extra cost is one count job over the
+    * checkpointed slices. The audit emits every 1000th index so the
+    * oracle (a true global ROW_NUMBER in DuckDB) checks the whole
+    * assignment end to end, not just the first rows.
+    */
+  private def o4GlobalIndex(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, dir).select(col("event_id"), col("ts"))
+    val ranged = ev.repartitionByRange(32, col("ts"), col("event_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft(0L)(_ + _._2)
+      .zip(counts).map { case (off, (pid, _)) => (pid, off) }
+    val offDf = s.createDataFrame(offsets.toSeq).toDF("pid", "offset")
+    val w = Window.partitionBy("pid").orderBy(col("ts"), col("event_id"))
+    ranged.join(broadcast(offDf), "pid")
+      .withColumn("global_idx",
+        col("offset") + row_number().over(w).cast("long") - 1)
+      .where(col("global_idx") % 1000 === 0)
+      .select(col("global_idx"), col("event_id"))
+      .orderBy(col("global_idx"))
+  }
+
   private def c1(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .select(col("event_id"),
@@ -722,6 +758,7 @@ object RelationalOps {
     "a4_count_per_key" -> (a4 _),
     "o1_orderby_desc_limit1" -> (o1 _),
     "o2_limit_offset" -> (o2 _),
+    "o4_global_index" -> (o4GlobalIndex _),
     "c1_base64_roundtrip" -> (c1 _),
     "c3_json_parse" -> (c3 _),
     "c4_json_serialize" -> (c4 _),
@@ -849,6 +886,13 @@ object RelationalOps {
       s"SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso FROM events ORDER BY ts DESC, event_id DESC LIMIT 1",
     "o2_limit_offset" ->
       "SELECT event_id FROM events ORDER BY ts, event_id LIMIT 100 OFFSET 50",
+    "o4_global_index" ->
+      """WITH idx AS (
+        |  SELECT event_id,
+        |    CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) - 1 AS global_idx
+        |  FROM events)
+        |SELECT global_idx, event_id FROM idx
+        |WHERE global_idx % 1000 = 0 ORDER BY global_idx""".stripMargin,
     "c1_base64_roundtrip" ->
       "SELECT event_id, decode(from_base64(to_base64(encode(props)))) AS payload FROM events ORDER BY event_id",
     "c3_json_parse" ->

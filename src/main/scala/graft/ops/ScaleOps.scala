@@ -412,6 +412,50 @@ object ScaleOps {
       .orderBy(col("order_month"))
   }
 
+  /** J8: DYNAMIC partition pruning — the other half of the partition-
+    * pruning story. Static pruning (PlanSpec's streaming-dest pin) handles
+    * predicates known at plan time; a star-join's date filter is usually
+    * NOT known at plan time because it lives on the dimension side (here:
+    * "busier-than-average days", a data-driven calendar that no static
+    * rewrite can reach — deliberately an aggregate-derived predicate so
+    * constraint propagation cannot turn it into a static filter on the
+    * join key). At 100 TB the difference is reading 30 partitions vs the
+    * ~half the runtime subquery selects: Spark broadcasts the filtered
+    * dimension once, reuses that exchange as a `dynamicpruningexpression`
+    * inside the fact scan's PartitionFilters, and the pruned-out
+    * partitions' files are never opened. The fact is materialized
+    * date-partitioned first (same layout as the ETL dest), the dimension
+    * stays DateType end to end so no cast sits between the join key and
+    * the partition column — a cast there is the classic way DPP silently
+    * fails to fire. PlanSpec pins the dynamicpruningexpression in the
+    * fact scan; the oracle replays the calendar + join from the source.
+    */
+  private def j8PartitionPruneJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").select(
+      col("event_type"),
+      round(col("value") * 100).cast("long").as("value_cents"),
+      to_date(col("ts")).as("export_date"))
+    val dest = graft.util.TempDirs.create("graft_dppq_")
+    ev.write.mode(SaveMode.Overwrite).partitionBy("export_date").parquet(dest)
+    val fact = s.read.parquet(dest)
+    val d = ev.groupBy(col("export_date")).agg(count(lit(1)).as("day_rows"))
+    // the busier-than-average threshold is collected driver-side (ONE row
+    // — control plane, like the bloom sketch): DPP's selective-predicate
+    // detection wants a literal Filter node on the dimension side, and a
+    // crossJoin'd threshold would dissolve into a join condition it
+    // cannot see. The broadcast hint states the invariant |calendar| ≤
+    // |days| — broadcastable at any corpus size — so the planner never
+    // flips build sides on a small-SF size estimate.
+    val t = d.agg(sum(col("day_rows")).as("total"), count(lit(1)).as("n_days"))
+      .collect()(0)
+    val (total, nDays) = (t.getLong(0), t.getLong(1))
+    val busy = d.where(col("day_rows") * nDays > total).select(col("export_date"))
+    fact.join(broadcast(busy), "export_date")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value_cents")).as("value_cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** Copy-on-write deletion propagation through a date-partitioned store:
     * anti-join the tombstone keys out of EXACTLY the partitions that
     * contain a hit, leaving every other partition's files untouched.
@@ -524,8 +568,43 @@ object ScaleOps {
       .orderBy(col("bucket"))
   }
 
+  /** Robust-statistics outlier screen: per-type median + MAD (median
+    * absolute deviation) with the |v − med| > 3·MAD flag — the screen that
+    * survives the heavy-tailed junk that makes mean/stddev useless on web
+    * corpora. Both medians are RANK-PICKED (the (n+1) div 2-th order
+    * statistic), never interpolated: the reported med/mad are actual data
+    * values, so the doubles are bit-identical across engines and the hash
+    * check holds — the same no-interpolation contract as
+    * `stats_approx_quantile`'s exact side. Cost shape: two windowed
+    * sorts sharing one event_type partitioning plus a broadcast of the
+    * |types|-row medians; for a single giant group at corpus scale the
+    * per-group sort becomes the bottleneck and the move is iterative
+    * quantile bisection (O(log range) count-scans), noted in SCALE.md.
+    */
+  private def statsMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(s, dir, "events").select(col("event_type"), col("value"))
+    val byType = Window.partitionBy("event_type")
+    def rankedMedian(df: DataFrame, valueCol: String): DataFrame =
+      df.withColumn("rn", row_number().over(byType.orderBy(col(valueCol))))
+        .withColumn("n", count(lit(1)).over(byType))
+        .where(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("n"), col(valueCol))
+    val med = rankedMedian(ev, "value").withColumnRenamed("value", "med")
+    val dev = ev.join(broadcast(med.select(col("event_type"), col("med"))), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = rankedMedian(dev.select(col("event_type"), col("adev")), "adev")
+      .select(col("event_type"), col("n"), col("adev").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("n").as("n_rows"), col("med"), col("mad"))
+      .agg(sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_key_skew" -> (statsKeySkew _),
+    "stats_mad_outliers" -> (statsMadOutliers _),
+    "j8_partition_prune_join" -> (j8PartitionPruneJoin _),
     "stats_bucket_drift" -> (statsBucketDrift _),
     "audit_manifest" -> (auditManifest _),
     "j6_bloom_semijoin" -> (j6BloomSemijoin _),
@@ -539,6 +618,36 @@ object ScaleOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "j8_partition_prune_join" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_cents,
+        |    CAST(ts AS DATE) AS export_date
+        |  FROM events),
+        |d AS (SELECT export_date, count(*) AS day_rows FROM e GROUP BY 1),
+        |t AS (SELECT CAST(sum(day_rows) AS BIGINT) AS total, count(*) AS n_days FROM d),
+        |busy AS (SELECT export_date FROM d, t WHERE day_rows * n_days > total)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  CAST(sum(e.value_cents) AS BIGINT) AS value_cents
+        |FROM e JOIN busy USING (export_date)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stats_mad_outliers" ->
+      """WITH e AS (SELECT event_type, value FROM events),
+        |r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |med AS (SELECT event_type, value AS med FROM r WHERE rn = (n + 1) // 2),
+        |d AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+        |  FROM e JOIN med m USING (event_type)),
+        |r2 AS (SELECT event_type, adev, med,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM d),
+        |mad AS (SELECT event_type, CAST(n AS BIGINT) AS n_rows, med, adev AS mad
+        |  FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, m.n_rows, m.med, m.mad,
+        |  CAST(sum(CASE WHEN d.adev > m.mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM d JOIN mad m USING (event_type)
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
     "stats_bucket_drift" ->
       """WITH e AS (
         |  SELECT least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket,

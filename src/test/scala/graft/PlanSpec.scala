@@ -100,6 +100,17 @@ class PlanSpec extends AnyFunSuite {
     assert(q.count() > 0)
   }
 
+  test("star join over the partitioned fact prunes partitions DYNAMICALLY") {
+    // the dim filter (busier-than-average days) is aggregate-derived, so
+    // no static rewrite can reach the fact scan — only runtime DPP can.
+    // If a cast ever slips between the join key and the partition column,
+    // DPP silently stops firing and every partition's files get opened;
+    // this pin turns that silent 30×-scan regression into a test failure.
+    val plan = physical(ops.ScaleOps.queries("j8_partition_prune_join")(spark, Sf0001))
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a dynamicpruningexpression partition filter\n$plan")
+  }
+
   test("minhash LSH candidate join is a hash-bucket equality join, not cartesian") {
     val plan = physical(ops.DedupOps.queries("dedup_minhash_lsh")(spark, Sf0001))
     assert(!plan.contains("CartesianProduct"),
