@@ -214,6 +214,32 @@ object CoverageOps {
           .as("within_5pct"))
       .orderBy(col("event_type"))
 
+  /** Sketch MERGEABILITY — the property that makes approximate distinct
+    * affordable at warehouse scale. `stats_approx_distinct` grades the
+    * one-shot estimate; this query exercises the shape production
+    * actually runs: per-day HLL sketches built ONCE (a few KB each), then
+    * any date range answered by unioning the day partials — 30 sketch
+    * merges instead of a 100 TB rescan per question. Datasketches HLL
+    * union at a shared lgK is lossless over the partials, so the merged
+    * estimate is graded against the exact month distinct with the same
+    * in-query boolean contract as the ANN recall floors (±2%, honest for
+    * lgK=14's ~0.8% RSE); SketchMergeSpec pins union-of-partials ≡ one
+    * global sketch, the identity the pattern rests on.
+    */
+  private def statsHllMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+    val daily = ev.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"), count(lit(1)).as("n"))
+    val merged = daily.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+      sum(col("n")).as("n_rows"), count(lit(1)).as("n_days"))
+    val exact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+    merged.crossJoin(broadcast(exact))
+      .select(col("n_days"), col("n_rows"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) * 50 <= col("n_exact")).as("within_2pct"))
+  }
+
   /** Quantile-sketch audit, the `stats_approx_distinct` pattern applied to
     * percentiles: exact p50/p90 per event_type (the value at rank
     * ceil(p·n), picked — never interpolated, so no float arithmetic and the
@@ -295,6 +321,7 @@ object CoverageOps {
     "src_jdbc_roundtrip" -> (srcJdbcRoundtrip _),
     "src_schema_evolution" -> (srcSchemaEvolution _),
     "stats_approx_distinct" -> (statsApproxDistinct _),
+    "stats_hll_merge" -> (statsHllMerge _),
     "stats_approx_quantile" -> (statsApproxQuantile _),
     "stats_approx_topk" -> (statsApproxTopk _),
     // SQL API surface: ONE identical ANSI string runs on Spark (via
@@ -358,6 +385,12 @@ object CoverageOps {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  CAST(true AS BOOLEAN) AS within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stats_hll_merge" ->
+      """SELECT count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
+        |  count(*) AS n_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  CAST(true AS BOOLEAN) AS within_2pct
+        |FROM events""".stripMargin,
     "stats_approx_quantile" ->
       """WITH r AS (
         |  SELECT event_type, value,

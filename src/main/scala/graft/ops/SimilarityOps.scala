@@ -196,6 +196,46 @@ object SimilarityOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Embedding-space decontamination — the third decontamination leg next
+    * to MinHash similarity (`decontaminate_test_split`) and exact 8-gram
+    * overlap (`decontaminate_ngram_overlap`): drop from the TRAIN split
+    * any vector whose embedding sits at cosine ≥ 0.99 to a TEST vector —
+    * the paraphrase-shaped contamination that string n-grams cannot see.
+    * Split = md5 nibble gate on vec_id (test ≈ 2/16 buckets), the same
+    * deterministic device as `mix_split_counts`; planted contamination =
+    * alternating-scaled copies ([[perturb]], cosine ≈ 0.992) of every 4th
+    * test vector injected into train. Candidates come from the same
+    * multi-table sign-LSH gate as [[embedNeardup]] (test side exact keys,
+    * train side radius-1 probes), exact cosine verifies — work ∝
+    * candidates, never |test|×|train|. Oracle = the exhaustive test×train
+    * join, so the banded gate is graded against brute-force truth.
+    */
+  private def decontaminateEmbed(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embeddings(s, dir)
+    val gate = substring(md5(col("vec_id").cast("string")), 32, 1)
+    val test = corpus.where(gate < lit("2")).select(col("vec_id"), col("embedding"))
+    val trainBase = corpus.where(gate >= lit("2")).select(col("vec_id"), col("embedding"))
+    val planted = test.where(col("vec_id") % 4 === 1)
+      .select((col("vec_id") + 500000).as("vec_id"),
+        perturb(col("embedding")).as("embedding"))
+    val train = trainBase.unionByName(planted)
+    val bits = neardupBits(corpus.count())
+    val bands = neardupBands(bits)
+    val tKeys = test.select(col("vec_id").as("test_id"),
+      explode(expr(s"graft_lsh_keys(embedding, $bands, $bits, $LshSeed, 0)")).as("key"))
+    val trKeys = train.select(col("vec_id").as("train_id"),
+      explode(expr(s"graft_lsh_keys(embedding, $bands, $bits, $LshSeed, 1)")).as("key"))
+    val cand = tKeys.join(trKeys, Seq("key"))
+      .select(col("test_id"), col("train_id")).distinct()
+    cand
+      .join(test.select(col("vec_id").as("test_id"), col("embedding").as("t_e")), "test_id")
+      .join(train.select(col("vec_id").as("train_id"), col("embedding").as("tr_e")), "train_id")
+      .select(col("train_id"), col("test_id"),
+        round(cosine(col("tr_e"), col("t_e")), 6).as("c"))
+      .where(col("c") >= 0.99)
+      .orderBy(col("train_id"), col("test_id"))
+  }
+
   // ------- incremental embedding dedup: batch vs persisted signature index
 
   /** `(vec_id, key)` multi-table signature-index rows — the same banded
@@ -652,6 +692,7 @@ object SimilarityOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_neardup_cosine" -> (embedNeardup _),
+    "decontaminate_embed" -> (decontaminateEmbed _),
     "embed_incremental" -> (embedIncremental _),
     "embed_quantize_int8" -> (embedQuantizeInt8 _),
     "ann_bruteforce_topk" -> (annBruteforce(_, _)),
@@ -661,6 +702,24 @@ object SimilarityOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "decontaminate_embed" ->
+      """WITH test AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE substr(md5(vec_id::VARCHAR), 32, 1) < '2'),
+        |train AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE substr(md5(vec_id::VARCHAR), 32, 1) >= '2'
+        |  UNION ALL
+        |  SELECT vec_id + 500000,
+        |    list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i]::DOUBLE *
+        |             (CASE WHEN (i - 1) % 2 = 0 THEN 1.125 ELSE 0.875 END) AS FLOAT))
+        |  FROM test WHERE vec_id % 4 = 1)
+        |SELECT train_id, test_id, c FROM (
+        |  SELECT tr.vec_id AS train_id, t.vec_id AS test_id,
+        |    round(list_cosine_similarity(tr.embedding::DOUBLE[], t.embedding::DOUBLE[]), 6) AS c
+        |  FROM train tr CROSS JOIN test t)
+        |WHERE c >= 0.99 ORDER BY train_id, test_id""".stripMargin,
     "embed_quantize_int8" ->
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n_dims,
         |  round(mn, 6) AS mn, round(mx, 6) AS mx,

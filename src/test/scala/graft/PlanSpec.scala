@@ -134,6 +134,13 @@ class PlanSpec extends AnyFunSuite {
       s"batch-vs-index candidates must come from the sig equi-join\n$plan")
   }
 
+  test("embedding decontamination candidates come from the sign-LSH equi-join") {
+    val plan = physical(ops.SimilarityOps.queries("decontaminate_embed")(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"test-vs-train candidates must come from the banded key equi-join\n$plan")
+  }
+
   test("ngram-overlap decontamination is an inverted-index equi-join, never all-pairs") {
     val plan = physical(ops.SamplingOps.queries("decontaminate_ngram_overlap")(spark, Sf0001))
     assert(!plan.contains("CartesianProduct"), plan)
