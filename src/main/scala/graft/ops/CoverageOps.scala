@@ -214,6 +214,41 @@ object CoverageOps {
           .as("within_5pct"))
       .orderBy(col("event_type"))
 
+  /** Correlated-subquery SQL surface — the reference ships SQL text, and
+    * analysts write EXISTS / scalar subqueries, not hand-planned joins.
+    * Catalyst DECORRELATES both shapes (RewriteCorrelatedScalarSubquery /
+    * RewritePredicateSubquery): the EXISTS becomes a left-semi equi-join,
+    * the per-key scalar aggregate becomes an Aggregate joined back — both
+    * shuffle-bounded, never the per-row re-execution a naive reading
+    * implies (at 100 TB a re-executed subquery per order row is the
+    * difference between one shuffle and |orders| scans). One IDENTICAL
+    * ANSI string runs on Spark and the DuckDB oracle (the S14 contract);
+    * PlanSpec pins the decorrelated plans (semi join present, no nested
+    * loop, aggregate below the join for the scalar form).
+    */
+  private val Q4ExistsSql =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q17 shape: small-quantity orders for one brand, the threshold a
+    * per-part correlated scalar aggregate. avg(l_quantity) divides an
+    * exactly-represented integer sum by an exact count, so the threshold
+    * replays bit-identically in DuckDB; money leaves as integer cents.
+    */
+  private val Q17ScalarSql =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS rev_cents,
+      |  count(*) AS n_small
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#13'
+      |  AND l_quantity < (SELECT CAST(0.2 AS DOUBLE) * avg(l_quantity)
+      |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
   /** Sketch MERGEABILITY — the property that makes approximate distinct
     * affordable at warehouse scale. `stats_approx_distinct` grades the
     * one-shot estimate; this query exercises the shape production
@@ -328,7 +363,11 @@ object CoverageOps {
     // GraftSession temp views) and on the DuckDB oracle — the reference
     // user's ship-SQL-text habit, preserved verbatim.
     "sql_api_pricing_summary" -> ((s, dir) => graft.GraftSession.init(s, dir)
-      .sql(RelationalOps.oracleSql("q1_pricing_summary")))
+      .sql(RelationalOps.oracleSql("q1_pricing_summary"))),
+    "q4_exists_subquery" -> ((s, dir) => graft.GraftSession.init(s, dir)
+      .sql(Q4ExistsSql)),
+    "q17_scalar_subquery" -> ((s, dir) => graft.GraftSession.init(s, dir)
+      .sql(Q17ScalarSql))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -349,6 +388,8 @@ object CoverageOps {
     "s5_catalog_listings" ->
       "SELECT * FROM (VALUES ('graft_cat_a'), ('graft_cat_b')) AS t(namespace) ORDER BY 1",
     "sql_api_pricing_summary" -> RelationalOps.oracleSql("q1_pricing_summary"),
+    "q4_exists_subquery" -> Q4ExistsSql,
+    "q17_scalar_subquery" -> Q17ScalarSql,
     "src_json_roundtrip" ->
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, value, props
          |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'

@@ -134,6 +134,23 @@ class PlanSpec extends AnyFunSuite {
       s"batch-vs-index candidates must come from the sig equi-join\n$plan")
   }
 
+  test("EXISTS subquery decorrelates to a semi join, not per-row re-execution") {
+    val plan = physical(ops.CoverageOps.queries("q4_exists_subquery")(spark, Sf0001))
+    assert(plan.contains("LeftSemi"),
+      s"EXISTS must decorrelate to a left-semi equi-join\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"decorrelation must not fall back to a nested loop\n$plan")
+  }
+
+  test("correlated scalar aggregate decorrelates to an Aggregate below the join") {
+    val plan = physical(ops.CoverageOps.queries("q17_scalar_subquery")(spark, Sf0001))
+    // the per-part avg must be computed ONCE as a grouped aggregate and
+    // equi-joined back, never re-run per probe row
+    assert(plan.contains("avg("), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"scalar subquery must decorrelate to agg + equi-join\n$plan")
+  }
+
   test("embedding decontamination candidates come from the sign-LSH equi-join") {
     val plan = physical(ops.SimilarityOps.queries("decontaminate_embed")(spark, Sf0001))
     assert(!plan.contains("CartesianProduct"), plan)
