@@ -215,15 +215,74 @@ object MultimodalOps {
     }.toDF("media_id", "n_samples", "afp").orderBy(col("media_id"))
   }
 
+  /** Shot-boundary (scene-cut) detection over the REAL video decode — the
+    * pre-step of every frame-dedup / clip-sampling pipeline: per-frame
+    * luminance sums from the GMV1 container (full stride, unlike
+    * mm_frame_sample's stride-2), then a per-video lag window flags frames
+    * whose mean shifted by > 4 grey levels vs the previous frame. The flag
+    * is integer cross-multiplication (|Δsum| > n_px·4 — no float mean), so
+    * the whole cut ledger replays closed-form in DuckDB. Decode is
+    * executor-side typed flatMap (map-only); the only shuffle is the
+    * per-video window, keyed on media_id.
+    */
+  private def mmSceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    val frames = mediaFixture(s, dir, Some("video")).flatMap { m =>
+      val (w, h, fr) = Multimodal.decodeVideoFrames(m.payload)
+      fr.zipWithIndex.map { case (px, t) =>
+        var sum = 0L
+        px.foreach(sum += _)
+        (m.media_id, t, w.toLong * h, sum)
+      }
+    }.toDF("media_id", "frame_idx", "n_px", "sum_px")
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    frames
+      .withColumn("prev", lag(col("sum_px"), 1).over(w))
+      .withColumn("is_cut", col("prev").isNotNull &&
+        abs(col("sum_px") - col("prev")) > col("n_px") * 4)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"),
+        min(when(col("is_cut"), col("frame_idx"))).as("first_cut"))
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> (mmDecodeMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
+    "mm_scene_cuts" -> (mmSceneCuts _),
     "mm_features" -> (mmFeatures _),
     "mm_phash" -> (mmPhash _),
     "mm_afp" -> (mmAudioFp _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    // frame sums re-derived from the closed-form pixel formula (no codec),
+    // same lag window, same integer cross-multiplied cut threshold
+    "mm_scene_cuts" ->
+      """WITH vid AS (
+        |  SELECT doc_id AS media_id, doc_id % 16 + 4 AS w,
+        |    doc_id % 12 + 4 AS h, doc_id % 6 + 2 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT media_id, w * h AS n_px, t.t AS frame_idx,
+        |    CAST(list_sum(list_transform(range(0, w*h), i ->
+        |      (media_id*31 + t.t*11 + (i%w)*7 + (i//w)*13) % 256)) AS BIGINT) AS sum_px
+        |  FROM vid, LATERAL (SELECT unnest(range(0, nf)) AS t) t),
+        |lagged AS (
+        |  SELECT media_id, frame_idx, n_px, sum_px,
+        |    lag(sum_px) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev
+        |  FROM fr),
+        |flagged AS (
+        |  SELECT media_id, frame_idx,
+        |    (prev IS NOT NULL AND abs(sum_px - prev) > n_px * 4) AS is_cut
+        |  FROM lagged)
+        |SELECT media_id, count(*) AS n_frames,
+        |  CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |  CAST(min(CASE WHEN is_cut THEN frame_idx END) AS INTEGER) AS first_cut
+        |FROM flagged GROUP BY media_id ORDER BY media_id""".stripMargin,
     // every aHash bit re-derived from the closed-form pixel formula:
     // same box split (floor ratios, min-1-wide), same rounded mean,
     // same strict p·16 > Σp threshold, same row-major bit order

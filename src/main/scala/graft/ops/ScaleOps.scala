@@ -568,6 +568,41 @@ object ScaleOps {
       .orderBy(col("bucket"))
   }
 
+  /** Partition-layout evolution: a destination born day-partitioned is
+    * migrated to week partitions — the re-layout every aging warehouse
+    * eventually runs when daily partitions turn into a listing problem
+    * (10 years × 365 dirs) while queries have gone coarse. Two scale
+    * rules encoded: (1) the data is rewritten exactly ONCE, no
+    * row-level work; (2) the migration `repartition`s ON the new
+    * partition column before writing — without that, every reduce task
+    * writes a file into every partition directory and the M-tasks ×
+    * N-partitions small-file explosion recreates the problem the
+    * migration was meant to fix. The read-back audit proves multiset
+    * invariance (per-week rollup ≡ source) and pins exactly ONE file per
+    * week partition — the n_files column is the explosion detector.
+    */
+  private def etlPartitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").select(
+      col("event_id"), col("ts"),
+      round(col("value") * 100).cast("long").as("value_cents"),
+      date_format(col("ts"), "yyyy-MM-dd").as("export_date"))
+    val daily = graft.util.TempDirs.create("graft_evo_daily_")
+    ev.write.mode(SaveMode.Overwrite).partitionBy("export_date").parquet(daily)
+    val weekly = graft.util.TempDirs.create("graft_evo_weekly_")
+    s.read.parquet(daily)
+      .withColumn("export_week",
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd"))
+      .drop("export_date")
+      .repartition(col("export_week"))
+      .write.mode(SaveMode.Overwrite).partitionBy("export_week").parquet(weekly)
+    s.read.parquet(weekly)
+      .withColumn("__file", input_file_name())
+      .groupBy(col("export_week").cast("string").as("export_week"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("value_cents")).as("value_cents"),
+        countDistinct(col("__file")).cast("int").as("n_files"))
+      .orderBy(col("export_week"))
+  }
+
   /** Robust-statistics outlier screen: per-type median + MAD (median
     * absolute deviation) with the |v − med| > 3·MAD flag — the screen that
     * survives the heavy-tailed junk that makes mean/stddev useless on web
@@ -605,6 +640,7 @@ object ScaleOps {
     "stats_key_skew" -> (statsKeySkew _),
     "stats_mad_outliers" -> (statsMadOutliers _),
     "j8_partition_prune_join" -> (j8PartitionPruneJoin _),
+    "etl_partition_evolution" -> (etlPartitionEvolution _),
     "stats_bucket_drift" -> (statsBucketDrift _),
     "audit_manifest" -> (auditManifest _),
     "j6_bloom_semijoin" -> (j6BloomSemijoin _),
@@ -630,6 +666,12 @@ object ScaleOps {
         |  CAST(sum(e.value_cents) AS BIGINT) AS value_cents
         |FROM e JOIN busy USING (export_date)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "etl_partition_evolution" ->
+      """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS export_week,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+        |  CAST(1 AS INTEGER) AS n_files
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "stats_mad_outliers" ->
       """WITH e AS (SELECT event_type, value FROM events),
         |r AS (SELECT event_type, value,

@@ -134,6 +134,19 @@ class PlanSpec extends AnyFunSuite {
       s"batch-vs-index candidates must come from the sig equi-join\n$plan")
   }
 
+  test("AQE coalesces post-shuffle partitions to the data's true size") {
+    // at 100 TB spark.sql.shuffle.partitions is sized for the biggest
+    // stage; AQE's runtime coalesce is what keeps a 5-group aggregate from
+    // scheduling thousands of near-empty reducers. Pin that the final
+    // adaptive plan actually coalesced below the static setting.
+    val df = Tables.load(spark, Sf0001, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    df.collect() // finalize the adaptive plan
+    val plan = physical(df)
+    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+      s"final plan must carry a coalesced AQEShuffleRead\n$plan")
+  }
+
   test("EXISTS subquery decorrelates to a semi join, not per-row re-execution") {
     val plan = physical(ops.CoverageOps.queries("q4_exists_subquery")(spark, Sf0001))
     assert(plan.contains("LeftSemi"),
