@@ -568,6 +568,82 @@ object ScaleOps {
       .orderBy(col("bucket"))
   }
 
+  /** Write-Audit-Publish: batches land in a per-batch staging directory,
+    * an audit gate compares what is actually ON DISK against the
+    * extraction's own claim, and only audited batches are published into
+    * the live destination — the lakehouse WAP discipline that keeps a
+    * torn or short write invisible to readers forever, instead of until
+    * someone notices. Key properties: the audit reads the STAGED files
+    * (exactly what readers would see), never the writer's in-memory
+    * belief; publish is a rename per part-file — O(files) metadata ops,
+    * no data movement on HDFS-like stores (object stores substitute a
+    * manifest/metadata swap, same contract); a rejected batch stays
+    * quarantined in staging with its files intact, so the retry path is
+    * re-audit + publish, not re-extract. Returns the published row count
+    * or the audit failure.
+    */
+  def writeAuditPublish(s: SparkSession, destDir: String, stagingRoot: String,
+                        batchId: String, batch: DataFrame,
+                        claimedRows: Long): Either[String, Long] = {
+    val stageDir = s"$stagingRoot/$batchId"
+    batch.write.mode(SaveMode.Overwrite).parquet(stageDir)
+    publishStaged(s, destDir, stageDir, batchId, claimedRows)
+  }
+
+  /** Audit + publish of an ALREADY-staged batch (the retry half of WAP —
+    * a batch rejected over a bad claim republishes without re-extraction).
+    */
+  def publishStaged(s: SparkSession, destDir: String, stageDir: String,
+                    batchId: String, claimedRows: Long): Either[String, Long] = {
+    val n = s.read.parquet(stageDir).count()
+    if (n != claimedRows)
+      Left(s"audit rejected batch $batchId: staged=$n claimed=$claimedRows")
+    else {
+      val conf = s.sessionState.newHadoopConf()
+      val dest = new org.apache.hadoop.fs.Path(destDir)
+      val fs = dest.getFileSystem(conf)
+      fs.mkdirs(dest)
+      val src = new org.apache.hadoop.fs.Path(stageDir)
+      fs.listStatus(src).filter(_.getPath.getName.startsWith("part-")).foreach { f =>
+        val tgt = new org.apache.hadoop.fs.Path(dest, s"$batchId-${f.getPath.getName}")
+        if (!fs.rename(f.getPath, tgt))
+          throw new java.io.IOException(s"publish failed for ${f.getPath}")
+      }
+      Right(n)
+    }
+  }
+
+  /** WAP as an oracled operator: a clean batch publishes, a torn batch
+    * (a fifth of the rows never reached staging, but the claim is the
+    * full extract count) is rejected by the audit, and the read-back
+    * rollup proves the destination contains EXACTLY the clean batch —
+    * the torn batch's days are absent from the hash-checked result.
+    * ScaleOpsSpec drives the retry: the rejected batch's staged files
+    * survive, and a corrected-claim republish lands them.
+    */
+  private def etlWap(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").select(
+      col("event_id"),
+      round(col("value") * 100).cast("long").as("value_cents"),
+      date_format(col("ts"), "yyyy-MM-dd").as("export_date"))
+    val goodBatch = ev.where(col("export_date") < "2024-01-11")
+    val badFull = ev.where(
+      col("export_date") >= "2024-01-11" && col("export_date") < "2024-01-21")
+    val claimed = badFull.count()
+    val badTorn = badFull.where(col("event_id") % 5 =!= 0)
+    val root = graft.util.TempDirs.create("graft_wap_")
+    val r1 = writeAuditPublish(s, s"$root/dest", s"$root/staging",
+      "batch_good", goodBatch, goodBatch.count())
+    require(r1.isRight, s"good batch must publish: $r1")
+    val r2 = writeAuditPublish(s, s"$root/dest", s"$root/staging",
+      "batch_torn", badTorn, claimed)
+    require(r2.isLeft, "torn batch must be rejected by the audit")
+    s.read.parquet(s"$root/dest")
+      .groupBy(col("export_date"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("value_cents")).as("value_cents"))
+      .orderBy(col("export_date"))
+  }
+
   /** Partition-layout evolution: a destination born day-partitioned is
     * migrated to week partitions — the re-layout every aging warehouse
     * eventually runs when daily partitions turn into a listing problem
@@ -641,6 +717,7 @@ object ScaleOps {
     "stats_mad_outliers" -> (statsMadOutliers _),
     "j8_partition_prune_join" -> (j8PartitionPruneJoin _),
     "etl_partition_evolution" -> (etlPartitionEvolution _),
+    "etl_wap" -> (etlWap _),
     "stats_bucket_drift" -> (statsBucketDrift _),
     "audit_manifest" -> (auditManifest _),
     "j6_bloom_semijoin" -> (j6BloomSemijoin _),
@@ -665,6 +742,12 @@ object ScaleOps {
         |SELECT e.event_type, count(*) AS n_events,
         |  CAST(sum(e.value_cents) AS BIGINT) AS value_cents
         |FROM e JOIN busy USING (export_date)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "etl_wap" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS export_date, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') < '2024-01-11'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "etl_partition_evolution" ->
       """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS export_week,

@@ -227,6 +227,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("WAP: rejected batch stays staged intact; corrected-claim retry publishes it") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import sp.implicits._
+    val root = tmpDir("wap_spec_")
+    val batch = (1L to 100L).map(i => (i, i * 3)).toDF("id", "v")
+    // short write vs an inflated claim: the audit must reject
+    val r = ScaleOps.writeAuditPublish(spark, s"$root/dest", s"$root/staging",
+      "b1", batch, claimedRows = 120)
+    assert(r.isLeft, s"inflated claim must be rejected: $r")
+    // readers never saw it: dest does not exist / has no files
+    assert(!graft.util.Fs.hasParquetFiles(spark, s"$root/dest"),
+      "rejected batch must be invisible to readers")
+    // the staged files survived quarantine — the retry is re-audit, not
+    // re-extract: republish the SAME staged dir with the corrected claim
+    val retry = ScaleOps.publishStaged(spark, s"$root/dest", s"$root/staging/b1",
+      "b1", claimedRows = 100)
+    assert(retry == Right(100L), s"corrected claim must publish: $retry")
+    assert(spark.read.parquet(s"$root/dest").count() == 100)
+    // and the publish is append-only next to an existing batch
+    val r2 = ScaleOps.writeAuditPublish(spark, s"$root/dest", s"$root/staging",
+      "b2", batch.where($"id" <= 10), claimedRows = 10)
+    assert(r2 == Right(10L))
+    assert(spark.read.parquet(s"$root/dest").count() == 110)
+  }
+
   test("bucketed tables join co-located: no shuffle exchange before the join") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql("DROP TABLE IF EXISTS b_orders")
