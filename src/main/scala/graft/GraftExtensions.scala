@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Cluster-wide wiring for deployments that cannot call
+  * [[GraftSession.init]] inside every job (third-party notebooks, BI
+  * tools, thrift server): set
+  *
+  *   --conf spark.sql.extensions=graft.GraftExtensions
+  *
+  * and every SparkSession built in the cluster carries the engine's
+  * optimizer rule ([[plans.NanosTimestampPushdown]] — restores parquet
+  * pushdown for nanos-encoded event time, the difference between a
+  * row-group-skipping scan and a full-table read at 100 TB) and all
+  * native SQL functions, with no code change in user jobs. The function
+  * list is the same (name, builder) source of truth `register()` uses,
+  * so the per-session and cluster-wide paths can never drift.
+  * GraftExtensionsSpec builds a fresh session through the config-string
+  * path — the exact deployment wiring — and asserts both.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => plans.NanosTimestampPushdown)
+    (functions.NativeText.builders ++ functions.NativeVector.builders).foreach {
+      case (name, builder) =>
+        ext.injectFunction((FunctionIdentifier(name),
+          new ExpressionInfo("graft.functions", name), builder))
+    }
+  }
+}

@@ -261,25 +261,26 @@ object NativeText {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_token_hashes",
-      exprs => TokenHashesExpr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_shingle_hashes",
-      exprs => ShingleHashesExpr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash60",
-      exprs => Simhash60Expr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash60_shingles",
-      exprs => Simhash60ShinglesExpr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash_sig64",
-      exprs => MinhashSig64Expr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_repetition_stats",
-      exprs => RepetitionStatsExpr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_ngram8_hashes",
-      exprs => Ngram8HashesExpr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_ngram8_pos_hashes",
-      exprs => Ngram8PosHashesExpr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_normalize_text",
-      exprs => NormalizeTextExpr(exprs.head), "built-in")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
+
+  /** (name, builder) pairs — one source of truth shared by [[register]]
+    * (per-session wiring) and [[graft.GraftExtensions]] (the
+    * `spark.sql.extensions` cluster-wide wiring).
+    */
+  private[graft] def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_token_hashes" -> (exprs => TokenHashesExpr(exprs.head)),
+    "graft_shingle_hashes" -> (exprs => ShingleHashesExpr(exprs.head)),
+    "graft_simhash60" -> (exprs => Simhash60Expr(exprs.head)),
+    "graft_simhash60_shingles" -> (exprs => Simhash60ShinglesExpr(exprs.head)),
+    "graft_minhash_sig64" -> (exprs => MinhashSig64Expr(exprs.head)),
+    "graft_repetition_stats" -> (exprs => RepetitionStatsExpr(exprs.head)),
+    "graft_ngram8_hashes" -> (exprs => Ngram8HashesExpr(exprs.head)),
+    "graft_ngram8_pos_hashes" -> (exprs => Ngram8PosHashesExpr(exprs.head)),
+    "graft_normalize_text" -> (exprs => NormalizeTextExpr(exprs.head))
+  )
 }
 
 /** String→string codegen expression for [[NativeText.normalizeText]]:

@@ -170,11 +170,18 @@ object NativeVector {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_cosine",
-      exprs => CosineExpr(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_int_argmin",
-      exprs => IntArgminExpr(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_lsh_keys", exprs => {
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+
+  /** (name, builder) pairs — one source of truth shared by [[register]]
+    * and [[graft.GraftExtensions]] (`spark.sql.extensions` wiring).
+    */
+  private[graft] def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine" -> (exprs => CosineExpr(exprs(0), exprs(1))),
+    "graft_int_argmin" -> (exprs => IntArgminExpr(exprs(0), exprs(1))),
+    "graft_lsh_keys" -> (exprs => {
       def intLit(e: Expression, what: String): Int = e match {
         case Literal(v: Int, IntegerType) => v
         case Literal(v: Long, LongType) if v.isValidInt => v.toInt
@@ -191,8 +198,8 @@ object NativeVector {
       }
       LshKeysExpr(exprs(0), intLit(exprs(1), "nBands"), intLit(exprs(2), "bitsPerBand"),
         longLit(exprs(3), "seed"), intLit(exprs(4), "probeRadius"))
-    }, "built-in")
-  }
+    })
+  )
 }
 
 case class CosineExpr(left: Expression, right: Expression) extends BinaryExpression {

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `spark.sql.extensions=graft.GraftExtensions` deployment path: a
+  * session built through the CONFIG STRING (not a code call) must carry
+  * the native functions and the pushdown rule — this is how the engine
+  * reaches jobs that never import graft code (notebooks, thrift server).
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("extensions class (by config name) wires functions and the pushdown rule into a fresh session") {
+    val base = SparkTestBase.spark // ensure the shared SparkContext exists
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // spark.sql.extensions is a STATIC conf resolved from the
+    // SparkContext's conf at context creation — not settable on the
+    // shared test context. Validate the two halves separately: the
+    // config path's contract is "instantiable by name with a zero-arg
+    // constructor", and the instance must wire a fresh session.
+    val byName = Class.forName("graft.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(byName)
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      assert(s2 ne base, "cleared builder must yield a NEW session (shared context)")
+      // native function callable from bare SQL with no register() call
+      val c = s2.sql(
+        """SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+          |                    array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c"""
+          .stripMargin)
+        .collect()(0).getDouble(0)
+      assert(math.abs(c - 1.0) < 1e-12, s"graft_cosine must resolve and evaluate, got $c")
+      // and the optimizer rule rode along
+      assert(s2.sessionState.optimizer.extendedOperatorOptimizationRules
+        .contains(plans.NanosTimestampPushdown),
+        "NanosTimestampPushdown must be injected by the extensions")
+    } finally {
+      // restore the shared session for every other suite (do NOT stop s2 —
+      // it shares the one SparkContext)
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
