@@ -242,6 +242,31 @@ object RelationalOps {
       .orderBy(col("global_idx"))
   }
 
+  /** W15: gaps-and-islands — per-user longest consecutive-day activity
+    * streak, the classic engagement metric and the canonical "islands"
+    * problem. The island id is the day ordinal minus the per-user day
+    * rank: constant exactly within a consecutive run, so streaks fall out
+    * of two grouped aggregations over ONE user_id shuffle — no self-join,
+    * no recursion, no per-user iteration. At 100 TB the distinct
+    * (user, day) projection collapses the fact first (|users|·|days|
+    * rows), and everything after is partial-agg friendly.
+    */
+  private def w15ActivityStreaks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = events(s, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("day_ord"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day_ord")
+    days
+      .withColumn("island", col("day_ord") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"), count(lit(1)).as("n_streaks"))
+      .orderBy(col("user_id"))
+  }
+
   private def c1(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .select(col("event_id"),
@@ -759,6 +784,7 @@ object RelationalOps {
     "o1_orderby_desc_limit1" -> (o1 _),
     "o2_limit_offset" -> (o2 _),
     "o4_global_index" -> (o4GlobalIndex _),
+    "w15_activity_streaks" -> (w15ActivityStreaks _),
     "c1_base64_roundtrip" -> (c1 _),
     "c3_json_parse" -> (c3 _),
     "c4_json_serialize" -> (c4 _),
@@ -886,6 +912,19 @@ object RelationalOps {
       s"SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso FROM events ORDER BY ts DESC, event_id DESC LIMIT 1",
     "o2_limit_offset" ->
       "SELECT event_id FROM events ORDER BY ts, event_id LIMIT 100 OFFSET 50",
+    "w15_activity_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_ord
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, day_ord,
+        |    day_ord - row_number() OVER (PARTITION BY user_id ORDER BY day_ord) AS island
+        |  FROM days),
+        |runs AS (SELECT user_id, island, count(*) AS len FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+        |  count(*) AS n_streaks
+        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin,
     "o4_global_index" ->
       """WITH idx AS (
         |  SELECT event_id,

@@ -436,7 +436,11 @@ object ScaleOps {
       round(col("value") * 100).cast("long").as("value_cents"),
       to_date(col("ts")).as("export_date"))
     val dest = graft.util.TempDirs.create("graft_dppq_")
-    ev.write.mode(SaveMode.Overwrite).partitionBy("export_date").parquet(dest)
+    // repartition on the partition column before the write — the same
+    // no-small-file-spray rule etl_partition_evolution encodes (without
+    // it every input task writes a file into every day directory)
+    ev.repartition(col("export_date"))
+      .write.mode(SaveMode.Overwrite).partitionBy("export_date").parquet(dest)
     val fact = s.read.parquet(dest)
     val d = ev.groupBy(col("export_date")).agg(count(lit(1)).as("day_rows"))
     // the busier-than-average threshold is collected driver-side (ONE row

@@ -176,6 +176,44 @@ object TextAnalysisOps {
     docs.select(col("doc_id"), col("text"))
       .unionByName(piiFixtureDf(docs.sparkSession))
 
+  /** Deterministic code-shaped rows (no apostrophes — they feed a VALUES
+    * clause): Python, C, SQL, and a prose control. The corpus itself is
+    * symbol-free word text, so every positive comes from the fixture and
+    * the negative space is the whole corpus.
+    */
+  private[ops] val CodeFixture: Seq[(Long, String)] = Seq(
+    (9100001L, "def load(path): return [int(x) for x in open(path)] # parse"),
+    (9100002L, "for (int i = 0; i < n; i++) { sum += a[i] * b[i]; }"),
+    (9100003L, "SELECT user_id, count(*) FROM events GROUP BY 1 ORDER BY 2 DESC;"),
+    (9100004L, "plain prose about tables and queries with no syntax at all")
+  )
+
+  private[ops] def codeFixtureSql: String =
+    CodeFixture.map { case (id, t) => s"($id, '$t')" }.mkString(",\n    ")
+
+  private def withCodeDocs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(CodeFixture.toDF("doc_id", "text"))
+  }
+
+  /** Code-vs-prose routing — the corpus-mix gate every LLM data pipeline
+    * runs (code to the code pile, prose to the text pile, each with its
+    * own dedup/quality settings). The signal is the punctuation-symbol
+    * ratio with an integer cross-multiplied threshold (> 4% of chars in
+    * `{}()[];=<>*+#`), computed as two codegen'd lengths — map-only over
+    * 100 TB, no shuffle except the final sort, and the flag replays
+    * bit-exactly in the oracle.
+    */
+  private val CodeSymRe = "[{}()\\[\\];=<>*+#]"
+  private def taCodeDetect(s: SparkSession, dir: String): DataFrame =
+    withCodeDocs(documents(s, dir))
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), CodeSymRe, ""))).as("n_sym"))
+      .withColumn("is_code", col("n_sym") * 25 > col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** PII scrubbing: count and redact email/phone matches — the compliance
     * pass a web corpus must run before training. Pure columnar regex
     * (codegen'd `regexp_extract_all`/`regexp_replace`): map-only over
@@ -460,6 +498,7 @@ object TextAnalysisOps {
     "ta_fingerprint" -> (taFingerprint _),
     "ta_repetition" -> (taRepetition _),
     "ta_pii_redact" -> (taPiiRedact _),
+    "ta_code_detect" -> (taCodeDetect _),
     "ta_vocab_topk" -> (taVocabTopK _),
     "ta_normalize" -> (taNormalize _),
     "ta_lm_familiarity" -> (taLmFamiliarity _),
@@ -610,6 +649,19 @@ object TextAnalysisOps {
          |             ELSE 0.0 END) <= $MaxTopBigramFrac AS keep
          |FROM t LEFT JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "ta_code_detect" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    $codeFixtureSql) AS v(doc_id, text)),
+         |m AS (
+         |  SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+         |    CAST(length(text) - length(regexp_replace(text,
+         |      '[{}()\\[\\];=<>*+#]', '', 'g')) AS INTEGER) AS n_sym
+         |  FROM docs)
+         |SELECT doc_id, n_chars, n_sym, n_sym * 25 > n_chars AS is_code
+         |FROM m ORDER BY doc_id""".stripMargin,
     "ta_pii_redact" ->
       s"""WITH fixture AS (
          |  SELECT doc_id, text FROM documents
