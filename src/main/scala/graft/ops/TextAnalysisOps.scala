@@ -176,6 +176,35 @@ object TextAnalysisOps {
     docs.select(col("doc_id"), col("text"))
       .unionByName(piiFixtureDf(docs.sparkSession))
 
+  /** Quality-PROPORTIONAL sampling — each document's keep probability IS
+    * its quality score (the continuous-rate counterpart of
+    * `mix_stratified_sample`'s fixed per-lang rates, the shape modern
+    * web-corpus curation uses: don't binarize quality, sample by it).
+    * Deterministic: the per-doc uniform draw is two md5 hex chars (256
+    * buckets, positions 29-30 — independent of the nibble gates other
+    * samplers use), compared against the quality mapped to a 0..255 hex
+    * threshold. No RNG state — reruns and the DuckDB oracle keep the
+    * identical document set. Map-only over 100 TB.
+    */
+  private def mixQualityWeighted(s: SparkSession, dir: String): DataFrame = {
+    val q = documents(s, dir)
+      .select(col("doc_id"), col("lang"), toks.as("w"))
+      .select(col("doc_id"), col("lang"),
+        size(col("w")).as("n_words"),
+        (size(array_distinct(col("w"))).cast("double") /
+          greatest(size(col("w")), lit(1)).cast("double")).as("ttr"),
+        (stopwordCount(col("w")).cast("double") /
+          greatest(size(col("w")), lit(1)).cast("double")).as("stop_ratio"))
+      .withColumn("quality",
+        round(col("ttr") * 0.5 + col("stop_ratio") * 0.3 +
+          when(col("n_words") >= 30, 0.2).otherwise(0.0), 6))
+    q.withColumn("q256", least(round(col("quality") * 256).cast("int"), lit(255)))
+      .where(substring(md5(col("doc_id").cast("string")), 29, 2) <
+        format_string("%02x", col("q256")))
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic code-shaped rows (no apostrophes — they feed a VALUES
     * clause): Python, C, SQL, and a prose control. The corpus itself is
     * symbol-free word text, so every positive comes from the fixture and
@@ -502,7 +531,8 @@ object TextAnalysisOps {
     "ta_vocab_topk" -> (taVocabTopK _),
     "ta_normalize" -> (taNormalize _),
     "ta_lm_familiarity" -> (taLmFamiliarity _),
-    "mix_topk_quality" -> (mixTopkQuality _)
+    "mix_topk_quality" -> (mixTopkQuality _),
+    "mix_quality_weighted" -> (mixQualityWeighted _)
   )
 
   /** Docs kept per language in the quality-selection pass. */
@@ -758,6 +788,20 @@ object TextAnalysisOps {
          |  coalesce(s.n_novel, 0) AS n_novel
          |FROM documents d LEFT JOIN s USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    "mix_quality_weighted" ->
+      s"""SELECT doc_id, lang, quality FROM (
+         |  SELECT doc_id, lang,
+         |    round(ttr * 0.5 + stop_ratio * 0.3 +
+         |      CASE WHEN n_words >= 30 THEN 0.2 ELSE 0.0 END, 6) AS quality
+         |  FROM (
+         |    SELECT doc_id, lang, len(w) AS n_words,
+         |      len(list_distinct(w))::DOUBLE / greatest(len(w), 1)::DOUBLE AS ttr,
+         |      len(list_filter(w, x -> list_contains($duckStop, x)))::DOUBLE /
+         |        greatest(len(w), 1)::DOUBLE AS stop_ratio
+         |    FROM (SELECT doc_id, lang, $duckToks w FROM documents)))
+         |WHERE substr(md5(doc_id::VARCHAR), 29, 2) <
+         |  printf('%02x', least(CAST(round(quality * 256) AS INTEGER), 255))
+         |ORDER BY doc_id""".stripMargin,
     "mix_topk_quality" ->
       s"""SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id, quality FROM (
          |  SELECT lang, doc_id, quality,
