@@ -235,6 +235,21 @@ object CoverageOps {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q21-flavored shape: EXISTS and NOT EXISTS against the same
+    * fact — the NOT EXISTS decorrelates to a left-ANTI equi-join (the
+    * third subquery rewrite beside semi and scalar-agg). Orders with a
+    * returned item but no large-quantity line.
+    */
+  private val Q21NotExistsSql =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** TPC-H Q17 shape: small-quantity orders for one brand, the threshold a
     * per-part correlated scalar aggregate. avg(l_quantity) divides an
     * exactly-represented integer sum by an exact count, so the threshold
@@ -367,7 +382,9 @@ object CoverageOps {
     "q4_exists_subquery" -> ((s, dir) => graft.GraftSession.init(s, dir)
       .sql(Q4ExistsSql)),
     "q17_scalar_subquery" -> ((s, dir) => graft.GraftSession.init(s, dir)
-      .sql(Q17ScalarSql))
+      .sql(Q17ScalarSql)),
+    "q21_not_exists" -> ((s, dir) => graft.GraftSession.init(s, dir)
+      .sql(Q21NotExistsSql))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -390,6 +407,7 @@ object CoverageOps {
     "sql_api_pricing_summary" -> RelationalOps.oracleSql("q1_pricing_summary"),
     "q4_exists_subquery" -> Q4ExistsSql,
     "q17_scalar_subquery" -> Q17ScalarSql,
+    "q21_not_exists" -> Q21NotExistsSql,
     "src_json_roundtrip" ->
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, value, props
          |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'

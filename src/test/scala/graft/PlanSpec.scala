@@ -155,6 +155,14 @@ class PlanSpec extends AnyFunSuite {
       s"decorrelation must not fall back to a nested loop\n$plan")
   }
 
+  test("NOT EXISTS decorrelates to a left-anti join beside the semi") {
+    val plan = physical(ops.CoverageOps.queries("q21_not_exists")(spark, Sf0001))
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"EXISTS+NOT EXISTS must become semi + anti equi-joins\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"decorrelation must not fall back to a nested loop\n$plan")
+  }
+
   test("correlated scalar aggregate decorrelates to an Aggregate below the join") {
     val plan = physical(ops.CoverageOps.queries("q17_scalar_subquery")(spark, Sf0001))
     // the per-part avg must be computed ONCE as a grouped aggregate and
