@@ -23,7 +23,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => plans.NanosTimestampPushdown)
-    (functions.NativeText.builders ++ functions.NativeVector.builders).foreach {
+    (functions.NativeText.builders ++ functions.NativeVector.builders ++
+      functions.NativeAgg.builders).foreach {
       case (name, builder) =>
         ext.injectFunction((FunctionIdentifier(name),
           new ExpressionInfo("graft.functions", name), builder))

@@ -26,6 +26,7 @@ object GraftSession {
   def init(spark: SparkSession, dir: String): SparkSession = {
     functions.NativeText.register(spark)
     functions.NativeVector.register(spark)
+    functions.NativeAgg.register(spark)
     TableNames.foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
     spark
   }

@@ -1,0 +1,141 @@
+package graft.functions
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst AGGREGATE — the per-group bounded top-k the built-in
+  * API cannot express efficiently. The idiomatic alternative is a window
+  * (`row_number` over value DESC, filter ≤ k), which SORTS every group's
+  * full row set; this aggregate keeps a k-element ordered buffer per
+  * group instead, so the map side reduces each partition's contribution
+  * to ≤ k rows BEFORE the shuffle (classic partial aggregation) and the
+  * reducer merges k-lists. At 100 TB with millions of rows per group and
+  * k = 3, that is the difference between shuffling the fact table and
+  * shuffling |groups|·k rows. Planned as ObjectHashAggregate
+  * (partial + final), pinned in NativeAggSpec.
+  *
+  * Determinism contract: order by (value DESC, id ASC); (value, id) pairs
+  * are unique whenever id is unique, so the result replays exactly in
+  * the DuckDB window-based oracle.
+  */
+case class TopKPairsAgg(
+    valueExpr: Expression,
+    idExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]] {
+
+  require(k > 0 && k <= 1024, s"graft_topk_pairs: k must be in (0, 1024], got $k")
+
+  // best-first: highest value, then lowest id
+  private def ord: Ordering[(Double, Long)] =
+    Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+
+  override def createAggregationBuffer(): java.util.TreeSet[(Double, Long)] =
+    new java.util.TreeSet[(Double, Long)](ord)
+
+  override def update(buf: java.util.TreeSet[(Double, Long)],
+                      input: InternalRow): java.util.TreeSet[(Double, Long)] = {
+    val v = valueExpr.eval(input)
+    val id = idExpr.eval(input)
+    if (v != null && id != null) {
+      buf.add((v.asInstanceOf[Double], id.asInstanceOf[Long]))
+      while (buf.size > k) buf.pollLast()
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[(Double, Long)],
+                     b2: java.util.TreeSet[(Double, Long)]): java.util.TreeSet[(Double, Long)] = {
+    val it = b2.iterator()
+    while (it.hasNext) {
+      b1.add(it.next())
+      while (b1.size > k) b1.pollLast()
+    }
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[(Double, Long)]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val (v, id) = it.next()
+      out(i) = new GenericInternalRow(Array[Any](v, id))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[(Double, Long)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val (v, id) = it.next()
+      out.writeDouble(v)
+      out.writeLong(id)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Double, Long)] = {
+    val in = ByteBuffer.wrap(bytes)
+    val buf = createAggregationBuffer()
+    val n = in.getInt
+    var i = 0
+    while (i < n) {
+      buf.add((in.getDouble, in.getLong))
+      i += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("v", DoubleType), StructField("id", LongType))), containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(valueExpr, idExpr)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKPairsAgg =
+    copy(valueExpr = newChildren(0), idExpr = newChildren(1))
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "graft_topk_pairs"
+}
+
+object NativeAgg {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+
+  /** (name, builder) pairs — shared by [[register]] and
+    * [[graft.GraftExtensions]], like NativeText/NativeVector.
+    */
+  private[graft] def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_topk_pairs" -> (exprs => {
+      val k = exprs(2) match {
+        case Literal(v: Int, IntegerType) => v
+        case Literal(v: Long, LongType) if v.isValidInt => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_topk_pairs: k must be an integer literal, got $other")
+      }
+      TopKPairsAgg(exprs(0), exprs(1), k).toAggregateExpression()
+    })
+  )
+}

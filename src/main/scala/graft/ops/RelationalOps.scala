@@ -242,6 +242,25 @@ object RelationalOps {
       .orderBy(col("global_idx"))
   }
 
+  /** A9: per-group top-k through the custom [[graft.functions.TopKPairsAgg]]
+    * TypedImperativeAggregate — the one-pass bounded-buffer alternative to
+    * the window form (`a3_top1_per_key` sorts each group; this reduces
+    * every map partition to ≤ k rows BEFORE the shuffle). The oracle is
+    * the window form in DuckDB, so the custom aggregate is held to the
+    * exact (value DESC, id ASC) semantics; NativeAggSpec pins the
+    * ObjectHashAggregate partial+final plan and ≡ the Spark window form.
+    */
+  private def a9TopkCustomAgg(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeAgg.register(s)
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("graft_topk_pairs(value, event_id, 3)").as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.v").as("value"), col("col.id").as("event_id"))
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
   /** W15: gaps-and-islands — per-user longest consecutive-day activity
     * streak, the classic engagement metric and the canonical "islands"
     * problem. The island id is the day ordinal minus the per-user day
@@ -785,6 +804,7 @@ object RelationalOps {
     "o2_limit_offset" -> (o2 _),
     "o4_global_index" -> (o4GlobalIndex _),
     "w15_activity_streaks" -> (w15ActivityStreaks _),
+    "a9_topk_custom_agg" -> (a9TopkCustomAgg _),
     "c1_base64_roundtrip" -> (c1 _),
     "c3_json_parse" -> (c3 _),
     "c4_json_serialize" -> (c4 _),
@@ -912,6 +932,13 @@ object RelationalOps {
       s"SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso FROM events ORDER BY ts DESC, event_id DESC LIMIT 1",
     "o2_limit_offset" ->
       "SELECT event_id FROM events ORDER BY ts, event_id LIMIT 100 OFFSET 50",
+    "a9_topk_custom_agg" ->
+      """SELECT event_type, CAST(rnk AS INTEGER) AS rnk, value, event_id FROM (
+        |  SELECT event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id) AS rnk
+        |  FROM events)
+        |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
     "w15_activity_streaks" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,
