@@ -97,6 +97,8 @@ object StreamingOps {
       ((s, dir) => StreamingIngest.streamCohortRetention(s, dir)),
     "stream_bucket_drift" ->
       ((s, dir) => StreamingIngest.streamBucketDrift(s, dir)),
+    "stream_topk_custom" ->
+      ((s, dir) => StreamingIngest.streamTopkCustom(s, dir)),
     "stream_etl_dest" -> ((s, dir) => {
       StreamingIngest.streamEtlToParquet(s, dir)
         .select(col("event_id"),
@@ -113,6 +115,8 @@ object StreamingOps {
     // order-insensitive conditional counts: the stream must converge to
     // the identical batch drift report
     "stream_bucket_drift" -> ScaleOps.oracleSql("stats_bucket_drift"),
+    // the incremental custom-agg state must converge to the batch top-k
+    "stream_topk_custom" -> RelationalOps.oracleSql("a9_topk_custom_agg"),
     // the streaming interval join must converge to the batch interval join
     "stream_interval_join" ->
       """SELECT p.event_id AS purchase_id, v.event_id AS view_id

@@ -210,6 +210,31 @@ object StreamingIngest {
       .orderBy(col("bucket"))
   }
 
+  /** The custom TypedImperativeAggregate under INCREMENTAL execution:
+    * per-type bounded top-k over the stream in Complete mode. Each
+    * micro-batch folds its rows into the k-element buffers through
+    * update(), and batch-over-batch the state store carries the
+    * serialized buffers — |groups| × k pairs of state, the same bound
+    * that makes the batch form shuffle-light. This is the always-on
+    * leaderboard shape (top spenders, hottest keys) a monitoring plane
+    * keeps; the drain emits the aggregate table (O(groups·k) — memory
+    * sink admissible under the Complete-mode rule) and must converge to
+    * the batch window-form oracle, which pins the custom agg's
+    * serialize/deserialize/merge path end to end.
+    */
+  def streamTopkCustom(spark: SparkSession, dir: String): DataFrame = withStateGrain(spark) {
+    graft.functions.NativeAgg.register(spark)
+    val agg = eventsStream(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("graft_topk_pairs(value, event_id, 3)").as("top"))
+    val drained = runToMemory(agg,
+      s"stream_topk_${System.nanoTime()}", OutputMode.Complete())
+    drained.select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.v").as("value"), col("col.id").as("event_id"))
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
   /** W8's gap sessionization as a *streaming* session-window aggregation:
     * `session_window(ts, gap)` merges an event into the open session when
     * it lands at or within `gap` of the session's last event (probe-pinned:
