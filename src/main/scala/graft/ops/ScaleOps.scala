@@ -608,13 +608,37 @@ object ScaleOps {
       val fs = dest.getFileSystem(conf)
       fs.mkdirs(dest)
       val src = new org.apache.hadoop.fs.Path(stageDir)
-      fs.listStatus(src).filter(_.getPath.getName.startsWith("part-")).foreach { f =>
-        val tgt = new org.apache.hadoop.fs.Path(dest, s"$batchId-${f.getPath.getName}")
-        if (!fs.rename(f.getPath, tgt))
-          throw new java.io.IOException(s"publish failed for ${f.getPath}")
-      }
+      val published = fs.listStatus(src)
+        .filter(_.getPath.getName.startsWith("part-")).map { f =>
+          val tgt = new org.apache.hadoop.fs.Path(dest, s"$batchId-${f.getPath.getName}")
+          if (!fs.rename(f.getPath, tgt))
+            throw new java.io.IOException(s"publish failed for ${f.getPath}")
+          tgt.getName
+        }
+      // snapshot ledger: one manifest per published batch (the `_` prefix
+      // keeps Spark's reader from scanning it as data). Time travel reads
+      // the union of manifests ≤ the wanted snapshot — metadata only.
+      graft.util.Fs.writeSmallTextAtomic(s,
+        s"$destDir/_manifests/$batchId.manifest", published.sorted.mkString("\n"))
       Right(n)
     }
+  }
+
+  /** Read the destination AS OF a set of published batches: the union of
+    * their manifests names exactly the files to scan — no directory
+    * listing of the data, no tombstones, no rewrite; a snapshot is just
+    * a subset of immutable files. This is the simplified shape of table-
+    * format time travel (a manifest per commit, readers pick a manifest
+    * set); at warehouse scale the manifest list itself comes from a
+    * catalog pointer instead of the caller.
+    */
+  def readAsOf(s: SparkSession, destDir: String, batchIds: Seq[String]): DataFrame = {
+    val files = batchIds.flatMap { b =>
+      graft.util.Fs.readSmallText(s, s"$destDir/_manifests/$b.manifest")
+        .getOrElse(throw new IllegalArgumentException(s"no manifest for batch $b"))
+        .split("\n").filter(_.nonEmpty).map(f => s"$destDir/$f")
+    }
+    s.read.parquet(files: _*)
   }
 
   /** WAP as an oracled operator: a clean batch publishes, a torn batch
@@ -646,6 +670,36 @@ object ScaleOps {
       .groupBy(col("export_date"))
       .agg(count(lit(1)).as("n_rows"), sum(col("value_cents")).as("value_cents"))
       .orderBy(col("export_date"))
+  }
+
+  /** Time travel over the WAP ledger: publish two batches, read the dest
+    * AS OF the first ([[readAsOf]] — a manifest subset, no data work),
+    * and emit both snapshots' rollups side by side. The hash check proves
+    * snapshot ISOLATION: the v1 rows cannot contain a single row of
+    * batch 2, and v2 ≡ the full ledger — the reproducibility property
+    * ("re-run last week's training mix exactly") that file-listing reads
+    * cannot give once new batches land.
+    */
+  private def etlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").select(
+      col("event_id"),
+      round(col("value") * 100).cast("long").as("value_cents"),
+      date_format(col("ts"), "yyyy-MM-dd").as("export_date"))
+    val b1 = ev.where(col("export_date") < "2024-01-11")
+    val b2 = ev.where(
+      col("export_date") >= "2024-01-11" && col("export_date") < "2024-01-21")
+    val root = graft.util.TempDirs.create("graft_tt_")
+    val r1 = writeAuditPublish(s, s"$root/dest", s"$root/staging", "b1", b1, b1.count())
+    val r2 = writeAuditPublish(s, s"$root/dest", s"$root/staging", "b2", b2, b2.count())
+    require(r1.isRight && r2.isRight, s"publishes must succeed: $r1 / $r2")
+    def roll(df: DataFrame, snap: String) =
+      df.groupBy(col("export_date"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("value_cents")).as("value_cents"))
+        .withColumn("snap", lit(snap))
+    roll(readAsOf(s, s"$root/dest", Seq("b1")), "v1")
+      .unionByName(roll(s.read.parquet(s"$root/dest"), "v2"))
+      .select(col("snap"), col("export_date"), col("n_rows"), col("value_cents"))
+      .orderBy(col("snap"), col("export_date"))
   }
 
   /** Partition-layout evolution: a destination born day-partitioned is
@@ -722,6 +776,7 @@ object ScaleOps {
     "j8_partition_prune_join" -> (j8PartitionPruneJoin _),
     "etl_partition_evolution" -> (etlPartitionEvolution _),
     "etl_wap" -> (etlWap _),
+    "etl_time_travel" -> (etlTimeTravel _),
     "stats_bucket_drift" -> (statsBucketDrift _),
     "audit_manifest" -> (auditManifest _),
     "j6_bloom_semijoin" -> (j6BloomSemijoin _),
@@ -747,6 +802,20 @@ object ScaleOps {
         |  CAST(sum(e.value_cents) AS BIGINT) AS value_cents
         |FROM e JOIN busy USING (export_date)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "etl_time_travel" ->
+      """WITH e AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS export_date,
+        |    CAST(round(value * 100) AS BIGINT) AS value_cents
+        |  FROM events),
+        |r AS (SELECT export_date, count(*) AS n_rows,
+        |    CAST(sum(value_cents) AS BIGINT) AS value_cents
+        |  FROM e GROUP BY 1)
+        |SELECT 'v1' AS snap, export_date, n_rows, value_cents FROM r
+        |WHERE export_date < '2024-01-11'
+        |UNION ALL
+        |SELECT 'v2' AS snap, export_date, n_rows, value_cents FROM r
+        |WHERE export_date < '2024-01-21'
+        |ORDER BY snap, export_date""".stripMargin,
     "etl_wap" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS export_date, count(*) AS n_rows,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
