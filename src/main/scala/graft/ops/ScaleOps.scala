@@ -737,6 +737,43 @@ object ScaleOps {
       .orderBy(col("export_week"))
   }
 
+  /** Declarative data-quality rules (the expectations-framework shape):
+    * five rules evaluated in ONE fact scan plus one broadcast anti-join —
+    * never a scan per rule, which is how naive DQ tooling turns a nightly
+    * audit into five full passes over 100 TB. Scan rules (null/empty
+    * props, value range, event-time window, event_id uniqueness) are
+    * conditional aggregates sharing the pass; referential integrity
+    * (every user_id resolves to a customer) is a broadcast left-anti
+    * count. The report is one row per rule with exact violation counts —
+    * the range rule fires non-vacuously on the fixture (a genuine
+    * out-of-range row exists), so the FAIL path is hash-checked too.
+    */
+  private def statsDqRules(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val cust = Tables.load(s, dir, "customer").select(col("c_custkey"))
+    val scan = ev.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("props").isNull || col("props") === "", 1L).otherwise(0L))
+        .as("v_null"),
+      sum(when(col("value") < 0 || col("value") >= 450, 1L).otherwise(0L))
+        .as("v_range"),
+      sum(when(col("ts") < to_timestamp(lit("2024-01-01 00:00:00")) ||
+        col("ts") >= to_timestamp(lit("2024-02-01 00:00:00")), 1L).otherwise(0L))
+        .as("v_window"),
+      (count(lit(1)) - countDistinct(col("event_id"))).as("v_dup"))
+    val orphan = ev.select(col("user_id"))
+      .join(broadcast(cust), col("user_id") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v_orphan"))
+    scan.crossJoin(orphan)
+      .select(col("n").as("n_checked"),
+        expr("stack(5, 'not_null_props', v_null, 'value_range', v_range, " +
+          "'ts_in_window', v_window, 'unique_event_id', v_dup, " +
+          "'ref_user_exists', v_orphan) AS (rule, n_violations)"))
+      .select(col("rule"), col("n_checked"), col("n_violations"),
+        (col("n_violations") === 0).as("passed"))
+      .orderBy(col("rule"))
+  }
+
   /** Robust-statistics outlier screen: per-type median + MAD (median
     * absolute deviation) with the |v − med| > 3·MAD flag — the screen that
     * survives the heavy-tailed junk that makes mean/stddev useless on web
@@ -773,6 +810,7 @@ object ScaleOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_key_skew" -> (statsKeySkew _),
     "stats_mad_outliers" -> (statsMadOutliers _),
+    "stats_dq_rules" -> (statsDqRules _),
     "j8_partition_prune_join" -> (j8PartitionPruneJoin _),
     "etl_partition_evolution" -> (etlPartitionEvolution _),
     "etl_wap" -> (etlWap _),
@@ -828,6 +866,26 @@ object ScaleOps {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
         |  CAST(1 AS INTEGER) AS n_files
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stats_dq_rules" ->
+      """WITH scan AS (SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+        |  CAST(sum(CASE WHEN value < 0 OR value >= 450 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+        |  CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+        |             OR ts >= TIMESTAMP '2024-02-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS v_window,
+        |  CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS v_dup
+        |  FROM events),
+        |orph AS (SELECT CAST(count(*) AS BIGINT) AS v_orphan FROM events e
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+        |SELECT 'not_null_props' AS rule, n AS n_checked, v_null AS n_violations, v_null = 0 AS passed FROM scan, orph
+        |UNION ALL
+        |SELECT 'value_range', n, v_range, v_range = 0 FROM scan, orph
+        |UNION ALL
+        |SELECT 'ts_in_window', n, v_window, v_window = 0 FROM scan, orph
+        |UNION ALL
+        |SELECT 'unique_event_id', n, v_dup, v_dup = 0 FROM scan, orph
+        |UNION ALL
+        |SELECT 'ref_user_exists', n, v_orphan, v_orphan = 0 FROM scan, orph
+        |ORDER BY rule""".stripMargin,
     "stats_mad_outliers" ->
       """WITH e AS (SELECT event_type, value FROM events),
         |r AS (SELECT event_type, value,
