@@ -42,18 +42,32 @@ object MultimodalOps {
   // is encoded on arrival, decoded many times downstream), and it keeps
   // the decode queries' cost a property of DECODE, not of re-running
   // ingest per query.
+  // keyed by (dir, modality, source mtime, source length): a REGENERATED
+  // fixture invalidates the landing zone instead of silently serving the
+  // old corpus's encodes — the cache-coherence rule any ingest memo needs
+  // (MultimodalSpec pins: same source hits, touched source rebuilds once)
   private val fixtureMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long, Long), String]
 
-  private def mediaFixture(s: SparkSession, dir: String,
-                           only: Option[String] = None): Dataset[MediaRecord] = {
-    import s.implicits._
-    val path = fixtureMemo.getOrElseUpdate((dir, only.getOrElse("all")), {
+  private[graft] def fixtureKey(s: SparkSession, dir: String,
+                                only: Option[String]): (String, String, Long, Long) = {
+    val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val st = src.getFileSystem(s.sessionState.newHadoopConf()).getFileStatus(src)
+    (dir, only.getOrElse("all"), st.getModificationTime, st.getLen)
+  }
+
+  private[graft] def mediaFixturePath(s: SparkSession, dir: String,
+                                      only: Option[String]): String =
+    fixtureMemo.getOrElseUpdate(fixtureKey(s, dir, only), {
       val out = graft.util.TempDirs.create("graft_media_fixture_")
       buildFixture(s, dir, only).write.mode("overwrite").parquet(out)
       out
     })
-    s.read.parquet(path).as[MediaRecord]
+
+  private def mediaFixture(s: SparkSession, dir: String,
+                           only: Option[String] = None): Dataset[MediaRecord] = {
+    import s.implicits._
+    s.read.parquet(mediaFixturePath(s, dir, only)).as[MediaRecord]
   }
 
   private def buildFixture(s: SparkSession, dir: String,

@@ -18,6 +18,26 @@ class MultimodalSpec extends AnyFunSuite {
   private def media(payload: Array[Byte], id: Long = 1L): MediaRecord =
     MediaRecord(id, "opaque", 640, 480, payload)
 
+  test("landing-zone memo hits on an unchanged source and rebuilds when it moves") {
+    // the cache-coherence rule: a regenerated fixture must invalidate the
+    // memoized media landing zone, not silently serve the old encodes
+    val dir = tmpDir("mm_memo_src_")
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/documents.parquet"), src)
+    val p1 = ops.MultimodalOps.mediaFixturePath(spark, dir, Some("image"))
+    val p2 = ops.MultimodalOps.mediaFixturePath(spark, dir, Some("image"))
+    assert(p1 == p2, "unchanged source must hit the memo")
+    // regenerate: same bytes, new mtime — the key must change
+    java.nio.file.Files.setLastModifiedTime(src,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(src).toMillis + 2000))
+    val p3 = ops.MultimodalOps.mediaFixturePath(spark, dir, Some("image"))
+    assert(p3 != p1, "touched source must rebuild the landing zone")
+    val p4 = ops.MultimodalOps.mediaFixturePath(spark, dir, Some("image"))
+    assert(p4 == p3, "and the rebuild happens exactly once")
+  }
+
   test("PNG round-trip: ImageIO decode recovers the exact raster") {
     val w = 19; val h = 15
     val px = Array.tabulate(w * h)(i => (i * 31 + 7) % 256)
