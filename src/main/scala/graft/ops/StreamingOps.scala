@@ -99,6 +99,8 @@ object StreamingOps {
       ((s, dir) => StreamingIngest.streamBucketDrift(s, dir)),
     "stream_topk_custom" ->
       ((s, dir) => StreamingIngest.streamTopkCustom(s, dir)),
+    "stream_wap_publish" ->
+      ((s, dir) => StreamingIngest.streamWapPublish(s, dir)),
     "stream_etl_dest" -> ((s, dir) => {
       StreamingIngest.streamEtlToParquet(s, dir)
         .select(col("event_id"),
@@ -117,6 +119,11 @@ object StreamingOps {
     "stream_bucket_drift" -> ScaleOps.oracleSql("stats_bucket_drift"),
     // the incremental custom-agg state must converge to the batch top-k
     "stream_topk_custom" -> RelationalOps.oracleSql("a9_topk_custom_agg"),
+    // per-micro-batch audited publishes must reassemble the full source
+    "stream_wap_publish" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS export_date, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the streaming interval join must converge to the batch interval join
     "stream_interval_join" ->
       """SELECT p.event_id AS purchase_id, v.event_id AS view_id

@@ -210,6 +210,39 @@ object StreamingIngest {
       .orderBy(col("bucket"))
   }
 
+  /** Write-audit-publish as the STREAM's sink discipline: every
+    * micro-batch stages, audits against its own observed count, and
+    * publishes through the same [[graft.ops.ScaleOps.writeAuditPublish]]
+    * the batch pipeline uses — so a torn micro-batch write can never
+    * become reader-visible, and the per-batch manifests double as a
+    * streaming snapshot ledger (any prefix of micro-batches is a
+    * [[graft.ops.ScaleOps.readAsOf]] time-travel point). `foreachBatch`
+    * is exactly the hook for a sink with its own commit protocol; the
+    * read-back rollup must equal the batch oracle over the whole source.
+    */
+  def streamWapPublish(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.TempDirs.create("graft_swap_")
+    val src = eventsStream(spark, dir, maxFilesPerTrigger = Some(1))
+      .select(col("event_id"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("export_date"))
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val r = graft.ops.ScaleOps.writeAuditPublish(batch.sparkSession,
+          s"$root/dest", s"$root/staging", f"b$id%04d", batch, batch.count())
+        require(r.isRight, s"micro-batch $id failed its audit: $r")
+        ()
+      }
+      .option("checkpointLocation", s"$root/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$root/dest")
+      .groupBy(col("export_date"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("value_cents")).as("value_cents"))
+      .orderBy(col("export_date"))
+  }
+
   /** The custom TypedImperativeAggregate under INCREMENTAL execution:
     * per-type bounded top-k over the stream in Complete mode. Each
     * micro-batch folds its rows into the k-element buffers through
