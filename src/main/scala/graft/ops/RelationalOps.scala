@@ -242,6 +242,52 @@ object RelationalOps {
       .orderBy(col("global_idx"))
   }
 
+  /** W16: week-over-week deltas — the daily rollup lag-joined to itself at
+    * offset 7 via one window over the |days|-sized aggregate (the
+    * agg-FIRST-then-window rule W9/W10 follow: the fact is scanned once,
+    * every windowed row is a rollup row). Deltas are exact integer cents.
+    */
+  private def w16WeekOverWeek(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy("day")
+    daily
+      .withColumn("n_prev_week", lag(col("n_rows"), 7).over(w))
+      .withColumn("cents_prev_week", lag(col("cents"), 7).over(w))
+      .where(col("n_prev_week").isNotNull)
+      .select(col("day"), col("n_rows"),
+        (col("n_rows") - col("n_prev_week")).as("wow_rows"),
+        (col("cents") - col("cents_prev_week")).as("wow_cents"))
+      .orderBy(col("day"))
+  }
+
+  /** Temporal train/eval split + LEAKAGE audit: split events at a cut
+    * date, then measure entity overlap across the boundary — the check
+    * that catches time-travel leakage (a user in both halves means
+    * user-level features fit on train leak eval signal). One fact scan
+    * per-user min/max day, then conditional counts over the
+    * |users|-sized rollup; the overlap share is an exact milli-ratio.
+    */
+  private def mixTemporalSplit(s: SparkSession, dir: String): DataFrame = {
+    val Cut = "2024-01-21"
+    val perUser = events(s, dir)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") < Cut, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("day") >= Cut, 1L).otherwise(0L)).as("n_eval"))
+    perUser.agg(
+      sum(col("n_train")).as("train_rows"),
+      sum(col("n_eval")).as("eval_rows"),
+      sum(when(col("n_train") > 0 && col("n_eval") > 0, 1L).otherwise(0L))
+        .as("n_leaky_users"),
+      count(lit(1)).as("n_users"))
+      .select(col("train_rows"), col("eval_rows"), col("n_leaky_users"), col("n_users"),
+        expr("n_leaky_users * 1000 div n_users").as("leaky_milli"))
+  }
+
   /** A9: per-group top-k through the custom [[graft.functions.TopKPairsAgg]]
     * TypedImperativeAggregate — the one-pass bounded-buffer alternative to
     * the window form (`a3_top1_per_key` sorts each group; this reduces
@@ -805,6 +851,8 @@ object RelationalOps {
     "o4_global_index" -> (o4GlobalIndex _),
     "w15_activity_streaks" -> (w15ActivityStreaks _),
     "a9_topk_custom_agg" -> (a9TopkCustomAgg _),
+    "w16_week_over_week" -> (w16WeekOverWeek _),
+    "mix_temporal_split" -> (mixTemporalSplit _),
     "c1_base64_roundtrip" -> (c1 _),
     "c3_json_parse" -> (c3 _),
     "c4_json_serialize" -> (c4 _),
@@ -932,6 +980,30 @@ object RelationalOps {
       s"SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso FROM events ORDER BY ts DESC, event_id DESC LIMIT 1",
     "o2_limit_offset" ->
       "SELECT event_id FROM events ORDER BY ts, event_id LIMIT 100 OFFSET 50",
+    "w16_week_over_week" ->
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_rows,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT day, n_rows, cents,
+        |    lag(n_rows, 7) OVER (ORDER BY day) AS pn,
+        |    lag(cents, 7) OVER (ORDER BY day) AS pc FROM d)
+        |SELECT day, n_rows, n_rows - pn AS wow_rows, cents - pc AS wow_cents
+        |FROM l WHERE pn IS NOT NULL ORDER BY day""".stripMargin,
+    "mix_temporal_split" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN strftime(ts, '%Y-%m-%d') < '2024-01-21'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |    CAST(sum(CASE WHEN strftime(ts, '%Y-%m-%d') >= '2024-01-21'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_eval
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(sum(n_train) AS BIGINT) AS train_rows,
+        |  CAST(sum(n_eval) AS BIGINT) AS eval_rows,
+        |  CAST(sum(CASE WHEN n_train > 0 AND n_eval > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_leaky_users,
+        |  count(*) AS n_users,
+        |  CAST(sum(CASE WHEN n_train > 0 AND n_eval > 0 THEN 1 ELSE 0 END) * 1000
+        |    // count(*) AS BIGINT) AS leaky_milli
+        |FROM u""".stripMargin,
     "a9_topk_custom_agg" ->
       """SELECT event_type, CAST(rnk AS INTEGER) AS rnk, value, event_id FROM (
         |  SELECT event_type, value, event_id,
