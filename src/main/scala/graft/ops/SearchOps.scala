@@ -226,7 +226,41 @@ object SearchOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Fuzzy term lookup, SymSpell-shaped: the index holds every vocabulary
+    * term plus its 1-character-deletion variants, the query expands the
+    * same way, and candidates are the EQUALITY join of the two key sets —
+    * the deletion-neighborhood trick that turns edit-distance search into
+    * a hash join (any distance-1 pair shares a key: delete the differing
+    * char on whichever side has it). Exact `levenshtein ≤ 1` verifies the
+    * candidates, so false neighbors die and the oracle — the exhaustive
+    * query×vocabulary distance join in DuckDB — grades the gate's
+    * COMPLETENESS: a missed distance-1 pair would hash-mismatch. Index
+    * size is Σ(len+1) keys over the vocab (distinct words, not the
+    * corpus), and query cost is |query keys| lookups — the autocomplete /
+    * spell-correction shape at any corpus size. The query set covers all
+    * three edit kinds (deletion, insertion, substitution), an exact hit,
+    * and a no-match control.
+    */
+  private def searchFuzzyTerm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val del = (c: String) =>
+      s"array_union(array($c), transform(sequence(1, length($c)), " +
+        s"i -> concat(substring($c, 1, i-1), substring($c, i+1, length($c)))))"
+    val vocab = documents(s, dir)
+      .select(explode(split(col("text"), "\\s+")).as("term"))
+      .where(length(col("term")) >= 2).distinct()
+    val index = vocab.select(col("term"), explode(expr(del("term"))).as("key"))
+    val qs = Seq("tble", "queryy", "strean", "filter", "zzqx").toDF("q")
+    val cand = qs.select(col("q"), explode(expr(del("q"))).as("key"))
+      .join(index, "key")
+      .select(col("q"), col("term")).distinct()
+    cand.withColumn("dist", levenshtein(col("q"), col("term")))
+      .where(col("dist") <= 1)
+      .orderBy(col("q"), col("term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_fuzzy_term" -> (searchFuzzyTerm _),
     "search_invindex_topk" -> (searchInvindexTopK _),
     "search_phrase" -> (searchPhrase _),
     "search_hybrid_fusion" -> (searchHybridFusion _),
@@ -242,6 +276,18 @@ object SearchOps {
   private def fusionIdsSql: String = FusionQueryDocs.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    // exhaustive query×vocabulary distance join: the deletion gate must
+    // find EVERY distance-≤1 pair or the hash mismatches
+    "search_fuzzy_term" ->
+      """WITH words AS (
+        |  SELECT DISTINCT unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents),
+        |w2 AS (SELECT term FROM words WHERE length(term) >= 2),
+        |qs AS (SELECT * FROM (VALUES ('tble'), ('queryy'), ('strean'),
+        |  ('filter'), ('zzqx')) AS v(q))
+        |SELECT q, term, CAST(levenshtein(q, term) AS INTEGER) AS dist
+        |FROM qs, w2 WHERE levenshtein(q, term) <= 1
+        |ORDER BY q, term""".stripMargin,
     // trigram formula shared with the dedup family (DedupOps.duckShingled);
     // int8 code formula shared with embed_quantize_int8's oracle
     "search_hybrid_fusion" ->
