@@ -17,8 +17,11 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * native SQL functions, with no code change in user jobs. The function
   * list is the same (name, builder) source of truth `register()` uses,
   * so the per-session and cluster-wide paths can never drift.
-  * GraftExtensionsSpec builds a fresh session through the config-string
-  * path — the exact deployment wiring — and asserts both.
+  * GraftExtensionsSpec validates the config path's two halves: the class
+  * instantiates by name with a zero-arg constructor (what `--conf`
+  * resolution requires; the static conf itself can't be set on the shared
+  * test context), and the instance wires a fresh session — function
+  * resolution and the injected rule both asserted.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
