@@ -182,20 +182,28 @@ object MultimodalOps {
     * end-to-end. 4×4, not 8×8, because the fixture's smallest rasters are
     * 4×4 (downscale-only contract).
     */
+  /** 4×4 aHash of a PNG payload: real decode → box-mean downscale →
+    * strict integer threshold (shared by the fingerprint query and the
+    * near-dup join).
+    */
+  private def phashOf(payload: Array[Byte]): Long = {
+    val resized = Multimodal
+      .decodeImagePixels(Multimodal.resizeImage(payload, 4, 4))._3
+    val total = resized.map(_.toLong).sum
+    var hash = 0L
+    var i = 0
+    while (i < 16) {
+      if (resized(i) * 16L > total) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
   private def mmPhash(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     import sp.implicits._
     mediaFixture(s, dir, Some("image")).map { r =>
-      val resized = Multimodal
-        .decodeImagePixels(Multimodal.resizeImage(r.payload, 4, 4))._3
-      val total = resized.map(_.toLong).sum
-      var hash = 0L
-      var i = 0
-      while (i < 16) {
-        if (resized(i) * 16L > total) hash |= (1L << i)
-        i += 1
-      }
-      (r.media_id, r.width.toLong, r.height.toLong, hash)
+      (r.media_id, r.width.toLong, r.height.toLong, phashOf(r.payload))
     }.toDF("media_id", "w", "h", "phash").orderBy(col("media_id"))
   }
 
