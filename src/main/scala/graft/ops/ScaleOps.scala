@@ -599,6 +599,17 @@ object ScaleOps {
     */
   def publishStaged(s: SparkSession, destDir: String, stageDir: String,
                     batchId: String, claimedRows: Long): Either[String, Long] = {
+    // the manifest is the COMMIT POINT — check it first. A retry after a
+    // crash-between-publish-and-ack would otherwise find an empty staging
+    // dir (the files already moved) and overwrite the good manifest with
+    // an empty one: silent snapshot data loss. With the check, such a
+    // retry is an idempotent success acked from the committed manifest.
+    // (A crash MID-rename leaves moved files invisible to readAsOf —
+    // they're not in any manifest — so snapshot readers stay consistent;
+    // recovery is re-staging the batch under the same id.)
+    if (graft.util.Fs.readSmallText(s, s"$destDir/_manifests/$batchId.manifest")
+        .isDefined)
+      return Right(readAsOf(s, destDir, Seq(batchId)).count())
     val n = s.read.parquet(stageDir).count()
     if (n != claimedRows)
       Left(s"audit rejected batch $batchId: staged=$n claimed=$claimedRows")

@@ -250,6 +250,15 @@ class ScaleOpsSpec extends AnyFunSuite {
       "b2", batch.where($"id" <= 10), claimedRows = 10)
     assert(r2 == Right(10L))
     assert(spark.read.parquet(s"$root/dest").count() == 110)
+    // crash between publish and ack: the retry finds an EMPTY staging dir
+    // (files already moved) — it must ack idempotently from the committed
+    // manifest, never overwrite it with an empty one
+    val replay = ScaleOps.publishStaged(spark, s"$root/dest", s"$root/staging/b1",
+      "b1", claimedRows = 100)
+    assert(replay == Right(100L), s"post-crash retry must be idempotent: $replay")
+    assert(ScaleOps.readAsOf(spark, s"$root/dest", Seq("b1")).count() == 100,
+      "the committed snapshot must survive the replay")
+    assert(spark.read.parquet(s"$root/dest").count() == 110)
   }
 
   test("bucketed tables join co-located: no shuffle exchange before the join") {
