@@ -644,7 +644,8 @@ object ScaleOps {
     * catalog pointer instead of the caller.
     */
   def readAsOf(s: SparkSession, destDir: String, batchIds: Seq[String]): DataFrame = {
-    val files = batchIds.flatMap { b =>
+    // a repeated id must not double-count its files
+    val files = batchIds.distinct.flatMap { b =>
       graft.util.Fs.readSmallText(s, s"$destDir/_manifests/$b.manifest")
         .getOrElse(throw new IllegalArgumentException(s"no manifest for batch $b"))
         .split("\n").filter(_.nonEmpty).map(f => s"$destDir/$f")

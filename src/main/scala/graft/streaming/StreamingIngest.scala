@@ -217,7 +217,10 @@ object StreamingIngest {
     * become reader-visible, and the per-batch manifests double as a
     * streaming snapshot ledger (any prefix of micro-batches is a
     * [[graft.ops.ScaleOps.readAsOf]] time-travel point). `foreachBatch`
-    * is exactly the hook for a sink with its own commit protocol; the
+    * is exactly the hook for a sink with its own commit protocol — and
+    * because the manifest is the commit point, a micro-batch REPLAYED
+    * after a crash acks idempotently off its committed manifest instead
+    * of double-publishing (the exactly-once-visible contract). The
     * read-back rollup must equal the batch oracle over the whole source.
     */
   def streamWapPublish(spark: SparkSession, dir: String): DataFrame = {
