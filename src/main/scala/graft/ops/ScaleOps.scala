@@ -684,6 +684,54 @@ object ScaleOps {
       .orderBy(col("export_date"))
   }
 
+  /** Orphan-file audit — the recovery scan for the one WAP failure mode
+    * the commit protocol leaves behind: a crash MID-publish moves part
+    * files into the destination but never writes the manifest, so the
+    * rows are invisible to snapshot readers (correct) yet present in a
+    * raw directory read (surprising) and occupying storage. The audit
+    * diffs the two views: manifest-committed files vs the directory
+    * listing (driver-side metadata, O(files)), and committed vs raw row
+    * counts. The query SIMULATES the crash (stages a batch, moves its
+    * file, skips the manifest) and the audit must report exactly that
+    * batch as orphaned — recovery is re-staging under the same id or
+    * deleting the orphans; both leave snapshot readers untouched.
+    */
+  private def etlOrphanAudit(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").select(
+      col("event_id"),
+      round(col("value") * 100).cast("long").as("value_cents"),
+      date_format(col("ts"), "yyyy-MM-dd").as("export_date"))
+    val b1 = ev.where(col("export_date") < "2024-01-11").repartition(1)
+    val b2 = ev.where(
+      col("export_date") >= "2024-01-11" && col("export_date") < "2024-01-21")
+      .repartition(1)
+    val root = graft.util.TempDirs.create("graft_orphan_")
+    val r1 = writeAuditPublish(s, s"$root/dest", s"$root/staging", "b1", b1, b1.count())
+    require(r1.isRight, s"b1 must publish: $r1")
+    // crash mid-publish: files move, manifest never written
+    b2.write.mode(SaveMode.Overwrite).parquet(s"$root/staging/b2")
+    val conf = s.sessionState.newHadoopConf()
+    val dest = new org.apache.hadoop.fs.Path(s"$root/dest")
+    val fs = dest.getFileSystem(conf)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/staging/b2"))
+      .filter(_.getPath.getName.startsWith("part-")).foreach { f =>
+        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dest, s"b2-${f.getPath.getName}"))
+      }
+    val committedFiles = graft.util.Fs
+      .readSmallText(s, s"$root/dest/_manifests/b1.manifest")
+      .get.split("\n").filter(_.nonEmpty).toSet
+    val allFiles = fs.listStatus(dest)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath.getName).toSet
+    val nOrphanFiles = (allFiles -- committedFiles).size.toLong
+    val committed = readAsOf(s, s"$root/dest", Seq("b1"))
+      .agg(count(lit(1)).as("committed_rows"))
+    val raw = s.read.parquet(s"$root/dest").agg(count(lit(1)).as("raw_rows"))
+    committed.crossJoin(raw)
+      .select(col("committed_rows"), col("raw_rows"),
+        (col("raw_rows") - col("committed_rows")).as("orphan_rows"),
+        lit(nOrphanFiles).as("n_orphan_files"))
+  }
+
   /** Time travel over the WAP ledger: publish two batches, read the dest
     * AS OF the first ([[readAsOf]] — a manifest subset, no data work),
     * and emit both snapshots' rollups side by side. The hash check proves
@@ -859,6 +907,7 @@ object ScaleOps {
     "etl_partition_evolution" -> (etlPartitionEvolution _),
     "etl_wap" -> (etlWap _),
     "etl_time_travel" -> (etlTimeTravel _),
+    "etl_orphan_audit" -> (etlOrphanAudit _),
     "stats_bucket_drift" -> (statsBucketDrift _),
     "audit_manifest" -> (auditManifest _),
     "j6_bloom_semijoin" -> (j6BloomSemijoin _),
@@ -884,6 +933,17 @@ object ScaleOps {
         |  CAST(sum(e.value_cents) AS BIGINT) AS value_cents
         |FROM e JOIN busy USING (export_date)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "etl_orphan_audit" ->
+      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS d FROM events)
+        |SELECT
+        |  CAST(sum(CASE WHEN d < '2024-01-11' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS committed_rows,
+        |  CAST(sum(CASE WHEN d < '2024-01-21' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS raw_rows,
+        |  CAST(sum(CASE WHEN d >= '2024-01-11' AND d < '2024-01-21'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+        |  CAST(1 AS BIGINT) AS n_orphan_files
+        |FROM e""".stripMargin,
     "etl_time_travel" ->
       """WITH e AS (
         |  SELECT strftime(ts, '%Y-%m-%d') AS export_date,
