@@ -684,6 +684,109 @@ object ScaleOps {
       .orderBy(col("export_date"))
   }
 
+  /** Zero-copy BRANCHES over the manifest ledger — the experiment-isolation
+    * workflow ("try the new filter on a branch, diff, merge") without
+    * copying a byte of data: a branch is a directory of manifest files
+    * under `_manifests/<branch>/`; creating one copies the chosen batches'
+    * manifests (KBs), branch publishes land their manifests there, and
+    * MAIN readers never see them until merge adopts the manifest files.
+    * All data files stay flat and immutable in the destination — shared
+    * by every branch. Merge is fast-forward adoption by batch id (ids
+    * already on main are skipped — the idempotent replay rule again);
+    * divergent meanings for one id are excluded by the same
+    * unique-batch-id discipline publishing already requires.
+    */
+  def createBranch(s: SparkSession, destDir: String, branch: String,
+                   fromBatches: Seq[String]): Unit =
+    fromBatches.distinct.foreach { b =>
+      val m = graft.util.Fs.readSmallText(s, s"$destDir/_manifests/$b.manifest")
+        .getOrElse(throw new IllegalArgumentException(s"no manifest for batch $b"))
+      graft.util.Fs.writeSmallTextAtomic(s, s"$destDir/_manifests/$branch/$b.manifest", m)
+    }
+
+  private def listManifests(s: SparkSession, manifestDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(manifestDir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.endsWith(".manifest")).map(_.stripSuffix(".manifest")).toSeq.sorted
+  }
+
+  /** Read a branch's committed view (its manifest set over the shared
+    * immutable files). `branch = None` reads main.
+    */
+  def readBranch(s: SparkSession, destDir: String,
+                 branch: Option[String]): DataFrame = {
+    val mDir = branch match {
+      case Some(b) => s"$destDir/_manifests/$b"
+      case None => s"$destDir/_manifests"
+    }
+    val ids = listManifests(s, mDir)
+    val files = ids.flatMap { b =>
+      graft.util.Fs.readSmallText(s, s"$mDir/$b.manifest").get
+        .split("\n").filter(_.nonEmpty).map(f => s"$destDir/$f")
+    }
+    s.read.parquet(files: _*)
+  }
+
+  /** Fast-forward merge: adopt the branch's manifests onto main, skipping
+    * batch ids main already has.
+    */
+  def mergeBranch(s: SparkSession, destDir: String, branch: String): Seq[String] = {
+    val onMain = listManifests(s, s"$destDir/_manifests").toSet
+    val adopted = listManifests(s, s"$destDir/_manifests/$branch")
+      .filterNot(onMain)
+    adopted.foreach { b =>
+      val m = graft.util.Fs
+        .readSmallText(s, s"$destDir/_manifests/$branch/$b.manifest").get
+      graft.util.Fs.writeSmallTextAtomic(s, s"$destDir/_manifests/$b.manifest", m)
+    }
+    adopted
+  }
+
+  /** Branch isolation as an oracled operator: b1 publishes to main, a dev
+    * branch forks from it, b2 publishes ONLY to dev. The report reads
+    * three views — main before merge (must contain zero b2 rows: the
+    * isolation proof), dev (b1+b2), and main after the fast-forward merge
+    * (≡ dev) — each as a per-view rollup the hash check pins exactly.
+    */
+  private def etlBranchIsolation(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").select(
+      col("event_id"),
+      round(col("value") * 100).cast("long").as("value_cents"),
+      date_format(col("ts"), "yyyy-MM-dd").as("export_date"))
+    val b1 = ev.where(col("export_date") < "2024-01-11")
+    val b2 = ev.where(
+      col("export_date") >= "2024-01-11" && col("export_date") < "2024-01-21")
+    val root = graft.util.TempDirs.create("graft_branch_")
+    val dest = s"$root/dest"
+    require(writeAuditPublish(s, dest, s"$root/staging", "b1", b1, b1.count()).isRight)
+    createBranch(s, dest, "dev", Seq("b1"))
+    // publish b2 to the BRANCH: stage + audit as usual, manifest to dev
+    val stage2 = s"$root/staging/b2"
+    b2.write.mode(SaveMode.Overwrite).parquet(stage2)
+    val r2 = publishStaged(s, dest, stage2, "b2", b2.count())
+    require(r2.isRight, s"b2 must publish: $r2")
+    // move b2's manifest from main to dev (publishStaged targets main;
+    // branch-targeted publish = relocating the commit record)
+    val m2 = graft.util.Fs.readSmallText(s, s"$dest/_manifests/b2.manifest").get
+    graft.util.Fs.writeSmallTextAtomic(s, s"$dest/_manifests/dev/b2.manifest", m2)
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dest/_manifests/b2.manifest"), false)
+    def roll(df: DataFrame, view: String) =
+      df.groupBy(col("export_date"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("value_cents")).as("value_cents"))
+        .withColumn("view", lit(view))
+    val pre = roll(readBranch(s, dest, None), "main_pre")
+    val dev = roll(readBranch(s, dest, Some("dev")), "dev")
+    mergeBranch(s, dest, "dev")
+    val post = roll(readBranch(s, dest, None), "main_post")
+    pre.unionByName(dev).unionByName(post)
+      .select(col("view"), col("export_date"), col("n_rows"), col("value_cents"))
+      .orderBy(col("view"), col("export_date"))
+  }
+
   /** Orphan-file audit — the recovery scan for the one WAP failure mode
     * the commit protocol leaves behind: a crash MID-publish moves part
     * files into the destination but never writes the manifest, so the
@@ -908,6 +1011,7 @@ object ScaleOps {
     "etl_wap" -> (etlWap _),
     "etl_time_travel" -> (etlTimeTravel _),
     "etl_orphan_audit" -> (etlOrphanAudit _),
+    "etl_branch_isolation" -> (etlBranchIsolation _),
     "stats_bucket_drift" -> (statsBucketDrift _),
     "audit_manifest" -> (auditManifest _),
     "j6_bloom_semijoin" -> (j6BloomSemijoin _),
@@ -933,6 +1037,23 @@ object ScaleOps {
         |  CAST(sum(e.value_cents) AS BIGINT) AS value_cents
         |FROM e JOIN busy USING (export_date)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "etl_branch_isolation" ->
+      """WITH e AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS export_date,
+        |    CAST(round(value * 100) AS BIGINT) AS value_cents
+        |  FROM events),
+        |r AS (SELECT export_date, count(*) AS n_rows,
+        |    CAST(sum(value_cents) AS BIGINT) AS value_cents
+        |  FROM e GROUP BY 1)
+        |SELECT 'dev' AS view, export_date, n_rows, value_cents FROM r
+        |WHERE export_date < '2024-01-21'
+        |UNION ALL
+        |SELECT 'main_post' AS view, export_date, n_rows, value_cents FROM r
+        |WHERE export_date < '2024-01-21'
+        |UNION ALL
+        |SELECT 'main_pre' AS view, export_date, n_rows, value_cents FROM r
+        |WHERE export_date < '2024-01-11'
+        |ORDER BY view, export_date""".stripMargin,
     "etl_orphan_audit" ->
       """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS d FROM events)
         |SELECT
