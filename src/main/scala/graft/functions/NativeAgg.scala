@@ -23,7 +23,12 @@ import org.apache.spark.sql.types._
   *
   * Determinism contract: order by (value DESC, id ASC); (value, id) pairs
   * are unique whenever id is unique, so the result replays exactly in
-  * the DuckDB window-based oracle.
+  * the DuckDB window-based oracle. NOTE the SET semantics this implies:
+  * if the same (value, id) pair appears on multiple input rows, the
+  * buffer keeps ONE entry while a `row_number` window would rank each
+  * occurrence — callers feeding duplicated ids get top-k over the
+  * distinct pairs, not the row multiset. Enforced nowhere; documented
+  * here and at the registration site.
   */
 case class TopKPairsAgg(
     valueExpr: Expression,
@@ -34,6 +39,19 @@ case class TopKPairsAgg(
   extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]] {
 
   require(k > 0 && k <= 1024, s"graft_topk_pairs: k must be in (0, 1024], got $k")
+
+  // Analysis-time contract: (DOUBLE value, BIGINT id). Mis-typed columns
+  // fail the analyzer with a named message instead of an executor-side
+  // ClassCastException mid-job. (ExpectsInputTypes would be the idiomatic
+  // spelling, but AbstractDataType is private[sql] in Spark 4.)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (valueExpr.dataType == DoubleType && idExpr.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_topk_pairs expects (value DOUBLE, id BIGINT, k INT); got " +
+        s"(${valueExpr.dataType.sql}, ${idExpr.dataType.sql}) — cast the inputs explicitly")
+  }
 
   // best-first: highest value, then lowest id
   private def ord: Ordering[(Double, Long)] =
@@ -128,7 +146,12 @@ object NativeAgg {
     * [[graft.GraftExtensions]], like NativeText/NativeVector.
     */
   private[graft] def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // Set semantics: duplicate (value, id) pairs collapse to one entry —
+    // see the multiset caveat in the TopKPairsAgg Scaladoc.
     "graft_topk_pairs" -> (exprs => {
+      if (exprs.length != 3) throw new IllegalArgumentException(
+        s"graft_topk_pairs(value DOUBLE, id BIGINT, k INT) takes exactly 3 " +
+          s"arguments, got ${exprs.length}")
       val k = exprs(2) match {
         case Literal(v: Int, IntegerType) => v
         case Literal(v: Long, LongType) if v.isValidInt => v.toInt

@@ -806,7 +806,7 @@ object RelationalOps {
       .select(col("c_name"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         round(col("o_totalprice") * 100).cast("long").as("totalprice_cents"),
-        col("sum_qty"))
+        col("sum_qty").cast("double").as("sum_qty"))
       .orderBy(col("sum_qty").desc, col("o_orderkey"))
       .limit(20)
   }
@@ -885,7 +885,8 @@ object RelationalOps {
   val oracleSql: Map[String, String] = Map(
     "q18_large_orders" ->
       """SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-        |  round(o_totalprice * 100)::BIGINT AS totalprice_cents, sum_qty
+        |  round(o_totalprice * 100)::BIGINT AS totalprice_cents,
+        |  CAST(sum_qty AS DOUBLE) AS sum_qty
         |FROM orders
         |JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
         |      FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250) big

@@ -596,6 +596,18 @@ object ScaleOps {
 
   /** Audit + publish of an ALREADY-staged batch (the retry half of WAP —
     * a batch rejected over a bad claim republishes without re-extraction).
+    *
+    * Concurrency contract: batch ids are unique per logical batch, but two
+    * publishers MAY race on the same id (a retried driver plus a zombie of
+    * its first attempt). The path is safe for that race because every step
+    * is idempotent on deterministic names: target file names derive from
+    * (batchId, staged part name), so a rename that fails WITH the target
+    * present means the racer moved it — success either way; and the
+    * manifest is committed create-if-absent, so exactly one writer wins
+    * the ledger and the loser acks from the committed manifest. What the
+    * contract does NOT allow is two publishers staging DIFFERENT data
+    * under one batchId — that is a batch-identity violation upstream, not
+    * a race this layer can resolve.
     */
   def publishStaged(s: SparkSession, destDir: String, stageDir: String,
                     batchId: String, claimedRows: Long): Either[String, Long] = {
@@ -622,14 +634,19 @@ object ScaleOps {
       val published = fs.listStatus(src)
         .filter(_.getPath.getName.startsWith("part-")).map { f =>
           val tgt = new org.apache.hadoop.fs.Path(dest, s"$batchId-${f.getPath.getName}")
-          if (!fs.rename(f.getPath, tgt))
+          // a failed rename whose target exists was won by a racing
+          // publisher of the same staged batch — identical outcome
+          if (!fs.rename(f.getPath, tgt) && !fs.exists(tgt))
             throw new java.io.IOException(s"publish failed for ${f.getPath}")
           tgt.getName
         }
       // snapshot ledger: one manifest per published batch (the `_` prefix
       // keeps Spark's reader from scanning it as data). Time travel reads
       // the union of manifests ≤ the wanted snapshot — metadata only.
-      graft.util.Fs.writeSmallTextAtomic(s,
+      // Create-if-absent: the FIRST publisher commits; a lost race means a
+      // racer already committed this batch's (identical) file list, so
+      // fall through to the same idempotent ack either way.
+      graft.util.Fs.writeSmallTextIfAbsent(s,
         s"$destDir/_manifests/$batchId.manifest", published.sorted.mkString("\n"))
       Right(n)
     }
@@ -650,6 +667,11 @@ object ScaleOps {
         .getOrElse(throw new IllegalArgumentException(s"no manifest for batch $b"))
         .split("\n").filter(_.nonEmpty).map(f => s"$destDir/$f")
     }
+    // zero paths would fail schema inference with an opaque "unable to
+    // infer schema" — name the empty snapshot instead
+    if (files.isEmpty) throw new IllegalArgumentException(
+      s"snapshot over batches ${batchIds.mkString("[", ",", "]")} at $destDir " +
+        "names no data files (empty manifest set)")
     s.read.parquet(files: _*)
   }
 
@@ -726,6 +748,11 @@ object ScaleOps {
       graft.util.Fs.readSmallText(s, s"$mDir/$b.manifest").get
         .split("\n").filter(_.nonEmpty).map(f => s"$destDir/$f")
     }
+    // a fresh destination / just-created empty branch has no manifests —
+    // fail with the snapshot's name, not a schema-inference error
+    if (files.isEmpty) throw new IllegalArgumentException(
+      s"branch ${branch.getOrElse("main")} at $destDir names no data files " +
+        "(no published batches yet)")
     s.read.parquet(files: _*)
   }
 

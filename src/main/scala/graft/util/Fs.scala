@@ -105,4 +105,42 @@ object Fs {
     }
   }
 
+  /** Create-if-absent publish of a small control file: returns true if this
+    * caller created the file, false if it already existed (a racer won).
+    * This is the commit primitive for ledgers where the FIRST writer of a
+    * key must win and later writers ack idempotently (WAP manifests). On
+    * the local filesystem the content is staged to a temp file and linked
+    * into place with `link(2)` — atomic, fails EEXIST, and the target is
+    * never visible partially written. Elsewhere it maps to
+    * `FileSystem.create(overwrite = false)` (atomic create-exclusive on
+    * HDFS; object stores need a conditional-put layer for hard atomicity,
+    * same caveat as [[writeSmallTextAtomic]]).
+    */
+  def writeSmallTextIfAbsent(spark: SparkSession, path: String, content: String): Boolean = {
+    val (f, p) = fs(spark, path)
+    if (f.getScheme == "file") {
+      val target = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(target.getParent)
+      val tmp = java.nio.file.Files.createTempFile(target.getParent, s".${p.getName}_", ".tmp")
+      try {
+        java.nio.file.Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+        try { java.nio.file.Files.createLink(target, tmp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } finally {
+        try java.nio.file.Files.deleteIfExists(tmp) catch { case _: Throwable => () }
+      }
+    } else {
+      val parent = p.getParent
+      if (parent != null) f.mkdirs(parent)
+      try {
+        val out = f.create(p, false)
+        try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    }
+  }
+
 }
