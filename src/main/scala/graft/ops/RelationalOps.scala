@@ -55,6 +55,14 @@ object RelationalOps {
   private def orders(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "orders")
   private def lineitem(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "lineitem")
   private def documents(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
+  private def part(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "part")
+  private def supplier(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "supplier")
+
+  /** Exact revenue cents for a lineitem row — `round` on the DOUBLE is
+    * IEEE-identical in Spark and DuckDB (see the class-level conventions).
+    */
+  private def revCents: Column =
+    round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")
 
   /** Star projection of the incremental window, P1 + S1 + F1
     * (reference: billing_etl.py:270-298). Filter is pushed to the parquet
@@ -811,6 +819,171 @@ object RelationalOps {
       .limit(20)
   }
 
+  /** Q7-shaped bilateral volume shipping: the two-role dimension join —
+    * nation joins the fact TWICE under different roles (supplier's nation
+    * vs customer's nation), so the one physical table needs two aliased
+    * plans. Both nation sides are filtered to the traded pair BEFORE the
+    * join (2-row broadcasts that make the supplier/customer joins
+    * selective); the cross-pair residual keeps only the two directed
+    * flows. At 100 TB the only big shuffles are lineitem⋈orders and
+    * orders⋈customer — nation/supplier ride broadcasts.
+    */
+  private def q7(s: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_7", "NATION_19")
+    val suppNation = Tables.load(s, dir, "nation")
+      .where(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val custNation = Tables.load(s, dir, "nation")
+      .where(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    lineitem(s, dir)
+      .where(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1999-01-01 00:00:00"))
+      .join(supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(revCents).as("revenue_cents"), count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Q8-shaped market share: one nation's slice of a region's import
+    * volume per year, as a conditional-aggregate RATIO over a six-table
+    * join — numerator and denominator from ONE pass (a self-join of the
+    * rollup would scan the join tree twice). Exact integer milli-share
+    * via cents×1000 div total. Fixed dims broadcast; scaling tables left
+    * to AQE, same policy as q5.
+    */
+  private def q8(s: SparkSession, dir: String): DataFrame = {
+    val regionNations = Tables.load(s, dir, "nation")
+      .join(broadcast(Tables.load(s, dir, "region").where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val suppNation = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    lineitem(s, dir)
+      .join(part(s, dir).where(col("p_type") === "STANDARD"),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders(s, dir).where(
+        col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1999-01-01 00:00:00")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(regionNations), col("c_nationkey") === col("cn_key"))
+      .join(supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3", revCents).otherwise(0L))
+          .as("nation_cents"),
+        sum(revCents).as("total_cents"))
+      .select(col("o_year"), col("nation_cents"), col("total_cents"),
+        expr("nation_cents * 1000 div total_cents").as("share_milli"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Q14-shaped promo share: fact⋈dim over one month, ratio of the PROMO
+    * slice — the conditional-aggregate-ratio shape again but with the
+    * month filter pushed to the fact scan (at 100 TB: partition pruning)
+    * so the part join probes only the month's rows.
+    */
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .where(col("l_shipdate") >= ts("1997-09-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-10-01 00:00:00"))
+      .join(part(s, dir), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revCents).otherwise(0L))
+          .as("promo_cents"),
+        sum(revCents).as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+        expr("promo_cents * 1000 div total_cents").as("promo_milli"))
+
+  /** Q19-shaped disjunctive join predicate: an OR of three per-(brand,
+    * size, quantity) conjuncts that straddles BOTH join sides. Catalyst
+    * extracts the side-local implications (p_brand IN (…) ∧ p_size ≤ 15
+    * to the part scan, l_quantity ≤ 30 to the lineitem scan) so each
+    * side prunes before the join even though the full OR can only be
+    * evaluated after it — the reason to write the disjunction
+    * declaratively instead of unioning three joins (three fact scans).
+    */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .join(part(s, dir), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#20" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(revCents).as("revenue_cents"), count(lit(1)).as("n_items"))
+
+  /** Q20-shaped nested semi-join: suppliers whose 1997 shipped volume of
+    * bolt parts beat the per-supplier average — a LEFT SEMI join against
+    * an aggregated-and-thresholded subquery, with the threshold itself a
+    * scalar aggregate OVER that subquery (scale-invariant, no magic
+    * constant). The aggregate runs before either join, so the semi-join
+    * probe side is |qualifying suppliers|; supplier rows never duplicate
+    * — the semi-join contract. The threshold is an unpartitioned window
+    * over the ROLLED-UP relation, not a self-join of it: the cross-join-
+    * a-broadcast-aggregate spelling plans the lineitem⋈part subtree
+    * TWICE (two fact scans — verified on `.explain`), while the window
+    * costs one single-partition pass over |suppliers| rows, which is
+    * already collapsed fact-side data.
+    */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shipped = lineitem(s, dir)
+      .where(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .join(part(s, dir).where(col("p_name").contains("bolt")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("ship_qty"))
+    // avg threshold exactly, by cross-multiplication: qty * n > total
+    val w = Window.partitionBy()
+    val heavy = shipped
+      .withColumn("tot_qty", sum(col("ship_qty")).over(w))
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .where(col("ship_qty") * col("n_supp") > col("tot_qty"))
+      .select(col("l_suppkey"))
+    supplier(s, dir)
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "leftsemi")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Q22-shaped dormant-rich-customer audit: global-aggregate threshold +
+    * NOT EXISTS, both made scale-safe — the "above average positive
+    * balance" gate is an exact integer cross-multiplication against a
+    * broadcast 1-row aggregate (no double-precision avg whose summation
+    * order differs between engines), and "dormant since 2000" is a LEFT
+    * ANTI join against the date-filtered orders slice (never a collected
+    * id list; the date filter pushes to the orders scan). Output is the
+    * per-nation count + cents rollup.
+    */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("c_acctbal") * 100).cast("long")
+    val cust = customer(s, dir).select(
+      col("c_custkey"), col("c_nationkey"), cents.as("bal_cents"))
+    val posAgg = cust.where(col("bal_cents") > 0)
+      .agg(sum(col("bal_cents")).as("pos_cents"), count(lit(1)).as("n_pos"))
+    cust.crossJoin(broadcast(posAgg))
+      .where(col("bal_cents") * col("n_pos") > col("pos_cents"))
+      .join(orders(s, dir)
+        .where(col("o_orderdate") >= ts("2000-01-01 00:00:00"))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "leftanti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("bal_cents")).as("bal_cents_sum"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Distinct-aggregate per group (Expand-based two-phase distinct): how
     * many distinct suppliers and parts served each return-flag class.
     * Catalyst plans this as partial-distinct below the shuffle — the only
@@ -827,7 +1000,13 @@ object RelationalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_shipping_priority" -> (q3 _),
     "q5_local_supplier" -> (q5 _),
+    "q7_volume_shipping" -> (q7 _),
+    "q8_market_share" -> (q8 _),
+    "q14_promo_share" -> (q14 _),
     "q18_large_orders" -> (q18 _),
+    "q19_disjunctive_join" -> (q19 _),
+    "q20_nested_semijoin" -> (q20 _),
+    "q22_dormant_rich_anti" -> (q22 _),
     "a7_distinct_agg" -> (a7 _),
     "s1_incremental_scan" -> (s1 _),
     "s2_count_scan" -> (s2 _),
@@ -883,6 +1062,97 @@ object RelationalOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND sn.n_name IN ('NATION_7', 'NATION_19')
+        |  AND cn.n_name IN ('NATION_7', 'NATION_19')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      """SELECT o_year, nation_cents, total_cents,
+        |  CAST(nation_cents * 1000 // total_cents AS BIGINT) AS share_milli
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |      THEN round(l_extendedprice * (1 - l_discount) * 100)::BIGINT
+        |      ELSE 0 END) AS BIGINT) AS nation_cents,
+        |    CAST(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) AS BIGINT) AS total_cents
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  GROUP BY 1)
+        |ORDER BY o_year""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT promo_cents, total_cents,
+        |  CAST(promo_cents * 1000 // total_cents AS BIGINT) AS promo_milli
+        |FROM (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN round(l_extendedprice * (1 - l_discount) * 100)::BIGINT
+        |      ELSE 0 END) AS BIGINT) AS promo_cents,
+        |    CAST(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) AS BIGINT) AS total_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00')""".stripMargin,
+    "q19_disjunctive_join" ->
+      """SELECT
+        |  CAST(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q20_nested_semijoin" ->
+      """WITH shipped AS (
+        |  SELECT l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS ship_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%bolt%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_suppkey),
+        |totals AS (SELECT sum(ship_qty) AS tot_qty, count(*) AS n_supp FROM shipped)
+        |SELECT s_suppkey, s_name, s_nationkey FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM shipped, totals WHERE ship_qty * n_supp > tot_qty)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q22_dormant_rich_anti" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    round(c_acctbal * 100)::BIGINT AS bal_cents
+        |  FROM customer),
+        |pos AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS pos_cents,
+        |               count(*) AS n_pos FROM cust WHERE bal_cents > 0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(bal_cents) AS BIGINT) AS bal_cents_sum
+        |FROM cust, pos
+        |WHERE bal_cents * n_pos > pos_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "q18_large_orders" ->
       """SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         |  round(o_totalprice * 100)::BIGINT AS totalprice_cents,

@@ -389,7 +389,29 @@ object SamplingOps {
       .orderBy(col("op"))
   }
 
+  /** Deterministic global training order ("the shuffle" in the data-prep
+    * sense): every epoch's example order is the sort by a content-stable
+    * hash key, so it is reproducible across reruns, cluster sizes, and
+    * engines — no RNG state, no materialized permutation table (the order
+    * re-derives from the ids). At scale the full order is never collected:
+    * a trainer's reader range-partitions on the same key (Spark's sort IS
+    * range partitioning + per-partition sort), and this query pins the
+    * head-of-order preview via TakeOrderedAndProject — the top-100 is
+    * found with a per-partition heap, not a global sort. Salting the hash
+    * with an epoch number reshuffles every epoch; epoch 0 shown here.
+    */
+  private def mixGlobalShuffle(s: SparkSession, dir: String): DataFrame = {
+    val skey = md5(concat(lit("epoch0:"), col("doc_id").cast("string")))
+    val head = documents(s, dir)
+      .select(col("doc_id"), col("lang"), skey.as("skey"))
+      .orderBy(col("skey")).limit(100)
+    // rank the 100-row preview (window over the already-limited set)
+    head.withColumn("pos", row_number().over(Window.orderBy(col("skey"))))
+      .select(col("pos").cast("long").as("pos"), col("doc_id"), col("lang"), col("skey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_global_shuffle" -> (mixGlobalShuffle _),
     "set_ops_splits" -> (setOpsSplits _),
     "mix_temperature_weights" -> (mixTemperatureWeights _),
     "mix_pivot_matrix" -> (mixPivotMatrix _),
@@ -408,6 +430,13 @@ object SamplingOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "mix_global_shuffle" ->
+      """SELECT CAST(row_number() OVER (ORDER BY skey) AS BIGINT) AS pos,
+        |  doc_id, lang, skey
+        |FROM (
+        |  SELECT doc_id, lang, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents ORDER BY skey LIMIT 100)
+        |ORDER BY pos""".stripMargin,
     "mix_pivot_matrix" -> {
       val cells = PivotLangs.map(l =>
         s"CAST(count(*) FILTER (lang = '$l') AS BIGINT) AS \"$l\"").mkString(",\n  ")

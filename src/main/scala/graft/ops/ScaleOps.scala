@@ -572,6 +572,47 @@ object ScaleOps {
       .orderBy(col("bucket"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov distance between the two halves
+    * of the month, per event type — the distribution-drift monitor that
+    * catches SHAPE changes the 10-bucket PSI skeleton above smooths over
+    * (a variance collapse inside one band moves no bucket share but moves
+    * the ECDF gap). All integer: values are binned to cents (bounding
+    * |distinct| and killing float ties), the ECDF gap is the cross-
+    * multiplied |cum1·n2 − cum2·n1|, and D > 0.05 is `d_num·20 > n1·n2` —
+    * so DuckDB replays every row bit-exactly. Shape: one fact shuffle to
+    * the (type, cent) rollup, then cumulative + total windows SHARING the
+    * event_type partitioning (one Exchange feeds both Window frames), and
+    * a per-type re-aggregate of |distinct cents| rows. At 100 TB the
+    * windowed relation is the rollup (≤ |types|·|cent bins|), never the
+    * fact table.
+    */
+  private def statsKsDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Split = "2024-01-16"
+    val ev = Tables.load(s, dir, "events").select(
+      col("event_type"),
+      round(col("value") * 100).cast("long").as("v_cents"),
+      (date_format(col("ts"), "yyyy-MM-dd") < Split).as("p1"))
+    val counts = ev.groupBy(col("event_type"), col("v_cents"))
+      .agg(sum(when(col("p1"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("p1"), 1L).otherwise(0L)).as("c2"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("v_cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    counts
+      .withColumn("cum1", sum(col("c1")).over(wCum))
+      .withColumn("cum2", sum(col("c2")).over(wCum))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("d_num"))
+      .select(col("event_type"), col("n1"), col("n2"), col("d_num"),
+        expr("d_num * 1000 div (n1 * n2)").as("ks_milli"),
+        (col("d_num") * 20 > col("n1") * col("n2")).as("drifted"))
+      .orderBy(col("event_type"))
+  }
+
   /** Write-Audit-Publish: batches land in a per-batch staging directory,
     * an audit gate compares what is actually ON DISK against the
     * extraction's own claim, and only audited batches are published into
@@ -1040,6 +1081,7 @@ object ScaleOps {
     "etl_orphan_audit" -> (etlOrphanAudit _),
     "etl_branch_isolation" -> (etlBranchIsolation _),
     "stats_bucket_drift" -> (statsBucketDrift _),
+    "stats_ks_drift" -> (statsKsDrift _),
     "audit_manifest" -> (auditManifest _),
     "j6_bloom_semijoin" -> (j6BloomSemijoin _),
     "j6_bloom_prune_shuffle" -> (j6BloomPruneShuffle _),
@@ -1191,6 +1233,27 @@ object ScaleOps {
         |  CAST(n2 * 1000 // t2 AS BIGINT) AS share2_milli,
         |  abs(n1 * t2 - n2 * t1) * 50 > t1 * t2 AS drifted
         |FROM b, t ORDER BY bucket""".stripMargin,
+    "stats_ks_drift" ->
+      """WITH counts AS (
+        |  SELECT event_type, round(value * 100)::BIGINT AS v_cents,
+        |    CAST(sum(CASE WHEN strftime(ts, '%Y-%m-%d') < '2024-01-16'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN strftime(ts, '%Y-%m-%d') < '2024-01-16'
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type,
+        |    sum(c1) OVER (PARTITION BY event_type ORDER BY v_cents) AS cum1,
+        |    sum(c2) OVER (PARTITION BY event_type ORDER BY v_cents) AS cum2,
+        |    sum(c1) OVER (PARTITION BY event_type) AS n1,
+        |    sum(c2) OVER (PARTITION BY event_type) AS n2
+        |  FROM counts)
+        |SELECT event_type,
+        |  CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+        |  CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+        |  CAST(max(abs(cum1 * n2 - cum2 * n1)) * 1000 // (max(n1) * max(n2)) AS BIGINT) AS ks_milli,
+        |  max(abs(cum1 * n2 - cum2 * n1)) * 20 > max(n1) * max(n2) AS drifted
+        |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stats_key_skew" ->
       """WITH k AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
         |t AS (SELECT count(*) AS n_keys, CAST(sum(n_events) AS BIGINT) AS total FROM k)

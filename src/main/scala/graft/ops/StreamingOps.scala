@@ -88,6 +88,7 @@ object StreamingOps {
     "stream_dedup_exact" -> ((s, dir) => StreamingIngest.streamDedupExact(s, dir)),
     "stream_sessionize" -> ((s, dir) => StreamingIngest.sessionWindows(s, dir)),
     "stream_interval_join" -> ((s, dir) => StreamingIngest.streamIntervalJoin(s, dir)),
+    "stream_left_outer_join" -> ((s, dir) => StreamingIngest.streamLeftOuterJoin(s, dir)),
     "stream_ingest_screen" -> (streamIngestScreen _),
     "stream_bounded_batches" ->
       ((s, dir) => StreamingIngest.streamBoundedBatches(s, dir)._1),
@@ -124,6 +125,20 @@ object StreamingOps {
       """SELECT strftime(ts, '%Y-%m-%d') AS export_date, count(*) AS n_rows,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // outer results are final only a full horizon behind the watermark:
+    // the stream must equal the batch LEFT join on the closed region
+    // (p_ts ≤ max(ts) − 2 h); unmatched purchases carry view_id −1
+    "stream_left_outer_join" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events)
+        |SELECT p.event_id AS purchase_id,
+        |  coalesce(v.event_id, -1) AS view_id
+        |FROM events p
+        |LEFT JOIN events v ON p.user_id = v.user_id
+        |  AND v.event_type = 'view'
+        |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+        |CROSS JOIN mx
+        |WHERE p.event_type = 'purchase' AND p.ts <= m - INTERVAL 2 HOUR
+        |ORDER BY purchase_id, view_id""".stripMargin,
     // the streaming interval join must converge to the batch interval join
     "stream_interval_join" ->
       """SELECT p.event_id AS purchase_id, v.event_id AS view_id

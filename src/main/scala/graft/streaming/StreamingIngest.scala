@@ -569,4 +569,50 @@ object StreamingIngest {
     // file sink, not memory: join output is O(matches), unbounded with input
     runToParquet(joined).orderBy(col("purchase_id"), col("view_id"))
   }
+
+  /** STREAM-STREAM LEFT OUTER interval join: the attribution join again,
+    * but purchases with NO preceding-hour view must also emit (organic
+    * vs attributed split). Outer semantics on two unbounded streams is a
+    * watermark problem: an unmatched purchase emits its null row only
+    * once the view-side watermark proves no matching view can still
+    * arrive, in a LATER micro-batch than the purchase itself (here the
+    * final no-data batch AvailableNow runs for exactly this purpose).
+    * That makes the stream's tail inherently undecided — purchases inside
+    * the last watermark horizon have neither matched nor been declared
+    * unmatched when the drain stops. So the op reports the CLOSED region
+    * only: rows with `p_ts ≤ max(ts) − 2 h` (a full horizon behind the
+    * final watermark, so membership is watermark-boundary-safe), where
+    * stream and batch left joins provably agree — the same convergence
+    * contract every other stream op here pins, restricted to the region
+    * where outer results are final.
+    */
+  def streamLeftOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    withStateGrain(spark, 4) { streamLeftOuterJoinInner(spark, dir) }
+
+  private def streamLeftOuterJoinInner(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") < col("p_ts"),
+      "leftOuter")
+      .select(col("purchase_id"), col("p_ts"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"))
+    val drained = runToParquet(joined)
+    // closed-region cutoff from the batch view of the same corpus
+    val maxTs = graft.Tables.load(spark, dir, "events")
+      .agg(max(col("ts"))).head.getTimestamp(0)
+    val cutoff = new Timestamp(maxTs.getTime - 2L * 3600 * 1000)
+    drained.where(col("p_ts") <= lit(cutoff))
+      .select(col("purchase_id"), col("view_id"))
+      .orderBy(col("purchase_id"), col("view_id"))
+  }
 }

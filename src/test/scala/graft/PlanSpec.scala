@@ -345,6 +345,66 @@ class PlanSpec extends AnyFunSuite {
     assert(a7.contains("Expand"), s"COUNT(DISTINCT) must plan via Expand\n$a7")
   }
 
+  test("q19 disjunctive join predicate pushes per-side implications to both scans") {
+    // the OR straddles the join, but its side-local implications must
+    // reach the scans: l_quantity bounds on lineitem, p_brand/p_size on
+    // part — otherwise at 100 TB the join sees the whole fact table
+    val plan = physical(ops.RelationalOps.queries("q19_disjunctive_join")(spark, Sf0001))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_partkey), Or("),
+      s"lineitem scan must carry the extracted quantity disjunction\n$plan")
+    // (scan PushedFilters text is truncated in toString — pin the part
+    // side via its Filter node, which carries the full extracted OR)
+    assert("Filter [^\\n]*= Brand#1\\)".r.findFirstIn(plan).isDefined,
+      s"part side must filter the extracted brand/size disjunction before the join\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q20 threshold windows over the rollup — exactly one fact scan") {
+    // the avg-threshold must NOT replan the lineitem⋈part subtree (the
+    // broadcast-aggregate crossJoin spelling scans the fact twice)
+    val plan = physical(ops.RelationalOps.queries("q20_nested_semijoin")(spark, Sf0001))
+    assert("lineitem\\.parquet".r.findAllIn(plan).length == 1,
+      s"exactly one lineitem scan\n$plan")
+    assert(plan.contains("LeftSemi"), s"supplier side must semi-join\n$plan")
+  }
+
+  test("q22 dormant screen: broadcast 1-row threshold + anti join, date pushed to orders") {
+    val plan = physical(ops.RelationalOps.queries("q22_dormant_rich_anti")(spark, Sf0001))
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as anti join\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate,"),
+      s"dormancy cutoff must push to the orders scan\n$plan")
+    // the positive-balance aggregate is 1 row: its join must broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"threshold aggregate must ride a broadcast\n$plan")
+  }
+
+  test("q7/q8 multi-join trees stay equi-joined with broadcast dims") {
+    Seq("q7_volume_shipping", "q8_market_share").foreach { q =>
+      val p = physical(ops.RelationalOps.queries(q)(spark, Sf0001))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay equi-joined\n$p")
+      assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+        s"$q: nation dims must broadcast\n$p")
+      assert(p.contains("partial_sum"), s"$q: map-side partial agg\n$p")
+    }
+  }
+
+  test("KS drift windows over the cents rollup, one fact scan, shared partitioning") {
+    val plan = physical(ops.ScaleOps.queries("stats_ks_drift")(spark, Sf0001))
+    assert("Scan parquet".r.findAllIn(plan).length == 1, s"one fact scan\n$plan")
+    // the cumulative ECDF windows must consume the (type, cent) rollup,
+    // not raw events: partial agg below the Window nodes
+    val winAt = plan.indexOf("Window")
+    assert(winAt >= 0 && plan.indexOf("partial_sum", winAt) > winAt,
+      s"Window must sit above the rollup aggregate\n$plan")
+  }
+
+  test("global-shuffle preview is TakeOrdered on the hash key, never a global sort") {
+    val plan = physical(ops.SamplingOps.queries("mix_global_shuffle")(spark, Sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-of-order preview must use a per-partition heap\n$plan")
+  }
+
   test("cumulative daily growth aggregates the fact table BEFORE windowing") {
     val plan = physical(ops.RelationalOps.queries("w9_cumulative_daily")(spark, Sf0001))
     // the running sum must window over the day rollup, not the raw events:

@@ -92,4 +92,28 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "fixture must produce at least one attribution pair")
     assert(streamed == batch)
   }
+
+  test("stream-stream LEFT OUTER join equals the batch left join on the closed region") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.StreamingIngest.streamLeftOuterJoin(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val e = Tables.load(spark, Sf0001, "events")
+    val maxTs = e.agg(max(col("ts"))).head.getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 2L * 3600 * 1000)
+    val batch = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+      .where(col("pts") <= lit(cutoff))
+      .join(e.where(col("event_type") === "view")
+          .select(col("user_id").as("vu"), col("event_id").as("view_id"), col("ts").as("vts")),
+        col("pu") === col("vu") &&
+          col("vts") >= col("pts") - expr("INTERVAL 1 HOUR") && col("vts") < col("pts"),
+        "leftOuter")
+      .select(col("purchase_id"), coalesce(col("view_id"), lit(-1L)).as("view_id"))
+      .orderBy(col("purchase_id"), col("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed == batch)
+    // outer semantics must be non-vacuous in BOTH directions
+    assert(streamed.exists(_._2 == -1L), "fixture must produce unmatched purchases")
+    assert(streamed.exists(_._2 != -1L), "fixture must produce attributed purchases")
+  }
 }
