@@ -193,8 +193,71 @@ object ClusterOps {
       .orderBy(col("doc_id"))
   }
 
+  /** `graph_pagerank`: 3 rounds of PageRank over the co-purchase part
+    * graph — the link-analysis centrality the pipeline's graph family was
+    * missing next to connected components (importance weighting for
+    * canonical-doc choice, crawl prioritization, spam-farm detection).
+    *
+    * Distributed shape per iteration: edges ⋈ ranks on src (both hash-
+    * partitioned on src — the join reuses one partitioning across all
+    * rounds), per-edge contribution rank div degree, one groupBy dst with
+    * map-side partial sums, lineage truncated per round (same
+    * Checkpointer discipline as connectedComponents). The edge list and
+    * per-node degrees are built once and cached — each round shuffles
+    * only (long, long) rank rows, never the fact table.
+    *
+    * All arithmetic is INTEGER milli-rank (r₀ = 1000; rₖ₊₁ = 150 +
+    * (850 · Σ rₖ(u) div d(u)) div 1000 — damping 0.85 as 850/1000 with
+    * floor division), so the DuckDB oracle unrolls the same three rounds
+    * bit-exactly. Fixed iteration count instead of convergence-test:
+    * production PageRank runs a budgeted round count for the same reason
+    * (each round is a full shuffle; the ranking stabilizes long before
+    * the values do).
+    */
+  /** The iteration core, reusable over any directed (src, dst) edge list
+    * in which every node has out-degree ≥ 1 (symmetric graphs qualify).
+    * Returns (node, r, d) after `iterations` rounds of the integer-milli
+    * update above.
+    */
+  def pagerank(edges: DataFrame, iterations: Int,
+               checkpointer: Checkpointer = localCheckpointer): DataFrame = {
+    val cached = edges.select(col("src"), col("dst")).distinct().cache()
+    val deg = cached.groupBy(col("src")).agg(count(lit(1)).as("d")).cache()
+    val edgesWithDeg = cached.join(deg, "src").cache()
+    var ranks = checkpointer(
+      deg.select(col("src").as("node"), lit(1000L).as("r")))
+    (1 to iterations).foreach { _ =>
+      ranks = checkpointer(
+        edgesWithDeg
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), expr("r div d").as("contrib"))
+          .groupBy(col("node"))
+          .agg((lit(150L) + expr("850 * sum(contrib) div 1000")).as("r")))
+    }
+    val out = ranks.join(deg, col("node") === col("src"))
+      .select(col("node"), col("r"), col("d"))
+    cached.unpersist(); deg.unpersist(); edgesWithDeg.unpersist()
+    out
+  }
+
+  private def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // co-purchase edges: inequality self-join within each order emits the
+    // pair in BOTH directions, so the graph is symmetric by construction
+    val edges = items.alias("a")
+      .join(items.alias("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    pagerank(edges, iterations = 3)
+      .select(col("node").as("p_partkey"), col("r").as("rank_milli"),
+        col("d").as("n_neighbors"))
+      .orderBy(col("p_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_clusters" -> (dedupClusters _)
+    "dedup_clusters" -> (dedupClusters _),
+    "graph_pagerank" -> (graphPagerank _)
   )
 
   /** Oracle: DuckDB recursive CTE computes the transitive closure of the
@@ -205,6 +268,27 @@ object ClusterOps {
     * LISTS but generate identical components.
     */
   val oracleSql: Map[String, String] = Map(
+    "graph_pagerank" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+        |r0 AS (SELECT src AS node, 1000::BIGINT AS r FROM deg),
+        |r1 AS (SELECT e.dst AS node, 150 + (850 * sum(r.r // g.d)) // 1000 AS r
+        |       FROM edges e JOIN r0 r ON e.src = r.node JOIN deg g ON e.src = g.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node, 150 + (850 * sum(r.r // g.d)) // 1000 AS r
+        |       FROM edges e JOIN r1 r ON e.src = r.node JOIN deg g ON e.src = g.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node, 150 + (850 * sum(r.r // g.d)) // 1000 AS r
+        |       FROM edges e JOIN r2 r ON e.src = r.node JOIN deg g ON e.src = g.src
+        |       GROUP BY e.dst)
+        |SELECT r3.node AS p_partkey, CAST(r3.r AS BIGINT) AS rank_milli,
+        |  g.d AS n_neighbors
+        |FROM r3 JOIN deg g ON r3.node = g.src
+        |ORDER BY p_partkey""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE
          |fixture AS (

@@ -449,6 +449,25 @@ object RelationalOps {
       .select(fmt(col("win")).as("window_start"), col("n"), col("total_value_cents"))
       .orderBy(col("window_start"))
 
+  /** SLIDING (overlapping) windows, W17 (extension): 48 h windows sliding
+    * by 24 h via the `window()` TVF — each event lands in exactly two
+    * windows (duration/slide = 2), which Spark plans as an Expand (2 rows
+    * per event) BELOW the partial aggregation, so the shuffle carries
+    * window-rollup rows, never 2× the fact. Completes the time-window
+    * family: tumbling (w3), per-event range frame (w14), gap sessions
+    * (w8), now overlapping fixed windows. Oracle replays the expansion
+    * with an explicit 2-element unnest per event.
+    */
+  private def w17(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "2 days", "1 day"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("total_value_cents"))
+      .select(fmt(col("window.start")).as("window_start"),
+        fmt(col("window.end")).as("window_end"),
+        col("n"), col("total_value_cents"))
+      .orderBy(col("window_start"))
+
   /** As-of join (J2, extension): for every `purchase` event, the most
     * recent strictly-preceding `view` event of the same user. Spark has no
     * native as-of operator; the naive formulation is a range join
@@ -1046,6 +1065,7 @@ object RelationalOps {
     "w1_resume_watermark" -> (w1 _),
     "w2_window_bound" -> (w2 _),
     "w3_tumbling_windows" -> (w3 _),
+    "w17_sliding_windows" -> (w17 _),
     "w5_boundary_duplicates" -> (w5 _),
     "w8_gap_sessionize" -> (w8 _),
     "w9_cumulative_daily" -> (w9 _),
@@ -1346,6 +1366,16 @@ object RelationalOps {
       s"""SELECT strftime(date_trunc('day', ts), '$DuckTsFmt') AS window_start,
          |  count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w17_sliding_windows" ->
+      s"""SELECT strftime(ws, '$DuckTsFmt') AS window_start,
+         |  strftime(ws + INTERVAL 2 DAY, '$DuckTsFmt') AS window_end,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
+         |FROM (
+         |  SELECT unnest([date_trunc('day', ts) - INTERVAL 1 DAY,
+         |                 date_trunc('day', ts)]) AS ws, value
+         |  FROM events)
+         |GROUP BY ws ORDER BY window_start""".stripMargin,
     "j2_asof_join" ->
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id,
          |  asof_view_id, asof_view_value

@@ -410,7 +410,29 @@ object SamplingOps {
       .select(col("pos").cast("long").as("pos"), col("doc_id"), col("lang"), col("skey"))
   }
 
+  /** MULTISET set operations (INTERSECT ALL / EXCEPT ALL), completing
+    * §2.7 beside the set-semantic `set_ops_splits`: per-user event
+    * multiplicities matter here — a user with 3 views and 1 click
+    * contributes 1 to the intersection and 2 to the difference, which
+    * DISTINCT set ops collapse to 1/0. Spark plans both as a single
+    * count-aggregate per side + generator replay (never a join per
+    * duplicate), the scalable multiset shape.
+    */
+  private def setOpsMultiset(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val views = ev.where(col("event_type") === "view").select(col("user_id"))
+    val clicks = ev.where(col("event_type") === "click").select(col("user_id"))
+    def tagged(df: DataFrame, op: String): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+    tagged(views.intersectAll(clicks), "intersect_all")
+      .unionByName(tagged(views.exceptAll(clicks), "views_minus_clicks_all"))
+      .unionByName(tagged(clicks.exceptAll(views), "clicks_minus_views_all"))
+      .unionByName(tagged(views.union(clicks), "union_all"))
+      .orderBy(col("op"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_ops_multiset" -> (setOpsMultiset _),
     "mix_global_shuffle" -> (mixGlobalShuffle _),
     "set_ops_splits" -> (setOpsSplits _),
     "mix_temperature_weights" -> (mixTemperatureWeights _),
@@ -430,6 +452,21 @@ object SamplingOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "set_ops_multiset" ->
+      """WITH v AS (SELECT user_id FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id FROM events WHERE event_type = 'click')
+        |SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT user_id FROM v INTERSECT ALL SELECT user_id FROM c)
+        |UNION ALL
+        |SELECT 'views_minus_clicks_all', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT user_id FROM v EXCEPT ALL SELECT user_id FROM c)
+        |UNION ALL
+        |SELECT 'clicks_minus_views_all', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT user_id FROM c EXCEPT ALL SELECT user_id FROM v)
+        |UNION ALL
+        |SELECT 'union_all', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT user_id FROM v UNION ALL SELECT user_id FROM c)
+        |ORDER BY op""".stripMargin,
     "mix_global_shuffle" ->
       """SELECT CAST(row_number() OVER (ORDER BY skey) AS BIGINT) AS pos,
         |  doc_id, lang, skey

@@ -152,4 +152,33 @@ class ClusterSpec extends AnyFunSuite {
     assert(matrix.forall { case ((lo, hi), _) => lo <= hi })
     assert(matrix.map(_._1).distinct.length == matrix.length)
   }
+
+  test("pagerank replays the integer-milli update on a hand-computed path graph") {
+    // path A(1)–B(2)–C(3), symmetric edges; deg A=C=1, B=2; r0 = 1000.
+    // r1: A = 150 + 850·(1000 div 2) div 1000 = 575, B = 150 + 850·2000 div 1000
+    //     = 1850, C = 575
+    // r2: A = 150 + 850·(1850 div 2) div 1000 = 936, B = 150 + 850·1150 div 1000
+    //     = 1127, C = 936
+    // r3: A = 150 + 850·(1127 div 2) div 1000 = 628, B = 150 + 850·1872 div 1000
+    //     = 1741, C = 628
+    import SparkTestBase.spark
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val got = ops.ClusterOps.pagerank(edges, iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 628L, 1L), (2L, 1741L, 2L), (3L, 628L, 1L)))
+  }
+
+  test("pagerank ranks hubs above leaves on the co-purchase graph") {
+    val pr = ops.ClusterOps.queries("graph_pagerank")(SparkTestBase.spark, SparkTestBase.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pr.nonEmpty)
+    // degree and rank must correlate at the extremes: the max-degree
+    // node outranks the min-degree node (sanity, not a theorem — holds
+    // comfortably on this graph)
+    val byDeg = pr.sortBy(_._3)
+    assert(byDeg.last._2 > byDeg.head._2,
+      s"max-degree ${byDeg.last} should outrank min-degree ${byDeg.head}")
+  }
 }

@@ -405,6 +405,16 @@ class PlanSpec extends AnyFunSuite {
       s"top-of-order preview must use a per-partition heap\n$plan")
   }
 
+  test("sliding windows expand below the partial aggregation") {
+    // window('2 days','1 day') puts each event in 2 windows via Expand;
+    // the partial agg must sit ABOVE the Expand so the shuffle carries
+    // window-rollup rows, never 2× the fact
+    val plan = physical(ops.RelationalOps.queries("w17_sliding_windows")(spark, Sf0001))
+    assert(plan.contains("Expand"), s"window TVF must plan via Expand\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"map-side partial agg expected above the Expand\n$plan")
+  }
+
   test("cumulative daily growth aggregates the fact table BEFORE windowing") {
     val plan = physical(ops.RelationalOps.queries("w9_cumulative_daily")(spark, Sf0001))
     // the running sum must window over the day rollup, not the raw events:
