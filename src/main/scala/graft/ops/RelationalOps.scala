@@ -449,6 +449,32 @@ object RelationalOps {
       .select(fmt(col("win")).as("window_start"), col("n"), col("total_value_cents"))
       .orderBy(col("window_start"))
 
+  /** NULL-SAFE equi-join, J9 (extension): `<=>` (IS NOT DISTINCT FROM)
+    * joins where NULL keys match each other — the semantics a config
+    * reconciliation needs when "unset" is a legitimate key value (a plain
+    * `=` silently drops every NULL row from both sides). Spark keeps
+    * EqualNullSafe as a HASH join key (coalesced into the hash), so the
+    * plan stays BroadcastHashJoin/SMJ — never the nested-loop fallback a
+    * residual-only null predicate would force. Both sides are aggregated
+    * to per-key rollups BEFORE the join, so the NULL bucket joins 1:1
+    * instead of |nulls|² — the same aggregate-first rule as everywhere.
+    */
+  private def j9(s: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val key = when(k % 3 =!= 0, k) // every third key is legitimately unset
+    val ev = events(s, dir)
+    val views = ev.where(col("event_type") === "view")
+      .select(key.as("key")).groupBy(col("key"))
+      .agg(count(lit(1)).as("n_views"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(key.as("ckey")).groupBy(col("ckey"))
+      .agg(count(lit(1)).as("n_clicks"))
+    views.join(clicks, col("key") <=> col("ckey"))
+      .select(coalesce(col("key"), lit(-1L)).as("k_key"),
+        col("n_views"), col("n_clicks"))
+      .orderBy(col("k_key"))
+  }
+
   /** SLIDING (overlapping) windows, W17 (extension): 48 h windows sliding
     * by 24 h via the `window()` TVF — each event lands in exactly two
     * windows (duration/slide = 2), which Spark plans as an Expand (2 rows
@@ -1066,6 +1092,7 @@ object RelationalOps {
     "w2_window_bound" -> (w2 _),
     "w3_tumbling_windows" -> (w3 _),
     "w17_sliding_windows" -> (w17 _),
+    "j9_nullsafe_join" -> (j9 _),
     "w5_boundary_duplicates" -> (w5 _),
     "w8_gap_sessionize" -> (w8 _),
     "w9_cumulative_daily" -> (w9 _),
@@ -1366,6 +1393,19 @@ object RelationalOps {
       s"""SELECT strftime(date_trunc('day', ts), '$DuckTsFmt') AS window_start,
          |  count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j9_nullsafe_join" ->
+      """WITH keyed AS (
+        |  SELECT event_type,
+        |    CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 <> 0
+        |         THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS key
+        |  FROM events),
+        |v AS (SELECT key, CAST(count(*) AS BIGINT) AS n_views
+        |      FROM keyed WHERE event_type = 'view' GROUP BY key),
+        |c AS (SELECT key, CAST(count(*) AS BIGINT) AS n_clicks
+        |      FROM keyed WHERE event_type = 'click' GROUP BY key)
+        |SELECT coalesce(v.key, -1) AS k_key, n_views, n_clicks
+        |FROM v JOIN c ON v.key IS NOT DISTINCT FROM c.key
+        |ORDER BY k_key""".stripMargin,
     "w17_sliding_windows" ->
       s"""SELECT strftime(ws, '$DuckTsFmt') AS window_start,
          |  strftime(ws + INTERVAL 2 DAY, '$DuckTsFmt') AS window_end,

@@ -84,6 +84,7 @@ object StreamingOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_daily" -> ((s, dir) => StreamingIngest.tumblingDaily(s, dir)),
+    "stream_sliding_windows" -> ((s, dir) => StreamingIngest.streamSlidingWindows(s, dir)),
     "stream_user_watermark" -> ((s, dir) => StreamingIngest.statefulUserWatermark(s, dir)),
     "stream_dedup_exact" -> ((s, dir) => StreamingIngest.streamDedupExact(s, dir)),
     "stream_sessionize" -> ((s, dir) => StreamingIngest.sessionWindows(s, dir)),
@@ -139,6 +140,8 @@ object StreamingOps {
         |CROSS JOIN mx
         |WHERE p.event_type = 'purchase' AND p.ts <= m - INTERVAL 2 HOUR
         |ORDER BY purchase_id, view_id""".stripMargin,
+    // overlapping-window state drains to the identical batch report
+    "stream_sliding_windows" -> RelationalOps.oracleSql("w17_sliding_windows"),
     // the streaming interval join must converge to the batch interval join
     "stream_interval_join" ->
       """SELECT p.event_id AS purchase_id, v.event_id AS view_id

@@ -516,7 +516,27 @@ object TextAnalysisOps {
         expr("(n_tokens * 1000) div n_chars").as("toks_per_kchar"))
       .orderBy(col("lang"))
 
+  /** K-ANONYMITY audit over quasi-identifiers (extension, governance twin
+    * of the PII scrub): a released training corpus leaks identity not
+    * through direct identifiers but through RARE combinations of
+    * innocuous attributes — any (lang, source, length-band) cell with
+    * fewer than k = 5 members re-identifies its documents. The audit is
+    * ONE partial-agg rollup over the quasi-id tuple (never a self-join),
+    * emitting the violating cells + member counts — the suppression list
+    * a release pipeline withholds or generalizes. Length is banded to
+    * 200-char buckets (generalization is the point: raw n_chars would
+    * make every row its own cell).
+    */
+  private def privacyKAnon(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(col("lang"), col("source"),
+        (col("n_chars") / 200).cast("long").as("len_band"))
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") < 5)
+      .orderBy(col("lang"), col("source"), col("len_band"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_k_anon" -> (privacyKAnon _),
     "ta_bpe_merges" -> (taBpeMerges _),
     "ta_bpe_encode" -> (taBpeEncode _),
     "ta_bpe_fertility" -> (taBpeFertility _),
@@ -602,6 +622,12 @@ object TextAnalysisOps {
     Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "privacy_k_anon" ->
+      """SELECT lang, source, n_chars // 200 AS len_band,
+        |  CAST(count(*) AS BIGINT) AS n_members
+        |FROM documents
+        |GROUP BY 1, 2, 3 HAVING count(*) < 5
+        |ORDER BY lang, source, len_band""".stripMargin,
     "ta_langid" ->
       s"""SELECT doc_id, stopword_ratio,
          |  CASE WHEN stopword_ratio >= 0.03 THEN 'en' ELSE 'und' END AS lang_pred

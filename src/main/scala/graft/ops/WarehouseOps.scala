@@ -340,7 +340,50 @@ object WarehouseOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Incremental maintenance of a materialized JOIN view (extension):
+    * V = orders ⋈ customer, maintained under appends to BOTH sides with
+    * the delta-join algebra Δ(F⋈D) = ΔF⋈D_new ∪ F_old⋈ΔD (the ΔF⋈ΔD
+    * cross term folds into the first leg by joining ΔF against the
+    * UPDATED dimension) — the join twin of `etl_ivm_rollup`'s aggregate
+    * maintenance. Cost shape at 100 TB: ΔF⋈D_new is delta-×-dim (the
+    * daily batch); F_old⋈ΔD probes the big historical fact against a
+    * TINY late-registered dim batch, so that leg rides a broadcast and
+    * never shuffles the fact (plan-pinned); and the view itself is
+    * APPEND-ONLY parquet — no rewrite of V_old. Inner-join semantics make
+    * the two legs disjoint by construction (V_old rows joined D_old only,
+    * so no F_old⋈ΔD row can duplicate one). Oracled against the
+    * from-scratch join of the complete sides — the IVM contract.
+    */
+  private def etlIvmJoin(s: SparkSession, dir: String): DataFrame = {
+    val Cut = "2000-01-01 00:00:00"
+    val o = orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderdate"))
+    val fOld = o.where(col("o_orderdate") < to_timestamp(lit(Cut)))
+    val dF = o.where(col("o_orderdate") >= to_timestamp(lit(Cut)))
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val dD = c.where(col("c_custkey") % 10 === 3) // late-registered dims
+    val dOld = c.where(col("c_custkey") % 10 =!= 3)
+    // the MV is genuinely materialized: the maintenance below reads no
+    // V_old rows, it only APPENDS delta join results beside them
+    val mvPath = graft.util.TempDirs.create("graft_ivm_join_")
+    fOld.join(dOld, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"), col("cents"))
+      .write.mode("overwrite").parquet(mvPath)
+    val deltaV = dF.join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"), col("cents"))
+      .unionByName(fOld.join(broadcast(dD), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"), col("cents")))
+    deltaV.write.mode("append").parquet(mvPath)
+    s.read.parquet(mvPath)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_ivm_join" -> (etlIvmJoin _),
     "etl_ivm_rollup" -> (etlIvmRollup _),
     "scd2_incremental" -> (scd2Incremental _),
     "j7_temporal_dim_join" -> (j7TemporalDimJoin _),
@@ -353,6 +396,13 @@ object WarehouseOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // IVM-join contract: the appended MV ≡ the from-scratch join of the
+    // complete (post-append) sides
+    "etl_ivm_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // IVM contract: merged MV ≡ a from-scratch rollup of the corrected fact
     "etl_ivm_rollup" ->
       """WITH f AS (

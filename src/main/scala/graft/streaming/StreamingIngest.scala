@@ -178,6 +178,28 @@ object StreamingIngest {
       .orderBy(col("window_start"))
   }
 
+  /** SLIDING windows as a stream — the overlapping-window twin of
+    * [[tumblingDaily]] (batch twin: `w17_sliding_windows`). The window
+    * TVF assigns each event to duration/slide = 2 windows INSIDE the
+    * stateful aggregation, so state holds one row per open window (2×
+    * the tumbling count), still bounded by the watermark horizon.
+    * Complete-mode drain of the bounded window table; the oracle is the
+    * identical batch SQL.
+    */
+  def streamSlidingWindows(spark: SparkSession, dir: String): DataFrame = withStateGrain(spark) {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 days", "1 day").as("win"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("total_value_cents"))
+      .select(
+        date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("window_start"),
+        date_format(col("win.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("window_end"),
+        col("n"), col("total_value_cents"))
+    runToMemory(agg, s"stream_sliding_${System.nanoTime()}", OutputMode.Complete())
+      .orderBy(col("window_start"))
+  }
+
   /** The distribution-drift monitor as an always-on stream — the twin of
     * the batch `stats_bucket_drift`, here because its aggregate is pure
     * conditional COUNTING: commutative, order-insensitive, no per-event

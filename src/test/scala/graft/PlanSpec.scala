@@ -405,6 +405,14 @@ class PlanSpec extends AnyFunSuite {
       s"top-of-order preview must use a per-partition heap\n$plan")
   }
 
+  test("null-safe join keeps EqualNullSafe as a hash-join key, never nested-loop") {
+    val plan = physical(ops.RelationalOps.queries("j9_nullsafe_join")(spark, Sf0001))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"<=> must stay a hash/merge join\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"null-safe equality must not fall back to nested loop\n$plan")
+  }
+
   test("sliding windows expand below the partial aggregation") {
     // window('2 days','1 day') puts each event in 2 windows via Expand;
     // the partial agg must sit ABOVE the Expand so the shuffle carries
