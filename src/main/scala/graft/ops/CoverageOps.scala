@@ -235,6 +235,39 @@ object CoverageOps {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q13-shaped distribution-of-counts: customers LEFT JOIN orders
+    * (zero-order customers must survive into the 0 bucket), per-customer
+    * order counts, then a second aggregation histogramming the counts —
+    * the two-level rollup every engagement/heavy-user report runs. Both
+    * aggregations carry map-side partials; the second one runs over
+    * |customers| rows, already fact-collapsed.
+    */
+  private val Q13HistSql =
+    """SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+      |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+      |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |      GROUP BY c_custkey) AS per_cust
+      |GROUP BY n_orders
+      |ORDER BY n_customers DESC, n_orders DESC""".stripMargin
+
+  /** TPC-H Q16-flavored NOT IN: suppliers not on the heavy-shipment list.
+    * `NOT IN (subquery)` is NOT the same as NOT EXISTS — one NULL in the
+    * list empties the result under three-valued logic — so Catalyst must
+    * plan a NULL-AWARE anti join (NAAJ) whenever it cannot prove the list
+    * non-null (parquet columns are nullable-typed, so that is the common
+    * case at the ingest edge). PlanSpec pins the NAAJ; the fixture list
+    * is fact-null-free, keeping the result non-vacuous while the PLAN
+    * still carries the null-aware machinery.
+    */
+  private val Q16NotInSql =
+    """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers
+      |FROM supplier
+      |WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem
+      |                        WHERE l_quantity >= 50
+      |                          AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
   /** TPC-H Q21-flavored shape: EXISTS and NOT EXISTS against the same
     * fact — the NOT EXISTS decorrelates to a left-ANTI equi-join (the
     * third subquery rewrite beside semi and scalar-agg). Orders with a
@@ -384,7 +417,11 @@ object CoverageOps {
     "q17_scalar_subquery" -> ((s, dir) => graft.GraftSession.init(s, dir)
       .sql(Q17ScalarSql)),
     "q21_not_exists" -> ((s, dir) => graft.GraftSession.init(s, dir)
-      .sql(Q21NotExistsSql))
+      .sql(Q21NotExistsSql)),
+    "q13_order_count_hist" -> ((s, dir) => graft.GraftSession.init(s, dir)
+      .sql(Q13HistSql)),
+    "q16_notin_nullaware" -> ((s, dir) => graft.GraftSession.init(s, dir)
+      .sql(Q16NotInSql))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -408,6 +445,8 @@ object CoverageOps {
     "q4_exists_subquery" -> Q4ExistsSql,
     "q17_scalar_subquery" -> Q17ScalarSql,
     "q21_not_exists" -> Q21NotExistsSql,
+    "q13_order_count_hist" -> Q13HistSql,
+    "q16_notin_nullaware" -> Q16NotInSql,
     "src_json_roundtrip" ->
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, value, props
          |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'

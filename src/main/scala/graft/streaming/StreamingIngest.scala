@@ -317,6 +317,90 @@ object StreamingIngest {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** One open session per key: first/last event micros + member count. */
+  final case class SessionAcc(startUs: Long, lastUs: Long, n: Long)
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Gap sessionization via CUSTOM state + EVENT-TIME TIMERS
+    * (`flatMapGroupsWithState` + `EventTimeTimeout`) — the same sessions
+    * as [[sessionWindows]], but through the API tier below
+    * `session_window`: the state store holds ONE SessionAcc per user, a
+    * successor event either extends it or closes-and-emits it, and a
+    * session with no successor is closed by the TIMER that fires when the
+    * watermark passes `last + gap` (the mechanism `session_window` uses
+    * internally, exercised here directly — what custom operators that
+    * don't fit a built-in window, e.g. per-key rate limiting or fraud
+    * journeys, must build on). Gap arithmetic in exact MICROS, so the
+    * merge-at-exactly-gap boundary matches the batch fold bit-for-bit.
+    *
+    * Emission-completeness contract: a session emits either via its
+    * successor event or via its timer; the final watermark of an
+    * AvailableNow drain is `max(ts) − 1 h`, so timers have provably fired
+    * for every session whose last event precedes `max(ts) − 7 h`. The op
+    * reports that CLOSED region (cutoff `max − 8 h`, a safety margin past
+    * the boundary), same discipline as the streaming outer join.
+    */
+  def streamSessionTimers(spark: SparkSession, dir: String): DataFrame =
+    withStateGrain(spark) { streamSessionTimersInner(spark, dir) }
+
+  private def streamSessionTimersInner(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val GapUs = 6L * 3600 * 1000000
+    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    val src = eventsStream(spark, dir)
+      .select(col("user_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .as[KeyedEvent]
+    val sessions = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, events: Iterator[KeyedEvent], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: no event can extend this session
+            val out = state.getOption.map(a =>
+              SessionOut(user, a.startUs, a.lastUs + GapUs, a.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = events.map(e => micros(e.ts)).toArray.sorted
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(a) if t - a.lastUs <= GapUs =>
+                  cur = Some(SessionAcc(a.startUs, math.max(a.lastUs, t), a.n + 1))
+                case Some(a) =>
+                  closed ::= SessionOut(user, a.startUs, a.lastUs + GapUs, a.n)
+                  cur = Some(SessionAcc(t, t, 1))
+                case None => cur = Some(SessionAcc(t, t, 1))
+              }
+            }
+            cur.foreach { a =>
+              state.update(a)
+              // timer in millis, rounded UP so it never fires early
+              state.setTimeoutTimestamp((a.lastUs + GapUs) / 1000 + 1)
+            }
+            closed.reverse.iterator
+          }
+      }
+      .toDF()
+    val drained = runToParquet(
+      sessions.select(col("user_id"),
+        date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        date_format(timestamp_micros(col("end_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_end"),
+        col("n_events"),
+        col("end_us")))
+    val maxTs = graft.Tables.load(spark, dir, "events")
+      .agg(max(col("ts"))).head.getTimestamp(0)
+    // last ≤ max−8h ⟺ end(=last+6h) ≤ max−2h
+    val cutoffUs = (maxTs.getTime - 2L * 3600 * 1000) * 1000
+    drained.where(col("end_us") <= cutoffUs)
+      .drop("end_us")
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** The full ETL slice as a streaming pipeline with a PARQUET sink: file
     * source → transform → date-partitioned parquet + checkpointLocation.
     * This is the production shape — the checkpoint's WAL/commit log gives

@@ -405,6 +405,28 @@ class PlanSpec extends AnyFunSuite {
       s"top-of-order preview must use a per-partition heap\n$plan")
   }
 
+  test("NOT IN plans a null-aware anti join (NAAJ), not a plain anti join") {
+    // parquet columns are nullable-typed, so Catalyst cannot prove the
+    // list non-null: the anti join must carry the null-aware flag (the
+    // trailing `true` on BroadcastHashJoin LeftAnti) or NOT IN's
+    // three-valued semantics would be silently wrong on a null-bearing list
+    val plan = physical(ops.CoverageOps.queries("q16_notin_nullaware")(spark, Sf0001))
+    assert(plan.contains("LeftAnti, BuildRight, true"),
+      s"NOT IN must plan as null-aware anti join\n$plan")
+  }
+
+  test("q13 histogram: zero-order customers survive the left join into the 0 bucket") {
+    val rows = ops.CoverageOps.queries("q13_order_count_hist")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // two-level rollup: both aggregations partial, fact collapsed first
+    val plan = physical(ops.CoverageOps.queries("q13_order_count_hist")(spark, Sf0001))
+    assert("partial_count".r.findAllIn(plan).length >= 2,
+      s"both aggregation levels must carry map-side partials\n$plan")
+    // mass conservation: histogram buckets sum to |customers|
+    val nCust = Tables.load(spark, Sf0001, "customer").count()
+    assert(rows.map(_._2).sum == nCust)
+  }
+
   test("null-safe join keeps EqualNullSafe as a hash-join key, never nested-loop") {
     val plan = physical(ops.RelationalOps.queries("j9_nullsafe_join")(spark, Sf0001))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
