@@ -26,6 +26,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => plans.NanosTimestampPushdown)
+    ext.injectOptimizerRule(_ => plans.BandedIntervalJoin)
     (functions.NativeText.builders ++ functions.NativeVector.builders ++
       functions.NativeAgg.builders).foreach {
       case (name, builder) =>

@@ -841,6 +841,48 @@ object RelationalOps {
       .orderBy(col("revenue_cents").desc, col("n_name"))
   }
 
+  /** Q10-shaped returned-revenue ranking: which customers generated the
+    * most revenue on RETURNED items in a quarter — the churn-risk report.
+    * Selective fact filter (returnflag, pushed to the scan) before the
+    * three-way join; fixed nation dim broadcast; deterministic top-20.
+    */
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).where(col("l_returnflag") === "R")
+      .join(orders(s, dir).where(
+        col("o_orderdate") >= ts("1997-10-01 00:00:00") &&
+          col("o_orderdate") < ts("1998-01-01 00:00:00")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.load(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(revCents).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+
+  /** Q15-shaped top supplier: suppliers achieving the exact MAXIMUM
+    * quarterly revenue, ties included — the argmax-vs-global-max pattern.
+    * The max is an unpartitioned window over the |suppliers|-sized
+    * rollup (ONE fact scan — the scalar-subquery spelling plans the
+    * rollup subtree twice, same trap as q20), and the equality against
+    * it is exact integer cents, so ties replay identically in DuckDB.
+    */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = lineitem(s, dir)
+      .where(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-04-01 00:00:00"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revCents).as("total_cents"))
+    val withMax = rev.withColumn("max_cents",
+      max(col("total_cents")).over(Window.partitionBy()))
+    supplier(s, dir)
+      .join(withMax.where(col("total_cents") === col("max_cents")),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Q18-shaped large-order screen: join against an AGGREGATED subquery.
     * The having-filter runs on the grouped lineitem relation BEFORE the
     * joins, so at 100 TB the join probe side is |qualifying orders|
@@ -1048,6 +1090,8 @@ object RelationalOps {
     "q7_volume_shipping" -> (q7 _),
     "q8_market_share" -> (q8 _),
     "q14_promo_share" -> (q14 _),
+    "q10_returned_revenue" -> (q10 _),
+    "q15_top_supplier" -> (q15 _),
     "q18_large_orders" -> (q18 _),
     "q19_disjunctive_join" -> (q19 _),
     "q20_nested_semijoin" -> (q20 _),
@@ -1200,6 +1244,31 @@ object RelationalOps {
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_cents DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) AS BIGINT) AS total_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_cents
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_cents = (SELECT max(total_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "q18_large_orders" ->
       """SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         |  round(o_totalprice * 100)::BIGINT AS totalprice_cents,

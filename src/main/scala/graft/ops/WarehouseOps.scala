@@ -92,6 +92,30 @@ object WarehouseOps {
       .orderBy(col("wid"))
   }
 
+  /** The SAME interval join as [[rangeJoin]], but written the way a user
+    * would — the NAIVE declarative form with no banding — and rescued by
+    * the engine's [[graft.plans.BandedIntervalJoin]] optimizer rule,
+    * which rewrites it into the banded equi-join automatically (no
+    * BroadcastNestedLoopJoin in the optimized plan — PlanSpec pins that,
+    * plus the rule-off BNLJ control). One oracle serves both spellings;
+    * hash-equality of the two IS the rewrite's correctness proof.
+    */
+  private def rangeJoinAuto(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.BandedIntervalJoin.register(s)
+    val win = s.range(10).select(
+      col("id").cast("int").as("wid"),
+      expr("timestamp'2024-01-01 18:00:00' + make_interval(0,0,0,0, CAST(id*66 AS INT), 0, 0)")
+        .as("w_start"))
+      .withColumn("w_end", expr("w_start + INTERVAL 36 HOURS"))
+    events(s, dir)
+      .select(col("event_id"), col("ts"), col("value"))
+      .join(win, col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy(col("wid"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy(col("wid"))
+  }
+
   private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
   private val DuckTsFmt = "%Y-%m-%d %H:%M:%S.%f"
 
@@ -391,6 +415,7 @@ object WarehouseOps {
     "etl_snapshot_diff" -> (snapshotDiff _),
     "j5_full_outer_recon" -> (j5FullOuterRecon _),
     "j3_range_join" -> (rangeJoin _),
+    "j3_range_join_auto" -> (rangeJoinAuto _),
     "scd2_history" -> (scd2History _),
     "scd2_snapshot" -> (scd2Snapshot _)
   )
@@ -492,6 +517,19 @@ object WarehouseOps {
         |  UNION ALL
         |  SELECT o_orderkey, o_orderstatus, cents, src FROM upd)
         |ORDER BY o_orderkey""".stripMargin,
+    // one oracle, two spellings: the manual banding and the rule-driven
+    // rewrite of the naive form must both hash-match it
+    "j3_range_join_auto" ->
+      """WITH win AS (
+        |  SELECT CAST(k AS INTEGER) AS wid,
+        |    TIMESTAMP '2024-01-01 18:00:00' + k * INTERVAL 66 HOUR AS w_start,
+        |    TIMESTAMP '2024-01-01 18:00:00' + k * INTERVAL 66 HOUR
+        |      + INTERVAL 36 HOUR AS w_end
+        |  FROM range(10) t(k))
+        |SELECT wid, count(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events e JOIN win w ON e.ts >= w.w_start AND e.ts < w.w_end
+        |GROUP BY wid ORDER BY wid""".stripMargin,
     "j3_range_join" ->
       """WITH win AS (
         |  SELECT CAST(k AS INTEGER) AS wid,

@@ -405,6 +405,43 @@ class PlanSpec extends AnyFunSuite {
       s"top-of-order preview must use a per-partition heap\n$plan")
   }
 
+  test("BandedIntervalJoin rewrites the naive interval join to a banded equi join") {
+    val plan = physical(ops.WarehouseOps.queries("j3_range_join_auto")(spark, Sf0001))
+    assert(plan.contains("__graft_band"),
+      s"rule must inject the band key\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"banded rewrite must hash-join\n$plan")
+
+    // CONTROL: the same naive join with the rule removed planning BNLJ
+    // proves the rule (not something else) is what rescued the plan
+    def naive = {
+      val win = spark.range(10).select(col("id").cast("int").as("wid"),
+        expr("timestamp'2024-01-01 18:00:00' + make_interval(0,0,0,0, CAST(id*66 AS INT), 0, 0)")
+          .as("w_start"))
+        .withColumn("w_end", expr("w_start + INTERVAL 36 HOURS"))
+      Tables.load(spark, Sf0001, "events").select(col("event_id"), col("ts"))
+        .join(win, col("ts") >= col("w_start") && col("ts") < col("w_end"))
+    }
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ eq graft.plans.BandedIntervalJoin)
+    try {
+      val off = physical(naive)
+      assert(off.contains("BroadcastNestedLoopJoin"),
+        s"without the rule the naive form must nested-loop (control)\n$off")
+    } finally spark.experimental.extraOptimizations = saved
+    graft.plans.BandedIntervalJoin.register(spark)
+    val on = physical(naive)
+    assert(on.contains("__graft_band") && !on.contains("BroadcastNestedLoopJoin"), on)
+
+    // GUARD: a range residual beside an equi key must NOT be banded —
+    // the equi key already hash-joins, banding would only add an Expand
+    val equiPlan = physical(
+      ops.WarehouseOps.queries("j7_temporal_dim_join")(spark, Sf0001))
+    assert(!equiPlan.contains("__graft_band"),
+      s"rule must not fire on equi-keyed interval residuals\n$equiPlan")
+  }
+
   test("NOT IN plans a null-aware anti join (NAAJ), not a plain anti join") {
     // parquet columns are nullable-typed, so Catalyst cannot prove the
     // list non-null: the anti join must carry the null-aware flag (the

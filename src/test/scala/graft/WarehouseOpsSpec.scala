@@ -173,4 +173,31 @@ class WarehouseOpsSpec extends AnyFunSuite {
       "fully-retracted group survived the IVM merge")
     assert(merged.nonEmpty)
   }
+
+  test("BandedIntervalJoin ≡ rule-off join on band-boundary-adversarial windows") {
+    import SparkTestBase.Sf0001
+    import org.apache.spark.sql.functions._
+    // windows engineered to stress the band math: ends exactly at
+    // midnight (strict < must NOT claim the next band), starts exactly
+    // at midnight, and a sub-band window wholly inside one day
+    def win = spark.sql(
+      """SELECT * FROM VALUES
+        |  (0, timestamp'2024-01-09 12:00:00', timestamp'2024-01-11 00:00:00'),
+        |  (1, timestamp'2024-01-12 00:00:00', timestamp'2024-01-12 06:00:00'),
+        |  (2, timestamp'2024-01-14 03:00:00', timestamp'2024-01-14 04:00:00')
+        |AS t(wid, w_start, w_end)""".stripMargin)
+    def naive = Tables.load(spark, Sf0001, "events")
+      .select(col("event_id"), col("ts"))
+      .join(win, col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select(col("event_id"), col("wid"))
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ eq graft.plans.BandedIntervalJoin)
+    val expected = try naive.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      finally spark.experimental.extraOptimizations = saved
+    graft.plans.BandedIntervalJoin.register(spark)
+    val got = naive.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(expected.nonEmpty, "adversarial windows must match some events")
+    assert(got == expected)
+  }
 }
