@@ -268,6 +268,49 @@ object CoverageOps {
       |GROUP BY s_nationkey
       |ORDER BY s_nationkey""".stripMargin
 
+  /** LATERAL correlated subquery with ORDER BY + LIMIT: top-2 customers
+    * per segment via a per-row dependent subquery — the fourth subquery
+    * rewrite beside semi/anti/scalar-agg: Catalyst decorrelates the
+    * correlated LIMIT into a per-group WindowGroupLimit (map-side
+    * partial top-k), never a subquery execution per driving row.
+    */
+  private val Q23LateralSql =
+    """SELECT s.seg, t.c_custkey, t.bal
+      |FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer) s,
+      |LATERAL (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+      |         FROM customer
+      |         WHERE c_mktsegment = s.seg
+      |         ORDER BY bal DESC, c_custkey LIMIT 2) t
+      |ORDER BY s.seg, t.bal DESC, t.c_custkey""".stripMargin
+
+  /** KEYSET pagination — the at-scale replacement for the reference's
+    * LIMIT/OFFSET batch paging (billing_etl.py:270-276, SURVEY O3:
+    * deliberately not ported). OFFSET N forces the engine to produce and
+    * discard N rows per page — O(pages²) total work and unstable under
+    * concurrent appends; the keyset cursor `(ts, id) > (last_ts,
+    * last_id)` is a pushable range predicate, so every page is an
+    * index/zone-map seek + LIMIT, O(page) forever, and append-stable.
+    */
+  private val O5KeysetPageSql =
+    """SELECT event_id, user_id FROM events
+      |WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+      |   OR (ts = TIMESTAMP '2024-01-15 00:00:00' AND event_id > 4200)
+      |ORDER BY ts, event_id
+      |LIMIT 100""".stripMargin
+
+  /** Error-TOLERANT casts (`TRY_CAST`): the ingest edge meets malformed
+    * numerics as a fact of life; ANSI mode makes a bare CAST throw and
+    * kill the job on row one, while TRY_CAST yields NULL per bad value —
+    * quarantine-able, countable, job survives. The substr probe is a
+    * genuine data-driven mix: 1-digit props parse as `9}` (fail), 2-digit
+    * as `99` (succeed).
+    */
+  private val C15TryCastSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(TRY_CAST(event_type AS INTEGER)) AS BIGINT) AS n_type_numeric,
+      |  CAST(count(TRY_CAST(substr(props, 7, 2) AS INTEGER)) AS BIGINT) AS n_props_2digit
+      |FROM events""".stripMargin
+
   /** TPC-H Q21-flavored shape: EXISTS and NOT EXISTS against the same
     * fact — the NOT EXISTS decorrelates to a left-ANTI equi-join (the
     * third subquery rewrite beside semi and scalar-agg). Orders with a
@@ -421,7 +464,13 @@ object CoverageOps {
     "q13_order_count_hist" -> ((s, dir) => graft.GraftSession.init(s, dir)
       .sql(Q13HistSql)),
     "q16_notin_nullaware" -> ((s, dir) => graft.GraftSession.init(s, dir)
-      .sql(Q16NotInSql))
+      .sql(Q16NotInSql)),
+    "q23_lateral_topk" -> ((s, dir) => graft.GraftSession.init(s, dir)
+      .sql(Q23LateralSql)),
+    "o5_keyset_page" -> ((s, dir) => graft.GraftSession.init(s, dir)
+      .sql(O5KeysetPageSql)),
+    "c15_try_cast" -> ((s, dir) => graft.GraftSession.init(s, dir)
+      .sql(C15TryCastSql))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -447,6 +496,9 @@ object CoverageOps {
     "q21_not_exists" -> Q21NotExistsSql,
     "q13_order_count_hist" -> Q13HistSql,
     "q16_notin_nullaware" -> Q16NotInSql,
+    "q23_lateral_topk" -> Q23LateralSql,
+    "o5_keyset_page" -> O5KeysetPageSql,
+    "c15_try_cast" -> C15TryCastSql,
     "src_json_roundtrip" ->
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, value, props
          |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'

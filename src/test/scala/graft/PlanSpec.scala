@@ -442,6 +442,21 @@ class PlanSpec extends AnyFunSuite {
       s"rule must not fire on equi-keyed interval residuals\n$equiPlan")
   }
 
+  test("lateral top-k decorrelates to a windowed group limit, not per-row subqueries") {
+    val plan = physical(ops.CoverageOps.queries("q23_lateral_topk")(spark, Sf0001))
+    assert(plan.contains("WindowGroupLimit") || plan.contains("Window"),
+      s"correlated LIMIT must decorrelate to a per-group window limit\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("keyset page: cursor predicate reaches the scan, page via TakeOrdered") {
+    val plan = physical(ops.CoverageOps.queries("o5_keyset_page")(spark, Sf0001))
+    assert(plan.contains("PushedFilters: [Or("),
+      s"the (ts,id) cursor disjunction must push to the parquet scan\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the page must be a distributed top-N, not a global sort\n$plan")
+  }
+
   test("NOT IN plans a null-aware anti join (NAAJ), not a plain anti join") {
     // parquet columns are nullable-typed, so Catalyst cannot prove the
     // list non-null: the anti join must carry the null-aware flag (the
