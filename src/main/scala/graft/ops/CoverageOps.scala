@@ -434,7 +434,43 @@ object CoverageOps {
       .orderBy(col("rnk"))
   }
 
+  /** KMV (k-minimum-values) distinct sketch — the fourth sketch-audit leg
+    * beside HLL distinct, GK quantiles, and approx-top-k, and the only
+    * one that is EXACT-INTEGER end to end: the sketch is the k smallest
+    * 52-bit md5 values per group (deterministic — a set property, no
+    * estimator state), kept via a rank-≤-k window that plans a map-side
+    * partial WindowGroupLimit, and the estimator is pure integer math,
+    * n̂ = (k−1)·2⁵² div h₍ₖ₎ — so unlike the HLL/GK audits (booleans
+    * around an opaque estimate), the ENTIRE sketch and estimate
+    * hash-match the oracle. KMV is also mergeable (union the sets, keep
+    * the k smallest), the same per-day-partials-then-merge deployment as
+    * `stats_hll_merge`. Groups with < k distinct values are exact by
+    * construction.
+    */
+  private def statsKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 64
+    val d = Tables.load(s, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val hashed = d.withColumn("h",
+      conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10).cast("long"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val sketch = hashed
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= K)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("h_k"))
+    val exact = d.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+    sketch.join(exact, "event_type")
+      .withColumn("n_est", expr(
+        s"CASE WHEN n_kept < $K THEN n_kept ELSE (${K - 1} * 4503599627370496) div h_k END"))
+      .select(col("event_type"), col("n_exact"), col("n_kept"), col("h_k"),
+        col("n_est"),
+        (abs(col("n_est") - col("n_exact")) * 2 <= col("n_exact")).as("in_envelope"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_kmv_distinct" -> (statsKmvDistinct _),
     "p1_star_projection" -> (p1 _),
     "f2_conjunctive_equality" -> (f2 _),
     "c2_bytes_to_string" -> (c2 _),
@@ -474,6 +510,25 @@ object CoverageOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stats_kmv_distinct" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        |h AS (SELECT event_type,
+        |        CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT) AS h
+        |      FROM d),
+        |r AS (SELECT event_type, h,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |      FROM h),
+        |k AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+        |        CAST(max(h) AS BIGINT) AS h_k
+        |      FROM r WHERE rn <= 64 GROUP BY 1),
+        |e AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact FROM d GROUP BY 1),
+        |j AS (SELECT k.event_type, n_exact, n_kept, h_k,
+        |        CAST(CASE WHEN n_kept < 64 THEN n_kept
+        |             ELSE (63 * 4503599627370496) // h_k END AS BIGINT) AS n_est
+        |      FROM k JOIN e ON k.event_type = e.event_type)
+        |SELECT event_type, n_exact, n_kept, h_k, n_est,
+        |  abs(n_est - n_exact) * 2 <= n_exact AS in_envelope
+        |FROM j ORDER BY event_type""".stripMargin,
     "p1_star_projection" ->
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, event_type, value, props
          |FROM events ORDER BY event_id""".stripMargin,
