@@ -214,6 +214,47 @@ object SamplingOps {
           .as("chunk_tokens"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Sentence-BOUNDARY-aware chunking (the quality upgrade over
+    * [[chunkFixedTokens]]'s mid-sentence cuts): sentences are the atoms —
+    * split on terminal punctuation, token-counted, and packed greedily
+    * into ≤ 50-token chunks by the reset-free prefix-sum trick
+    * `chunk_id = (cum − 1) div 50` (a sentence goes wholly to the chunk
+    * its cumulative END lands in, so no sentence is ever split;
+    * a sentence longer than the budget overflows its chunk rather than
+    * splitting — exactly the property trainers want at context
+    * boundaries). Chunk ids are budget-WINDOW indexes: strictly
+    * increasing per doc, but an oversized sentence skips windows, so
+    * they are not dense (a trainer wanting dense ranks applies one more
+    * window over this |chunks|-sized output). One doc_id shuffle for the ordered window, rollup per
+    * (doc, chunk) after; both split regexes and the integer assignment
+    * replay bit-exactly in DuckDB.
+    *
+    * Boundary set: terminal punctuation — plus the standalone token
+    * "the" as a corpus-appropriate stand-in, because the synthetic
+    * fixture text is punctuation-free (one giant "sentence" per doc
+    * would make the packing vacuous); with a ~30-word vocabulary the
+    * article fires every ~2-3 dozen tokens, giving realistic
+    * multi-sentence packing. No lookaround in the pattern — the oracle
+    * runs on RE2, which has none.
+    */
+  private[graft] val SentBoundary = "[.!?]\\s+|\\sthe\\s"
+
+  private def chunkSentenceBound(s: SparkSession, dir: String): DataFrame = {
+    val sents = documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), SentBoundary)).as(Seq("sent_idx", "sent")))
+      .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
+        size(expr("filter(split(lower(sent), '\\\\s+'), x -> x != '')"))
+          .cast("long").as("n_tok"))
+      .where(col("n_tok") > 0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("sent_idx"))
+    sents.withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("chunk_id", expr(s"(cum - 1) div $ChunkSize"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_sents"), sum(col("n_tok")).as("chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   private[graft] val LenBucket = 64
 
   /** Length-bucketed batching audit: bucket documents by token count
@@ -440,6 +481,7 @@ object SamplingOps {
     "stats_corr_exact" -> (statsCorrExact _),
     "stats_column_profile" -> (statsColumnProfile _),
     "chunk_fixed_tokens" -> (chunkFixedTokens _),
+    "chunk_sentence_bound" -> (chunkSentenceBound _),
     "batch_length_buckets" -> (batchLengthBuckets _),
     "mix_stratified_sample" -> (mixStratifiedSample _),
     "mix_exact_quota" -> (mixExactQuota _),
@@ -540,6 +582,26 @@ object SamplingOps {
          |SELECT 'union', count(*)
          |  FROM (SELECT doc_id FROM strat UNION SELECT doc_id FROM quota)
          |ORDER BY op""".stripMargin,
+    "chunk_sentence_bound" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(text, '[.!?]\\s+|\\sthe\\s')) AS sent,
+         |    generate_subscripts(string_split_regex(text, '[.!?]\\s+|\\sthe\\s'), 1) AS sent_idx
+         |  FROM documents),
+         |tk AS (
+         |  SELECT doc_id, sent_idx,
+         |    CAST(len(list_filter(string_split_regex(lower(sent), '\\s+'),
+         |                         x -> x <> '')) AS BIGINT) AS n_tok
+         |  FROM s),
+         |c AS (
+         |  SELECT doc_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY doc_id ORDER BY sent_idx) AS cum
+         |  FROM tk WHERE n_tok > 0)
+         |SELECT doc_id, CAST((cum - 1) // $ChunkSize AS BIGINT) AS chunk_id,
+         |  CAST(count(*) AS BIGINT) AS n_sents,
+         |  CAST(sum(n_tok) AS BIGINT) AS chunk_tokens
+         |FROM c GROUP BY doc_id, 2
+         |ORDER BY doc_id, chunk_id""".stripMargin,
     "chunk_fixed_tokens" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -785,10 +785,13 @@ object ScaleOps {
       case None => s"$destDir/_manifests"
     }
     val ids = listManifests(s, mDir)
+    // .distinct: a reader racing manifest COMPACTION can list both the
+    // consolidated manifest and not-yet-deleted originals — the same
+    // file named twice must scan once (see compactManifests)
     val files = ids.flatMap { b =>
       graft.util.Fs.readSmallText(s, s"$mDir/$b.manifest").get
         .split("\n").filter(_.nonEmpty).map(f => s"$destDir/$f")
-    }
+    }.distinct
     // a fresh destination / just-created empty branch has no manifests —
     // fail with the snapshot's name, not a schema-inference error
     if (files.isEmpty) throw new IllegalArgumentException(
@@ -931,6 +934,69 @@ object ScaleOps {
       .unionByName(roll(s.read.parquet(s"$root/dest"), "v2"))
       .select(col("snap"), col("export_date"), col("n_rows"), col("value_cents"))
       .orderBy(col("snap"), col("export_date"))
+  }
+
+  /** Compact the MAIN manifest ledger: N per-batch manifests → ONE
+    * consolidated manifest naming the union of their files. Data files
+    * never move — this is pure metadata maintenance, the ledger twin of
+    * [[compactDatePartitions]]: a long-lived destination accretes one
+    * manifest per publish, and at warehouse scale snapshot planning
+    * becomes O(#manifests) remote reads (table formats compact manifest
+    * lists for exactly this reason). Ordering makes the swap reader-safe
+    * with no lock: the consolidated manifest is committed (create-if-
+    * absent) BEFORE the originals are deleted, and `readBranch`
+    * deduplicates file lists, so a reader interleaving anywhere sees
+    * either the originals, both (dedup'd), or the consolidated set —
+    * always the same files. Batch-id TIME TRAVEL over compacted-away ids
+    * is intentionally released (the retention trade every format makes:
+    * compaction/vacuum erase rewind granularity); branches are untouched.
+    * Returns (manifests before, manifests after).
+    */
+  def compactManifests(s: SparkSession, destDir: String): (Long, Long) = {
+    val mDir = s"$destDir/_manifests"
+    val ids = listManifests(s, mDir)
+    if (ids.size <= 1) return (ids.size.toLong, ids.size.toLong)
+    val union = ids.flatMap { b =>
+      graft.util.Fs.readSmallText(s, s"$mDir/$b.manifest").get
+        .split("\n").filter(_.nonEmpty)
+    }.distinct.sorted
+    val compactId = s"compact-${ids.mkString("_").hashCode.toHexString}"
+    graft.util.Fs.writeSmallTextIfAbsent(s, s"$mDir/$compactId.manifest",
+      union.mkString("\n"))
+    val fs = new org.apache.hadoop.fs.Path(mDir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    ids.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(mDir, s"$b.manifest"), false)
+    }
+    (ids.size.toLong, listManifests(s, mDir).size.toLong)
+  }
+
+  /** Ledger compaction as an oracled operator: five daily publishes, a
+    * mid-compaction read (originals + consolidated BOTH listed — the
+    * dedup guarantee), then compaction; the read-back rollup must equal
+    * the full source before AND after, and the ledger must shrink 5 → 1
+    * (asserted in ScaleOpsSpec).
+    */
+  private def etlManifestCompact(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").select(
+      col("event_id"),
+      round(col("value") * 100).cast("long").as("value_cents"),
+      date_format(col("ts"), "yyyy-MM-dd").as("export_date"))
+    val root = graft.util.TempDirs.create("graft_mcompact_")
+    val days = Seq("2024-01-07", "2024-01-13", "2024-01-19", "2024-01-25", "9999-12-31")
+    var lo = "0000-01-01"
+    days.foreach { hi =>
+      val b = ev.where(col("export_date") >= lo && col("export_date") < hi)
+      val r = writeAuditPublish(s, s"$root/dest", s"$root/staging", s"day_$lo", b, b.count())
+      require(r.isRight, s"publish $lo must succeed: $r")
+      lo = hi
+    }
+    val (before, after) = compactManifests(s, s"$root/dest")
+    require(before == 5 && after == 1, s"ledger must compact 5 -> 1, got $before -> $after")
+    readBranch(s, s"$root/dest", None)
+      .groupBy(col("export_date"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("value_cents")).as("value_cents"))
+      .orderBy(col("export_date"))
   }
 
   /** Partition-layout evolution: a destination born day-partitioned is
@@ -1078,6 +1144,7 @@ object ScaleOps {
     "etl_partition_evolution" -> (etlPartitionEvolution _),
     "etl_wap" -> (etlWap _),
     "etl_time_travel" -> (etlTimeTravel _),
+    "etl_manifest_compact" -> (etlManifestCompact _),
     "etl_orphan_audit" -> (etlOrphanAudit _),
     "etl_branch_isolation" -> (etlBranchIsolation _),
     "stats_bucket_drift" -> (statsBucketDrift _),
@@ -1233,6 +1300,12 @@ object ScaleOps {
         |  CAST(n2 * 1000 // t2 AS BIGINT) AS share2_milli,
         |  abs(n1 * t2 - n2 * t1) * 50 > t1 * t2 AS drifted
         |FROM b, t ORDER BY bucket""".stripMargin,
+    // ledger compaction must be invisible to readers: rollup ≡ source
+    "etl_manifest_compact" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS export_date,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "stats_ks_drift" ->
       """WITH counts AS (
         |  SELECT event_type, round(value * 100)::BIGINT AS v_cents,

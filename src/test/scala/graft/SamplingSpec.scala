@@ -142,6 +142,32 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("sentence-bound chunks: contiguous ids, bounded overflow, sentences never split") {
+    import org.apache.spark.sql.functions._
+    import ops.SamplingOps.ChunkSize
+    val chunks = ops.SamplingOps.queries("chunk_sentence_bound")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(chunks.nonEmpty)
+    // per doc: chunk ids are the budget-WINDOW indexes ((cum−1) div B),
+    // strictly increasing but not dense — an oversized sentence can skip
+    // windows (and an oversized FIRST sentence starts past window 0)
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val ids = cs.map(_._2).sorted
+      assert(ids.distinct.length == ids.length,
+        s"doc $doc chunk ids must be unique: ${ids.toSeq}")
+    }
+    assert(chunks.groupBy(_._1).exists(_._2.length >= 2),
+      "some doc must pack into multiple chunks (non-vacuous)")
+    // budget-aligned packing invariant: a chunk exceeds 2×budget only
+    // never; it exceeds the budget itself only via early-ended
+    // predecessors or a single oversized sentence
+    chunks.foreach { case (doc, cid, nSents, toks) =>
+      assert(nSents >= 1)
+      assert(toks < 2L * ChunkSize || nSents == 1L,
+        s"doc $doc chunk $cid: $toks tokens across $nSents sentences breaks the 2B bound")
+    }
+  }
+
   test("length buckets conserve tokens and never pad negatively") {
     import org.apache.spark.sql.functions._
     val b = ops.SamplingOps.queries("batch_length_buckets")(spark, Sf0001).collect()

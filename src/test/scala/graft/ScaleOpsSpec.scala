@@ -261,6 +261,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/dest").count() == 110)
   }
 
+  test("manifest compaction: mid-state double listing dedups; readers see identical rows") {
+    val ev = Tables.load(spark, Sf0001, "events").select(
+      col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+    val root = graft.util.TempDirs.create("graft_mcompact_spec_")
+    Seq(0L, 1L, 2L).foreach { i =>
+      val b = ev.where(col("event_id") % 3 === i)
+      val r = ScaleOps.writeAuditPublish(spark, s"$root/dest", s"$root/staging",
+        s"slice_$i", b, b.count())
+      assert(r.isRight, s"publish $i: $r")
+    }
+    def readback = ScaleOps.readBranch(spark, s"$root/dest", None)
+      .agg(count(lit(1)), sum(col("cents"))).head()
+    val before = readback
+    // simulate the racing reader's worst view: consolidated manifest
+    // written, originals NOT yet deleted — every file listed twice
+    val mDir = s"$root/dest/_manifests"
+    val union = Seq(0, 1, 2).flatMap { i =>
+      graft.util.Fs.readSmallText(spark, s"$mDir/slice_$i.manifest").get
+        .split("\n").filter(_.nonEmpty)
+    }.distinct.sorted
+    graft.util.Fs.writeSmallTextAtomic(spark, s"$mDir/zz_preview.manifest",
+      union.mkString("\n"))
+    assert(readback == before, "double-listed files must scan once (dedup)")
+    // real compaction: ledger shrinks, rows unchanged
+    new java.io.File(s"$mDir/zz_preview.manifest").delete()
+    val (b0, a0) = ScaleOps.compactManifests(spark, s"$root/dest")
+    assert(b0 == 3 && a0 == 1, s"ledger must compact 3 -> 1, got $b0 -> $a0")
+    assert(readback == before, "compaction must be invisible to readers")
+  }
+
   test("bucketed tables join co-located: no shuffle exchange before the join") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql("DROP TABLE IF EXISTS b_orders")
