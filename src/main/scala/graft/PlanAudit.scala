@@ -10,7 +10,13 @@ import org.apache.spark.sql.SparkSession
   *  - deliberate ONE-ROW broadcast cross joins (a scalar carried as a
   *    column, never a pair explosion): embed_kmeans / semdedup_prune /
   *    embed_outliers (the centroid array row), embed_pq_codes (the
-  *    codebook row), search_invindex_topk (the corpus-count row).
+  *    codebook row), search_invindex_topk / search_hybrid_fusion (the
+  *    corpus-count row), the stats audits that compare against a 1-row
+  *    total (stats_benford / _bucket_drift / _dq_rules / _hll_merge /
+  *    _key_skew / _approx_topk and the streaming drift twin),
+  *    w11_gap_fill (the 1-row bounds), etl_orphan_audit (the 1-row
+  *    ledger summary), q22_dormant_rich_anti (the 1-row positive-balance
+  *    threshold).
   * Anything else appearing here is a regression.
   */
 object PlanAudit {
