@@ -199,5 +199,17 @@ class WarehouseOpsSpec extends AnyFunSuite {
     val got = naive.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
     assert(expected.nonEmpty, "adversarial windows must match some events")
     assert(got == expected)
+
+    // FLIPPED orientation: intervals on the LEFT, points on the RIGHT —
+    // the rule must band this spelling too, with identical rows
+    def flipped = win.join(
+      Tables.load(spark, Sf0001, "events").select(col("event_id"), col("ts")),
+      col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select(col("event_id"), col("wid"))
+    val gotFlipped = flipped.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(gotFlipped == expected)
+    val plan = flipped.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_band") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"flipped orientation must band too\n$plan")
   }
 }
