@@ -179,12 +179,15 @@ class WarehouseOpsSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     // windows engineered to stress the band math: ends exactly at
     // midnight (strict < must NOT claim the next band), starts exactly
-    // at midnight, and a sub-band window wholly inside one day
+    // at midnight, a sub-band window wholly inside one day, and a
+    // NULL-bounded window (matches nothing under inner-join semantics —
+    // the banded rewrite's null sequence must drop it identically)
     def win = spark.sql(
       """SELECT * FROM VALUES
         |  (0, timestamp'2024-01-09 12:00:00', timestamp'2024-01-11 00:00:00'),
         |  (1, timestamp'2024-01-12 00:00:00', timestamp'2024-01-12 06:00:00'),
-        |  (2, timestamp'2024-01-14 03:00:00', timestamp'2024-01-14 04:00:00')
+        |  (2, timestamp'2024-01-14 03:00:00', timestamp'2024-01-14 04:00:00'),
+        |  (3, timestamp'2024-01-15 00:00:00', CAST(NULL AS TIMESTAMP))
         |AS t(wid, w_start, w_end)""".stripMargin)
     def naive = Tables.load(spark, Sf0001, "events")
       .select(col("event_id"), col("ts"))
