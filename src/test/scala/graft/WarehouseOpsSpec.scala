@@ -215,4 +215,34 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(plan.contains("__graft_band") && !plan.contains("BroadcastNestedLoopJoin"),
       s"flipped orientation must band too\n$plan")
   }
+
+  test("BandedIntervalJoin ≡ rule-off join on 40 seeded-random windows") {
+    import SparkTestBase.Sf0001
+    import org.apache.spark.sql.functions._
+    // seeded fuzz across window lengths from minutes to multi-day — every
+    // strictness/alignment combination the fixed adversarial set misses
+    val rnd = new scala.util.Random(20260814L)
+    val baseMs = java.sql.Timestamp.valueOf("2024-01-05 00:00:00").getTime
+    val rows = (0 until 40).map { i =>
+      val start = baseMs + rnd.nextInt(20 * 24 * 3600) * 1000L
+      val lenS = 60L + rnd.nextInt(5 * 24 * 3600)
+      (i, new java.sql.Timestamp(start), new java.sql.Timestamp(start + lenS * 1000))
+    }
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import sp.implicits._
+    def win = rows.toDF("wid", "w_start", "w_end")
+    def naive = Tables.load(spark, Sf0001, "events")
+      .select(col("event_id"), col("ts"))
+      .join(win, col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select(col("event_id"), col("wid"))
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ eq graft.plans.BandedIntervalJoin)
+    val expected = try naive.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      finally spark.experimental.extraOptimizations = saved
+    graft.plans.BandedIntervalJoin.register(spark)
+    val got = naive.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(expected.nonEmpty)
+    assert(got == expected)
+  }
 }
