@@ -107,7 +107,46 @@ object ProductAnalyticsOps {
       .limit(20)
   }
 
+  /** Association-rule metrics over the co-purchase pairs: CONFIDENCE
+    * (P(b|a), both directions) and LIFT (observed co-rate vs the
+    * independence expectation) — support alone over-ranks popular parts
+    * that co-occur by volume, lift is what surfaces genuine affinity.
+    * All exact integers: milli-confidence by integer division, and the
+    * lift COMPARISON (>1 = positive association) as the cross-
+    * multiplication `n_ab · N > n_a · n_b` plus a milli-lift via
+    * `n_ab · N · 1000 div (n_a · n_b)` — no float ratios to diverge
+    * between engines. Shape: the pair rollup (one self-equi-join on the
+    * order key) joins per-part order counts TWICE (both broadcastable
+    * at any SF: |parts| ≪ facts) and a 1-row total; |pairs| rows out.
+    */
+  private def basketLift(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val partN = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val totalN = items.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders_total"))
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    val pairs = a.join(b, Seq("l_orderkey"))
+      .where(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 3)
+    pairs
+      .join(broadcast(partN.select(col("l_partkey").as("part_a"), col("n_part").as("n_a"))), "part_a")
+      .join(broadcast(partN.select(col("l_partkey").as("part_b"), col("n_part").as("n_b"))), "part_b")
+      .crossJoin(broadcast(totalN))
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("n_ab * 1000 div n_a").as("conf_a_to_b_milli"),
+        expr("n_ab * 1000 div n_b").as("conf_b_to_a_milli"),
+        expr("n_ab * n_orders_total * 1000 div (n_a * n_b)").as("lift_milli"),
+        (col("n_ab") * col("n_orders_total") > col("n_a") * col("n_b")).as("positive_assoc"))
+      .orderBy(col("lift_milli").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "basket_lift" -> (basketLift _),
     "funnel_conversion" -> (funnelConversion _),
     "cohort_retention" -> (cohortRetention _),
     "path_transitions" -> (pathTransitions _),
@@ -115,6 +154,27 @@ object ProductAnalyticsOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "basket_lift" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pn AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part FROM items GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders_total FROM items),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT part_a, part_b, n_ab, na.n_part AS n_a, nb.n_part AS n_b,
+        |  CAST(n_ab * 1000 // na.n_part AS BIGINT) AS conf_a_to_b_milli,
+        |  CAST(n_ab * 1000 // nb.n_part AS BIGINT) AS conf_b_to_a_milli,
+        |  CAST(n_ab * n_orders_total * 1000 // (na.n_part * nb.n_part) AS BIGINT) AS lift_milli,
+        |  n_ab * n_orders_total > na.n_part * nb.n_part AS positive_assoc
+        |FROM pairs
+        |JOIN pn na ON part_a = na.l_partkey
+        |JOIN pn nb ON part_b = nb.l_partkey
+        |CROSS JOIN tot
+        |ORDER BY lift_milli DESC, part_a, part_b
+        |LIMIT 20""".stripMargin,
     // same stacked conditional-window formulation; count(col) = non-nulls
     "funnel_conversion" ->
       """WITH a AS (

@@ -613,6 +613,29 @@ object ScaleOps {
       .orderBy(col("event_type"))
   }
 
+  /** Gini-impurity concentration profile per event type — "how uniform is
+    * this column's value distribution" as EXACT integer micro-units:
+    * G = 1 − Σp² = (n² − Σc²)/n², emitted as `(n² − Σc²)·10⁶ div n²`.
+    * The entropy profile without the float log term (the same trade as
+    * the PSI-skeleton drift screen): 0 = one value owns the column,
+    * →10⁶ = uniform — the concentration audit run before choosing
+    * dictionary encoding, before trusting a column as a partition key,
+    * and as a fabricated-data smell test. Shape: one fact rollup to
+    * (type, cent) counts, one |types|-row re-aggregate; n ≤ 10⁶·n² stays
+    * far inside BIGINT at any shipped SF.
+    */
+  private def statsGiniImpurity(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("v_cents"))
+      .groupBy(col("event_type"), col("v_cents"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("event_type"), col("n"), col("n_distinct"),
+        expr("(n * n - sum_c2) * 1000000 div (n * n)").as("gini_micro"))
+      .orderBy(col("event_type"))
+
   /** Write-Audit-Publish: batches land in a per-batch staging directory,
     * an audit gate compares what is actually ON DISK against the
     * extraction's own claim, and only audited batches are published into
@@ -1149,6 +1172,7 @@ object ScaleOps {
     "etl_branch_isolation" -> (etlBranchIsolation _),
     "stats_bucket_drift" -> (statsBucketDrift _),
     "stats_ks_drift" -> (statsKsDrift _),
+    "stats_gini_impurity" -> (statsGiniImpurity _),
     "audit_manifest" -> (auditManifest _),
     "j6_bloom_semijoin" -> (j6BloomSemijoin _),
     "j6_bloom_prune_shuffle" -> (j6BloomPruneShuffle _),
@@ -1300,6 +1324,16 @@ object ScaleOps {
         |  CAST(n2 * 1000 // t2 AS BIGINT) AS share2_milli,
         |  abs(n1 * t2 - n2 * t1) * 50 > t1 * t2 AS drifted
         |FROM b, t ORDER BY bucket""".stripMargin,
+    "stats_gini_impurity" ->
+      """WITH c AS (
+        |  SELECT event_type, round(value * 100)::BIGINT AS v_cents,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST((sum(c) * sum(c) - sum(c * c)) * 1000000
+        |       // (sum(c) * sum(c)) AS BIGINT) AS gini_micro
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     // ledger compaction must be invisible to readers: rollup ≡ source
     "etl_manifest_compact" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS export_date,
