@@ -271,7 +271,32 @@ object MultimodalOps {
       .orderBy(col("media_id"))
   }
 
+  /** Format SNIFFING at the media ingest edge: re-derive each payload's
+    * actual container from its MAGIC BYTES (PNG `89504E47`, RIFF/WAV
+    * `52494646`, GMV1 `474D5631`) and cross-tabulate against the declared
+    * media_type — the declared-vs-actual validation a landing zone runs
+    * before routing to per-format decoders (a mislabeled payload crashes
+    * the wrong codec mid-job otherwise; here it would surface as an
+    * off-diagonal row). Columnar and map-only: `hex(substring(payload))`
+    * over the first 4 bytes, no decode. The oracle states the expected
+    * DIAGONAL from the fixture's closed-form construction, so a broken
+    * encoder (wrong magic) hash-fails the query.
+    */
+  private def mmSniffRoute(s: SparkSession, dir: String): DataFrame =
+    mediaFixture(s, dir).toDF()
+      .select(col("media_type").as("declared"),
+        substring(hex(substring(col("payload"), 1, 4)), 1, 8).as("magic"))
+      .select(col("declared"),
+        when(col("magic") === "89504E47", "image")
+          .when(col("magic") === "52494646", "audio")
+          .when(col("magic") === "474D5631", "video")
+          .otherwise("unknown").as("sniffed"))
+      .groupBy(col("declared"), col("sniffed"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("declared"), col("sniffed"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_sniff_route" -> (mmSniffRoute _),
     "mm_decode_meta" -> (mmDecodeMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_scene_cuts" -> (mmSceneCuts _),
@@ -281,6 +306,16 @@ object MultimodalOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the sniffed format must be the declared one for every payload the
+    // fixture encodes — the oracle states that diagonal from the
+    // closed-form construction (doc_id mod 3 picks the modality)
+    "mm_sniff_route" ->
+      """SELECT declared, declared AS sniffed, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+        |                             WHEN 1 THEN 'audio'
+        |                             ELSE 'video' END AS declared
+        |      FROM documents)
+        |GROUP BY declared ORDER BY declared, sniffed""".stripMargin,
     // frame sums re-derived from the closed-form pixel formula (no codec),
     // same lag window, same integer cross-multiplied cut threshold
     "mm_scene_cuts" ->
