@@ -162,6 +162,39 @@ object WarehouseOps {
     scd2Of(orders(s, dir))
       .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
 
+  /** SCD TYPE 3 — "current + previous" columns instead of interval rows:
+    * the cheap dimension-history variant for attributes where only the
+    * last transition matters (plan tier, region moves). Consecutive
+    * duplicate values are collapsed FIRST (type 3 tracks the previous
+    * DISTINCT value, not the previous event), then one ordered window
+    * yields, per customer, the current priority, the priority before it,
+    * and when the change landed. Two stacked windows + one final
+    * row-filter, all on ONE o_custkey shuffle; output is |customers|
+    * rows. Completes the SCD family: type 2 (full history), type 2
+    * incremental, point-in-time snapshot, and now type 3.
+    */
+  private def scd3PrevColumn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val changes = orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate"))
+      .withColumn("prev_val", lag(col("o_orderpriority"), 1).over(w))
+      .where(col("prev_val").isNull || col("prev_val") =!= col("o_orderpriority"))
+    val w2 = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    changes
+      .withColumn("prev_distinct", lead(col("o_orderpriority"), 1).over(w2))
+      .withColumn("rn", row_number().over(w2))
+      .where(col("rn") === 1)
+      .select(col("o_custkey"),
+        col("o_orderpriority").as("current_priority"),
+        coalesce(col("prev_distinct"), lit("NONE")).as("previous_priority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("changed_at"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Point-in-time snapshot over the SCD2 history: the dimension exactly as
     * it stood at T (one row per customer with any change before T). The
     * consumer side of `scd2_history` — an interval filter, no window.
@@ -410,6 +443,7 @@ object WarehouseOps {
     "etl_ivm_join" -> (etlIvmJoin _),
     "etl_ivm_rollup" -> (etlIvmRollup _),
     "scd2_incremental" -> (scd2Incremental _),
+    "scd3_prev_column" -> (scd3PrevColumn _),
     "j7_temporal_dim_join" -> (j7TemporalDimJoin _),
     "etl_merge_upsert" -> (mergeUpsert _),
     "etl_snapshot_diff" -> (snapshotDiff _),
@@ -428,6 +462,27 @@ object WarehouseOps {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "scd3_prev_column" ->
+      """WITH ordered AS (
+        |  SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev_val
+        |  FROM orders),
+        |changes AS (
+        |  SELECT * FROM ordered
+        |  WHERE prev_val IS NULL OR prev_val <> o_orderpriority),
+        |ranked AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate,
+        |    lead(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS prev_distinct,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM changes)
+        |SELECT o_custkey, o_orderpriority AS current_priority,
+        |  coalesce(prev_distinct, 'NONE') AS previous_priority,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS changed_at
+        |FROM ranked WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
     // IVM contract: merged MV ≡ a from-scratch rollup of the corrected fact
     "etl_ivm_rollup" ->
       """WITH f AS (
