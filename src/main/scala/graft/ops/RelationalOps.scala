@@ -906,6 +906,97 @@ object RelationalOps {
       .limit(20)
   }
 
+  /** Q6-shaped forecast-revenue change: the pure scan-predicate aggregate —
+    * no join at all, three conjunctive range predicates (date, discount
+    * band, quantity cap) that ALL push to the parquet scan, one global
+    * sum of price×discount. At 100 TB this is the query that proves
+    * pushdown works: the scan should read only the year's row groups and
+    * the aggregate is a map-side partial + 1-row final. Cents via the
+    * proven round(double×100) convention, so DuckDB replays exactly.
+    */
+  private def q6(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .where(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(sum(round(col("l_extendedprice") * col("l_discount") * 100)
+        .cast("long")).as("discount_cents"),
+        count(lit(1)).as("n_items"))
+
+  /** Q9-shaped product-line profit: profit per supplier nation per year
+    * where profit mixes columns from BOTH joined tables
+    * (extendedprice×(1−discount) − retailprice×quantity) and the part
+    * filter is a substring match (`p_name LIKE '%red%'`) that can't use
+    * an index — the shape that forces a real fact⋈dim hash join with a
+    * post-scan residual on the dim side. part (2k rows/SF, name-filtered
+    * smaller) broadcasts; lineitem⋈orders is the only big shuffle.
+    * Profit can be negative — the signed-cents rounding is identical in
+    * both engines (round-half-away-from-zero on DOUBLE).
+    */
+  private def q9(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .join(broadcast(part(s, dir).where(col("p_name").contains("red"))
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.load(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(round((col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("p_retailprice") * col("l_quantity")) * 100).cast("long"))
+        .as("profit_cents"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** Q11-shaped value concentration: which parts carry more than 1.25×
+    * the MEAN per-part traded value — a grouped rollup filtered against
+    * GLOBAL scalar aggregates. TPC-H q11's fixed-fraction threshold
+    * degenerates as the catalog grows (at 10× the parts no part holds
+    * 0.1%), so the threshold is mean-relative — scale-invariant by
+    * construction. Total and part-count come from ONE unpartitioned
+    * window over the |parts|-sized rollup (one fact scan; the
+    * scalar-subquery spelling would plan the 100 TB scan twice), and the
+    * test is exact integer cross-multiplication (value×n_parts×4 >
+    * 5×total), so the boundary replays bit-identically in DuckDB — no
+    * float share ever materializes.
+    */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(revCents).as("value_cents"))
+      .withColumn("total_cents", sum(col("value_cents")).over(w))
+      .withColumn("n_parts", count(lit(1)).over(w))
+      .where(col("value_cents") * col("n_parts") * 4 > col("total_cents") * 5)
+      .select(col("l_partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("l_partkey"))
+  }
+
+  /** Q12-shaped priority shipping audit: fact⋈fact join (lineitem⋈orders)
+    * with DUAL conditional counts per group — how many critical-priority
+    * vs routine orders shipped in each linestatus class during the year.
+    * The CASE-sum pair computes both tallies in ONE pass (a self-join of
+    * the rollup would scan the join twice); the year filter pushes to the
+    * lineitem scan so the join probes only the year's rows.
+    */
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .where(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .join(orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+
   /** Q7-shaped bilateral volume shipping: the two-role dimension join —
     * nation joins the fact TWICE under different roles (supplier's nation
     * vs customer's nation), so the one physical table needs two aliased
@@ -1087,6 +1178,10 @@ object RelationalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_shipping_priority" -> (q3 _),
     "q5_local_supplier" -> (q5 _),
+    "q6_forecast_revenue" -> (q6 _),
+    "q9_product_profit" -> (q9 _),
+    "q11_value_concentration" -> (q11 _),
+    "q12_priority_shipping" -> (q12 _),
     "q7_volume_shipping" -> (q7 _),
     "q8_market_share" -> (q8 _),
     "q14_promo_share" -> (q14 _),
@@ -1153,6 +1248,49 @@ object RelationalOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(sum(round(l_extendedprice * l_discount * 100)::BIGINT) AS BIGINT) AS discount_cents,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(round((l_extendedprice * (1 - l_discount)
+        |    - p_retailprice * l_quantity) * 100)::BIGINT) AS BIGINT) AS profit_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_value_concentration" ->
+      """SELECT l_partkey, value_cents FROM (
+        |  SELECT l_partkey,
+        |    CAST(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) AS BIGINT) AS value_cents,
+        |    sum(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)) OVER () AS total_cents,
+        |    count(*) OVER () AS n_parts
+        |  FROM lineitem
+        |  GROUP BY 1)
+        |WHERE value_cents * n_parts * 4 > total_cents * 5
+        |ORDER BY value_cents DESC, l_partkey""".stripMargin,
+    "q12_priority_shipping" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1
+        |ORDER BY l_linestatus""".stripMargin,
     "q7_volume_shipping" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
