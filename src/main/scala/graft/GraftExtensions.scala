@@ -28,7 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => plans.NanosTimestampPushdown)
     ext.injectOptimizerRule(_ => plans.BandedIntervalJoin)
     (functions.NativeText.builders ++ functions.NativeVector.builders ++
-      functions.NativeAgg.builders).foreach {
+      functions.NativeAgg.builders ++ functions.CountMin.builders).foreach {
       case (name, builder) =>
         ext.injectFunction((FunctionIdentifier(name),
           new ExpressionInfo("graft.functions", name), builder))

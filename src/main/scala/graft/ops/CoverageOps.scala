@@ -469,7 +469,41 @@ object CoverageOps {
       .orderBy(col("event_type"))
   }
 
+  /** Count-min heavy-hitter audit — the fifth sketch-audit leg (HLL
+    * distinct, GK quantiles, approx-top-k frequent items, KMV distinct,
+    * now CMS frequency): the custom [[graft.functions.CountMinAgg]]
+    * builds one d=5 × w=4096 grid over the whole fact (constant 160 KB
+    * state per partition regardless of key cardinality — the property
+    * that matters at 100 TB, where the exact rollup's shuffle is
+    * |distinct keys|), and the exact top-10 keys probe it with
+    * [[graft.functions.CmsLookup]]. The audit pins BOTH CMS guarantees:
+    * `est_ge_exact` (one-sided error — structurally always true) and
+    * `in_envelope` (excess ≤ 4N/w; violated with probability ≤ 4⁻⁵ per
+    * key, and deterministic here since the hashes are seeded constants).
+    */
+  private def statsCountmin(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CountMin.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val D = 5; val W = 4096
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), xxhash64(col("user_id")).as("k"))
+    val sketch = ev.agg(expr(s"graft_cms_sketch(k, $D, $W)").as("cms"),
+      count(lit(1)).as("n_total"))
+    val exact = ev.groupBy(col("user_id"), col("k"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("n_exact").desc, col("user_id"))))
+    exact.crossJoin(broadcast(sketch)) // 1-row sketch: audit input, not a join fanout
+      .withColumn("n_est", expr(s"graft_cms_lookup(cms, k, $D, $W)"))
+      .select(col("rnk"), col("user_id"), col("n_exact"),
+        (col("n_est") >= col("n_exact")).as("est_ge_exact"),
+        ((col("n_est") - col("n_exact")) * W <= col("n_total") * 4).as("in_envelope"))
+      .orderBy(col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_countmin" -> (statsCountmin _),
     "stats_kmv_distinct" -> (statsKmvDistinct _),
     "p1_star_projection" -> (p1 _),
     "f2_conjunctive_equality" -> (f2 _),
@@ -579,6 +613,13 @@ object CoverageOps {
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, value, props
          |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
          |ORDER BY event_id""".stripMargin,
+    "stats_countmin" ->
+      """WITH k AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY n_exact DESC, user_id) AS INTEGER) AS rnk,
+        |  user_id, n_exact,
+        |  CAST(true AS BOOLEAN) AS est_ge_exact,
+        |  CAST(true AS BOOLEAN) AS in_envelope
+        |FROM k QUALIFY rnk <= 10 ORDER BY rnk""".stripMargin,
     "stats_approx_topk" ->
       """WITH k AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1)
         |SELECT CAST(row_number() OVER (ORDER BY n_exact DESC, user_id) AS INTEGER) AS rnk,

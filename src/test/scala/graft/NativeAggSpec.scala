@@ -52,4 +52,48 @@ class NativeAggSpec extends AnyFunSuite {
     assert(m("a") == ((2, 2L)), s"group a: $m")   // both rows, best = v 7.0
     assert(m("b") == ((3, 7L)), s"group b: $m")   // null dropped, top-3 of 4, best = v 4.0
   }
+
+  test("graft_cms_sketch is exact sans collisions and plans partial+final") {
+    functions.CountMin.register(spark)
+    // wide grid + tiny key space → collision-free → lookup == exact count
+    val ev = Tables.load(spark, Sf0001, "events")
+      .select(xxhash64(col("user_id")).as("k"))
+    val sketched = ev
+      .agg(expr("graft_cms_sketch(k, 5, 65536)").as("cms"))
+    val probe = ev.groupBy(col("k")).agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(sketched))
+      .select(col("n_exact"), expr("graft_cms_lookup(cms, k, 5, 65536)").as("n_est"))
+    assert(probe.where(col("n_est") =!= col("n_exact")).count() == 0,
+      "collision-free CMS must be exact for every key")
+    val plan = sketched.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") &&
+      plan.contains("partial_graft_cms_sketch"),
+      s"CMS must plan as partial+final ObjectHashAggregate (map-side grids)\n$plan")
+  }
+
+  test("graft_cms_sketch under forced collisions stays one-sided (est >= exact)") {
+    functions.CountMin.register(spark)
+    // w=32 over ~1000 distinct event_ids → guaranteed collisions; CMS may
+    // only OVERcount, never undercount, and merges across partitions must
+    // not change that (repartition forces multi-buffer merge()).
+    val ev = Tables.load(spark, Sf0001, "events")
+      .select(xxhash64(col("event_id")).as("k")).repartition(7)
+    val sketched = ev.agg(expr("graft_cms_sketch(k, 4, 32)").as("cms"))
+    val probe = ev.groupBy(col("k")).agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(sketched))
+      .select(col("n_exact"), expr("graft_cms_lookup(cms, k, 4, 32)").as("n_est"))
+    assert(probe.where(col("n_est") < col("n_exact")).count() == 0,
+      "CMS undercounted a key — one-sided guarantee broken")
+    assert(probe.where(col("n_est") > col("n_exact")).count() > 0,
+      "w=32 should actually collide; widen the test's assumptions if not")
+  }
+
+  test("graft_cms_sketch rejects mis-typed keys at analysis time") {
+    functions.CountMin.register(spark)
+    val ev = Tables.load(spark, Sf0001, "events")
+    val e = intercept[Exception] {
+      ev.agg(expr("graft_cms_sketch(event_type, 5, 1024)")).collect()
+    }
+    assert(e.getMessage.contains("BIGINT"), s"unexpected message: ${e.getMessage}")
+  }
 }
