@@ -91,6 +91,7 @@ object StreamingOps {
     "stream_session_timers" -> ((s, dir) => StreamingIngest.streamSessionTimers(s, dir)),
     "stream_interval_join" -> ((s, dir) => StreamingIngest.streamIntervalJoin(s, dir)),
     "stream_left_outer_join" -> ((s, dir) => StreamingIngest.streamLeftOuterJoin(s, dir)),
+    "stream_full_outer_join" -> ((s, dir) => StreamingIngest.streamFullOuterJoin(s, dir)),
     "stream_ingest_screen" -> (streamIngestScreen _),
     "stream_bounded_batches" ->
       ((s, dir) => StreamingIngest.streamBoundedBatches(s, dir)._1),
@@ -140,6 +141,21 @@ object StreamingOps {
         |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
         |CROSS JOIN mx
         |WHERE p.event_type = 'purchase' AND p.ts <= m - INTERVAL 2 HOUR
+        |ORDER BY purchase_id, view_id""".stripMargin,
+    // full-outer finality needs BOTH sides closed: every timestamp a row
+    // carries must sit a full horizon behind the final watermark; −1 pads
+    // the absent side of organic purchases and dead-end views
+    "stream_full_outer_join" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+        |SELECT coalesce(p.event_id, -1) AS purchase_id,
+        |  coalesce(v.event_id, -1) AS view_id
+        |FROM p FULL JOIN v ON p.user_id = v.user_id
+        |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+        |CROSS JOIN mx
+        |WHERE (p.ts IS NULL OR p.ts <= m - INTERVAL 2 HOUR)
+        |  AND (v.ts IS NULL OR v.ts <= m - INTERVAL 2 HOUR)
         |ORDER BY purchase_id, view_id""".stripMargin,
     // overlapping-window state drains to the identical batch report
     "stream_sliding_windows" -> RelationalOps.oracleSql("w17_sliding_windows"),

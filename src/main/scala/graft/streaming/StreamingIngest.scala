@@ -721,4 +721,51 @@ object StreamingIngest {
       .select(col("purchase_id"), col("view_id"))
       .orderBy(col("purchase_id"), col("view_id"))
   }
+
+  /** STREAM-STREAM FULL OUTER interval join: the reconciliation form of
+    * the attribution join — organic purchases (no preceding-hour view)
+    * AND dead-end views (no following-hour purchase) both emit, each
+    * padded with −1 on the absent side. Full-outer on two unbounded
+    * streams means BOTH sides hold eviction-bounded state and BOTH emit
+    * their null rows only when the OPPOSITE side's watermark proves no
+    * match can still arrive; the closed region therefore needs both
+    * timestamps final — a row is reported only when every side it carries
+    * is ≤ max(ts) − 2 h (matched pairs satisfy this via p_ts alone since
+    * v_ts < p_ts by the join condition; unmatched views need it on v_ts:
+    * a view at v can match purchases until the purchase watermark passes
+    * v + 1 h, i.e. it is decided exactly when v ≤ max − 2 h). On that
+    * region the stream provably equals the batch FULL join the DuckDB
+    * oracle replays.
+    */
+  def streamFullOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    withStateGrain(spark, 4) { streamFullOuterJoinInner(spark, dir) }
+
+  private def streamFullOuterJoinInner(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") < col("p_ts"),
+      "fullOuter")
+      .select(col("p_ts"), col("v_ts"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"))
+    val drained = runToParquet(joined)
+    val maxTs = graft.Tables.load(spark, dir, "events")
+      .agg(max(col("ts"))).head.getTimestamp(0)
+    val cutoff = new Timestamp(maxTs.getTime - 2L * 3600 * 1000)
+    drained
+      .where((col("p_ts").isNull || col("p_ts") <= lit(cutoff)) &&
+        (col("v_ts").isNull || col("v_ts") <= lit(cutoff)))
+      .select(col("purchase_id"), col("view_id"))
+      .orderBy(col("purchase_id"), col("view_id"))
+  }
 }

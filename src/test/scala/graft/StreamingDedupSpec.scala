@@ -116,4 +116,31 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(streamed.exists(_._2 == -1L), "fixture must produce unmatched purchases")
     assert(streamed.exists(_._2 != -1L), "fixture must produce attributed purchases")
   }
+
+  test("stream-stream FULL OUTER join equals the batch full join on the closed region") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.StreamingIngest.streamFullOuterJoin(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val e = Tables.load(spark, Sf0001, "events")
+    val maxTs = e.agg(max(col("ts"))).head.getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 2L * 3600 * 1000)
+    val batch = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("pid"), col("ts").as("pts"))
+      .join(e.where(col("event_type") === "view")
+          .select(col("user_id").as("vu"), col("event_id").as("vid"), col("ts").as("vts")),
+        col("pu") === col("vu") &&
+          col("vts") >= col("pts") - expr("INTERVAL 1 HOUR") && col("vts") < col("pts"),
+        "fullOuter")
+      .where((col("pts").isNull || col("pts") <= lit(cutoff)) &&
+        (col("vts").isNull || col("vts") <= lit(cutoff)))
+      .select(coalesce(col("pid"), lit(-1L)).as("purchase_id"),
+        coalesce(col("vid"), lit(-1L)).as("view_id"))
+      .orderBy(col("purchase_id"), col("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed == batch)
+    // full-outer must be non-vacuous on all THREE row classes
+    assert(streamed.exists(p => p._1 != -1L && p._2 == -1L), "need organic purchases")
+    assert(streamed.exists(p => p._1 == -1L && p._2 != -1L), "need dead-end views")
+    assert(streamed.exists(p => p._1 != -1L && p._2 != -1L), "need attributed pairs")
+  }
 }
