@@ -49,12 +49,22 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   *     Expand);
   *   - every other conjunct stays in the residual untouched.
   *
-  * The band column choice trades fan-out for selectivity: B = 1 day
-  * keeps the explode factor at ⌈interval/1 day⌉ + 1 ≤ 3 for the
-  * hour-to-day intervals this engine's sources carry. A stats-driven B
-  * (from interval-length quantiles) is the cluster refinement; the
-  * fixed-B rewrite is already the difference between a nested loop and
-  * a hash join. Registered per-session via [[register]] (the same
+  * The band width trades fan-out for selectivity: explode factor is
+  * ⌈interval/B⌉ + 1 (wants B large), band selectivity is ~B worth of
+  * intervals per probe (wants B small); the balance point is B ≈ the
+  * interval-length P90, where explode stays ≤ 2 for the typical row
+  * while a band holds only co-temporal intervals. The width is read
+  * per-plan from the session conf [[BandUsKey]] (default 1 day — right
+  * for the hour-to-day intervals this engine's sources carry), and
+  * [[tuneBandWidth]] sets it FROM STATS: one cheap aggregate over the
+  * interval side (at 100 TB, run it on the dimension — interval sides
+  * are dimension-sized — or a sample) takes the approximate P90 length
+  * and snaps UP to a coarse ladder (minute → hour → day → week), so
+  * near-identical workloads can't flip-flop widths and cached banded
+  * layouts stay reusable. Any width is CORRECT (the original predicate
+  * always rides along as residual — the fuzz spec runs the ladder);
+  * tuning only moves the fan-out/selectivity balance. Registered
+  * per-session via [[register]] (the same
   * `experimental.extraOptimizations` seam as [[NanosTimestampPushdown]])
   * and for extension-configured sessions via `GraftExtensions`.
   *
@@ -64,12 +74,55 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   */
 object BandedIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** Band width: 1 day in microseconds. */
-  private val BandUs = 86400L * 1000000
+  /** Session conf holding the band width in microseconds. */
+  val BandUsKey = "spark.graft.bandedJoin.bandUs"
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(cond), hint) =>
-      rewrite(j, left, right, cond, hint).getOrElse(j)
+  /** Default band width: 1 day in microseconds. */
+  val DefaultBandUs: Long = 86400L * 1000000
+
+  /** The coarse width ladder [[tuneBandWidth]] snaps to: 1 min, 5 min,
+    * 15 min, 1 h, 6 h, 1 d, 7 d (µs). Coarse on purpose — stable widths
+    * across near-identical workloads beat per-query-optimal ones.
+    */
+  val WidthLadderUs: Seq[Long] =
+    Seq(60L, 300L, 900L, 3600L, 6 * 3600L, 86400L, 7 * 86400L).map(_ * 1000000)
+
+  private def bandUs: Long = {
+    val v = conf.getConfString(BandUsKey, DefaultBandUs.toString).toLong
+    require(v > 0, s"$BandUsKey must be positive, got $v")
+    v
+  }
+
+  /** Pick the band width from the interval side's length statistics and
+    * set it on the session: approximate P90 of (hi − lo), snapped UP to
+    * the first ladder rung that covers it (explode factor for a P90 row
+    * is then ≤ 2). Degenerate inputs (empty side, all-null bounds) keep
+    * the 1-day default. Returns the chosen width in µs.
+    */
+  def tuneBandWidth(intervals: org.apache.spark.sql.DataFrame,
+                    lo: String, hi: String): Long = {
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    val spark = intervals.sparkSession
+    val p90 = intervals
+      .select((unix_micros(col(hi)) - unix_micros(col(lo))).as("len"))
+      .where(col("len").isNotNull && col("len") > 0)
+      .agg(expr("approx_percentile(len, 0.9)"))
+      .head.get(0)
+    val width = p90 match {
+      case null => DefaultBandUs
+      case l: Long => WidthLadderUs.find(_ >= l).getOrElse(WidthLadderUs.last)
+      case other => throw new IllegalStateException(s"unexpected percentile type: $other")
+    }
+    spark.conf.set(BandUsKey, width.toString)
+    width
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val b = bandUs
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint) =>
+        rewrite(j, left, right, cond, hint, b).getOrElse(j)
+    }
   }
 
   private case class Bounds(pt: Expression, lo: Expression, loStrict: Boolean,
@@ -136,18 +189,19 @@ object BandedIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
     * IntegralDivide alone (which truncates toward zero and would misband
     * pre-1970 points relative to their covering intervals).
     */
-  private def floorDiv(us: Expression): Expression =
-    IntegralDivide(Subtract(us, Pmod(us, Literal(BandUs))), Literal(BandUs))
+  private def floorDiv(us: Expression, bandUs: Long): Expression =
+    IntegralDivide(Subtract(us, Pmod(us, Literal(bandUs))), Literal(bandUs))
 
-  private def bandOf(e: Expression): Expression = floorDiv(UnixMicros(e))
+  private def bandOf(e: Expression, bandUs: Long): Expression =
+    floorDiv(UnixMicros(e), bandUs)
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
-                      cond: Expression, hint: JoinHint): Option[LogicalPlan] = {
+                      cond: Expression, hint: JoinHint, bandUs: Long): Option[LogicalPlan] = {
     analyze(splitConjunctivePredicates(cond), left, right).map {
       case (b, ptOnLeft) =>
         val (ptPlan, boundPlan) = if (ptOnLeft) (left, right) else (right, left)
         // point side: one band per row
-        val ptBand = Alias(bandOf(b.pt), "__graft_band")()
+        val ptBand = Alias(bandOf(b.pt, bandUs), "__graft_band")()
         val ptProj = Project(ptPlan.output :+ ptBand, ptPlan)
         // interval side: one band per covered band. Last covered µs is
         // hi (inclusive) or hi − 1 µs (strict <); a strict lower bound
@@ -157,8 +211,8 @@ object BandedIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
         // Sequence is TimeZoneAwareExpression: stays UNRESOLVED until a
         // zone is bound, even for integral sequences
         val seq = new Sequence(
-          floorDiv(UnixMicros(b.lo)),
-          floorDiv(lastUs),
+          floorDiv(UnixMicros(b.lo), bandUs),
+          floorDiv(lastUs, bandUs),
           Literal(1L)).withTimeZone(conf.sessionLocalTimeZone)
         val bandAttr = AttributeReference("__graft_band", LongType)()
         val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,

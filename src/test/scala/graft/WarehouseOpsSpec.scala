@@ -241,8 +241,42 @@ class WarehouseOpsSpec extends AnyFunSuite {
     val expected = try naive.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
       finally spark.experimental.extraOptimizations = saved
     graft.plans.BandedIntervalJoin.register(spark)
-    val got = naive.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
-    assert(expected.nonEmpty)
-    assert(got == expected)
+    try {
+      val got = naive.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      assert(expected.nonEmpty)
+      assert(got == expected)
+      // width-invariance: the residual predicate makes EVERY band width
+      // correct — walk the whole tuning ladder against the same oracle
+      graft.plans.BandedIntervalJoin.WidthLadderUs.foreach { w =>
+        spark.conf.set(graft.plans.BandedIntervalJoin.BandUsKey, w.toString)
+        val at = naive.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+        assert(at == expected, s"banded join diverged at width ${w}us")
+      }
+    } finally spark.conf.unset(graft.plans.BandedIntervalJoin.BandUsKey)
+  }
+
+  test("tuneBandWidth snaps the interval-length P90 up the ladder") {
+    import org.apache.spark.sql.functions._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import sp.implicits._
+    try {
+      // 50 × 90-minute windows + a 10-minute runt: P90 = 90 min → 6 h rung
+      val base = java.sql.Timestamp.valueOf("2024-01-05 00:00:00").getTime
+      val rows = (0 until 50).map { i =>
+        (i, new java.sql.Timestamp(base + i * 1000L),
+          new java.sql.Timestamp(base + i * 1000L + 90 * 60 * 1000L))
+      } :+ ((50, new java.sql.Timestamp(base),
+        new java.sql.Timestamp(base + 10 * 60 * 1000L)))
+      val w = graft.plans.BandedIntervalJoin
+        .tuneBandWidth(rows.toDF("wid", "w_start", "w_end"), "w_start", "w_end")
+      assert(w == 6 * 3600L * 1000000, s"90-min P90 must snap to the 6 h rung, got $w")
+      assert(spark.conf.get(graft.plans.BandedIntervalJoin.BandUsKey) == w.toString,
+        "tuning must publish the width to the session conf the rule reads")
+      // degenerate side (all-null bounds) keeps the default
+      val nullRows = Seq((0, null: java.sql.Timestamp, null: java.sql.Timestamp))
+      val dw = graft.plans.BandedIntervalJoin
+        .tuneBandWidth(nullRows.toDF("wid", "w_start", "w_end"), "w_start", "w_end")
+      assert(dw == graft.plans.BandedIntervalJoin.DefaultBandUs)
+    } finally spark.conf.unset(graft.plans.BandedIntervalJoin.BandUsKey)
   }
 }
