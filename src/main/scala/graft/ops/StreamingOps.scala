@@ -103,6 +103,8 @@ object StreamingOps {
       ((s, dir) => StreamingIngest.streamBucketDrift(s, dir)),
     "stream_topk_custom" ->
       ((s, dir) => StreamingIngest.streamTopkCustom(s, dir)),
+    "stream_countmin" ->
+      ((s, dir) => StreamingIngest.streamCountmin(s, dir)),
     "stream_wap_publish" ->
       ((s, dir) => StreamingIngest.streamWapPublish(s, dir)),
     "stream_etl_dest" -> ((s, dir) => {
@@ -123,6 +125,9 @@ object StreamingOps {
     "stream_bucket_drift" -> ScaleOps.oracleSql("stats_bucket_drift"),
     // the incremental custom-agg state must converge to the batch top-k
     "stream_topk_custom" -> RelationalOps.oracleSql("a9_topk_custom_agg"),
+    // the incrementally-merged CMS grid must grade identically to the
+    // batch sketch twin (same exact side, same envelope pins)
+    "stream_countmin" -> CoverageOps.oracleSql("stats_countmin"),
     // per-micro-batch audited publishes must reassemble the full source
     "stream_wap_publish" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS export_date, count(*) AS n_rows,

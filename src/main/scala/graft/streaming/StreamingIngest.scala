@@ -293,6 +293,43 @@ object StreamingIngest {
       .orderBy(col("event_type"), col("rnk"))
   }
 
+  /** The count-min sketch maintained INCREMENTALLY on the stream: the
+    * custom [[graft.functions.CountMinAgg]] as an always-on streaming
+    * aggregate — each micro-batch's partial grid merges into the one
+    * grid in the state store (state = d·w longs, CONSTANT no matter how
+    * long the stream runs or how many keys it sees — the reason CMS is
+    * the canonical streaming frequency summary). The drain probes the
+    * exact top-10 from the batch view of the same corpus, so the result
+    * must equal the batch `stats_countmin` twin — which pins the
+    * aggregate's serialize/deserialize/merge path through the state
+    * store end to end, the same contract `stream_topk_custom` pins for
+    * the top-k aggregate.
+    */
+  def streamCountmin(spark: SparkSession, dir: String): DataFrame = withStateGrain(spark) {
+    graft.functions.CountMin.register(spark)
+    val D = 5; val W = 4096
+    val agg = eventsStream(spark, dir)
+      .select(xxhash64(col("user_id")).as("k"))
+      .agg(expr(s"graft_cms_sketch(k, $D, $W)").as("cms"),
+        count(lit(1)).as("n_total"))
+    val sketch = runToMemory(agg,
+      s"stream_cms_${System.nanoTime()}", OutputMode.Complete())
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), xxhash64(col("user_id")).as("k"))
+    val exact = ev.groupBy(col("user_id"), col("k"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("n_exact").desc, col("user_id"))))
+    exact.crossJoin(broadcast(sketch)) // 1-row sketch: audit input, not a join fanout
+      .withColumn("n_est", expr(s"graft_cms_lookup(cms, k, $D, $W)"))
+      .select(col("rnk"), col("user_id"), col("n_exact"),
+        (col("n_est") >= col("n_exact")).as("est_ge_exact"),
+        ((col("n_est") - col("n_exact")) * W <= col("n_total") * 4).as("in_envelope"))
+      .orderBy(col("rnk"))
+  }
+
   /** W8's gap sessionization as a *streaming* session-window aggregation:
     * `session_window(ts, gap)` merges an event into the open session when
     * it lands at or within `gap` of the session's last event (probe-pinned:
