@@ -255,9 +255,83 @@ object ClusterOps {
       .orderBy(col("p_partkey"))
   }
 
+  /** `graph_triangles`: exact triangle counting over the co-purchase part
+    * graph — the third graph-family leg (connected components = reach,
+    * PageRank = importance, triangles = cohesion: clustering-coefficient
+    * numerators, community density, link-spam detection).
+    *
+    * The naive count (join the edge list to itself twice) generates a
+    * wedge per PATH of length 2 — Σ d(v)² wedges, which a single hub
+    * node turns into a job-killing explosion at 100 TB. The standard fix
+    * is DEGREE ORIENTATION (Chiba–Nishizeki / Schank): orient every
+    * undirected edge from its lower-(degree, id) endpoint to its
+    * higher-(degree, id) endpoint — a total order, so each triangle
+    * acquires exactly ONE orientation-respecting wedge — and build
+    * wedges only at each edge's LOW end. Out-degrees under this
+    * orientation are bounded by O(√m), so wedge volume drops from
+    * Σ d(v)² to O(m^1.5) worst-case and far less on real degree
+    * distributions; the closing check is then one EQUI semi-join of
+    * wedges against oriented edges. No global node ranking is ever
+    * materialized — the orientation compares (degree, id) structs
+    * directly, so every step is a hash shuffle on node ids and the whole
+    * plan stays distributed (contrast a row_number over all nodes, which
+    * would funnel the vertex set through one partition).
+    *
+    * Output: the 20 parts participating in the most triangles (count
+    * desc, id asc) — pure integer math, replayed exactly by the DuckDB
+    * oracle's identical SQL unrolling.
+    */
+  private def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // canonical undirected co-purchase edges: one row per pair, u < v
+    val und = items.alias("a")
+      .join(items.alias("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    triangleCounts(und)
+      .select(col("node").as("p_partkey"), col("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("p_partkey"))
+      .limit(20)
+  }
+
+  /** The orientation-based counting core, reusable over any canonical
+    * undirected edge list (one (u, v) row per edge, u < v, no self
+    * loops). Returns (node, n_triangles) for every triangle member.
+    */
+  def triangleCounts(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // orient low-(d, id) → high-(d, id); carry the head's (d, id) key so
+    // the wedge join can order neighbors in orientation space
+    val ornt = und
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("t"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("dv"))
+          .otherwise(col("du")).as("dt"))
+    // wedges at the low end: (t1, t2) with t1 before t2 in orientation
+    // order; the triangle closes iff the oriented edge t1 → t2 exists
+    val wedges = ornt.select(col("s"), col("t").as("t1"), col("dt").as("d1"))
+      .join(ornt.select(col("s"), col("t").as("t2"), col("dt").as("d2")), "s")
+      .where(struct(col("d1"), col("t1")) < struct(col("d2"), col("t2")))
+    val tri = wedges.join(
+      ornt.select(col("s").as("t1"), col("t").as("t2")), Seq("t1", "t2"),
+      "leftsemi")
+    tri.select(explode(array(col("s"), col("t1"), col("t2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters _),
-    "graph_pagerank" -> (graphPagerank _)
+    "graph_pagerank" -> (graphPagerank _),
+    "graph_triangles" -> (graphTriangles _)
   )
 
   /** Oracle: DuckDB recursive CTE computes the transitive closure of the
@@ -268,6 +342,35 @@ object ClusterOps {
     * LISTS but generate identical components.
     */
   val oracleSql: Map[String, String] = Map(
+    "graph_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+        |  GROUP BY node),
+        |ornt AS (
+        |  SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS s,
+        |         CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS t,
+        |         CASE WHEN (du.d, u) < (dv.d, v) THEN dv.d ELSE du.d END AS dt
+        |  FROM und
+        |  JOIN deg du ON du.node = und.u
+        |  JOIN deg dv ON dv.node = und.v),
+        |tri AS (
+        |  SELECT e1.s AS s, e1.t AS t1, e2.t AS t2
+        |  FROM ornt e1 JOIN ornt e2
+        |    ON e1.s = e2.s AND (e1.dt, e1.t) < (e2.dt, e2.t)
+        |  WHERE EXISTS (SELECT 1 FROM ornt c WHERE c.s = e1.t AND c.t = e2.t)),
+        |nodes AS (
+        |  SELECT s AS p_partkey FROM tri
+        |  UNION ALL SELECT t1 FROM tri
+        |  UNION ALL SELECT t2 FROM tri)
+        |SELECT p_partkey, count(*) AS n_triangles
+        |FROM nodes GROUP BY p_partkey
+        |ORDER BY n_triangles DESC, p_partkey LIMIT 20""".stripMargin,
     "graph_pagerank" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |edges AS (

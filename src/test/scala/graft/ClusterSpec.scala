@@ -181,4 +181,21 @@ class ClusterSpec extends AnyFunSuite {
     assert(byDeg.last._2 > byDeg.head._2,
       s"max-degree ${byDeg.last} should outrank min-degree ${byDeg.head}")
   }
+
+  test("triangleCounts is exact on a hand-built graph") {
+    import SparkTestBase.spark
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each node in 3 — a degree-TIED clique,
+    // so the (d, id) tiebreak orientation is exercised), a pendant 4–5
+    // (touches no triangle), plus triangle {6,7,8} sharing no nodes.
+    val und = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L), (6L, 8L), (7L, 8L))
+      .toDF("u", "v")
+    val got = ops.ClusterOps.triangleCounts(und)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L),
+      (6L, 1L), (7L, 1L), (8L, 1L)),
+      s"got $got")
+  }
 }
