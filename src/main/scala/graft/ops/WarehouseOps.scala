@@ -56,6 +56,68 @@ object WarehouseOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** CDC apply: merge a change-data-capture log (op ∈ I/U/D with per-key
+    * SEQUENCE numbers, arriving out of order) into a snapshot — the
+    * operator behind Debezium→lakehouse pipelines, and the piece
+    * [[mergeUpsert]] (insert/update only, no ordering) deliberately
+    * lacks. Semantics: per key the HIGHEST-seq op wins (last-writer-wins
+    * after compaction — an early U is dead once a later D lands, and a
+    * late-arriving stale U must NOT resurrect anything), D removes the
+    * key, U/I carry new values (U on an absent key upserts, the standard
+    * CDC convention).
+    *
+    * Shape at 100 TB: the changelog COMPACTS first (one hash shuffle of
+    * the changelog on key — a day's CDC is orders of magnitude smaller
+    * than the snapshot), then the snapshot is touched exactly like
+    * mergeUpsert: broadcast left-anti of the compacted key set + union of
+    * the survivors' new rows. The snapshot itself never shuffles and
+    * never rewrites untouched rows' values — O(snapshot) scan, O(changes)
+    * everything else.
+    *
+    * The fixture changelog is derived deterministically from the base
+    * (mod-7 classes) and exercises every interesting path: plain delete,
+    * out-of-order double-update (seq 3 emitted before seq 1 — max seq
+    * must win regardless), update-then-delete (the update is dead),
+    * inserts on fresh keys. Output is the per-class audit rollup, exact
+    * cents.
+    */
+  private def etlCdcApply(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = orders(s, dir).select(col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    def cls(n: Int) = base.where(col("k") % 7 === n)
+    val nullCents = lit(null).cast("long").as("new_cents")
+    val changelog = cls(0)
+      .select(col("k"), lit(2L).as("seq"), lit("D").as("op"), nullCents)
+      .unionByName(cls(1) // out of order: seq 3 first, stale seq 1 after
+        .select(col("k"), lit(3L).as("seq"), lit("U").as("op"),
+          (col("cents") + 300).as("new_cents")))
+      .unionByName(cls(1)
+        .select(col("k"), lit(1L).as("seq"), lit("U").as("op"),
+          (col("cents") + 100).as("new_cents")))
+      .unionByName(cls(2) // update then delete: the delete wins
+        .select(col("k"), lit(1L).as("seq"), lit("U").as("op"),
+          (col("cents") + 100).as("new_cents")))
+      .unionByName(cls(2)
+        .select(col("k"), lit(2L).as("seq"), lit("D").as("op"), nullCents))
+      .unionByName(cls(3) // inserts on keys disjoint from the base
+        .select((col("k") + 10000000L).as("k"), lit(1L).as("seq"),
+          lit("I").as("op"), (col("cents") + 7).as("new_cents")))
+    // compact: highest seq per key — the only changelog shuffle
+    val latest = changelog
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("seq").desc)))
+      .where(col("rn") === 1)
+    val applied = base
+      .join(broadcast(latest.select(col("k"))), Seq("k"), "left_anti")
+      .unionByName(latest.where(col("op") =!= "D")
+        .select(col("k"), col("new_cents").as("cents")))
+    applied
+      .groupBy((col("k") % 7).as("k_mod7"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("k_mod7"))
+  }
+
   /** Interval-containment join: events against 10 deterministic 36-hour
     * "campaign windows" (every 66 h from 2024-01-01 18:00), aggregated per
     * window. Spark has no range-join optimization — the direct formulation
@@ -446,6 +508,7 @@ object WarehouseOps {
     "scd3_prev_column" -> (scd3PrevColumn _),
     "j7_temporal_dim_join" -> (j7TemporalDimJoin _),
     "etl_merge_upsert" -> (mergeUpsert _),
+    "etl_cdc_apply" -> (etlCdcApply _),
     "etl_snapshot_diff" -> (snapshotDiff _),
     "j5_full_outer_recon" -> (j5FullOuterRecon _),
     "j3_range_join" -> (rangeJoin _),
@@ -553,6 +616,31 @@ object WarehouseOps {
         |FROM d
         |WHERE NOT (n_y > 0 AND n_t > 0 AND n_versions = 1)
         |ORDER BY o_orderkey""".stripMargin,
+    "etl_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |chg AS (
+        |  SELECT k, 2 AS seq, 'D' AS op, NULL::BIGINT AS new_cents
+        |  FROM base WHERE k % 7 = 0
+        |  UNION ALL SELECT k, 3, 'U', cents + 300 FROM base WHERE k % 7 = 1
+        |  UNION ALL SELECT k, 1, 'U', cents + 100 FROM base WHERE k % 7 = 1
+        |  UNION ALL SELECT k, 1, 'U', cents + 100 FROM base WHERE k % 7 = 2
+        |  UNION ALL SELECT k, 2, 'D', NULL FROM base WHERE k % 7 = 2
+        |  UNION ALL SELECT k + 10000000, 1, 'I', cents + 7
+        |  FROM base WHERE k % 7 = 3),
+        |latest AS (
+        |  SELECT k, op, new_cents FROM (
+        |    SELECT k, op, new_cents,
+        |      row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |    FROM chg) WHERE rn = 1),
+        |applied AS (
+        |  SELECT k, cents FROM base WHERE k NOT IN (SELECT k FROM latest)
+        |  UNION ALL SELECT k, new_cents FROM latest WHERE op <> 'D')
+        |SELECT k % 7 AS k_mod7, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM applied GROUP BY 1 ORDER BY 1""".stripMargin,
     "etl_merge_upsert" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus,

@@ -50,6 +50,35 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(!antiSubtree.contains("Exchange hashpartitioning"), p)
   }
 
+  test("CDC apply: stale updates never resurrect, deletes win, plan spares the snapshot") {
+    val df = ops.WarehouseOps.queries("etl_cdc_apply")(spark, Sf0001)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // classes 0 (plain delete) and 2 (update-then-delete: the late D kills
+    // the early U) must be entirely absent from the applied snapshot
+    assert(!rows.exists(r => r._1 == 0L || r._1 == 2L),
+      s"deleted classes leaked into the snapshot: ${rows.toSeq}")
+    // class 1: out-of-order double update — max-seq (+300) wins per key
+    val base = Tables.load(spark, Sf0001, "orders")
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .where(col("k") % 7 === 1)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .head
+    val cls1 = rows.find(_._1 == 1L).get
+    assert(cls1._2 == base.getLong(0) && cls1._3 == base.getLong(1) + 300 * base.getLong(0),
+      s"class 1 must carry exactly the seq-3 update: $cls1 vs base $base")
+    // plan: the snapshot is read, anti-joined against a BROADCAST key set,
+    // unioned — the SNAPSHOT side never hash-shuffles. (The broadcast side
+    // legitimately contains ONE shuffle — the changelog compaction — so
+    // scope the assertion to the streamed side: everything between the
+    // anti join and its BroadcastExchange.)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    val streamedSide = p.substring(p.indexOf("BroadcastHashJoin"),
+      p.indexOf("BroadcastQueryStage"))
+    assert(!streamedSide.contains("Exchange hashpartitioning"), p)
+  }
+
   test("banded range join ≡ naive interval-containment join") {
     val banded = ops.WarehouseOps.queries("j3_range_join")(spark, Sf0001)
 
