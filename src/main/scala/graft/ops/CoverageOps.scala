@@ -140,6 +140,46 @@ object CoverageOps {
     s.read.orc(out).orderBy(col("event_id"))
   }
 
+  /** The custom DataSource V2 connector end to end
+    * ([[graft.sources.TsvLandingSource]]): build a date-stamped flat-file
+    * landing zone (one `events_YYYY-MM-DD.tsv` per day — ONE Spark job
+    * repartitioned by day so each day lands as a single part file, then
+    * per-day flat RENAMES, metadata ops only), poison it with an
+    * out-of-range file whose lines cannot parse, and read a two-week
+    * window back through the connector. The query succeeding at all
+    * proves scan-time FILE PRUNING (the poisoned file would throw in the
+    * reader — built-in csv would have opened it); the aggregate matching
+    * the oracle proves the parse path; the spec additionally pins the
+    * pruned read schema and pushed filters off the planned BatchScanExec.
+    */
+  private def srcDsv2Landing(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val out = graft.util.TempDirs.create("graft_tsv_zone_")
+    Tables.load(s, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        concat_ws("\t", col("event_id"), col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long")).as("value"))
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").text(s"$out/raw")
+    val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(s"$out/raw")).filter(_.isDirectory).foreach { d =>
+      val day = d.getPath.getName.stripPrefix("day=")
+      val parts = fs.listStatus(d.getPath)
+        .filter(_.getPath.getName.startsWith("part-"))
+      require(parts.length == 1, s"expected 1 part file per day, got ${parts.length}")
+      fs.rename(parts.head.getPath, new Path(s"$out/events_$day.tsv"))
+    }
+    val poison = fs.create(new Path(s"$out/events_9999-12-31.tsv"))
+    poison.write("THIS FILE MUST NEVER BE OPENED\n".getBytes("UTF-8"))
+    poison.close()
+    s.read.format(classOf[graft.sources.TsvLandingSource].getName)
+      .option("path", out).load()
+      .where(col("event_date") >= "2024-01-05" && col("event_date") < "2024-01-20")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** Schema-evolution source read: a landing zone accumulates files
     * written under DIFFERENT schema versions (here: v1 files without the
     * later-added `value_cents` column, v2 files with it — the additive
@@ -513,6 +553,7 @@ object CoverageOps {
     "s6_existence_probes" -> (s6 _),
     "src_json_roundtrip" -> (srcJsonRoundtrip _),
     "src_csv_roundtrip" -> (srcCsvRoundtrip _),
+    "src_dsv2_landing" -> (srcDsv2Landing _),
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
     "src_jdbc_roundtrip" -> (srcJdbcRoundtrip _),
     "src_schema_evolution" -> (srcSchemaEvolution _),
@@ -605,6 +646,13 @@ object CoverageOps {
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, value, props
          |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
          |ORDER BY event_id""".stripMargin,
+    "src_dsv2_landing" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-05'
+        |  AND strftime(ts, '%Y-%m-%d') < '2024-01-20'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_jdbc_roundtrip" ->
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, value, props
          |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom DataSource V2 connector's two pushdown seams, pinned off
+  * the actual planned BatchScanExec (not off result correctness, which
+  * the oracled query already covers): column pruning must reach
+  * Scan.readSchema, date filters must reach the scan, and
+  * planInputPartitions must open only admitted files.
+  */
+class Dsv2SourceSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def buildZone(): String = {
+    val out = graft.util.TempDirs.create("graft_dsv2_spec_")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def write(name: String, lines: Seq[String]): Unit = {
+      val os = fs.create(new org.apache.hadoop.fs.Path(s"$out/$name"))
+      os.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      os.close()
+    }
+    write("events_2024-01-01.tsv", Seq("1\t10\tview\t100", "2\t11\tpurchase\t250"))
+    write("events_2024-01-02.tsv", Seq("3\t10\tview\t75"))
+    write("events_2024-01-03.tsv", Seq("POISON — opening this file must throw"))
+    write("ignore_me.txt", Seq("not a landing file at all"))
+    out
+  }
+
+  private def readZone(out: String) =
+    spark.read.format(classOf[graft.sources.TsvLandingSource].getName)
+      .option("path", out).load()
+
+  test("date filters prune files at plan time and columns prune at parse time") {
+    val out = buildZone()
+    val df = readZone(out)
+      .where(col("event_date") < "2024-01-03")
+      .groupBy(col("event_date")).agg(sum(col("value_cents")).as("cents"))
+      .orderBy(col("event_date"))
+    // the poisoned 01-03 file parses on open — reaching it throws
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("2024-01-01", 350L), ("2024-01-02", 75L)))
+
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[graft.sources.TsvScan] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case b: BatchScanExec => Seq(b.scan.asInstanceOf[graft.sources.TsvScan])
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.length == 1, df.queryExecution.executedPlan.toString)
+    val scan = scans.head
+    // column pruning: only the two referenced columns reach the reader
+    assert(scan.readSchema().fieldNames.toSeq.sorted == Seq("event_date", "value_cents"),
+      scan.description())
+    // filter pushdown: the date bound reached the scan
+    assert(scan.pushed.exists {
+      case org.apache.spark.sql.sources.LessThan("event_date", "2024-01-03") => true
+      case _ => false
+    }, scan.description())
+    // plan-time pruning: exactly the two admitted files become partitions
+    val parts = scan.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.TsvPartition].date).toSeq
+    assert(parts == Seq("2024-01-01", "2024-01-02"), parts.toString)
+  }
+
+  test("skipping is advisory: pushed filters stay residual so rows re-check") {
+    val out = buildZone()
+    // equality on a non-date column is NOT pushable; the date IN list is —
+    // and the row filter must still apply inside surviving files
+    val df = readZone(out)
+      .where(col("event_date").isin("2024-01-01") && col("event_type") === "view")
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("event_id")).toSeq == Seq(1L))
+  }
+
+  test("an unfiltered read of a poisoned zone fails loudly, not silently") {
+    val out = buildZone()
+    val e = intercept[Exception] { readZone(out).count() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage).exists(_.contains("malformed"))),
+      s"expected the reader's malformed-line error, got: $e")
+  }
+}
