@@ -152,7 +152,12 @@ object CoverageOps {
     * the oracle proves the parse path; the spec additionally pins the
     * pruned read schema and pushed filters off the planned BatchScanExec.
     */
-  private def srcDsv2Landing(s: SparkSession, dir: String): DataFrame = {
+  /** Builds the poisoned landing zone the DSv2 queries read: one flat
+    * `events_<day>.tsv` per day (single Spark job repartitioned by day,
+    * then per-day renames — metadata ops only) plus an out-of-range file
+    * whose lines cannot parse. Returns the zone directory.
+    */
+  private[ops] def buildTsvZone(s: SparkSession, dir: String): String = {
     import org.apache.hadoop.fs.Path
     val out = graft.util.TempDirs.create("graft_tsv_zone_")
     Tables.load(s, dir, "events")
@@ -172,6 +177,11 @@ object CoverageOps {
     val poison = fs.create(new Path(s"$out/events_9999-12-31.tsv"))
     poison.write("THIS FILE MUST NEVER BE OPENED\n".getBytes("UTF-8"))
     poison.close()
+    out
+  }
+
+  private def srcDsv2Landing(s: SparkSession, dir: String): DataFrame = {
+    val out = buildTsvZone(s, dir)
     s.read.format(classOf[graft.sources.TsvLandingSource].getName)
       .option("path", out).load()
       .where(col("event_date") >= "2024-01-05" && col("event_date") < "2024-01-20")

@@ -105,6 +105,28 @@ object StreamingOps {
       ((s, dir) => StreamingIngest.streamTopkCustom(s, dir)),
     "stream_countmin" ->
       ((s, dir) => StreamingIngest.streamCountmin(s, dir)),
+    // the custom DSv2 connector's MICRO-BATCH side: the same poisoned
+    // zone + dated window as the batch twin, drained through the
+    // file-arrival stream — success proves date pruning reaches the
+    // streaming scan (the poison file would throw) and the offset space
+    // covers every admitted file exactly once
+    "stream_dsv2_landing" -> ((s, dir) => {
+      val out = CoverageOps.buildTsvZone(s, dir)
+      // bound OPTIONS, not .where: streaming plans skip the batch
+      // pushdown rule, so the window prunes via the connector's explicit
+      // [startDate, endDate) contract (the .where stays as belt-and-
+      // braces row filtering above the stream)
+      val stream = s.readStream
+        .format(classOf[graft.sources.TsvLandingSource].getName)
+        .option("path", out)
+        .option("startDate", "2024-01-05").option("endDate", "2024-01-20")
+        .load()
+        .where(col("event_date") >= "2024-01-05" && col("event_date") < "2024-01-20")
+      StreamingIngest.runToParquet(stream)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("cents"))
+        .orderBy(col("event_type"))
+    }),
     "stream_wap_publish" ->
       ((s, dir) => StreamingIngest.streamWapPublish(s, dir)),
     "stream_etl_dest" -> ((s, dir) => {
@@ -147,6 +169,8 @@ object StreamingOps {
         |CROSS JOIN mx
         |WHERE p.event_type = 'purchase' AND p.ts <= m - INTERVAL 2 HOUR
         |ORDER BY purchase_id, view_id""".stripMargin,
+    // the streamed zone must reassemble to the batch connector's report
+    "stream_dsv2_landing" -> CoverageOps.oracleSql("src_dsv2_landing"),
     // full-outer finality needs BOTH sides closed: every timestamp a row
     // carries must sit a full horizon behind the final watermark; −1 pads
     // the absent side of organic purchases and dead-end views

@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -89,6 +90,29 @@ object TsvLanding {
     case In("event_date", vs) => vs.forall(_.isInstanceOf[String])
     case _ => false
   }
+
+  /** Admitted files of the zone, in (date, name) order — the shared
+    * listing for the batch scan and the micro-batch stream. The order is
+    * the STREAM'S OFFSET SPACE (offset = files consumed off this list),
+    * which is why it must be deterministic and append-stable: the zone
+    * contract is that new files carry dates ≥ every processed file's
+    * date (upstreams deliver days forward), so a grown list re-sorts to
+    * the old list + a suffix and committed offsets stay valid.
+    */
+  private[sources] def listAdmitted(path: String, pushed: Seq[Filter]): Seq[TsvPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    fs.listStatus(p).toSeq
+      .filter(_.isFile)
+      .flatMap { st =>
+        st.getPath.getName match {
+          case FileRe(date) if admits(date, pushed) =>
+            Some(TsvPartition(st.getPath.toString, date))
+          case _ => None // non-matching names and pruned dates: never opened
+        }
+      }
+      .sortBy(_.filePath)
+  }
 }
 
 class TsvLandingSource extends TableProvider {
@@ -107,22 +131,34 @@ class TsvTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft-tsv `$path`"
   override def schema(): StructType = TsvLanding.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TsvScanBuilder(path)
+    new TsvScanBuilder(path, options)
 }
 
-class TsvScanBuilder(path: String)
+class TsvScanBuilder(path: String, options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = TsvLanding.Schema
-  private var pushed: Array[Filter] = Array.empty
+  // STREAMING reads never run the batch pushdown rule, so dated windows
+  // arrive as explicit bound OPTIONS (the Kafka-startingOffsets pattern):
+  // [startDate, endDate) seeds the pushed set and prunes the stream's
+  // offset space itself. Exact at file granularity because event_date IS
+  // the filename date — no residual needed for the option bounds.
+  private var pushed: Array[Filter] = {
+    val fromOpts = Seq.newBuilder[Filter]
+    Option(options.get("startDate")).foreach(d =>
+      fromOpts += GreaterThanOrEqual("event_date", d))
+    Option(options.get("endDate")).foreach(d =>
+      fromOpts += LessThan("event_date", d))
+    fromOpts.result().toArray
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(TsvLanding.pushable)
+    pushed ++= filters.filter(TsvLanding.pushable)
     filters // everything stays residual: skipping is advisory, rows re-check
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -139,24 +175,71 @@ case class TsvScan(path: String, required: StructType, pushed: Array[Filter])
     s"graft-tsv path=$path, prunedSchema=${required.fieldNames.mkString(",")}, " +
       s"pushedDateFilters=[${pushed.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    fs.listStatus(p).toSeq
-      .filter(_.isFile)
-      .flatMap { st =>
-        st.getPath.getName match {
-          case TsvLanding.FileRe(date) if TsvLanding.admits(date, pushed.toSeq) =>
-            Some(TsvPartition(st.getPath.toString, date))
-          case _ => None // non-matching names and pruned dates: never opened
-        }
-      }
-      .sortBy(_.filePath)
-      .toArray
+  override def planInputPartitions(): Array[InputPartition] =
+    TsvLanding.listAdmitted(path, pushed.toSeq).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    TsvReaderFactory(required.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new TsvMicroBatchStream(path, required, pushed)
+}
+
+/** The landing zone as a MICRO-BATCH STREAM: the file-arrival stream
+  * every drop-zone ingest wants — each trigger picks up files that
+  * appeared since the last committed offset. The offset space is the
+  * admitted-file list's length (see [[TsvLanding.listAdmitted]] for the
+  * append-stability contract); a micro-batch is a SLICE of that list, so
+  * replay from a checkpoint re-reads exactly the uncommitted suffix —
+  * at-least-once delivery with the parquet sink's WAL upgrading it to
+  * exactly-once, same as the built-in file source. Date pruning and
+  * column pruning ride along unchanged: the stream is built FROM the
+  * pushed-down scan, so a dated window never even lists out-of-range
+  * files into its offset space.
+  */
+class TsvMicroBatchStream(path: String, required: StructType, pushed: Array[Filter])
+  extends streaming.MicroBatchStream with streaming.SupportsTriggerAvailableNow {
+
+  private case class TsvOffset(fileCount: Int) extends streaming.Offset {
+    override def json(): String = fileCount.toString
+  }
+
+  // AvailableNow: pin the drain target when the trigger starts, so files
+  // landing mid-drain wait for the next run instead of extending this one
+  private var availableNowTarget: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(TsvLanding.listAdmitted(path, pushed.toSeq).length)
+
+  // SupportsAdmissionControl seam: the engine calls the (start, limit)
+  // form; ReadLimit is deliberately ignored (a file is the admission
+  // granule here), and the no-arg legacy form must never be called
+  override def latestOffset(start: streaming.Offset,
+                            limit: streaming.ReadLimit): streaming.Offset =
+    TsvOffset(availableNowTarget.getOrElse(
+      TsvLanding.listAdmitted(path, pushed.toSeq).length))
+
+  override def latestOffset(): streaming.Offset =
+    throw new UnsupportedOperationException(
+      "graft-tsv implements SupportsAdmissionControl: use latestOffset(start, limit)")
+
+  override def initialOffset(): streaming.Offset = TsvOffset(0)
+
+  override def deserializeOffset(json: String): streaming.Offset =
+    TsvOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: streaming.Offset,
+                                   end: streaming.Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TsvOffset].fileCount
+    val e = end.asInstanceOf[TsvOffset].fileCount
+    TsvLanding.listAdmitted(path, pushed.toSeq).slice(s, e).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     TsvReaderFactory(required.fieldNames)
+
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class TsvPartition(filePath: String, date: String) extends InputPartition

@@ -78,6 +78,42 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("event_id")).toSeq == Seq(1L))
   }
 
+  test("micro-batch stream: checkpoint resume reads only newly-arrived files") {
+    import org.apache.spark.sql.streaming.Trigger
+    val out = graft.util.TempDirs.create("graft_dsv2_zone_")
+    val root = graft.util.TempDirs.create("graft_dsv2_stream_")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def write(name: String, lines: Seq[String]): Unit = {
+      val os = fs.create(new org.apache.hadoop.fs.Path(s"$out/$name"))
+      os.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      os.close()
+    }
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.sources.TsvLandingSource].getName)
+        .option("path", out).load()
+        .writeStream.format("parquet")
+        .option("path", s"$root/data")
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    write("events_2024-01-01.tsv", Seq("1\t10\tview\t100", "2\t11\tpurchase\t250"))
+    drain()
+    val first = spark.read.parquet(s"$root/data")
+    assert(first.count() == 2, "first drain must read the initial file")
+    // a new day arrives (sorts after every processed file — the zone's
+    // append contract); resume from the SAME checkpoint
+    write("events_2024-01-02.tsv", Seq("3\t10\tview\t75"))
+    drain()
+    val ids = spark.read.parquet(s"$root/data")
+      .collect().map(_.getAs[Long]("event_id")).sorted.toSeq
+    // exactly one new row, no replay of the already-committed file
+    assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+  }
+
   test("an unfiltered read of a poisoned zone fails loudly, not silently") {
     val out = buildZone()
     val e = intercept[Exception] { readZone(out).count() }
