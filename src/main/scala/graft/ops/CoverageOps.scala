@@ -180,6 +180,30 @@ object CoverageOps {
     out
   }
 
+  /** The connector's WRITE path end to end: the events slice goes OUT
+    * through the V2 commit protocol (task-staged `events_<date>.p<N>.tsv`
+    * files, job-level atomic publish — see
+    * [[graft.sources.TsvBatchWrite]]) into a fresh zone, then comes BACK
+    * through the connector's read path and rolls up per day — write
+    * fidelity, multi-file-per-date reads, and the staged-then-published
+    * layout all proven against the direct-parquet oracle. The abort half
+    * of the protocol (failed job publishes nothing) is pinned in
+    * Dsv2SourceSpec.
+    */
+  private def snkDsv2Landing(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.TempDirs.create("graft_tsv_sink_")
+    val cls = classOf[graft.sources.TsvLandingSource].getName
+    Tables.load(s, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+        col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .write.format(cls).option("path", out).mode("append").save()
+    s.read.format(cls).option("path", out).load()
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("cents"))
+      .orderBy(col("event_date"))
+  }
+
   private def srcDsv2Landing(s: SparkSession, dir: String): DataFrame = {
     val out = buildTsvZone(s, dir)
     s.read.format(classOf[graft.sources.TsvLandingSource].getName)
@@ -564,6 +588,7 @@ object CoverageOps {
     "src_json_roundtrip" -> (srcJsonRoundtrip _),
     "src_csv_roundtrip" -> (srcCsvRoundtrip _),
     "src_dsv2_landing" -> (srcDsv2Landing _),
+    "snk_dsv2_landing" -> (snkDsv2Landing _),
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
     "src_jdbc_roundtrip" -> (srcJdbcRoundtrip _),
     "src_schema_evolution" -> (srcSchemaEvolution _),
@@ -656,6 +681,10 @@ object CoverageOps {
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, value, props
          |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
          |ORDER BY event_id""".stripMargin,
+    "snk_dsv2_landing" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_dsv2_landing" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents

@@ -10,10 +10,11 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -65,7 +66,11 @@ object TsvLanding {
     StructField("event_type", StringType, nullable = false),
     StructField("value_cents", LongType, nullable = false)))
 
-  private[sources] val FileRe = """events_(\d{4}-\d{2}-\d{2})\.tsv""".r
+  /** Zone file name: `events_<date>.tsv`, optionally with a `.p<N>` task
+    * segment (the write path emits one file per (date, task) — see
+    * [[TsvBatchWrite]]).
+    */
+  private[sources] val FileRe = """events_(\d{4}-\d{2}-\d{2})(?:\.p\d+)?\.tsv""".r
 
   /** Date bounds extracted from the pushable filters: file with date d
     * survives iff every accepted predicate admits d.
@@ -127,13 +132,24 @@ class TsvLandingSource extends TableProvider {
   }
 }
 
-class TsvTable(path: String) extends Table with SupportsRead {
+class TsvTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-tsv `$path`"
   override def schema(): StructType = TsvLanding.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TsvScanBuilder(path, options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(info.schema().fieldNames.sameElements(TsvLanding.Schema.fieldNames),
+      s"graft-tsv write expects columns ${TsvLanding.Schema.fieldNames.mkString(", ")}; " +
+        s"got ${info.schema().fieldNames.mkString(", ")}")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new TsvBatchWrite(path, info.queryId())
+      }
+    }
+  }
 }
 
 class TsvScanBuilder(path: String, options: CaseInsensitiveStringMap)
@@ -249,6 +265,84 @@ case class TsvReaderFactory(requiredCols: Array[String]) extends PartitionReader
     val p = partition.asInstanceOf[TsvPartition]
     new TsvPartitionReader(p.filePath, p.date, requiredCols)
   }
+}
+
+/** The V2 COMMIT PROTOCOL over the landing zone — the write path's whole
+  * point at scale. Tasks never write into the live zone: each
+  * [[TsvDataWriter]] emits its rows into `_staging/<queryId>/` (one file
+  * per (date, task partition) — `events_<date>.p<N>.tsv` — so tasks
+  * never contend on a file and a day spread over many tasks publishes as
+  * many files, which the reader's per-file partitions handle natively).
+  * Task commit reports the staged file names; only JOB-level
+  * [[TsvBatchWrite.commit]] renames them into the zone root — O(files)
+  * metadata ops — and a failed job's [[TsvBatchWrite.abort]] deletes the
+  * staging tree, so readers can never observe a torn write: the WAP
+  * discipline (ScaleOps S26) expressed at the connector seam, where
+  * every engine-initiated write gets it for free.
+  */
+class TsvBatchWrite(path: String, queryId: String) extends BatchWrite {
+  private val staging = s"$path/_staging/$queryId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    TsvWriterFactory(staging)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val zone = new Path(path)
+    val fs = zone.getFileSystem(new Configuration())
+    messages.foreach {
+      case TsvCommitMessage(files) => files.foreach { f =>
+        val src = new Path(f)
+        if (!fs.rename(src, new Path(zone, src.getName)))
+          throw new IllegalStateException(s"graft-tsv publish failed for $src")
+      }
+    }
+    fs.delete(new Path(staging), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(staging).getFileSystem(new Configuration())
+    fs.delete(new Path(staging), true) // nothing ever reached the zone
+  }
+}
+
+case class TsvCommitMessage(files: Seq[String]) extends WriterCommitMessage
+
+case class TsvWriterFactory(staging: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new TsvDataWriter(staging, partitionId)
+}
+
+/** Buffers one open stream per date seen by this task; input column
+  * order is the landing schema (validated at newWriteBuilder).
+  */
+class TsvDataWriter(staging: String, partitionId: Int) extends DataWriter[InternalRow] {
+  private val fs = new Path(staging).getFileSystem(new Configuration())
+  private val open = scala.collection.mutable.Map.empty[String, java.io.OutputStream]
+  private val files = Seq.newBuilder[String]
+
+  override def write(row: InternalRow): Unit = {
+    val date = row.getUTF8String(0).toString
+    val os = open.getOrElseUpdate(date, {
+      val f = s"$staging/events_$date.p$partitionId.tsv"
+      files += f
+      fs.create(new Path(f))
+    })
+    val line = s"${row.getLong(1)}\t${row.getLong(2)}\t" +
+      s"${row.getUTF8String(3)}\t${row.getLong(4)}\n"
+    os.write(line.getBytes(StandardCharsets.UTF_8))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.values.foreach(_.close())
+    TsvCommitMessage(files.result())
+  }
+
+  override def abort(): Unit = {
+    open.values.foreach(_.close())
+    files.result().foreach(f => fs.delete(new Path(f), false))
+  }
+
+  override def close(): Unit = open.values.foreach(_.close())
 }
 
 /** Line format (no header): event_id \t user_id \t event_type \t

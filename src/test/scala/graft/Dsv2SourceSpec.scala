@@ -114,6 +114,46 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L), s"got $ids")
   }
 
+  test("write commit protocol: a failing job publishes NOTHING to the zone") {
+    val out = graft.util.TempDirs.create("graft_dsv2_sink_abort_")
+    val cls = classOf[graft.sources.TsvLandingSource].getName
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // 2 tasks; the second task throws on its last row AFTER the first may
+    // have task-committed — job abort must still leave the zone empty
+    val df = spark.range(0, 100, 1, 2).select(
+      lit("2024-01-01").as("event_date"),
+      col("id").as("event_id"), col("id").as("user_id"),
+      lit("view").as("event_type"),
+      when(col("id") === 99, expr("raise_error('boom')").cast("long"))
+        .otherwise(col("id")).as("value_cents"))
+    intercept[Exception] {
+      df.write.format(cls).option("path", out).mode("append").save()
+    }
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(out)).toSeq
+    assert(!leftovers.exists(_.getPath.getName.startsWith("events_")),
+      s"torn write leaked into the zone: ${leftovers.map(_.getPath.getName)}")
+    assert(!leftovers.exists(s => s.isDirectory && s.getPath.getName == "_staging" &&
+      fs.listStatus(s.getPath).nonEmpty),
+      "staging tree must be cleaned on abort")
+  }
+
+  test("write then read roundtrip across multiple tasks sharing a date") {
+    val out = graft.util.TempDirs.create("graft_dsv2_sink_rt_")
+    val cls = classOf[graft.sources.TsvLandingSource].getName
+    // 4 tasks all carrying the same two dates → 8 staged files published
+    val df = spark.range(0, 40, 1, 4).select(
+      when(col("id") % 2 === 0, "2024-02-01").otherwise("2024-02-02").as("event_date"),
+      col("id").as("event_id"), (col("id") * 10).as("user_id"),
+      lit("view").as("event_type"), (col("id") * 100).as("value_cents"))
+    df.write.format(cls).option("path", out).mode("append").save()
+    val back = spark.read.format(cls).option("path", out).load()
+    assert(back.count() == 40)
+    val agg = back.groupBy(col("event_date")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(agg == Map("2024-02-01" -> 20L, "2024-02-02" -> 20L))
+  }
+
   test("an unfiltered read of a poisoned zone fails loudly, not silently") {
     val out = buildZone()
     val e = intercept[Exception] { readZone(out).count() }
