@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => plans.NanosTimestampPushdown)
     ext.injectOptimizerRule(_ => plans.BandedIntervalJoin)
+    ext.injectPlannerStrategy(_ => plans.AsofJoinStrategy)
     (functions.NativeText.builders ++ functions.NativeVector.builders ++
       functions.NativeAgg.builders ++ functions.CountMin.builders).foreach {
       case (name, builder) =>

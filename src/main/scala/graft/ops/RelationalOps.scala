@@ -523,6 +523,32 @@ object RelationalOps {
       .orderBy(col("event_id"))
   }
 
+  /** The SAME as-of semantics as [[j2]], executed by the engine's custom
+    * PHYSICAL operator ([[graft.plans.AsofJoinExec]] — LogicalPlan +
+    * Strategy + SparkPlan, the tier-(c) custom-operator path): purchases
+    * as-of-join views on user_id, "most recent strictly-preceding by
+    * (ts, event_id)". One hash shuffle per side, a per-partition forward
+    * merge with O(1) state, no union materialization, no window buffer.
+    * Reuses j2's DuckDB oracle verbatim — hash-equality of the composed
+    * and operator forms is the operator's correctness proof, exactly the
+    * j3/j3_auto pattern.
+    */
+  private def j10(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.AsofJoin.register(s)
+    val ev = events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("ts").as("v_ts"),
+        col("user_id").as("v_user"), col("value").as("v_value"))
+    graft.plans.AsofJoin(purchases, views,
+      keys = Seq("user_id" -> "v_user"),
+      on = Seq("ts" -> "v_ts", "event_id" -> "v_id"))
+      .select(col("event_id"), fmt(col("ts")).as("ts_iso"), col("user_id"),
+        col("v_id").as("asof_view_id"), col("v_value").as("asof_view_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Session gap threshold: 6 hours in microseconds. Sits between the
     * corpus's p25 (~3 h) and median (~7 h) inter-event gap, so the fixture
     * splits real multi-event sessions instead of degenerating to
@@ -1240,6 +1266,7 @@ object RelationalOps {
     "w14_rolling_hour" -> (w14RollingHour _),
     "a6_window_suite" -> (a6WindowSuite _),
     "j2_asof_join" -> (j2 _),
+    "j10_asof_operator" -> (j10 _),
     "w7_no_data_short_circuit" -> (w7 _),
     "q1_pricing_summary" -> (q1 _),
     "q2_segment_revenue" -> (q2 _),
@@ -1624,6 +1651,21 @@ object RelationalOps {
          |  FROM events)
          |GROUP BY ws ORDER BY window_start""".stripMargin,
     "j2_asof_join" ->
+      s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id,
+         |  asof_view_id, asof_view_value
+         |FROM (
+         |  SELECT event_id, ts, user_id, event_type,
+         |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+         |      OVER w AS asof_view_id,
+         |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+         |      OVER w AS asof_view_value
+         |  FROM events WHERE event_type IN ('view', 'purchase')
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // the custom physical operator must reproduce the composed j2 form
+    // bit-for-bit — one oracle grades both spellings
+    "j10_asof_operator" ->
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id,
          |  asof_view_id, asof_view_value
          |FROM (

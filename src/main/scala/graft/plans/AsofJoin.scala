@@ -1,0 +1,192 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** AS-OF JOIN as a first-class operator — the tier-(c) custom-operator
+  * path (LogicalPlan + Strategy + SparkPlan, injected via
+  * [[graft.GraftExtensions]]): whole-operator semantics Spark's built-ins
+  * lack, planned and executed natively.
+  *
+  * Semantics: each left row matches the SINGLE right row of the same key
+  * whose `on` tuple is the greatest one STRICTLY lexicographically below
+  * the left row's `on` tuple (no match → nulls, left-outer style). With
+  * `on = (ts, id)` this is exactly the "most recent strictly-preceding
+  * event, ties broken by id" contract of the composed j2 query — whose
+  * DuckDB oracle therefore grades this operator too.
+  *
+  * Why a physical operator when j2's union+window trick already works:
+  * the window formulation materializes the UNION of both streams through
+  * one sort and carries last-seen state per row — fine, but it sorts
+  * |L|+|R| rows as ONE relation and its output schema contortions (tag
+  * columns, struct carry, post-filter) are per-query boilerplate. The
+  * operator form declares the join ONCE: each side hash-partitions on
+  * its own key and sorts (key, on...) — the standard shuffled-join
+  * requirements, so AQE/EnsureRequirements place or elide the exchanges
+  * exactly as for a sort-merge join (a pre-bucketed side shuffles ZERO
+  * rows) — and the per-partition merge is a single forward walk holding
+  * ONE buffered build row (the running best match), not a window buffer:
+  * O(|L|+|R|) comparisons, O(1) state, no union materialization. At
+  * 100 TB that is sort-merge-join economics applied to temporal
+  * point-lookup semantics.
+  *
+  * Restriction (checked at construction): key and `on` expressions must
+  * be long-backed (LongType / TimestampType) — covers keys, event times,
+  * and id tiebreaks, and keeps the hot comparison loop primitive (no
+  * generic ordering dispatch in the per-row path).
+  */
+case class AsofJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftOn: Seq[Expression], rightOn: Seq[Expression]) extends BinaryNode {
+  require(leftKeys.length == rightKeys.length && leftOn.length == rightOn.length,
+    "asof join: key/on lists must pair up")
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lo, ro) =>
+      AsofJoinExec(lk, rk, lo, ro, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftOn: Seq[Expression], rightOn: Seq[Expression],
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  (leftKeys ++ rightKeys ++ leftOn ++ rightOn).foreach { e =>
+    require(e.dataType == LongType || e.dataType == TimestampType,
+      s"asof join: long-backed key/on expressions only, got ${e.dataType.sql} in $e")
+  }
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // the standard shuffled-join contract: co-cluster each side on its key,
+  // co-sort by (key, on...) — EnsureRequirements inserts or ELIDES the
+  // exchanges exactly as for SortMergeJoin
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys ++ leftOn).map(SortOrder(_, Ascending)),
+    (rightKeys ++ rightOn).map(SortOrder(_, Ascending)))
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyExprs = leftKeys; val rKeyExprs = rightKeys
+    val lOnExprs = leftOn; val rOnExprs = rightOn
+    val lOut = left.output; val rOut = right.output
+    val outAttrs = output
+    val rightArity = rOut.length
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val lOnProj = UnsafeProjection.create(lOnExprs, lOut)
+      val rOnProj = UnsafeProjection.create(rOnExprs, rOut)
+      val nKeys = lKeyExprs.length; val nOn = lOnExprs.length
+      val nullRight = new GenericInternalRow(rightArity)
+      val joined = new JoinedRow
+      // physical-operator contract: emit UnsafeRow (consumers like
+      // getByteArrayRdd cast); one reused buffer, standard operator style.
+      // Bind against `output` (right side forced nullable), NOT the raw
+      // child attributes — codegen elides null checks on non-nullable
+      // fields and would read garbage where the unmatched side is null
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+
+      // long-vector lexicographic compare (all fields long-backed)
+      def cmp(a: UnsafeRow, b: UnsafeRow, n: Int): Int = {
+        var i = 0
+        while (i < n) {
+          val c = java.lang.Long.compare(a.getLong(i), b.getLong(i))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+
+      new Iterator[InternalRow] {
+        // right cursor: the one row of lookahead...
+        private var rHead: InternalRow = _
+        private var rHeadKey: UnsafeRow = _
+        private var rHeadOn: UnsafeRow = _
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) {
+            rHead = rIter.next()
+            rHeadKey = rKeyProj(rHead).copy()
+            rHeadOn = rOnProj(rHead).copy()
+          } else { rHead = null; rHeadKey = null; rHeadOn = null }
+        advanceRight()
+        // ...plus the running best match and the key it belongs to
+        private var bestKey: UnsafeRow = _
+        private var best: InternalRow = _
+
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val lKey = lKeyProj(lRow)
+          val lOnV = lOnProj(lRow)
+          // consume every right row strictly below (lKey, lOn): the last
+          // same-key one consumed is the as-of match (right is sorted)
+          while (rHead != null && {
+            val kc = cmp(rHeadKey, lKey, nKeys)
+            kc < 0 || (kc == 0 && cmp(rHeadOn, lOnV, nOn) < 0)
+          }) {
+            bestKey = rHeadKey
+            best = rHead.copy()
+            advanceRight()
+          }
+          val matched =
+            if (best != null && cmp(bestKey, lKey, nKeys) == 0) best else nullRight
+          outProj(joined(lRow, matched))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** User-facing constructor: `AsofJoin(left, right, keys, on)` with column
+  * names resolved against each side. Left/right attribute names must be
+  * disjoint (alias before joining — also what keeps self-joins sound).
+  */
+object AsofJoin {
+  def apply(leftDf: DataFrame, rightDf: DataFrame,
+            keys: Seq[(String, String)], on: Seq[(String, String)]): DataFrame = {
+    val spark = leftDf.sparkSession
+    val lPlan = leftDf.queryExecution.analyzed
+    val rPlan = rightDf.queryExecution.analyzed
+    val overlap = lPlan.output.map(_.name).toSet intersect rPlan.output.map(_.name).toSet
+    require(overlap.isEmpty,
+      s"asof join: alias overlapping columns first: ${overlap.mkString(", ")}")
+    def resolve(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"asof join: no column `$n` in [${p.output.map(_.name).mkString(", ")}]"))
+    org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark,
+      AsofJoinPlan(lPlan, rPlan,
+        keys.map(k => resolve(lPlan, k._1)), keys.map(k => resolve(rPlan, k._2)),
+        on.map(o => resolve(lPlan, o._1)), on.map(o => resolve(rPlan, o._2))))
+  }
+
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.exists(_ eq AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+}
