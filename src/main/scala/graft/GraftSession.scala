@@ -27,6 +27,8 @@ object GraftSession {
     functions.NativeText.register(spark)
     functions.NativeVector.register(spark)
     functions.NativeAgg.register(spark)
+    functions.CountMin.register(spark)
+    plans.AsofJoin.register(spark)
     TableNames.foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
     spark
   }

@@ -39,10 +39,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
           .stripMargin)
         .collect()(0).getDouble(0)
       assert(math.abs(c - 1.0) < 1e-12, s"graft_cosine must resolve and evaluate, got $c")
+      // the CMS aggregate rode along too (the newest builder list)
+      val est = s2.sql(
+        """SELECT graft_cms_lookup(cms, 7L, 3, 64) AS est FROM
+          |  (SELECT graft_cms_sketch(k, 3, 64) AS cms FROM
+          |    (SELECT CAST(7 AS BIGINT) AS k))""".stripMargin)
+        .collect()(0).getLong(0)
+      assert(est == 1L, s"CMS of one key must estimate exactly 1, got $est")
       // and the optimizer rule rode along
       assert(s2.sessionState.optimizer.extendedOperatorOptimizationRules
         .contains(plans.NanosTimestampPushdown),
         "NanosTimestampPushdown must be injected by the extensions")
+      // and the planner strategy for the custom as-of operator
+      assert(s2.sessionState.planner.strategies.contains(plans.AsofJoinStrategy),
+        "AsofJoinStrategy must be injected by the extensions")
     } finally {
       // restore the shared session for every other suite (do NOT stop s2 —
       // it shares the one SparkContext)
