@@ -549,6 +549,30 @@ object RelationalOps {
       .orderBy(col("event_id"))
   }
 
+  /** ntile decile profile — the remaining rank-family window function
+    * (row_number/rank/dense_rank/lag/lead live in a6): per event type,
+    * SQL-standard ntile(10) over (value, id) order — the first n mod k
+    * tiles take the extra row, a convention both engines implement, and
+    * the id tiebreak makes tile membership total. Emitted as the decile
+    * SUMMARY (count + cents bounds per tile — the equi-depth histogram a
+    * quality pipeline bins features with), so the result is |types|·10
+    * rows, not |events|. One hash shuffle on event_type; the per-group
+    * sort is the window's, reused by nothing downstream.
+    */
+  private def a10NtileDeciles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("v_cents"), col("event_id"))
+    events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("v_cents"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n"), min(col("v_cents")).as("lo_cents"),
+        max(col("v_cents")).as("hi_cents"))
+      .orderBy(col("event_type"), col("decile"))
+  }
+
   /** Session gap threshold: 6 hours in microseconds. Sits between the
     * corpus's p25 (~3 h) and median (~7 h) inter-event gap, so the fixture
     * splits real multi-event sessions instead of degenerating to
@@ -1267,6 +1291,7 @@ object RelationalOps {
     "a6_window_suite" -> (a6WindowSuite _),
     "j2_asof_join" -> (j2 _),
     "j10_asof_operator" -> (j10 _),
+    "a10_ntile_deciles" -> (a10NtileDeciles _),
     "w7_no_data_short_circuit" -> (w7 _),
     "q1_pricing_summary" -> (q1 _),
     "q2_segment_revenue" -> (q2 _),
@@ -1663,6 +1688,20 @@ object RelationalOps {
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
          |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "a10_ntile_deciles" ->
+      """SELECT event_type,
+        |  CAST(ntile AS INTEGER) AS decile, n, lo_cents, hi_cents FROM (
+        |  SELECT event_type, decile AS ntile, count(*) AS n,
+        |    min(v_cents) AS lo_cents, max(v_cents) AS hi_cents
+        |  FROM (
+        |    SELECT event_type, event_id,
+        |      CAST(round(value * 100) AS BIGINT) AS v_cents,
+        |      ntile(10) OVER (PARTITION BY event_type
+        |                      ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
+        |        AS decile
+        |    FROM events)
+        |  GROUP BY 1, 2)
+        |ORDER BY event_type, decile""".stripMargin,
     // the custom physical operator must reproduce the composed j2 form
     // bit-for-bit — one oracle grades both spellings
     "j10_asof_operator" ->

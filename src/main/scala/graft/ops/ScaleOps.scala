@@ -636,6 +636,49 @@ object ScaleOps {
         expr("(n * n - sum_c2) * 1000000 div (n * n)").as("gini_micro"))
       .orderBy(col("event_type"))
 
+  /** Lag-1 autocorrelation of the daily revenue series per event type —
+    * the time-series diagnostic run before trusting a daily metric's
+    * trend (high positive autocorr = momentum/weekly seasonality leaking
+    * through, ~0 = white noise, negative = oscillation/overcorrection).
+    * Shape: one fact rollup to (type, day, cents), a lead(1) window over
+    * the |days|-sized series (the big scan happens ONCE; the window and
+    * everything after run at |types·days| grain), then the Pearson
+    * pieces over consecutive-day pairs as EXACT integers — n, Σx, Σy,
+    * Σxy, Σx², Σy² fold into num = nΣxy − ΣxΣy and the two variance
+    * terms, all BIGINT-exact at shipped SFs (daily cents ≈ 10⁸ at sf1
+    * keeps nΣxy < 10²⁰? no — < 8·10¹⁷, inside BIGINT; a 100 TB
+    * deployment lifts these to DECIMAL(38,0), same query shape). The
+    * emitted classification (`positive`, i.e. num > 0) is pure integer;
+    * `r_milli` is the one float step (⌊1000·num/√(d1·d2)⌋) and is
+    * bit-stable across engines because both run the same IEEE-754
+    * double pipeline on identical integer inputs.
+    */
+  private def statsAutocorrLag1(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val pairs = daily.withColumn("y", lead(col("x"), 1).over(w))
+      .where(col("y").isNotNull)
+    pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("d1"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("d2"))
+      .select(col("event_type"), col("n"), col("num"), col("d1"), col("d2"),
+        (col("num") > 0).as("positive"),
+        floor(lit(1000.0) * col("num") /
+          sqrt(col("d1").cast("double") * col("d2").cast("double")))
+          .cast("long").as("r_milli"))
+      .orderBy(col("event_type"))
+  }
+
   /** Write-Audit-Publish: batches land in a per-batch staging directory,
     * an audit gate compares what is actually ON DISK against the
     * extraction's own claim, and only audited batches are published into
@@ -1172,6 +1215,7 @@ object ScaleOps {
     "etl_branch_isolation" -> (etlBranchIsolation _),
     "stats_bucket_drift" -> (statsBucketDrift _),
     "stats_ks_drift" -> (statsKsDrift _),
+    "stats_autocorr_lag1" -> (statsAutocorrLag1 _),
     "stats_gini_impurity" -> (statsGiniImpurity _),
     "audit_manifest" -> (auditManifest _),
     "j6_bloom_semijoin" -> (j6BloomSemijoin _),
@@ -1324,6 +1368,30 @@ object ScaleOps {
         |  CAST(n2 * 1000 // t2 AS BIGINT) AS share2_milli,
         |  abs(n1 * t2 - n2 * t1) * 50 > t1 * t2 AS drifted
         |FROM b, t ORDER BY bucket""".stripMargin,
+    "stats_autocorr_lag1" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT event_type, x,
+        |    lead(x) OVER (PARTITION BY event_type ORDER BY day) AS y
+        |  FROM daily),
+        |pieces AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM pairs WHERE y IS NOT NULL GROUP BY 1),
+        |terms AS (
+        |  SELECT event_type, n, n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS d1, n * syy - sy * sy AS d2
+        |  FROM pieces)
+        |SELECT event_type, n, num, d1, d2, num > 0 AS positive,
+        |  CAST(floor(1000.0 * num / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)))
+        |    AS BIGINT) AS r_milli
+        |FROM terms ORDER BY event_type""".stripMargin,
     "stats_gini_impurity" ->
       """WITH c AS (
         |  SELECT event_type, round(value * 100)::BIGINT AS v_cents,

@@ -118,6 +118,45 @@ object WarehouseOps {
       .orderBy(col("k_mod7"))
   }
 
+  /** IVM under DELETES — the counting algorithm (Gupta–Mumick): the
+    * append-only IVM pair (`etl_ivm_rollup`/`etl_ivm_join`) breaks the
+    * moment a CDC feed carries deletes, because a materialized group
+    * can't know when it should disappear. The classic fix is to keep the
+    * COUNT alongside every aggregate: inserts arrive weight +1, deletes
+    * weight −1, the refresh folds the weighted delta into the MV at MV
+    * grain, and a group whose count reaches 0 is dropped — never
+    * recomputed from base. Refresh cost is O(|delta|) + a join at
+    * |groups| grain; the 100 TB base is not rescanned (contrast
+    * REFRESH MATERIALIZED VIEW). The fixture zeroes out one whole group
+    * (every min-year URGENT order deleted, inserts steered away from it)
+    * so the drop-at-zero path is non-vacuous, and the oracle recomputes
+    * the final state from scratch — fold ≡ recompute is the IVM proof.
+    */
+  private def etlIvmCounting(s: SparkSession, dir: String): DataFrame = {
+    val base = orders(s, dir).select(col("o_orderpriority").as("prio"),
+      year(col("o_orderdate")).cast("long").as("yr"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderkey").as("k"))
+    val y0 = base.agg(min(col("yr"))).head.getLong(0) // scheduling scalar
+    val zeroGroup = col("prio") === "1-URGENT" && col("yr") === y0
+    val mv = base.groupBy(col("prio"), col("yr"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    val dels = base.where(zeroGroup || col("k") % 13 === 4)
+      .select(col("prio"), col("yr"), lit(-1L).as("w"),
+        (-col("cents")).as("dcents"))
+    val ins = base.where(col("k") % 13 === 5 && !zeroGroup)
+      .select(col("prio"), col("yr"), lit(1L).as("w"),
+        (col("cents") + 11).as("dcents"))
+    val delta = dels.unionByName(ins).groupBy(col("prio"), col("yr"))
+      .agg(sum(col("w")).as("dn"), sum(col("dcents")).as("dc"))
+    mv.join(delta, Seq("prio", "yr"), "full_outer")
+      .select(col("prio"), col("yr"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("cents"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("cents"))
+      .where(col("n") > 0)
+      .orderBy(col("prio"), col("yr"))
+  }
+
   /** Interval-containment join: events against 10 deterministic 36-hour
     * "campaign windows" (every 66 h from 2024-01-01 18:00), aggregated per
     * window. Spark has no range-join optimization — the direct formulation
@@ -509,6 +548,7 @@ object WarehouseOps {
     "j7_temporal_dim_join" -> (j7TemporalDimJoin _),
     "etl_merge_upsert" -> (mergeUpsert _),
     "etl_cdc_apply" -> (etlCdcApply _),
+    "etl_ivm_counting" -> (etlIvmCounting _),
     "etl_snapshot_diff" -> (snapshotDiff _),
     "j5_full_outer_recon" -> (j5FullOuterRecon _),
     "j3_range_join" -> (rangeJoin _),
@@ -616,6 +656,21 @@ object WarehouseOps {
         |FROM d
         |WHERE NOT (n_y > 0 AND n_t > 0 AND n_versions = 1)
         |ORDER BY o_orderkey""".stripMargin,
+    "etl_ivm_counting" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS prio, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey AS k
+        |  FROM orders),
+        |y0 AS (SELECT min(yr) AS y FROM base),
+        |kept AS (
+        |  SELECT b.prio, b.yr, b.cents FROM base b, y0
+        |  WHERE NOT ((b.prio = '1-URGENT' AND b.yr = y0.y) OR b.k % 13 = 4)),
+        |ins AS (
+        |  SELECT b.prio, b.yr, b.cents + 11 AS cents FROM base b, y0
+        |  WHERE b.k % 13 = 5 AND NOT (b.prio = '1-URGENT' AND b.yr = y0.y)),
+        |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |SELECT prio, yr, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM fin GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "etl_cdc_apply" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,
