@@ -105,6 +105,8 @@ object StreamingOps {
       ((s, dir) => StreamingIngest.streamTopkCustom(s, dir)),
     "stream_countmin" ->
       ((s, dir) => StreamingIngest.streamCountmin(s, dir)),
+    "stream_asof_attrib" ->
+      ((s, dir) => StreamingIngest.streamAsofAttrib(s, dir)),
     // the custom DSv2 connector's MICRO-BATCH side: the same poisoned
     // zone + dated window as the batch twin, drained through the
     // file-arrival stream — success proves date pruning reaches the
@@ -150,6 +152,9 @@ object StreamingOps {
     // the incrementally-merged CMS grid must grade identically to the
     // batch sketch twin (same exact side, same envelope pins)
     "stream_countmin" -> CoverageOps.oracleSql("stats_countmin"),
+    // per-micro-batch custom-operator joins against the static history
+    // must reassemble to the all-batch as-of join
+    "stream_asof_attrib" -> RelationalOps.oracleSql("j10_asof_operator"),
     // per-micro-batch audited publishes must reassemble the full source
     "stream_wap_publish" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS export_date, count(*) AS n_rows,

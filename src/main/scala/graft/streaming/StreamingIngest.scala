@@ -330,6 +330,49 @@ object StreamingIngest {
       .orderBy(col("rnk"))
   }
 
+  /** The custom PHYSICAL as-of operator inside a streaming pipeline:
+    * each micro-batch of purchases attribution-joins (most recent
+    * strictly-preceding view per user, ties by id) against the STATIC
+    * view history through [[graft.plans.AsofJoinExec]] in `foreachBatch`
+    * — the stream-static temporal-lookup deployment (batch-computed
+    * dimension, always-on fact stream), and the proof that a tier-(c)
+    * custom operator composes into Structured Streaming unchanged: the
+    * strategy is cloned into the micro-batch session with the rest of
+    * the session state. Per batch the static side shuffles ONCE per its
+    * key partitioning (at scale: persist the sorted/bucketed view
+    * history so only the micro-batch shuffles); the drained sink must
+    * equal the all-batch operator join, i.e. j2's oracle verbatim.
+    */
+  def streamAsofAttrib(spark: SparkSession, dir: String): DataFrame = withStateGrain(spark) {
+    graft.plans.AsofJoin.register(spark)
+    val views = graft.Tables.load(spark, dir, "events")
+      .where(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("ts").as("v_ts"),
+        col("user_id").as("v_user"), col("value").as("v_value"))
+    val purchases = eventsStream(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val root = graft.util.TempDirs.create("graft_stream_asof_")
+    val q = purchases.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.plans.AsofJoin(batch, views,
+          keys = Seq("user_id" -> "v_user"),
+          on = Seq("ts" -> "v_ts", "event_id" -> "v_id"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$root/data")
+      }
+      .option("checkpointLocation", s"$root/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    unloadStateStores()
+    spark.read.parquet(s"$root/data")
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_iso"),
+        col("user_id"), col("v_id").as("asof_view_id"),
+        col("v_value").as("asof_view_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** W8's gap sessionization as a *streaming* session-window aggregation:
     * `session_window(ts, gap)` merges an event into the open session when
     * it lands at or within `gap` of the session's last event (probe-pinned:
