@@ -294,7 +294,40 @@ object DedupOps {
       .orderBy(col("src_lo"), col("src_hi"))
   }
 
+  /** ASYMMETRIC containment — the relation Jaccard cannot see: a short
+    * document quoted wholesale inside a much longer one has
+    * J = |A|/|B| ≈ 0 but containment C(A,B) = |S_A ∩ S_B| / |S_A| ≈ 1.
+    * This is the quote/boilerplate/subset detector a training corpus
+    * runs AFTER near-dup removal (near-dups are symmetric; contamination
+    * and license text are not). Shape: the suspect set (here a 10%
+    * sample — in production the shorter-doc stratum) explodes its
+    * shingles and equi-joins the corpus's exploded shingles on the
+    * 64-bit shingle hash — |suspects|·avg-shingles probe rows against
+    * the corpus posting list, never an all-pairs product; the rollup to
+    * (suspect, host) pair grain and the division happen at candidate
+    * grain. At 100 TB add a document-frequency screen first (drop
+    * shingles appearing in > f docs — stop-shingle removal) to bound the
+    * posting-list fanout; integer milli-containment replays exactly.
+    */
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(documents(s, dir)).cache()
+    val suspects = sh.where(col("doc_id") % 10 === 3 && size(col("sh_hashes")) > 0)
+    val aEx = suspects.select(col("doc_id").as("a_id"),
+      explode(col("sh_hashes")).as("h"))
+    val bEx = sh.select(col("doc_id").as("b_id"), explode(col("sh_hashes")).as("h"))
+    val inter = aEx.join(bEx, "h").where(col("a_id") =!= col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_inter"))
+    val sizes = suspects.select(col("doc_id").as("a_id"),
+      size(col("sh_hashes")).cast("long").as("n_a"))
+    inter.join(broadcast(sizes), "a_id") // suspects: the small probe side
+      .select(col("a_id"), col("b_id"), col("n_inter"), col("n_a"),
+        expr("n_inter * 1000 div n_a").as("containment_milli"))
+      .where(col("containment_milli") >= 500)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> (dedupContainment _),
     "dedup_exact" -> (dedupExact _),
     "dedup_normalized" -> (dedupNormalized _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -348,6 +381,18 @@ object DedupOps {
          |      FROM alldocs)
          |GROUP BY h HAVING count(*) > 1 ORDER BY keep_doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> duckPairs("WHERE doc_id % 10 = 0"),
+    "dedup_containment" ->
+      s"""WITH tok AS (${duckShingled("")}),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS n_inter,
+         |    CAST(len(a.t) AS BIGINT) AS n_a
+         |  FROM tok a JOIN tok b
+         |    ON a.doc_id % 10 = 3 AND a.doc_id <> b.doc_id AND len(a.t) > 0)
+         |SELECT a_id, b_id, n_inter, n_a,
+         |  n_inter * 1000 // n_a AS containment_milli
+         |FROM pairs WHERE n_inter * 1000 // n_a >= 500
+         |ORDER BY a_id, b_id""".stripMargin,
     // The bucketed paths are graded against the same brute-force truth: on
     // this corpus (no pair in the (0.15, 0.9) Jaccard gap) banded MinHash /
     // blocked SimHash find every true pair, so their verified output must

@@ -535,7 +535,35 @@ object TextAnalysisOps {
       .where(col("n_members") < 5)
       .orderBy(col("lang"), col("source"), col("len_band"))
 
+  /** Column masking + row-level security as a governed VIEW — the second
+    * governance leg beside the k-anonymity audit: what an analyst role
+    * actually reads. Row policy: only the tenant's nations (1–3). Column
+    * policy: c_custkey → deterministic PSEUDONYM (md5-derived token —
+    * stable across runs and tables, so governed joins still work, yet
+    * irreversible without the mapping), c_name → masked to its last 3
+    * chars, c_acctbal → a 500-unit BAND (generalization), segment kept
+    * (analytic utility). Map-only over the dimension — the policy
+    * composes under any downstream plan because it IS a projection; at
+    * scale the same select wraps fact tables at zero shuffle cost.
+    * Everything is deterministic standard SQL (md5/substr/div), so the
+    * oracle replays the governed view bit-for-bit.
+    */
+  private def govColumnMask(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .where(col("c_nationkey").between(1, 3))
+      .select(
+        substring(md5(col("c_custkey").cast("string")), 1, 16).as("pseudo_id"),
+        concat(lit("***"), substring(col("c_name"), -3, 3)).as("name_masked"),
+        col("c_nationkey"),
+        // floor (not truncate): negative balances must band downward the
+        // same way in both engines
+        floor(round(col("c_acctbal") * 100).cast("long") / 50000.0)
+          .cast("long").as("acct_band"),
+        col("c_mktsegment"))
+      .orderBy(col("pseudo_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gov_column_mask" -> (govColumnMask _),
     "privacy_k_anon" -> (privacyKAnon _),
     "ta_bpe_merges" -> (taBpeMerges _),
     "ta_bpe_encode" -> (taBpeEncode _),
@@ -622,6 +650,16 @@ object TextAnalysisOps {
     Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "gov_column_mask" ->
+      """SELECT substr(md5(CAST(c_custkey AS VARCHAR)), 1, 16) AS pseudo_id,
+        |  '***' || substr(c_name, length(c_name) - 2, 3) AS name_masked,
+        |  c_nationkey,
+        |  CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 50000.0) AS BIGINT)
+        |    AS acct_band,
+        |  c_mktsegment
+        |FROM customer
+        |WHERE c_nationkey BETWEEN 1 AND 3
+        |ORDER BY pseudo_id""".stripMargin,
     "privacy_k_anon" ->
       """SELECT lang, source, n_chars // 200 AS len_band,
         |  CAST(count(*) AS BIGINT) AS n_members
