@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based contracts for the round's custom execution pieces:
+  * the count-min aggregate's one-sided guarantee and grid accounting
+  * over arbitrary key multisets (arbitrary partitionings — merge() is in
+  * the path), and the physical as-of operator's equivalence to the
+  * window formulation over random event tapes (arbitrary ties,
+  * duplicates, and key skew).
+  */
+class CustomOpPropertySpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private implicit lazy val sp: org.apache.spark.sql.SparkSession = spark
+
+  test("property: CMS never undercounts and its rows each sum to N") {
+    import sp.implicits._
+    functions.CountMin.register(spark)
+    val keysGen = for {
+      n <- Gen.chooseNum(1, 300)
+      ks <- Gen.listOfN(n, Gen.chooseNum(-50L, 50L)) // dense → forced collisions at w=16
+      parts <- Gen.chooseNum(1, 6)
+    } yield (ks, parts)
+    val prop = Prop.forAll(keysGen) { case (ks, parts) =>
+      val df = ks.toDF("k").repartition(parts)
+      val sk = df.agg(expr("graft_cms_sketch(k, 3, 16)").as("cms")).cache()
+      val probe = df.groupBy(col("k")).agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(sk))
+        .select(col("n_exact"), expr("graft_cms_lookup(cms, k, 3, 16)").as("n_est"))
+      val noUnder = probe.where(col("n_est") < col("n_exact")).count() == 0
+      // every grid row receives exactly one increment per input row
+      val rows = sk.select(expr(
+        "transform(array(0, 1, 2), r -> aggregate(slice(cms, r * 16 + 1, 16), 0L, (a, x) -> a + x))"))
+        .head.getSeq[Long](0)
+      sk.unpersist()
+      noUnder && rows.forall(_ == ks.length)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: as-of operator ≡ window formulation on random tapes") {
+    import org.apache.spark.sql.expressions.Window
+    import sp.implicits._
+    graft.plans.AsofJoin.register(spark)
+    val tapeGen = for {
+      nl <- Gen.chooseNum(1, 60)
+      nr <- Gen.chooseNum(0, 60)
+      // tiny key/time domains → heavy ties and duplicates, the hard cases
+      l <- Gen.listOfN(nl, Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 20L)))
+      r <- Gen.listOfN(nr, Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 20L)))
+      parts <- Gen.chooseNum(1, 5)
+    } yield (l, r, parts)
+    val prop = Prop.forAll(tapeGen) { case (l, r, parts) =>
+      val left = l.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "lid").repartition(parts)
+      val right = r.zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i) }
+        .toDF("rk", "rt", "rid").repartition(parts)
+      val got = graft.plans.AsofJoin(left, right,
+        keys = Seq("k" -> "rk"), on = Seq("t" -> "rt", "lid" -> "rid"))
+        .select(col("lid"), col("rid"))
+        .collect().map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .sorted.toSeq
+      // window oracle: union both sides ordered by (t, id); each left row
+      // takes the last right row strictly before it
+      val merged = l.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong, -1L) } ++
+        r.zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i, 1L) }
+      val expected = merged.filter(_._4 == -1L).map { case (k, t, lid, _) =>
+        val cands = merged.filter(m => m._4 == 1L && m._1 == k &&
+          (m._2 < t || (m._2 == t && m._3 < lid)))
+        (lid, if (cands.isEmpty) -1L else cands.maxBy(m => (m._2, m._3))._3)
+      }.sorted.toSeq
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
