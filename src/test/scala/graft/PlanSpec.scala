@@ -497,6 +497,51 @@ class PlanSpec extends AnyFunSuite {
       s"map-side partial agg expected above the Expand\n$plan")
   }
 
+  test("q6 pushes all three range predicates to the parquet scan") {
+    // PushedFilters renders truncated at the default 100 chars — widen so
+    // the assertion sees the whole list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val plan = try
+      physical(ops.RelationalOps.queries("q6_forecast_revenue")(spark, Sf0001))
+    finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    // the pushdown-proof query: date, discount band, and quantity cap must
+    // ALL reach PushedFilters so row groups can be skipped at 100 TB
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate,") &&
+      plan.contains("LessThan(l_shipdate,"), s"date range must push down\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+      plan.contains("LessThanOrEqual(l_discount,0.07)"),
+      s"discount band must push down\n$plan")
+    assert(plan.contains("LessThan(l_quantity,24"),
+      s"quantity cap must push down\n$plan")
+    assert(plan.contains("partial_sum"), s"map-side partial agg expected\n$plan")
+  }
+
+  test("q9 broadcasts the name-filtered part and nation dims, no cartesian") {
+    val plan = physical(ops.RelationalOps.queries("q9_product_profit")(spark, Sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"part and nation must broadcast\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"no cartesian allowed\n$plan")
+    // the substring dim filter runs at the part scan, not post-join
+    assert(plan.contains("Contains(p_name,red)") ||
+      plan.contains("StringContains(p_name,red)"),
+      s"p_name filter must sit at the scan\n$plan")
+  }
+
+  test("triangle counting joins stay equi-keyed — no nested-loop anywhere") {
+    val plan = physical(ops.ClusterOps.queries("graph_triangles")(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"degree orientation must keep every join hashable\n$plan")
+    assert(plan.contains("LeftSemi"), s"the closing check must be a semi join\n$plan")
+  }
+
+  test("containment probe is an equi-join on the shingle hash, never all-pairs") {
+    val plan = physical(ops.DedupOps.queries("dedup_containment")(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"posting-list join only\n$plan")
+  }
+
   test("cumulative daily growth aggregates the fact table BEFORE windowing") {
     val plan = physical(ops.RelationalOps.queries("w9_cumulative_daily")(spark, Sf0001))
     // the running sum must window over the day rollup, not the raw events:
