@@ -88,6 +88,19 @@ object StreamingOps {
     "stream_user_watermark" -> ((s, dir) => StreamingIngest.statefulUserWatermark(s, dir)),
     "stream_dedup_exact" -> ((s, dir) => StreamingIngest.streamDedupExact(s, dir)),
     "stream_sessionize" -> ((s, dir) => StreamingIngest.sessionWindows(s, dir)),
+    // the SAME stateful query under the RocksDB state store — config-only
+    // backend swap, bit-identical output. This is the 100 TB state story:
+    // HDFS-backed stores hold every key on-heap (state is bounded by
+    // executor memory); RocksDB spills state to local SSD with an
+    // off-heap block cache, so per-partition state can exceed the heap —
+    // the backend every large always-on deployment runs. The drain runs
+    // with the provider set and restores the default afterwards.
+    "stream_sessionize_rocksdb" -> ((s, dir) => {
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try StreamingIngest.sessionWindows(s, dir) // drains eagerly inside
+      finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }),
     "stream_session_timers" -> ((s, dir) => StreamingIngest.streamSessionTimers(s, dir)),
     "stream_interval_join" -> ((s, dir) => StreamingIngest.streamIntervalJoin(s, dir)),
     "stream_left_outer_join" -> ((s, dir) => StreamingIngest.streamLeftOuterJoin(s, dir)),
@@ -240,6 +253,25 @@ object StreamingOps {
          |FROM g, mx WHERE la + INTERVAL 6 HOUR <= mt - INTERVAL 2 HOUR
          |ORDER BY user_id, session_start""".stripMargin,
     "stream_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+         |m AS (
+         |  SELECT user_id, ts, us,
+         |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > ${6L * 3600 * 1000000}
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (
+         |  SELECT user_id, ts, us,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, us
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM m)
+         |SELECT user_id,
+         |  strftime(min(ts), '$TsFmt') AS session_start,
+         |  strftime(max(ts) + INTERVAL 6 HOUR, '$TsFmt') AS session_end,
+         |  count(*) AS n_events
+         |FROM s GROUP BY user_id, session_id
+         |ORDER BY user_id, session_start""".stripMargin,
+    "stream_sessionize_rocksdb" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
          |m AS (
