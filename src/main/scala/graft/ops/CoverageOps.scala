@@ -157,7 +157,16 @@ object CoverageOps {
     * then per-day renames — metadata ops only) plus an out-of-range file
     * whose lines cannot parse. Returns the zone directory.
     */
-  private[ops] def buildTsvZone(s: SparkSession, dir: String): String = {
+  // One zone per source dir per session: the zone is a pure function of
+  // the immutable fixture, three queries (batch/stream/SQL-catalog) read
+  // it, and the catalog plugin caches its root — a stable path keeps all
+  // consumers coherent across a bench sweep's repeated runs.
+  private val zoneMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[ops] def buildTsvZone(s: SparkSession, dir: String): String =
+    zoneMemo.computeIfAbsent(dir, _ => buildTsvZoneUncached(s, dir))
+
+  private def buildTsvZoneUncached(s: SparkSession, dir: String): String = {
     import org.apache.hadoop.fs.Path
     val out = graft.util.TempDirs.create("graft_tsv_zone_")
     Tables.load(s, dir, "events")
@@ -212,6 +221,27 @@ object CoverageOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("cents"))
       .orderBy(col("event_type"))
+  }
+
+  /** The landing zone reached through PLAIN SQL via the catalog plugin
+    * ([[graft.sources.GraftCatalog]]): two confs bind the catalog, and
+    * `FROM graft.`zone`` resolves straight to the connector table — the
+    * no-plumbing surface BI tools use. Same window, same poisoned zone,
+    * same oracle as the programmatic twin: succeeding at all proves the
+    * date predicates push through the SQL path into scan-time file
+    * pruning (the poison file would throw).
+    */
+  private def sqlApiCatalogTsv(s: SparkSession, dir: String): DataFrame = {
+    val zone = buildTsvZone(s, dir)
+    val p = new org.apache.hadoop.fs.Path(zone)
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", p.getParent.toString)
+    s.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(value_cents) AS BIGINT) AS cents
+         |FROM graft.`${p.getName}`
+         |WHERE event_date >= '2024-01-05' AND event_date < '2024-01-20'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
   /** Schema-evolution source read: a landing zone accumulates files
@@ -589,6 +619,7 @@ object CoverageOps {
     "src_csv_roundtrip" -> (srcCsvRoundtrip _),
     "src_dsv2_landing" -> (srcDsv2Landing _),
     "snk_dsv2_landing" -> (snkDsv2Landing _),
+    "sql_api_catalog_tsv" -> (sqlApiCatalogTsv _),
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
     "src_jdbc_roundtrip" -> (srcJdbcRoundtrip _),
     "src_schema_evolution" -> (srcSchemaEvolution _),
@@ -686,6 +717,13 @@ object CoverageOps {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_dsv2_landing" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-05'
+        |  AND strftime(ts, '%Y-%m-%d') < '2024-01-20'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sql_api_catalog_tsv" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events

@@ -154,6 +154,39 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(agg == Map("2024-02-01" -> 20L, "2024-02-02" -> 20L))
   }
 
+  test("catalog plugin: SQL DDL lifecycle over zone directories") {
+    val root = graft.util.TempDirs.create("graft_catalog_root_")
+    spark.conf.set("spark.sql.catalog.gtest", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtest.root", root)
+    try {
+      spark.sql("CREATE TABLE gtest.zone_a (event_date STRING NOT NULL, " +
+        "event_id BIGINT NOT NULL, user_id BIGINT NOT NULL, " +
+        "event_type STRING NOT NULL, value_cents BIGINT NOT NULL)")
+      assert(spark.sql("SHOW TABLES IN gtest").collect()
+        .map(_.getAs[String]("tableName")).contains("zone_a"))
+      // write through SQL INSERT → the connector's commit protocol
+      spark.sql("INSERT INTO gtest.zone_a VALUES " +
+        "('2024-03-01', 1, 10, 'view', 500), ('2024-03-02', 2, 11, 'purchase', 900)")
+      val rows = spark.sql(
+        "SELECT event_id, value_cents FROM gtest.zone_a ORDER BY event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((1L, 500L), (2L, 900L)))
+      // fixed-schema contract: ALTER refused, mismatched CREATE refused
+      intercept[Exception] {
+        spark.sql("ALTER TABLE gtest.zone_a ADD COLUMN extra STRING")
+      }
+      intercept[Exception] {
+        spark.sql("CREATE TABLE gtest.zone_b (wrong STRING)")
+      }
+      spark.sql("DROP TABLE gtest.zone_a")
+      assert(!spark.sql("SHOW TABLES IN gtest").collect()
+        .map(_.getAs[String]("tableName")).contains("zone_a"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gtest")
+      spark.conf.unset("spark.sql.catalog.gtest.root")
+    }
+  }
+
   test("an unfiltered read of a poisoned zone fails loudly, not silently") {
     val out = buildZone()
     val e = intercept[Exception] { readZone(out).count() }
