@@ -472,11 +472,39 @@ object SamplingOps {
       .orderBy(col("op"))
   }
 
+  /** Curriculum ordering — the training-data sequencing op: documents
+    * march through difficulty PHASES (length bands as the difficulty
+    * proxy), and WITHIN a phase the sources interleave round-robin so no
+    * contiguous run over-exposes one source. The scale trick is the
+    * CLOSED-FORM sequence key: `seq = rank_in_source · 100 + src_idx`
+    * (100 > source count) reproduces the round-robin order with only a
+    * per-(phase, source) window — there is NO global row_number over the
+    * corpus, which at 100 TB would funnel every row through one
+    * partition. Writers emit in (phase, seq_key) order via an ordinary
+    * range-partitioned sort.
+    */
+  private def mixCurriculum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("phase"), col("source")).orderBy(col("doc_id"))
+    documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("phase",
+        when(col("n_chars") < 256, 0L).when(col("n_chars") < 512, 1L)
+          .when(col("n_chars") < 1024, 2L).otherwise(3L))
+      .withColumn("src_idx",
+        regexp_extract(col("source"), "(\\d+)", 1).cast("long"))
+      .withColumn("seq_key",
+        row_number().over(w).cast("long") * 100 + col("src_idx"))
+      .select(col("doc_id"), col("phase"), col("src_idx"), col("seq_key"))
+      .orderBy(col("phase"), col("seq_key"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "set_ops_multiset" -> (setOpsMultiset _),
     "mix_global_shuffle" -> (mixGlobalShuffle _),
     "set_ops_splits" -> (setOpsSplits _),
     "mix_temperature_weights" -> (mixTemperatureWeights _),
+    "mix_curriculum" -> (mixCurriculum _),
     "mix_pivot_matrix" -> (mixPivotMatrix _),
     "stats_corr_exact" -> (statsCorrExact _),
     "stats_column_profile" -> (statsColumnProfile _),
@@ -516,6 +544,19 @@ object SamplingOps {
         |  SELECT doc_id, lang, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS skey
         |  FROM documents ORDER BY skey LIMIT 100)
         |ORDER BY pos""".stripMargin,
+    "mix_curriculum" ->
+      """SELECT doc_id, phase, src_idx, seq_key FROM (
+        |  SELECT doc_id, phase,
+        |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) AS src_idx,
+        |    CAST(row_number() OVER (PARTITION BY phase, source ORDER BY doc_id)
+        |      AS BIGINT) * 100
+        |      + CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) AS seq_key
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      CASE WHEN n_chars < 256 THEN 0 WHEN n_chars < 512 THEN 1
+        |           WHEN n_chars < 1024 THEN 2 ELSE 3 END AS phase
+        |    FROM documents))
+        |ORDER BY phase, seq_key, doc_id""".stripMargin,
     "mix_pivot_matrix" -> {
       val cells = PivotLangs.map(l =>
         s"CAST(count(*) FILTER (lang = '$l') AS BIGINT) AS \"$l\"").mkString(",\n  ")
