@@ -833,6 +833,24 @@ object RelationalOps {
         col("revenue"), col("n_rows"), col("gid").cast("long").as("gid"))
       .orderBy(col("gid"), col("returnflag"), col("linestatus"))
 
+  /** CUBE — the last grouped-aggregation shape (groupBy A4, rollup A5,
+    * multi-distinct A7, arbitrary sets A8): all 2² margins of
+    * (returnflag, linestatus) including the grand total, one fact scan,
+    * one Expand. Revenue in exact cents so the four grouping levels all
+    * hash-replay.
+    */
+  private def a11Cube(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("revenue_cents"), col("n_rows"), col("gid").cast("long").as("gid"))
+      .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+
   /** Headline join+agg (bench shape): fact-to-dim broadcast join then group. */
   private def q2(s: SparkSession, dir: String): DataFrame =
     orders(s, dir)
@@ -1292,6 +1310,7 @@ object RelationalOps {
     "j2_asof_join" -> (j2 _),
     "j10_asof_operator" -> (j10 _),
     "a10_ntile_deciles" -> (a10NtileDeciles _),
+    "a11_cube" -> (a11Cube _),
     "w7_no_data_short_circuit" -> (w7 _),
     "q1_pricing_summary" -> (q1 _),
     "q2_segment_revenue" -> (q2 _),
@@ -1688,6 +1707,16 @@ object RelationalOps {
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
          |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "a11_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents,
+        |  count(*) AS n_rows,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
     "a10_ntile_deciles" ->
       """SELECT event_type,
         |  CAST(ntile AS INTEGER) AS decile, n, lo_cents, hi_cents FROM (
