@@ -549,6 +549,29 @@ object RelationalOps {
       .orderBy(col("event_id"))
   }
 
+  /** FORWARD as-of through the same physical operator ([[j10]]'s
+    * backward twin, pandas merge_asof `direction='forward'`): each
+    * purchase matched to the NEXT strictly-following view — the
+    * "did the user come back" post-purchase signal. Same one-shuffle-
+    * per-side sorted walk; the oracle is the j2 window trick run over
+    * the time-REVERSED stream.
+    */
+  private def j11(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.AsofJoin.register(s)
+    val ev = events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("ts").as("v_ts"),
+        col("user_id").as("v_user"), col("value").as("v_value"))
+    graft.plans.AsofJoin(purchases, views,
+      keys = Seq("user_id" -> "v_user"),
+      on = Seq("ts" -> "v_ts", "event_id" -> "v_id"), forward = true)
+      .select(col("event_id"), fmt(col("ts")).as("ts_iso"), col("user_id"),
+        col("v_id").as("next_view_id"), col("v_value").as("next_view_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** ntile decile profile — the remaining rank-family window function
     * (row_number/rank/dense_rank/lag/lead live in a6): per event type,
     * SQL-standard ntile(10) over (value, id) order — the first n mod k
@@ -1309,6 +1332,7 @@ object RelationalOps {
     "a6_window_suite" -> (a6WindowSuite _),
     "j2_asof_join" -> (j2 _),
     "j10_asof_operator" -> (j10 _),
+    "j11_asof_forward" -> (j11 _),
     "a10_ntile_deciles" -> (a10NtileDeciles _),
     "a11_cube" -> (a11Cube _),
     "w7_no_data_short_circuit" -> (w7 _),
@@ -1744,6 +1768,22 @@ object RelationalOps {
          |      OVER w AS asof_view_value
          |  FROM events WHERE event_type IN ('view', 'purchase')
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // forward direction: the same window trick over the time-REVERSED
+    // stream — "1 PRECEDING" in (ts DESC, id DESC) order is exactly
+    // "strictly after by (ts, id)"
+    "j11_asof_forward" ->
+      s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id,
+         |  next_view_id, next_view_value
+         |FROM (
+         |  SELECT event_id, ts, user_id, event_type,
+         |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+         |      OVER w AS next_view_id,
+         |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+         |      OVER w AS next_view_value
+         |  FROM events WHERE event_type IN ('view', 'purchase')
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
          |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "w10_volume_anomaly" ->

@@ -44,7 +44,8 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
 case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftOn: Seq[Expression], rightOn: Seq[Expression]) extends BinaryNode {
+    leftOn: Seq[Expression], rightOn: Seq[Expression],
+    forward: Boolean = false) extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftOn.length == rightOn.length,
     "asof join: key/on lists must pair up")
   override def output: Seq[Attribute] =
@@ -56,15 +57,27 @@ case class AsofJoinPlan(
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lo, ro) =>
-      AsofJoinExec(lk, rk, lo, ro, planLater(l), planLater(r)) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lo, ro, fwd) =>
+      AsofJoinExec(lk, rk, lo, ro, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
+/** `forward = false` (default): match = greatest same-key right tuple
+  * STRICTLY below the left tuple (most recent preceding). `forward =
+  * true`: match = least same-key right tuple STRICTLY above (next
+  * following — pandas merge_asof's `direction='forward'`). Both are the
+  * same monotone walk: consume right rows up to the left tuple
+  * (strictly-below for backward, non-strictly for forward); the last
+  * consumed same-key row is the backward match, the cursor HEAD is the
+  * forward match — consuming ≤-tuples is safe for forward because left
+  * tuples only grow, so a consumed right can never be strictly above a
+  * later left.
+  */
 case class AsofJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftOn: Seq[Expression], rightOn: Seq[Expression],
+    forward: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   (leftKeys ++ rightKeys ++ leftOn ++ rightOn).foreach { e =>
@@ -139,18 +152,27 @@ case class AsofJoinExec(
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
           val lOnV = lOnProj(lRow)
-          // consume every right row strictly below (lKey, lOn): the last
-          // same-key one consumed is the as-of match (right is sorted)
+          // consume right rows up to (lKey, lOn) — strictly below for
+          // backward, non-strictly for forward; the last same-key row
+          // consumed is the backward match, the head the forward one
           while (rHead != null && {
             val kc = cmp(rHeadKey, lKey, nKeys)
-            kc < 0 || (kc == 0 && cmp(rHeadOn, lOnV, nOn) < 0)
+            kc < 0 || (kc == 0 && {
+              val oc = cmp(rHeadOn, lOnV, nOn)
+              oc < 0 || (forward && oc == 0)
+            })
           }) {
             bestKey = rHeadKey
             best = rHead.copy()
             advanceRight()
           }
           val matched =
-            if (best != null && cmp(bestKey, lKey, nKeys) == 0) best else nullRight
+            if (forward) {
+              if (rHead != null && cmp(rHeadKey, lKey, nKeys) == 0) rHead
+              else nullRight
+            } else {
+              if (best != null && cmp(bestKey, lKey, nKeys) == 0) best else nullRight
+            }
           outProj(joined(lRow, matched))
         }
       }
@@ -168,7 +190,8 @@ case class AsofJoinExec(
   */
 object AsofJoin {
   def apply(leftDf: DataFrame, rightDf: DataFrame,
-            keys: Seq[(String, String)], on: Seq[(String, String)]): DataFrame = {
+            keys: Seq[(String, String)], on: Seq[(String, String)],
+            forward: Boolean = false): DataFrame = {
     val spark = leftDf.sparkSession
     val lPlan = leftDf.queryExecution.analyzed
     val rPlan = rightDf.queryExecution.analyzed
@@ -182,7 +205,8 @@ object AsofJoin {
     org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark,
       AsofJoinPlan(lPlan, rPlan,
         keys.map(k => resolve(lPlan, k._1)), keys.map(k => resolve(rPlan, k._2)),
-        on.map(o => resolve(lPlan, o._1)), on.map(o => resolve(rPlan, o._2))))
+        on.map(o => resolve(lPlan, o._1)), on.map(o => resolve(rPlan, o._2)),
+        forward))
   }
 
   def register(spark: SparkSession): Unit =

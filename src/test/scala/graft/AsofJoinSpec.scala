@@ -48,6 +48,22 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(run(parts = 5) == expected)
   }
 
+  test("FORWARD direction: next strictly-following match, ties excluded") {
+    graft.plans.AsofJoin.register(spark)
+    val (left, right) = mkSides(3)
+    val got = graft.plans.AsofJoin(left, right,
+      keys = Seq("k" -> "rk"), on = Seq("t" -> "rt"), forward = true)
+      .select(col("pid"), col("t"), col("vid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (100L, 10L, 901L),   // tie at t=10 excluded (strict); next is 15
+      (101L, 20L, null),   // nothing after 20 for key 1
+      (102L, 5L, null),    // key absent on the right
+      (103L, 50L, 904L)),  // next after 50 is 60
+      s"got $got")
+  }
+
   test("plans as AsofJoinExec — no window, no union, one exchange per side") {
     graft.plans.AsofJoin.register(spark)
     val (left, right) = mkSides(3)
