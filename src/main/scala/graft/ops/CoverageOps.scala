@@ -606,7 +606,51 @@ object CoverageOps {
       .orderBy(col("rnk"))
   }
 
+  /** KMV SET ALGEBRA — the property that makes k-minimum-values the
+    * sketch for audience overlap: two sketches UNION by keeping the k
+    * smallest of both min-sets (a pure set operation — still exact
+    * integer), and INTERSECTION follows from ρ = how many of the union's
+    * k mins sit in BOTH sides' sketches: n̂∩ = ρ·n̂∪ div k (exact ρ when
+    * the union has < k elements). Viewers ∩ purchasers here; every
+    * number — exact sides AND estimates — is deterministic integer math,
+    * so unlike every envelope-boolean audit the WHOLE row hash-matches
+    * the oracle. Scale shape: per-side k-mins via orderBy(h).limit(k) —
+    * TakeOrderedAndProject, a map-side top-k then one k-row merge, never
+    * a global window; everything after runs on ≤ 3k rows.
+    */
+  private def statsKmvSetops(s: SparkSession, dir: String): DataFrame = {
+    val K = 64
+    val ev = Tables.load(s, dir, "events")
+    def side(t: String): DataFrame = ev.where(col("event_type") === t)
+      .select(col("user_id")).distinct()
+      .withColumn("h",
+        conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+          .cast("long"))
+    val a = side("view").cache(); val b = side("purchase").cache()
+    val aMins = a.select(col("h")).orderBy(col("h")).limit(K)
+    val bMins = b.select(col("h")).orderBy(col("h")).limit(K)
+    val uMins = aMins.unionByName(bMins).distinct().orderBy(col("h")).limit(K)
+    val rho = uMins.join(aMins, Seq("h"), "leftsemi")
+      .join(bMins, Seq("h"), "leftsemi")
+      .agg(count(lit(1)).as("rho"))
+    val uStats = uMins.agg(count(lit(1)).as("n_kept"), max(col("h")).as("h_k"))
+    val exact = a.select(col("user_id")).intersect(b.select(col("user_id")))
+      .agg(count(lit(1)).as("n_exact_inter"))
+      .crossJoin(a.agg(count(lit(1)).as("n_a")))
+      .crossJoin(b.agg(count(lit(1)).as("n_b")))
+    exact.crossJoin(uStats).crossJoin(rho) // all 1-row audit inputs
+      .withColumn("n_exact_union",
+        col("n_a") + col("n_b") - col("n_exact_inter"))
+      .withColumn("n_est_union", expr(
+        s"CASE WHEN n_kept < $K THEN n_kept ELSE (${K - 1} * 4503599627370496) div h_k END"))
+      .withColumn("n_est_inter", expr(
+        s"CASE WHEN n_kept < $K THEN rho ELSE (rho * n_est_union) div $K END"))
+      .select(col("n_a"), col("n_b"), col("n_exact_union"), col("n_exact_inter"),
+        col("n_kept"), col("h_k"), col("rho"), col("n_est_union"), col("n_est_inter"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_kmv_setops" -> (statsKmvSetops _),
     "stats_countmin" -> (statsCountmin _),
     "stats_kmv_distinct" -> (statsKmvDistinct _),
     "p1_star_projection" -> (p1 _),
@@ -738,6 +782,33 @@ object CoverageOps {
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, value, props
          |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
          |ORDER BY event_id""".stripMargin,
+    "stats_kmv_setops" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+        |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |ah AS (SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT) AS h FROM a),
+        |bh AS (SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT) AS h FROM b),
+        |amins AS (SELECT h FROM ah ORDER BY h LIMIT 64),
+        |bmins AS (SELECT h FROM bh ORDER BY h LIMIT 64),
+        |umins AS (SELECT DISTINCT h FROM (SELECT h FROM amins UNION ALL SELECT h FROM bmins)
+        |          ORDER BY h LIMIT 64),
+        |ustats AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS h_k FROM umins),
+        |rho_t AS (SELECT CAST(count(*) AS BIGINT) AS rho FROM umins u
+        |          WHERE EXISTS (SELECT 1 FROM amins x WHERE x.h = u.h)
+        |            AND EXISTS (SELECT 1 FROM bmins y WHERE y.h = u.h)),
+        |ex AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM a WHERE user_id IN (SELECT user_id FROM b))
+        |    AS n_exact_inter)
+        |SELECT n_a, n_b, n_a + n_b - n_exact_inter AS n_exact_union, n_exact_inter,
+        |  n_kept, h_k, rho,
+        |  CASE WHEN n_kept < 64 THEN n_kept
+        |       ELSE 63 * 4503599627370496 // h_k END AS n_est_union,
+        |  CASE WHEN n_kept < 64 THEN rho
+        |       ELSE (rho * (CASE WHEN n_kept < 64 THEN n_kept
+        |                         ELSE 63 * 4503599627370496 // h_k END)) // 64 END
+        |    AS n_est_inter
+        |FROM ex, ustats, rho_t""".stripMargin,
     "stats_countmin" ->
       """WITH k AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1)
         |SELECT CAST(row_number() OVER (ORDER BY n_exact DESC, user_id) AS INTEGER) AS rnk,
