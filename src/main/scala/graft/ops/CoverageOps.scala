@@ -649,7 +649,36 @@ object CoverageOps {
         col("n_kept"), col("h_k"), col("rho"), col("n_est_union"), col("n_est_inter"))
   }
 
+  /** Dense global ID assignment — the two-pass partition-offset pattern
+    * (`zipWithIndex`): range-partition on the sort key so partitions are
+    * globally ordered, sort within each, then one extra COUNT job
+    * computes per-partition offsets and every row gets
+    * `offset + local index` map-side. This is THE scalable replacement
+    * for `row_number() OVER (ORDER BY …)`, whose empty-frame window
+    * funnels all 100 TB through a single partition; cost is one count
+    * pass, not a serialization point. The one justified RDD drop-down in
+    * the codebase: per-partition imperative indexing is exactly what the
+    * DataFrame API cannot express (`monotonically_increasing_id` is
+    * intentionally NOT dense).
+    */
+  private def o6DenseIds(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .repartitionByRange(8, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+    val indexed = docs.rdd.zipWithIndex.map { case (r, i) =>
+      Row(r.getLong(0), r.getLong(1), i)
+    }
+    s.createDataFrame(indexed, StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType),
+      StructField("dense_id", LongType))))
+      .orderBy(col("dense_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o6_dense_ids" -> (o6DenseIds _),
     "stats_kmv_setops" -> (statsKmvSetops _),
     "stats_countmin" -> (statsCountmin _),
     "stats_kmv_distinct" -> (statsKmvDistinct _),
@@ -782,6 +811,10 @@ object CoverageOps {
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id, value, props
          |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
          |ORDER BY event_id""".stripMargin,
+    "o6_dense_ids" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS dense_id
+        |FROM documents ORDER BY dense_id""".stripMargin,
     "stats_kmv_setops" ->
       """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
         |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
