@@ -75,6 +75,39 @@ object ScaleOps {
                    key: String, joinType: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
 
+  /** Bucketed hub-table join as a REGISTERED query (BucketedJoinSpec pins
+    * the plan shape; this makes the operator part of the graded surface):
+    * orders and lineitem both bucket-sorted on the order key, joined
+    * shuffle-free, rolled up mod-10. The one-shuffle-amortized-forever
+    * property: the bucketing write pays the only shuffle these tables
+    * will ever need for key-joins, which is what you do to the hub
+    * tables a 100 TB estate joins daily. (The rollup itself re-keys to
+    * o_orderkey % 10, so IT shuffles — 10 groups of partial aggregates,
+    * not the join.)
+    */
+  private def j12BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("o_cents"))
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    writeBucketed(orders, "j12_orders", "o_orderkey", 8)
+    writeBucketed(items, "j12_lineitem", "o_orderkey", 8)
+    try {
+      bucketedJoin(s, "j12_orders", "j12_lineitem", "o_orderkey")
+        .groupBy((col("o_orderkey") % 10).as("key_mod10"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(col("o_cents")).as("sum_cents"))
+        .orderBy(col("key_mod10"))
+        // materialize BEFORE dropping the tables the plan reads
+        .localCheckpoint(true)
+    } finally {
+      s.sql("DROP TABLE IF EXISTS j12_orders")
+      s.sql("DROP TABLE IF EXISTS j12_lineitem")
+    }
+  }
+
   /** Compact a date-partitioned parquet destination: every incremental run
     * appends `shuffle.partitions` small files per touched partition, and at
     * 100 TB the accumulated small files dominate scan planning and NameNode
@@ -1216,6 +1249,7 @@ object ScaleOps {
     "stats_bucket_drift" -> (statsBucketDrift _),
     "stats_ks_drift" -> (statsKsDrift _),
     "stats_autocorr_lag1" -> (statsAutocorrLag1 _),
+    "j12_bucketed_join" -> (j12BucketedJoin _),
     "stats_gini_impurity" -> (statsGiniImpurity _),
     "audit_manifest" -> (auditManifest _),
     "j6_bloom_semijoin" -> (j6BloomSemijoin _),
@@ -1368,6 +1402,12 @@ object ScaleOps {
         |  CAST(n2 * 1000 // t2 AS BIGINT) AS share2_milli,
         |  abs(n1 * t2 - n2 * t1) * 50 > t1 * t2 AS drifted
         |FROM b, t ORDER BY bucket""".stripMargin,
+    "j12_bucketed_join" ->
+      """SELECT o_orderkey % 10 AS key_mod10, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "stats_autocorr_lag1" ->
       """WITH daily AS (
         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
