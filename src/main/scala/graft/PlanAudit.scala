@@ -16,7 +16,9 @@ import org.apache.spark.sql.SparkSession
   *    _key_skew / _approx_topk and the streaming drift twin),
   *    w11_gap_fill (the 1-row bounds), etl_orphan_audit (the 1-row
   *    ledger summary), q22_dormant_rich_anti (the 1-row positive-balance
-  *    threshold).
+  *    threshold), stats_countmin / stream_countmin (the 1-row CMS grid
+  *    probed by the exact top-10), stats_kmv_setops (the 1-row sketch
+  *    and exact-side aggregates composed into the single audit row).
   * Anything else appearing here is a regression.
   */
 object PlanAudit {

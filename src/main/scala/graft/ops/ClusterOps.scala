@@ -300,7 +300,11 @@ object ClusterOps {
     * undirected edge list (one (u, v) row per edge, u < v, no self
     * loops). Returns (node, n_triangles) for every triangle member.
     */
-  def triangleCounts(und: DataFrame): DataFrame = {
+  def triangleCounts(undRaw: DataFrame): DataFrame = {
+    // und feeds the degree rollup AND the orientation; ornt feeds both
+    // wedge legs AND the closing semi-join — without caching, the edge
+    // build (a self-join) would re-execute three times
+    val und = undRaw.cache()
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -316,6 +320,7 @@ object ClusterOps {
           .otherwise(col("u")).as("t"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("dv"))
           .otherwise(col("du")).as("dt"))
+      .cache()
     // wedges at the low end: (t1, t2) with t1 before t2 in orientation
     // order; the triangle closes iff the oriented edge t1 → t2 exists
     val wedges = ornt.select(col("s"), col("t").as("t1"), col("dt").as("d1"))
