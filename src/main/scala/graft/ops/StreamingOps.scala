@@ -86,6 +86,10 @@ object StreamingOps {
     "stream_tumbling_daily" -> ((s, dir) => StreamingIngest.tumblingDaily(s, dir)),
     "stream_sliding_windows" -> ((s, dir) => StreamingIngest.streamSlidingWindows(s, dir)),
     "stream_user_watermark" -> ((s, dir) => StreamingIngest.statefulUserWatermark(s, dir)),
+    // the same state machine on transformWithState (Spark 4 typed-state
+    // API, RocksDB-backed) — must fold to the identical oracle
+    "stream_user_watermark_tws" ->
+      ((s, dir) => StreamingIngest.streamUserWatermarkTws(s, dir)),
     "stream_dedup_exact" -> ((s, dir) => StreamingIngest.streamDedupExact(s, dir)),
     "stream_sessionize" -> ((s, dir) => StreamingIngest.sessionWindows(s, dir)),
     // the SAME stateful query under the RocksDB state store — config-only
@@ -218,6 +222,9 @@ object StreamingOps {
          |  count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_user_watermark" ->
+      s"""SELECT user_id, strftime(max(ts), '$TsFmt') AS watermark
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_user_watermark_tws" ->
       s"""SELECT user_id, strftime(max(ts), '$TsFmt') AS watermark
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the doubled at-least-once input must collapse back to the batch table

@@ -719,6 +719,60 @@ object StreamingIngest {
       .orderBy(col("user_id"))
   }
 
+  /** The SAME per-key watermark state machine on `transformWithState` —
+    * Spark 4's arbitrary-state API that supersedes `mapGroupsWithState`:
+    * typed state handles (`ValueState` here; list/map states and
+    * per-state TTL are the API's reason to exist), timers as methods
+    * rather than a mode flag, and schema-evolvable state. The processor
+    * keeps max-micros-per-user in a `ValueState[Long]` and emits the
+    * running max each micro-batch (Update mode); the drain folds
+    * emissions exactly like the mapGroupsWithState twin and must match
+    * the same oracle. transformWithState REQUIRES the RocksDB state
+    * store provider — set for the drain, restored after (the second
+    * RocksDB-backed query beside `stream_sessionize_rocksdb`).
+    */
+  def streamUserWatermarkTws(spark: SparkSession, dir: String): DataFrame =
+    withStateGrain(spark) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try streamUserWatermarkTwsInner(spark, dir)
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
+  private class MaxWatermarkProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+    @transient private var maxUs: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      maxUs = getHandle.getValueState[Long]("maxUs",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                                 tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long)] = {
+      val prev = if (maxUs.exists()) maxUs.get() else Long.MinValue
+      val mx = rows.foldLeft(prev)((a, r) => math.max(a, r._2))
+      maxUs.update(mx)
+      Iterator.single((key, mx))
+    }
+  }
+
+  private def streamUserWatermarkTwsInner(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val updates = eventsStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new MaxWatermarkProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "us")
+    runToMemory(updates, s"stream_tws_${System.nanoTime()}", OutputMode.Update())
+      .groupBy(col("user_id"))
+      .agg(date_format(timestamp_micros(max(col("us"))),
+        "yyyy-MM-dd HH:mm:ss.SSSSSS").as("watermark"))
+      .orderBy(col("user_id"))
+  }
+
   /** STREAM-STREAM interval join: every purchase matched to the same
     * user's views in the strictly-preceding hour — the attribution join,
     * with BOTH sides unbounded streams. The event-time range condition +

@@ -59,21 +59,28 @@ class CustomOpPropertySpec extends AnyFunSuite {
         .toDF("k", "t", "lid").repartition(parts)
       val right = r.zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i) }
         .toDF("rk", "rt", "rid").repartition(parts)
-      val got = graft.plans.AsofJoin(left, right,
-        keys = Seq("k" -> "rk"), on = Seq("t" -> "rt", "lid" -> "rid"))
+      def run(forward: Boolean) = graft.plans.AsofJoin(left, right,
+        keys = Seq("k" -> "rk"), on = Seq("t" -> "rt", "lid" -> "rid"),
+        forward = forward)
         .select(col("lid"), col("rid"))
         .collect().map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
         .sorted.toSeq
-      // window oracle: union both sides ordered by (t, id); each left row
-      // takes the last right row strictly before it
+      // brute-force oracle over the merged tapes: backward takes the
+      // greatest strictly-below right tuple, forward the least strictly-above
       val merged = l.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong, -1L) } ++
         r.zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i, 1L) }
-      val expected = merged.filter(_._4 == -1L).map { case (k, t, lid, _) =>
-        val cands = merged.filter(m => m._4 == 1L && m._1 == k &&
-          (m._2 < t || (m._2 == t && m._3 < lid)))
-        (lid, if (cands.isEmpty) -1L else cands.maxBy(m => (m._2, m._3))._3)
+      def brute(forward: Boolean) = merged.filter(_._4 == -1L).map { case (k, t, lid, _) =>
+        val cands = merged.filter(m => m._4 == 1L && m._1 == k && {
+          if (forward) m._2 > t || (m._2 == t && m._3 > lid)
+          else m._2 < t || (m._2 == t && m._3 < lid)
+        })
+        val pick = if (cands.isEmpty) -1L
+          else if (forward) cands.minBy(m => (m._2, m._3))._3
+          else cands.maxBy(m => (m._2, m._3))._3
+        (lid, pick)
       }.sorted.toSeq
-      got == expected
+      run(forward = false) == brute(forward = false) &&
+        run(forward = true) == brute(forward = true)
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.status.toString)
