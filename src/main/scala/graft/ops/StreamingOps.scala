@@ -106,6 +106,10 @@ object StreamingOps {
       finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }),
     "stream_session_timers" -> ((s, dir) => StreamingIngest.streamSessionTimers(s, dir)),
+    // the same timer-closed sessions on transformWithState (explicit
+    // timer lifecycle + handleExpiredTimer, RocksDB-backed) — same oracle
+    "stream_session_timers_tws" ->
+      ((s, dir) => StreamingIngest.streamSessionTimersTws(s, dir)),
     "stream_interval_join" -> ((s, dir) => StreamingIngest.streamIntervalJoin(s, dir)),
     "stream_left_outer_join" -> ((s, dir) => StreamingIngest.streamLeftOuterJoin(s, dir)),
     "stream_full_outer_join" -> ((s, dir) => StreamingIngest.streamFullOuterJoin(s, dir)),
@@ -156,6 +160,30 @@ object StreamingOps {
         .orderBy(col("event_id"))
     })
   )
+
+  private val SessionTimersSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+       |mx AS (SELECT max(ts) AS mt FROM events),
+       |m AS (
+       |  SELECT user_id, ts, us,
+       |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > ${6L * 3600 * 1000000}
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT user_id, ts, us,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM m),
+       |g AS (
+       |  SELECT user_id, min(ts) AS st, max(ts) AS la, count(*) AS n_events
+       |  FROM s GROUP BY user_id, session_id)
+       |SELECT user_id,
+       |  strftime(st, '$TsFmt') AS session_start,
+       |  strftime(la + INTERVAL 6 HOUR, '$TsFmt') AS session_end,
+       |  n_events
+       |FROM g, mx WHERE la + INTERVAL 6 HOUR <= mt - INTERVAL 2 HOUR
+       |ORDER BY user_id, session_start""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // the stateful stream (at-least-once doubled, one file per batch) must
@@ -236,29 +264,8 @@ object StreamingOps {
     // Scaladoc), window end = last event + gap
     // the timer-closed sessions must equal the batch fold on the closed
     // region (last event ≤ max − 8 h ⟺ session_end ≤ max − 2 h)
-    "stream_session_timers" ->
-      s"""WITH e AS (
-         |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
-         |mx AS (SELECT max(ts) AS mt FROM events),
-         |m AS (
-         |  SELECT user_id, ts, us,
-         |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > ${6L * 3600 * 1000000}
-         |         THEN 1 ELSE 0 END AS brk
-         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         |s AS (
-         |  SELECT user_id, ts, us,
-         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, us
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-         |  FROM m),
-         |g AS (
-         |  SELECT user_id, min(ts) AS st, max(ts) AS la, count(*) AS n_events
-         |  FROM s GROUP BY user_id, session_id)
-         |SELECT user_id,
-         |  strftime(st, '$TsFmt') AS session_start,
-         |  strftime(la + INTERVAL 6 HOUR, '$TsFmt') AS session_end,
-         |  n_events
-         |FROM g, mx WHERE la + INTERVAL 6 HOUR <= mt - INTERVAL 2 HOUR
-         |ORDER BY user_id, session_start""".stripMargin,
+    "stream_session_timers_tws" -> SessionTimersSql,
+    "stream_session_timers" -> SessionTimersSql,
     "stream_sessionize" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),

@@ -481,6 +481,107 @@ object StreamingIngest {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** The timer-closed gap sessions on `transformWithState` — the NEW
+    * API's full surface beside the ValueState twin
+    * ([[streamUserWatermarkTws]]): `TimeMode.EventTime`, explicit timer
+    * lifecycle (`registerTimer`/`deleteTimer`/`listTimers` on the
+    * handle — timers are first-class objects now, not a state-timeout
+    * mode flag), and `handleExpiredTimer` as its own callback. Session
+    * semantics, gap math, and the closed-region contract are IDENTICAL
+    * to the `flatMapGroupsWithState` twin ([[streamSessionTimers]]) and
+    * graded by the same oracle; stale timers (superseded by a session
+    * extension before the watermark reached them) are deleted on every
+    * update, so each user holds exactly one live timer. RocksDB-backed
+    * (transformWithState requires it).
+    */
+  def streamSessionTimersTws(spark: SparkSession, dir: String): DataFrame =
+    withStateGrain(spark) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try streamSessionTimersTwsInner(spark, dir)
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
+  private class SessionTimerProcessor(gapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, KeyedEvent, SessionOut] {
+    @transient private var acc: org.apache.spark.sql.streaming.ValueState[SessionAcc] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      acc = getHandle.getValueState[SessionAcc]("acc",
+        org.apache.spark.sql.Encoders.product[SessionAcc],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def micros(t: Timestamp): Long =
+      t.getTime / 1000 * 1000000 + t.getNanos / 1000
+
+    override def handleInputRows(user: Long, rows: Iterator[KeyedEvent],
+                                 tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionOut] = {
+      val sorted = rows.map(e => micros(e.ts)).toArray.sorted
+      var closed = List.empty[SessionOut]
+      var cur = if (acc.exists()) Some(acc.get()) else None
+      sorted.foreach { t =>
+        cur match {
+          case Some(a) if t - a.lastUs <= gapUs =>
+            cur = Some(SessionAcc(a.startUs, math.max(a.lastUs, t), a.n + 1))
+          case Some(a) =>
+            closed ::= SessionOut(user, a.startUs, a.lastUs + gapUs, a.n)
+            cur = Some(SessionAcc(t, t, 1))
+          case None => cur = Some(SessionAcc(t, t, 1))
+        }
+      }
+      cur.foreach { a =>
+        acc.update(a)
+        // one live timer per user: drop superseded expiries, register the
+        // session's current close time (ms, rounded UP — never early)
+        getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
+        getHandle.registerTimer((a.lastUs + gapUs) / 1000 + 1)
+      }
+      closed.reverse.iterator
+    }
+
+    override def handleExpiredTimer(user: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      // watermark passed last+gap: no event can extend this session
+      val out = if (acc.exists()) {
+        val a = acc.get()
+        Iterator.single(SessionOut(user, a.startUs, a.lastUs + gapUs, a.n))
+      } else Iterator.empty
+      acc.clear()
+      out
+    }
+  }
+
+  private def streamSessionTimersTwsInner(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val GapUs = 6L * 3600 * 1000000
+    val src = eventsStream(spark, dir)
+      .select(col("user_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .as[KeyedEvent]
+    val sessions = src.groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(GapUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+    val drained = runToParquet(
+      sessions.select(col("user_id"),
+        date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        date_format(timestamp_micros(col("end_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_end"),
+        col("n_events"),
+        col("end_us")))
+    val maxTs = graft.Tables.load(spark, dir, "events")
+      .agg(max(col("ts"))).head.getTimestamp(0)
+    // last ≤ max−8h ⟺ end(=last+6h) ≤ max−2h
+    val cutoffUs = (maxTs.getTime - 2L * 3600 * 1000) * 1000
+    drained.where(col("end_us") <= cutoffUs)
+      .drop("end_us")
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** The full ETL slice as a streaming pipeline with a PARQUET sink: file
     * source → transform → date-partitioned parquet + checkpointLocation.
     * This is the production shape — the checkpoint's WAL/commit log gives
