@@ -982,9 +982,13 @@ object RelationalOps {
     * fixture (and in TPC-H), so the HAVING threshold is ulp-safe.
     */
   private def q18(s: SparkSession, dir: String): DataFrame = {
+    // l_quantity is integral by TPC-H construction, so the per-order sum is
+    // carried as BIGINT end to end: the round-10 sweep hash-missed this one
+    // query on float rendering of a decimal-summed double, and an integer
+    // column is the only representation every hasher agrees on bit-for-bit.
     val big = lineitem(s, dir)
       .groupBy(col("l_orderkey"))
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
       .where(col("sum_qty") > 250)
     orders(s, dir)
       .join(big, col("o_orderkey") === col("l_orderkey"))
@@ -992,7 +996,7 @@ object RelationalOps {
       .select(col("c_name"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         round(col("o_totalprice") * 100).cast("long").as("totalprice_cents"),
-        col("sum_qty").cast("double").as("sum_qty"))
+        col("sum_qty"))
       .orderBy(col("sum_qty").desc, col("o_orderkey"))
       .limit(20)
   }
@@ -1505,9 +1509,9 @@ object RelationalOps {
     "q18_large_orders" ->
       """SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         |  round(o_totalprice * 100)::BIGINT AS totalprice_cents,
-        |  CAST(sum_qty AS DOUBLE) AS sum_qty
+        |  CAST(sum_qty AS BIGINT) AS sum_qty
         |FROM orders
-        |JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |      FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250) big
         |  ON o_orderkey = big.l_orderkey
         |JOIN customer ON o_custkey = c_custkey
