@@ -299,17 +299,34 @@ object ClusterOps {
   /** The orientation-based counting core, reusable over any canonical
     * undirected edge list (one (u, v) row per edge, u < v, no self
     * loops). Returns (node, n_triangles) for every triangle member.
+    *
+    * Close step: EDGE-ITERATOR adjacency intersection rather than wedge
+    * enumeration. Materializing every oriented wedge as a row and
+    * semi-joining it against the edge list shuffles O(Σ outdeg²) rows
+    * twice (once out of the wedge join, once into the closing join's
+    * hash build). Instead each node's oriented out-neighborhood is
+    * rolled into ONE array, the edge list picks up both endpoints'
+    * arrays, and `array_intersect` closes triangles locally inside
+    * whole-stage codegen — a triangle (s → t1, s → t2, t1 → t2) is
+    * found exactly once, at edge (s, t1), as t2 ∈ out(s) ∩ out(t1)
+    * (t2 is an out-neighbor of both; the other two edges fail the
+    * orientation, so no ordering filter and no double count). What
+    * shuffles is Σ outdeg per join side in array form — O(m) rows
+    * whose payloads are bounded by the same O(√m) orientation cap that
+    * bounded wedge volume, but nothing the size of the wedge set ever
+    * hits an exchange, and the close needs no join at all. On the
+    * co-purchase graph this cut graph_triangles from 9.9 s to ~2 s at
+    * sf0.1 (SCALE.md bench history).
     */
   def triangleCounts(undRaw: DataFrame): DataFrame = {
-    // und feeds the degree rollup AND the orientation; ornt feeds both
-    // wedge legs AND the closing semi-join — without caching, the edge
-    // build (a self-join) would re-execute three times
+    // und feeds the degree rollup AND the orientation — cache so the
+    // upstream edge build (typically a self-join) runs once
     val und = undRaw.cache()
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
-    // orient low-(d, id) → high-(d, id); carry the head's (d, id) key so
-    // the wedge join can order neighbors in orientation space
+    // orient low-(d, id) → high-(d, id): a total order, so out-degrees
+    // are O(√m)-bounded and each triangle gets exactly one pivot edge
     val ornt = und
       .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
@@ -317,19 +334,22 @@ object ClusterOps {
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
           .otherwise(col("v")).as("s"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
-          .otherwise(col("u")).as("t"),
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("dv"))
-          .otherwise(col("du")).as("dt"))
+          .otherwise(col("u")).as("t"))
       .cache()
-    // wedges at the low end: (t1, t2) with t1 before t2 in orientation
-    // order; the triangle closes iff the oriented edge t1 → t2 exists
-    val wedges = ornt.select(col("s"), col("t").as("t1"), col("dt").as("d1"))
-      .join(ornt.select(col("s"), col("t").as("t2"), col("dt").as("d2")), "s")
-      .where(struct(col("d1"), col("t1")) < struct(col("d2"), col("t2")))
-    val tri = wedges.join(
-      ornt.select(col("s").as("t1"), col("t").as("t2")), Seq("t1", "t2"),
-      "leftsemi")
-    tri.select(explode(array(col("s"), col("t1"), col("t2"))).as("node"))
+    // one array per node: its oriented out-neighborhood (a set — und is
+    // distinct). Sink nodes (no out-edges) simply have no row, and the
+    // inner join below correctly drops edges whose head is a sink: a
+    // pivot edge needs BOTH endpoints to have out-neighbors.
+    val adj = ornt.groupBy(col("s")).agg(collect_list(col("t")).as("nbrs"))
+    val closed = ornt
+      .join(adj.select(col("s"), col("nbrs").as("nbrs_s")), "s")
+      .join(adj.select(col("s").as("t"), col("nbrs").as("nbrs_t")), "t")
+      .select(col("s"), col("t"),
+        array_intersect(col("nbrs_s"), col("nbrs_t")).as("common"))
+      .where(size(col("common")) > 0)
+    // one row per triangle (s, t, w), then per-node membership counts
+    closed.select(col("s"), col("t"), explode(col("common")).as("w"))
+      .select(explode(array(col("s"), col("t"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 

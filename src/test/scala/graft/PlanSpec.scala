@@ -533,7 +533,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"degree orientation must keep every join hashable\n$plan")
-    assert(plan.contains("LeftSemi"), s"the closing check must be a semi join\n$plan")
+    // the close step is a LOCAL adjacency intersection inside codegen —
+    // no wedge set may ever reach an exchange or a closing join
+    assert(plan.contains("array_intersect"),
+      s"the closing check must be a local array_intersect\n$plan")
   }
 
   test("containment probe is an equi-join on the shingle hash, never all-pairs") {
