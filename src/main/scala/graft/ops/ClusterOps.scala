@@ -353,10 +353,72 @@ object ClusterOps {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Multi-source breadth-first hop distance, bounded at `maxHops`.
+    * `edges` is a directed (src, dst) list (feed a symmetric list for an
+    * undirected graph), `seeds` a (node) relation; returns (node, hop)
+    * with hop = the MINIMUM number of edges from any seed, for every
+    * node within `maxHops`.
+    *
+    * Distributed shape: classic frontier expansion — each round joins
+    * ONLY the newest frontier (not the whole visited set) against the
+    * edge list on src, then anti-joins the visited set so a node enters
+    * at its first (= minimum) hop exactly once. All three relations are
+    * narrow (long or long-pair) rows hash-partitioned on the node id;
+    * per-round lineage is truncated through the same injectable
+    * checkpointer as the other iterative ops. Bounded hops instead of
+    * run-to-fixpoint for the same budget reason as [[pagerank]]: each
+    * round is a shuffle, and hop-k neighborhoods are what reachability
+    * consumers (crawl frontiers, contamination blast radius, feature
+    * neighborhoods) actually ask for.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+              checkpointer: Checkpointer = localCheckpointer): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var visited = checkpointer(
+      seeds.select(col("node")).distinct().withColumn("hop", lit(0L)))
+    (1 to maxHops).foreach { h =>
+      val frontier = visited.where(col("hop") === (h - 1).toLong)
+      val next = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+      visited = checkpointer(visited.unionAll(next))
+    }
+    visited
+  }
+
+  /** `graph_bfs_hops`: hop-distance profile of the co-purchase graph from
+    * a deterministic seed set (every 500th part id present in the graph).
+    * Output: one row per hop level — how many parts sit at that minimum
+    * distance, with the min/max part id as a content fingerprint. The
+    * DuckDB oracle replays the same bounded BFS as a recursive CTE whose
+    * UNION dedup terminates the recursion, then takes min(hop) per node —
+    * set-identical to the frontier/anti-join formulation.
+    */
+  private def graphBfsHops(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = items.alias("a")
+      .join(items.alias("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct().cache()
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .where(col("node") % 500 === 0)
+    val out = bfsHops(edges, seeds, maxHops = 3)
+      .groupBy(col("hop"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      .orderBy(col("hop"))
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters _),
     "graph_pagerank" -> (graphPagerank _),
-    "graph_triangles" -> (graphTriangles _)
+    "graph_triangles" -> (graphTriangles _),
+    "graph_bfs_hops" -> (graphBfsHops _)
   )
 
   /** Oracle: DuckDB recursive CTE computes the transitive closure of the
@@ -457,6 +519,25 @@ object ClusterOps {
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |  doc_id = cluster_id AS is_canonical
          |FROM (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "graph_bfs_hops" ->
+      """WITH RECURSIVE
+        |items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |seeds AS (SELECT DISTINCT src AS node FROM edges WHERE src % 500 = 0),
+        |bfs AS (
+        |  SELECT node, 0 AS hop FROM seeds
+        |  UNION
+        |  SELECT e.dst AS node, bfs.hop + 1 AS hop
+        |  FROM bfs JOIN edges e ON e.src = bfs.node
+        |  WHERE bfs.hop < 3),
+        |minhop AS (SELECT node, min(hop) AS hop FROM bfs GROUP BY node)
+        |SELECT CAST(hop AS BIGINT) AS hop, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(min(node) AS BIGINT) AS min_node,
+        |  CAST(max(node) AS BIGINT) AS max_node
+        |FROM minhop GROUP BY hop ORDER BY hop""".stripMargin
   )
 }

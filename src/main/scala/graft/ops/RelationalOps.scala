@@ -494,6 +494,40 @@ object RelationalOps {
         col("n"), col("total_value_cents"))
       .orderBy(col("window_start"))
 
+  /** Peak concurrency (W18, extension): the classic interval sweep line.
+    * Each (user, day) contributes one activity interval [first event,
+    * last event]; the question is the day's maximum number of
+    * simultaneously-active users — capacity planning's canonical query,
+    * and the shape every "concurrent sessions / open connections /
+    * in-flight jobs" dashboard reduces to.
+    *
+    * Spark-first shape: no interval self-join (quadratic per day) and no
+    * minute-grid explode (timestamp-resolution-dependent). Each interval
+    * unpivots to a +1 mark at its start and a −1 mark at its end, and a
+    * per-day ordered window runs the cumulative sum — the sweep line. The
+    * window partitions by DAY, so days sweep in parallel and no global
+    * ordering ever funnels through one partition; within a day the order
+    * is (ts, delta DESC), a deterministic total preorder under which tied
+    * rows carry equal deltas, making every prefix sum — and therefore the
+    * max — engine-independent. One shuffle for the span rollup, one for
+    * the window; both partial-aggregated.
+    */
+  private def w18PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+    val marks = spans.select(col("day"), col("t0").as("t"), lit(1L).as("delta"))
+      .unionAll(spans.select(col("day"), col("t1").as("t"), lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("day")).orderBy(col("t").asc, col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marks.withColumn("load", sum(col("delta")).over(w))
+      .groupBy(col("day"))
+      .agg(max(col("load")).as("peak_concurrency"),
+        expr("count(1) div 2").as("n_intervals"))
+      .orderBy(col("day"))
+  }
+
   /** As-of join (J2, extension): for every `purchase` event, the most
     * recent strictly-preceding `view` event of the same user. Spark has no
     * native as-of operator; the naive formulation is a range join
@@ -1326,6 +1360,7 @@ object RelationalOps {
     "w2_window_bound" -> (w2 _),
     "w3_tumbling_windows" -> (w3 _),
     "w17_sliding_windows" -> (w17 _),
+    "w18_peak_concurrency" -> (w18PeakConcurrency _),
     "j9_nullsafe_join" -> (j9 _),
     "w5_boundary_duplicates" -> (w5 _),
     "w8_gap_sessionize" -> (w8 _),
@@ -1722,6 +1757,22 @@ object RelationalOps {
          |                 date_trunc('day', ts)]) AS ws, value
          |  FROM events)
          |GROUP BY ws ORDER BY window_start""".stripMargin,
+    "w18_peak_concurrency" ->
+      """WITH spans AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+        |    min(ts) AS t0, max(ts) AS t1
+        |  FROM events GROUP BY 1, 2),
+        |marks AS (
+        |  SELECT day, t0 AS t, 1 AS delta FROM spans
+        |  UNION ALL SELECT day, t1 AS t, -1 AS delta FROM spans),
+        |loads AS (
+        |  SELECT day, sum(delta) OVER (
+        |    PARTITION BY day ORDER BY t ASC, delta DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS load
+        |  FROM marks)
+        |SELECT day, CAST(max(load) AS BIGINT) AS peak_concurrency,
+        |  CAST(count(*) // 2 AS BIGINT) AS n_intervals
+        |FROM loads GROUP BY day ORDER BY day""".stripMargin,
     "j2_asof_join" ->
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id,
          |  asof_view_id, asof_view_value

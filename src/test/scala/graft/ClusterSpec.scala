@@ -182,6 +182,22 @@ class ClusterSpec extends AnyFunSuite {
       s"max-degree ${byDeg.last} should outrank min-degree ${byDeg.head}")
   }
 
+  test("bfsHops assigns minimum hops and drops out-of-range nodes") {
+    import SparkTestBase.spark
+    import spark.implicits._
+    // path 1-2-3-4-5 plus a shortcut 1-4: node 4 is reachable in 4 hops
+    // along the path but 1 via the shortcut — min must win; node 5 sits
+    // at hop 2 (via the shortcut), and 9 is disconnected entirely.
+    // Symmetric edge list, like the co-purchase graph.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L), (8L, 9L))
+    val edges = (und ++ und.map(e => (e._2, e._1))).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = ops.ClusterOps.bfsHops(edges, seeds, maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 1L), (5L, 2L)),
+      s"got $got")
+  }
+
   test("triangleCounts is exact on a hand-built graph") {
     import SparkTestBase.spark
     import spark.implicits._
