@@ -1129,11 +1129,16 @@ object RelationalOps {
   /** Q7-shaped bilateral volume shipping: the two-role dimension join —
     * nation joins the fact TWICE under different roles (supplier's nation
     * vs customer's nation), so the one physical table needs two aliased
-    * plans. Both nation sides are filtered to the traded pair BEFORE the
-    * join (2-row broadcasts that make the supplier/customer joins
-    * selective); the cross-pair residual keeps only the two directed
-    * flows. At 100 TB the only big shuffles are lineitem⋈orders and
-    * orders⋈customer — nation/supplier ride broadcasts.
+    * plans. The selectivity is pushed OUTWARD from the 2-row nation pair
+    * before anything touches the fact: suppliers of the pair become a
+    * tiny broadcast that cuts lineitem to ~2/|nations| at its first join,
+    * and customers of the pair cut orders the same way BEFORE the
+    * fact⋈orders join — so the only shuffle the full-size fact ever
+    * enters is keyed on l_orderkey against an already-reduced orders
+    * side (small enough for AQE to flip to broadcast at bench scale,
+    * a plain hash shuffle at 100 TB). Joining dimension-first like the
+    * textbook form instead would drag 100% of lineitem through three
+    * successive exchanges.
     */
   private def q7(s: SparkSession, dir: String): DataFrame = {
     val pair = Seq("NATION_7", "NATION_19")
@@ -1143,14 +1148,20 @@ object RelationalOps {
     val custNation = Tables.load(s, dir, "nation")
       .where(col("n_name").isin(pair: _*))
       .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val pairSuppliers = supplier(s, dir)
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val pairOrders = orders(s, dir)
+      .join(customer(s, dir)
+          .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+          .select(col("c_custkey"), col("cust_nation")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
     lineitem(s, dir)
       .where(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
         col("l_shipdate") < ts("1999-01-01 00:00:00"))
-      .join(supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
-      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(pairSuppliers), col("l_suppkey") === col("s_suppkey"))
+      .join(pairOrders, col("l_orderkey") === col("o_orderkey"))
       .where(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
