@@ -120,8 +120,11 @@ object ProductAnalyticsOps {
     * at any SF: |parts| ≪ facts) and a 1-row total; |pairs| rows out.
     */
   private def basketLift(s: SparkSession, dir: String): DataFrame = {
+    // items feeds the pair self-join (twice), the per-part counts, and the
+    // order total — four references that would each replay the fact scan
+    // and the distinct without the cache
     val items = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey")).distinct().cache()
     val partN = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
     val totalN = items.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_orders_total"))
