@@ -223,6 +223,35 @@ object CoverageOps {
       .orderBy(col("event_type"))
   }
 
+  /** Runtime (JOIN-driven) file pruning through the connector — the
+    * dynamic-partition-pruning path of [[graft.sources.TsvScan]]: the
+    * zone read carries NO date predicate at all; the dates come from a
+    * dimension of "days on which a rare event fired" (selective filter
+    * on a NON-join column, so the optimizer cannot statically propagate
+    * it across the join). Spark executes the broadcast dimension first,
+    * DPP hands the surviving days to the scan's `filter()`, and
+    * `planInputPartitions` re-lists only those files. The poisoned
+    * out-of-range file (unparseable) proves the pruning is REAL: if the
+    * runtime filter did not reach the scan, the reader would open it and
+    * throw — so this query returning at all is the end-to-end evidence,
+    * and the spec additionally pins the `dynamicpruning` expression on
+    * the planned scan. At 100 TB this is a dimension-driven incremental
+    * job scanning the dimension's days instead of the whole zone.
+    */
+  private def srcDsv2RuntimePrune(s: SparkSession, dir: String): DataFrame = {
+    val out = buildTsvZone(s, dir)
+    val zone = s.read.format(classOf[graft.sources.TsvLandingSource].getName)
+      .option("path", out).load()
+    val auditDays = Tables.load(s, dir, "events")
+      .where(col("event_id") % 9973 === 0)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+      .distinct()
+    zone.join(broadcast(auditDays), "event_date")
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("cents"))
+      .orderBy(col("event_date"))
+  }
+
   /** The landing zone reached through PLAIN SQL via the catalog plugin
     * ([[graft.sources.GraftCatalog]]): two confs bind the catalog, and
     * `FROM graft.`zone`` resolves straight to the connector table — the
@@ -691,6 +720,7 @@ object CoverageOps {
     "src_json_roundtrip" -> (srcJsonRoundtrip _),
     "src_csv_roundtrip" -> (srcCsvRoundtrip _),
     "src_dsv2_landing" -> (srcDsv2Landing _),
+    "src_dsv2_runtime_prune" -> (srcDsv2RuntimePrune _),
     "snk_dsv2_landing" -> (snkDsv2Landing _),
     "sql_api_catalog_tsv" -> (sqlApiCatalogTsv _),
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
@@ -796,6 +826,15 @@ object CoverageOps {
         |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-05'
         |  AND strftime(ts, '%Y-%m-%d') < '2024-01-20'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_dsv2_runtime_prune" ->
+      """WITH z AS (SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+        |             CAST(round(value * 100) AS BIGINT) AS value_cents
+        |           FROM events),
+        |d AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS event_date
+        |      FROM events WHERE event_id % 9973 = 0)
+        |SELECT event_date, count(*) AS n, CAST(sum(value_cents) AS BIGINT) AS cents
+        |FROM z JOIN d USING (event_date)
+        |GROUP BY event_date ORDER BY event_date""".stripMargin,
     "sql_api_catalog_tsv" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents

@@ -82,7 +82,10 @@ object TsvLanding {
       case GreaterThanOrEqual("event_date", v: String) => date >= v
       case LessThan("event_date", v: String) => date < v
       case LessThanOrEqual("event_date", v: String) => date <= v
-      case In("event_date", vs) => vs.exists(v => v == date)
+      // String.valueOf: runtime (DPP-delivered) In values arrive through a
+      // different translation path than planning-time pushdown — normalize
+      // so a UTF8String-vs-String mismatch can never silently over-prune
+      case In("event_date", vs) => vs.exists(v => String.valueOf(v) == date)
       case _ => true // unpushable shapes never reach here, but stay safe
     }
 
@@ -182,8 +185,34 @@ class TsvScanBuilder(path: String, options: CaseInsensitiveStringMap)
   override def build(): Scan = TsvScan(path, required, pushed)
 }
 
+/** Implements [[SupportsRuntimeFiltering]] so DYNAMIC PARTITION PRUNING
+  * reaches the flat landing zone: when the zone joins a filtered
+  * dimension on `event_date`, Spark executes the dimension side first,
+  * hands the surviving join keys to [[filter]] as an `In` filter, and
+  * [[planInputPartitions]] re-lists with the runtime set folded in — so
+  * a "revenue for the three audit days" join opens three files out of a
+  * 1000-file zone with NO static date predicate in the query at all.
+  * This is the join-driven half of scan pruning (the static half is
+  * [[TsvScanBuilder.pushFilters]]); at 100 TB it is the difference
+  * between a dimension-driven incremental job scanning the whole zone
+  * and scanning the dimension's days. Runtime filters are advisory like
+  * the static ones — the join itself still verifies every row, so a
+  * filter shape [[TsvLanding.pushable]] rejects costs nothing but the
+  * skipped pruning.
+  */
 case class TsvScan(path: String, required: StructType, pushed: Array[Filter])
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsRuntimeFiltering {
+
+  // runtime state, deliberately OUTSIDE the case-class fields: exchange
+  // reuse compares scans structurally, and two scans of the same zone
+  // must stay equal whether or not DPP has delivered their keys yet
+  @transient private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("event_date"))
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter(TsvLanding.pushable)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -192,7 +221,7 @@ case class TsvScan(path: String, required: StructType, pushed: Array[Filter])
       s"pushedDateFilters=[${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
-    TsvLanding.listAdmitted(path, pushed.toSeq).toArray
+    TsvLanding.listAdmitted(path, (pushed ++ runtime).toSeq).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     TsvReaderFactory(required.fieldNames)

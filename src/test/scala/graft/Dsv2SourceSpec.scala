@@ -68,6 +68,43 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(parts == Seq("2024-01-01", "2024-01-02"), parts.toString)
   }
 
+  test("runtime (DPP) filters from a dim join prune files before open") {
+    val out = buildZone()
+    // the dim's filter sits on a NON-join column, so the optimizer cannot
+    // statically propagate it to the zone side — the only way the scan
+    // learns the surviving day is the runtime SupportsRuntimeFiltering
+    // path. The zone read carries NO date predicate, so if DPP does not
+    // reach the scan, the poisoned 01-03 file is opened and throws.
+    val dim = spark.range(0, 10)
+      .select(concat(lit("2024-01-0"), col("id")).as("event_date"), col("id"))
+      .where(col("id") === 1)
+      .select(col("event_date"))
+    val df = readZone(out).join(broadcast(dim), "event_date")
+      .groupBy(col("event_date")).agg(sum(col("value_cents")).as("cents"))
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("2024-01-01", 350L)), s"got $rows")
+
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(allScans)
+    }
+    val exec = allScans(df.queryExecution.executedPlan)
+      .filter(_.scan.isInstanceOf[graft.sources.TsvScan])
+    assert(exec.length == 1, df.queryExecution.executedPlan.toString)
+    // the planned scan carries the dynamic-pruning subquery...
+    assert(exec.head.runtimeFilters.nonEmpty,
+      s"expected a runtime filter on the zone scan\n${df.queryExecution.executedPlan}")
+    // ...and after execution the scan's partition list is the pruned one
+    val parts = exec.head.scan.asInstanceOf[graft.sources.TsvScan]
+      .planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.TsvPartition].date).toSeq
+    assert(parts == Seq("2024-01-01"), parts.toString)
+  }
+
   test("skipping is advisory: pushed filters stay residual so rows re-check") {
     val out = buildZone()
     // equality on a non-date column is NOT pushable; the date IN list is —
