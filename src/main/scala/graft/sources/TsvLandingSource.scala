@@ -99,6 +99,22 @@ object TsvLanding {
     case _ => false
   }
 
+  /** Total bytes of the admitted files — the post-pruning size estimate
+    * [[TsvScan.estimateStatistics]] reports. Metadata-only (one listing).
+    */
+  private[sources] def admittedBytes(path: String, pushed: Seq[Filter]): Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    fs.listStatus(p).toSeq
+      .filter(_.isFile)
+      .flatMap { st =>
+        st.getPath.getName match {
+          case FileRe(date) if admits(date, pushed) => Some(st.getLen)
+          case _ => None
+        }
+      }.sum
+  }
+
   /** Admitted files of the zone, in (date, name) order — the shared
     * listing for the batch scan and the micro-batch stream. The order is
     * the STREAM'S OFFSET SPACE (offset = files consumed off this list),
@@ -201,7 +217,7 @@ class TsvScanBuilder(path: String, options: CaseInsensitiveStringMap)
   * skipped pruning.
   */
 case class TsvScan(path: String, required: StructType, pushed: Array[Filter])
-  extends Scan with Batch with SupportsRuntimeFiltering {
+  extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   // runtime state, deliberately OUTSIDE the case-class fields: exchange
   // reuse compares scans structurally, and two scans of the same zone
@@ -213,6 +229,19 @@ case class TsvScan(path: String, required: StructType, pushed: Array[Filter])
 
   override def filter(filters: Array[Filter]): Unit =
     runtime = filters.filter(TsvLanding.pushable)
+
+  /** POST-PRUNING size for the join planner: a one-day read out of a
+    * 1000-day zone reports one day's bytes, not the zone's — so the
+    * planner broadcasts the pruned read where a stats-less V2 relation
+    * (sizeInBytes = the defensive `defaultSizeInBytes` ceiling) would be
+    * forced into a sort-merge join. Rows stay unreported: counting them
+    * would mean parsing, and bytes alone drive the broadcast decision.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = TsvLanding.admittedBytes(path, (pushed ++ runtime).toSeq)
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this

@@ -105,6 +105,28 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(parts == Seq("2024-01-01"), parts.toString)
   }
 
+  test("post-pruning statistics let the planner broadcast a pruned zone read") {
+    val out = buildZone()
+    // the probe side is ~24 MB by the planner's own estimate — beyond the
+    // broadcast threshold — so a BroadcastHashJoin can only appear if the
+    // ZONE side reports its true (tiny, post-pruning) size through
+    // SupportsReportStatistics; a stats-less V2 relation would estimate
+    // defaultSizeInBytes and force a sort-merge join
+    val big = spark.range(0, 3000000)
+      .select(concat(lit("2024-01-0"),
+        ((col("id") % 5) + 1).cast("string")).as("event_date"), col("id"))
+    val agg = readZone(out)
+      .where(col("event_date") < "2024-01-03")
+      .join(big, "event_date")
+      .groupBy().count()
+    val n = agg.collect().head.getLong(0)
+    // days 01 (2 zone rows) and 02 (1 zone row) each match 600k probe rows
+    assert(n == 1800000L, s"got $n")
+    val planStr = agg.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"pruned zone read must broadcast off its reported stats\n$planStr")
+  }
+
   test("skipping is advisory: pushed filters stay residual so rows re-check") {
     val out = buildZone()
     // equality on a non-date column is NOT pushable; the date IN list is —
