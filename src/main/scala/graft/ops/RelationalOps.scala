@@ -528,6 +528,53 @@ object RelationalOps {
       .orderBy(col("day"))
   }
 
+  /** Exact exponential smoothing (W19, extension): per-user EWMA over
+    * daily spend with α = 1/2 in INTEGER halving form (e₁ = v₁,
+    * eₙ = (eₙ₋₁ + vₙ) div 2) — the trend/decay signal fraud and
+    * engagement scoring read, kept bit-exact where a float αⁿ expansion
+    * would be accumulation-order-dependent. An EWMA is a sequential
+    * fold, which window functions cannot express — the Spark-first
+    * shape is each user's ordered daily series rolled into ONE array
+    * (`array_sort(collect_list(...))`) and folded map-side with the
+    * codegen'd higher-order `aggregate`: two partial-aggregated
+    * shuffles total (day rollup, user rollup), state per user = its day
+    * count, no per-row UDF anywhere. The same fold replays in DuckDB as
+    * `list_reduce`, whose first-element seeding matches the e₁ = v₁
+    * convention exactly; values are non-negative cents so `div` and
+    * `//` agree.
+    */
+  private def w19EwmaDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    daily.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"), max(col("day")).as("last_day"),
+        array_sort(collect_list(struct(col("day"), col("cents")))).as("seq"))
+      .select(col("user_id"), col("n_days"), col("last_day"),
+        expr("aggregate(slice(seq, 2, size(seq) - 1), seq[0].cents, " +
+          "(acc, x) -> (acc + x.cents) div 2)").as("ewma_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Deterministic per-key mode (A12, extension): each user's most
+    * frequent event type — `mode()` built-ins leave ties unspecified on
+    * both engines, so the rank is made total explicitly: (count DESC,
+    * type ASC) via one row_number over the (user, type) rollup. The
+    * window consumes |users|·|types| rollup rows, never the fact table.
+    */
+  private def a12ModePerKey(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("n").desc, col("event_type").asc)
+    counts.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+      .orderBy(col("user_id"))
+  }
+
   /** As-of join (J2, extension): for every `purchase` event, the most
     * recent strictly-preceding `view` event of the same user. Spark has no
     * native as-of operator; the naive formulation is a range join
@@ -1372,6 +1419,8 @@ object RelationalOps {
     "w3_tumbling_windows" -> (w3 _),
     "w17_sliding_windows" -> (w17 _),
     "w18_peak_concurrency" -> (w18PeakConcurrency _),
+    "w19_ewma_daily" -> (w19EwmaDaily _),
+    "a12_mode_per_key" -> (a12ModePerKey _),
     "j9_nullsafe_join" -> (j9 _),
     "w5_boundary_duplicates" -> (w5 _),
     "w8_gap_sessionize" -> (w8 _),
@@ -1784,6 +1833,27 @@ object RelationalOps {
         |SELECT day, CAST(max(load) AS BIGINT) AS peak_concurrency,
         |  CAST(count(*) // 2 AS BIGINT) AS n_intervals
         |FROM loads GROUP BY day ORDER BY day""".stripMargin,
+    "w19_ewma_daily" ->
+      """WITH daily AS (
+        |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |seqs AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days, max(day) AS last_day,
+        |    list(cents ORDER BY day) AS l
+        |  FROM daily GROUP BY user_id)
+        |SELECT user_id, n_days, last_day,
+        |  CAST(CASE WHEN len(l) = 1 THEN l[1]
+        |       ELSE list_reduce(l, (acc, x) -> (acc + x) // 2) END AS BIGINT)
+        |    AS ewma_cents
+        |FROM seqs ORDER BY user_id""".stripMargin,
+    "a12_mode_per_key" ->
+      """SELECT user_id, event_type AS mode_type, n FROM (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY count(*) DESC, event_type ASC) AS rk
+        |  FROM events GROUP BY user_id, event_type)
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin,
     "j2_asof_join" ->
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_iso, user_id,
          |  asof_view_id, asof_view_value
