@@ -252,6 +252,26 @@ object CoverageOps {
       .orderBy(col("event_date"))
   }
 
+  /** COUNT pushdown through the connector
+    * ([[graft.sources.TsvScanBuilder.pushAggregation]]): the per-day
+    * volume report runs as one LONG per admitted file — the reader
+    * streams bytes and counts lines (arity-checked), never tokenizes a
+    * field or ships an event row, and Spark's final aggregate re-sums
+    * the per-file partials (the zone's `.p<N>` task segments make the
+    * partial/complete distinction real). Dsv2SourceSpec pins that the
+    * planned scan is the count scan; this query grades the numbers
+    * against the direct-parquet oracle.
+    */
+  private def srcDsv2CountPushdown(s: SparkSession, dir: String): DataFrame = {
+    val out = buildTsvZone(s, dir)
+    s.read.format(classOf[graft.sources.TsvLandingSource].getName)
+      .option("path", out).load()
+      .where(col("event_date") >= "2024-01-05" && col("event_date") < "2024-01-20")
+      .groupBy(col("event_date")).count()
+      .select(col("event_date"), col("count").as("n"))
+      .orderBy(col("event_date"))
+  }
+
   /** The landing zone reached through PLAIN SQL via the catalog plugin
     * ([[graft.sources.GraftCatalog]]): two confs bind the catalog, and
     * `FROM graft.`zone`` resolves straight to the connector table — the
@@ -721,6 +741,7 @@ object CoverageOps {
     "src_csv_roundtrip" -> (srcCsvRoundtrip _),
     "src_dsv2_landing" -> (srcDsv2Landing _),
     "src_dsv2_runtime_prune" -> (srcDsv2RuntimePrune _),
+    "src_dsv2_count_pushdown" -> (srcDsv2CountPushdown _),
     "snk_dsv2_landing" -> (snkDsv2Landing _),
     "sql_api_catalog_tsv" -> (sqlApiCatalogTsv _),
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
@@ -822,6 +843,12 @@ object CoverageOps {
     "src_dsv2_landing" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-05'
+        |  AND strftime(ts, '%Y-%m-%d') < '2024-01-20'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_dsv2_count_pushdown" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n
         |FROM events
         |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-05'
         |  AND strftime(ts, '%Y-%m-%d') < '2024-01-20'

@@ -172,9 +172,13 @@ class TsvTable(path: String) extends Table with SupportsRead with SupportsWrite 
 }
 
 class TsvScanBuilder(path: String, options: CaseInsensitiveStringMap)
-  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+  with SupportsPushDownAggregates {
 
   private var required: StructType = TsvLanding.Schema
+  // Some((groupByDate, nCounts)) once an aggregation has been accepted —
+  // see pushAggregation below
+  private var aggPushed: Option[(Boolean, Int)] = None
   // STREAMING reads never run the batch pushdown rule, so dated windows
   // arrive as explicit bound OPTIONS (the Kafka-startingOffsets pattern):
   // [startDate, endDate) seeds the pushed set and prunes the stream's
@@ -193,12 +197,53 @@ class TsvScanBuilder(path: String, options: CaseInsensitiveStringMap)
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed ++= filters.filter(TsvLanding.pushable)
-    filters // everything stays residual: skipping is advisory, rows re-check
+    val (dated, rest) = filters.partition(TsvLanding.pushable)
+    pushed ++= dated
+    // date predicates are CLAIMED, not residual: the reader materializes
+    // event_date FROM the filename, so file-level admission is exact by
+    // construction — no row inside an admitted file can violate the
+    // predicate. (Everything else stays residual and re-checks per row.)
+    // Claiming matters beyond eliding a no-op row filter: aggregate
+    // pushdown below is only offered when no post-scan filters remain.
+    rest
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = TsvScan(path, required, pushed)
+  /** COUNT pushdown: `COUNT(*)` — bare or grouped by `event_date` — is
+    * answered at LINE granularity (the format is one row per line), so
+    * the reader streams bytes and never tokenizes, boxes, or ships a
+    * row per event. Pushdown is PARTIAL (`supportCompletePushDown` stays
+    * false): the zone holds multiple files per date (`.p<N>` task
+    * segments), each partition reports its own file's count, and Spark's
+    * planned final aggregate re-sums them — the same partial/final split
+    * a parquet metadata-only count uses. Any other aggregate or grouping
+    * is declined and planned normally.
+    */
+  override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    val aggsOk = aggregation.aggregateExpressions().nonEmpty &&
+      aggregation.aggregateExpressions().forall(_.isInstanceOf[CountStar])
+    // (FieldReference's extractor is private[sql]; the public seam is the
+    // NamedReference interface)
+    val groupByDate = aggregation.groupByExpressions().toSeq match {
+      case Seq() => Some(false)
+      case Seq(r: NamedReference) if r.fieldNames().toSeq == Seq("event_date") =>
+        Some(true)
+      case _ => None
+    }
+    groupByDate match {
+      case Some(g) if aggsOk =>
+        aggPushed = Some((g, aggregation.aggregateExpressions().length))
+        true
+      case _ => false
+    }
+  }
+
+  override def build(): Scan = aggPushed match {
+    case Some((groupByDate, nCounts)) => TsvCountScan(path, pushed, groupByDate, nCounts)
+    case None => TsvScan(path, required, pushed)
+  }
 }
 
 /** Implements [[SupportsRuntimeFiltering]] so DYNAMIC PARTITION PRUNING
@@ -322,6 +367,69 @@ case class TsvReaderFactory(requiredCols: Array[String]) extends PartitionReader
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TsvPartition]
     new TsvPartitionReader(p.filePath, p.date, requiredCols)
+  }
+}
+
+/** The pushed-down COUNT scan ([[TsvScanBuilder.pushAggregation]]): one
+  * partition per admitted file, ONE output row per partition — the
+  * file's (optionally date-keyed) line count. Spark's final aggregate
+  * re-sums the per-file partials, so multi-file dates and multi-file
+  * zones come out exact. Scale shape: a fleet-wide "rows per day"
+  * dashboard over a 1000-file zone ships 1000 longs instead of every
+  * event row.
+  */
+case class TsvCountScan(path: String, pushed: Array[Filter], groupByDate: Boolean,
+                        nCounts: Int) extends Scan with Batch {
+  override def readSchema(): StructType = {
+    val counts = (1 to nCounts).map(i => StructField(s"count_$i", LongType, nullable = false))
+    StructType(if (groupByDate) StructField("event_date", StringType, nullable = false) +: counts
+               else counts)
+  }
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-tsv COUNT pushdown path=$path, groupByDate=$groupByDate, " +
+      s"pushedDateFilters=[${pushed.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    TsvLanding.listAdmitted(path, pushed.toSeq).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    TsvCountReaderFactory(groupByDate, nCounts)
+}
+
+case class TsvCountReaderFactory(groupByDate: Boolean, nCounts: Int)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TsvPartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = !done
+      override def get(): InternalRow = {
+        done = true
+        val fp = new Path(p.filePath)
+        val fs = fp.getFileSystem(new Configuration())
+        val reader = new BufferedReader(
+          new InputStreamReader(fs.open(fp), StandardCharsets.UTF_8))
+        var n = 0L
+        try {
+          var line = reader.readLine()
+          while (line != null) {
+            // arity check without tokenizing: the row path throws on a
+            // malformed (incl. empty) line, and a count must not
+            // silently differ from what the row path would have produced
+            var tabs = 0
+            var i = 0
+            while (i < line.length) { if (line.charAt(i) == '\t') tabs += 1; i += 1 }
+            if (tabs != 3) throw new IllegalArgumentException(
+              s"graft-tsv: malformed line in ${p.filePath} (${tabs + 1} fields): $line")
+            n += 1
+            line = reader.readLine()
+          }
+        } finally reader.close()
+        val vals = Array.fill[Any](nCounts)(n)
+        new GenericInternalRow(
+          if (groupByDate) UTF8String.fromString(p.date) +: vals else vals)
+      }
+      override def close(): Unit = ()
+    }
   }
 }
 

@@ -105,6 +105,41 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(parts == Seq("2024-01-01"), parts.toString)
   }
 
+  test("COUNT(*) pushes into the scan at line granularity, partials re-summed") {
+    val out = buildZone()
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a second task segment for 01-01: the per-FILE partial counts must
+    // re-aggregate across segments of one date
+    val os = fs.create(new org.apache.hadoop.fs.Path(s"$out/events_2024-01-01.p1.tsv"))
+    os.write("7\t12\tview\t40\n8\t13\tclick\t60\n".getBytes("UTF-8"))
+    os.close()
+
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(allScans)
+    }
+
+    val grouped = readZone(out)
+      .where(col("event_date") < "2024-01-03")
+      .groupBy(col("event_date")).count()
+    val rows = grouped.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq.sortBy(_._1)
+    assert(rows == Seq(("2024-01-01", 4L), ("2024-01-02", 1L)), s"got $rows")
+    val scans = allScans(grouped.queryExecution.executedPlan)
+    assert(scans.length == 1 &&
+      scans.head.scan.isInstanceOf[graft.sources.TsvCountScan],
+      s"grouped count must plan the count scan\n${grouped.queryExecution.executedPlan}")
+
+    // bare count: same seam, no grouping column
+    val bare = readZone(out).where(col("event_date") < "2024-01-03").count()
+    assert(bare == 5L, s"got $bare")
+  }
+
   test("post-pruning statistics let the planner broadcast a pruned zone read") {
     val out = buildZone()
     // the probe side is ~24 MB by the planner's own estimate — beyond the
