@@ -272,6 +272,26 @@ object CoverageOps {
       .orderBy(col("event_date"))
   }
 
+  /** MIN/MAX(event_date) pushdown through the connector
+    * ([[graft.sources.TsvScanBuilder.pushAggregation]]): the "what date
+    * range has landed?" freshness probe every incremental scheduler runs
+    * is answered from the LISTING alone — `event_date` IS the filename
+    * date, so each admitted file's min and max are its name and the
+    * reader opens NOTHING (the flat-file analogue of a parquet
+    * footer-only min/max). Dsv2SourceSpec pins the zero-I/O claim with a
+    * garbage-content file INSIDE the range: min/max succeeds where the
+    * row path throws. This query grades the dates against the
+    * direct-parquet oracle.
+    */
+  private def srcDsv2MinmaxMeta(s: SparkSession, dir: String): DataFrame = {
+    val out = buildTsvZone(s, dir)
+    s.read.format(classOf[graft.sources.TsvLandingSource].getName)
+      .option("path", out).load()
+      .where(col("event_date") >= "2024-01-03" && col("event_date") < "2024-01-20")
+      .agg(min(col("event_date")).as("first_date"),
+           max(col("event_date")).as("last_date"))
+  }
+
   /** The landing zone reached through PLAIN SQL via the catalog plugin
     * ([[graft.sources.GraftCatalog]]): two confs bind the catalog, and
     * `FROM graft.`zone`` resolves straight to the connector table — the
@@ -742,6 +762,7 @@ object CoverageOps {
     "src_dsv2_landing" -> (srcDsv2Landing _),
     "src_dsv2_runtime_prune" -> (srcDsv2RuntimePrune _),
     "src_dsv2_count_pushdown" -> (srcDsv2CountPushdown _),
+    "src_dsv2_minmax_meta" -> (srcDsv2MinmaxMeta _),
     "snk_dsv2_landing" -> (snkDsv2Landing _),
     "sql_api_catalog_tsv" -> (sqlApiCatalogTsv _),
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
@@ -853,6 +874,12 @@ object CoverageOps {
         |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-05'
         |  AND strftime(ts, '%Y-%m-%d') < '2024-01-20'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_dsv2_minmax_meta" ->
+      """SELECT min(strftime(ts, '%Y-%m-%d')) AS first_date,
+        |       max(strftime(ts, '%Y-%m-%d')) AS last_date
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-03'
+        |  AND strftime(ts, '%Y-%m-%d') < '2024-01-20'""".stripMargin,
     "src_dsv2_runtime_prune" ->
       """WITH z AS (SELECT strftime(ts, '%Y-%m-%d') AS event_date,
         |             CAST(round(value * 100) AS BIGINT) AS value_cents

@@ -123,11 +123,12 @@ object TsvLanding {
     * date (upstreams deliver days forward), so a grown list re-sorts to
     * the old list + a suffix and committed offsets stay valid.
     */
-  private[sources] def listAdmitted(path: String, pushed: Seq[Filter]): Seq[TsvPartition] = {
+  private[sources] def listAdmitted(path: String, pushed: Seq[Filter],
+                                    nonEmptyOnly: Boolean = false): Seq[TsvPartition] = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
     fs.listStatus(p).toSeq
-      .filter(_.isFile)
+      .filter(st => st.isFile && (!nonEmptyOnly || st.getLen > 0))
       .flatMap { st =>
         st.getPath.getName match {
           case FileRe(date) if admits(date, pushed) =>
@@ -176,9 +177,9 @@ class TsvScanBuilder(path: String, options: CaseInsensitiveStringMap)
   with SupportsPushDownAggregates {
 
   private var required: StructType = TsvLanding.Schema
-  // Some((groupByDate, nCounts)) once an aggregation has been accepted —
-  // see pushAggregation below
-  private var aggPushed: Option[(Boolean, Int)] = None
+  // Some((groupByDate, agg kinds in output order)) once an aggregation
+  // has been accepted — see pushAggregation below
+  private var aggPushed: Option[(Boolean, Seq[TsvAggKind])] = None
   // STREAMING reads never run the batch pushdown rule, so dated windows
   // arrive as explicit bound OPTIONS (the Kafka-startingOffsets pattern):
   // [startDate, endDate) seeds the pushed set and prunes the stream's
@@ -209,41 +210,74 @@ class TsvScanBuilder(path: String, options: CaseInsensitiveStringMap)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  /** COUNT pushdown: `COUNT(*)` — bare or grouped by `event_date` — is
-    * answered at LINE granularity (the format is one row per line), so
-    * the reader streams bytes and never tokenizes, boxes, or ships a
-    * row per event. Pushdown is PARTIAL (`supportCompletePushDown` stays
-    * false): the zone holds multiple files per date (`.p<N>` task
-    * segments), each partition reports its own file's count, and Spark's
-    * planned final aggregate re-sums them — the same partial/final split
-    * a parquet metadata-only count uses. Any other aggregate or grouping
-    * is declined and planned normally.
+  /** Aggregate pushdown, two tiers by how much I/O the answer needs:
+    *
+    *  - `COUNT(*)` — bare or grouped by `event_date` — is answered at
+    *    LINE granularity (the format is one row per line), so the reader
+    *    streams bytes and never tokenizes, boxes, or ships a row per
+    *    event.
+    *  - `MIN`/`MAX(event_date)` is answered from the LISTING alone —
+    *    `event_date` IS the filename date, so a file's min and max are
+    *    its name and the reader never opens it at all (the flat-file
+    *    analogue of a parquet footer-only min/max). Zero-length files
+    *    are excluded at the listing (their contribution to count/min/max
+    *    is the identity — emitting a partial row for one would fabricate
+    *    a group the row path never produces).
+    *
+    * Pushdown is PARTIAL (`supportCompletePushDown` stays false): the
+    * zone holds multiple files per date (`.p<N>` task segments), each
+    * partition reports its own file's values, and Spark's planned final
+    * aggregate re-combines them — the same partial/final split a parquet
+    * metadata-only count uses. Any other aggregate or grouping is
+    * declined and planned normally.
     */
   override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
-    import org.apache.spark.sql.connector.expressions.NamedReference
-    val aggsOk = aggregation.aggregateExpressions().nonEmpty &&
-      aggregation.aggregateExpressions().forall(_.isInstanceOf[CountStar])
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
     // (FieldReference's extractor is private[sql]; the public seam is the
     // NamedReference interface)
+    def isDateRef(e: Expression): Boolean = e match {
+      case r: NamedReference => r.fieldNames().toSeq == Seq("event_date")
+      case _ => false
+    }
+    val parsed: Seq[Option[TsvAggKind]] =
+      aggregation.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some(TsvAggKind.CountLines)
+        case m: Min if isDateRef(m.column()) => Some(TsvAggKind.MinDate)
+        case m: Max if isDateRef(m.column()) => Some(TsvAggKind.MaxDate)
+        case _ => None
+      }
     val groupByDate = aggregation.groupByExpressions().toSeq match {
       case Seq() => Some(false)
       case Seq(r: NamedReference) if r.fieldNames().toSeq == Seq("event_date") =>
         Some(true)
       case _ => None
     }
-    groupByDate match {
-      case Some(g) if aggsOk =>
-        aggPushed = Some((g, aggregation.aggregateExpressions().length))
+    (groupByDate, parsed) match {
+      case (Some(g), ps) if ps.nonEmpty && ps.forall(_.isDefined) =>
+        aggPushed = Some((g, ps.flatten))
         true
       case _ => false
     }
   }
 
   override def build(): Scan = aggPushed match {
-    case Some((groupByDate, nCounts)) => TsvCountScan(path, pushed, groupByDate, nCounts)
+    case Some((groupByDate, aggs)) => TsvCountScan(path, pushed, groupByDate, aggs)
     case None => TsvScan(path, required, pushed)
   }
+}
+
+/** The aggregate shapes [[TsvScanBuilder.pushAggregation]] accepts, in
+  * the scan's output-column order.
+  */
+sealed trait TsvAggKind extends Serializable
+object TsvAggKind {
+  /** COUNT(*): the file's line count — streamed bytes, no tokenizing. */
+  case object CountLines extends TsvAggKind
+  /** MIN(event_date): the filename date — the file is never opened. */
+  case object MinDate extends TsvAggKind
+  /** MAX(event_date): the filename date — the file is never opened. */
+  case object MaxDate extends TsvAggKind
 }
 
 /** Implements [[SupportsRuntimeFiltering]] so DYNAMIC PARTITION PRUNING
@@ -370,32 +404,38 @@ case class TsvReaderFactory(requiredCols: Array[String]) extends PartitionReader
   }
 }
 
-/** The pushed-down COUNT scan ([[TsvScanBuilder.pushAggregation]]): one
-  * partition per admitted file, ONE output row per partition — the
-  * file's (optionally date-keyed) line count. Spark's final aggregate
-  * re-sums the per-file partials, so multi-file dates and multi-file
-  * zones come out exact. Scale shape: a fleet-wide "rows per day"
-  * dashboard over a 1000-file zone ships 1000 longs instead of every
-  * event row.
+/** The pushed-down aggregate scan ([[TsvScanBuilder.pushAggregation]]):
+  * one partition per admitted NON-EMPTY file, ONE output row per
+  * partition — the file's (optionally date-keyed) line count and/or its
+  * filename date for min/max. Spark's final aggregate re-combines the
+  * per-file partials, so multi-file dates and multi-file zones come out
+  * exact. Scale shape: a fleet-wide "rows per day" dashboard over a
+  * 1000-file zone ships 1000 longs instead of every event row, and a
+  * "freshest landed day" watermark probe (`MAX(event_date)`) is a pure
+  * listing — zero files opened.
   */
 case class TsvCountScan(path: String, pushed: Array[Filter], groupByDate: Boolean,
-                        nCounts: Int) extends Scan with Batch {
+                        aggs: Seq[TsvAggKind]) extends Scan with Batch {
   override def readSchema(): StructType = {
-    val counts = (1 to nCounts).map(i => StructField(s"count_$i", LongType, nullable = false))
-    StructType(if (groupByDate) StructField("event_date", StringType, nullable = false) +: counts
-               else counts)
+    val cols = aggs.zipWithIndex.map {
+      case (TsvAggKind.CountLines, i) => StructField(s"count_$i", LongType, nullable = false)
+      case (TsvAggKind.MinDate, i)    => StructField(s"min_$i", StringType, nullable = false)
+      case (TsvAggKind.MaxDate, i)    => StructField(s"max_$i", StringType, nullable = false)
+    }
+    StructType(if (groupByDate) StructField("event_date", StringType, nullable = false) +: cols
+               else cols)
   }
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-tsv COUNT pushdown path=$path, groupByDate=$groupByDate, " +
+    s"graft-tsv AGG pushdown path=$path, groupByDate=$groupByDate, aggs=$aggs, " +
       s"pushedDateFilters=[${pushed.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
-    TsvLanding.listAdmitted(path, pushed.toSeq).toArray
+    TsvLanding.listAdmitted(path, pushed.toSeq, nonEmptyOnly = true).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    TsvCountReaderFactory(groupByDate, nCounts)
+    TsvCountReaderFactory(groupByDate, aggs)
 }
 
-case class TsvCountReaderFactory(groupByDate: Boolean, nCounts: Int)
+case class TsvCountReaderFactory(groupByDate: Boolean, aggs: Seq[TsvAggKind])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TsvPartition]
@@ -404,6 +444,20 @@ case class TsvCountReaderFactory(groupByDate: Boolean, nCounts: Int)
       override def next(): Boolean = !done
       override def get(): InternalRow = {
         done = true
+        // the file is opened ONLY if a count was pushed; a pure
+        // min/max(event_date) aggregation is answered from the
+        // partition's filename date with no I/O at all
+        val n: Long =
+          if (aggs.contains(TsvAggKind.CountLines)) countLines() else -1L
+        val vals: Seq[Any] = aggs.map {
+          case TsvAggKind.CountLines => n
+          case TsvAggKind.MinDate | TsvAggKind.MaxDate =>
+            UTF8String.fromString(p.date)
+        }
+        new GenericInternalRow(
+          (if (groupByDate) UTF8String.fromString(p.date) +: vals else vals).toArray)
+      }
+      private def countLines(): Long = {
         val fp = new Path(p.filePath)
         val fs = fp.getFileSystem(new Configuration())
         val reader = new BufferedReader(
@@ -424,9 +478,7 @@ case class TsvCountReaderFactory(groupByDate: Boolean, nCounts: Int)
             line = reader.readLine()
           }
         } finally reader.close()
-        val vals = Array.fill[Any](nCounts)(n)
-        new GenericInternalRow(
-          if (groupByDate) UTF8String.fromString(p.date) +: vals else vals)
+        n
       }
       override def close(): Unit = ()
     }

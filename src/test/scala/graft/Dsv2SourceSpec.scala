@@ -140,6 +140,33 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(bare == 5L, s"got $bare")
   }
 
+  test("MIN/MAX(event_date) answers from the listing with zero file opens") {
+    val out = buildZone()
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a zero-length file: admitted by name but holds no rows — it must
+    // not contribute its date (its aggregate contribution is the identity)
+    fs.create(new org.apache.hadoop.fs.Path(s"$out/events_2024-01-04.tsv")).close()
+
+    // the range INCLUDES the poisoned garbage-content 01-03 file: min/max
+    // succeeds because no file is ever opened, where any row-shipping
+    // plan (and the count pushdown, which must verify arity) would throw
+    val row = readZone(out)
+      .where(col("event_date") <= "2024-01-04")
+      .agg(min(col("event_date")).as("first_date"),
+           max(col("event_date")).as("last_date"))
+      .collect().head
+    assert((row.getString(0), row.getString(1)) == ("2024-01-01", "2024-01-03"),
+      row.toString)
+
+    // same range through the count path: the poison file IS opened → loud
+    val ex = intercept[org.apache.spark.SparkException] {
+      readZone(out).where(col("event_date") <= "2024-01-04")
+        .groupBy(col("event_date")).count().collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("post-pruning statistics let the planner broadcast a pruned zone read") {
     val out = buildZone()
     // the probe side is ~24 MB by the planner's own estimate — beyond the
