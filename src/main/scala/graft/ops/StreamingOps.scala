@@ -150,6 +150,26 @@ object StreamingOps {
         .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("cents"))
         .orderBy(col("event_type"))
     }),
+    // the DSv2 stream under ADMISSION CONTROL: maxFilesPerTrigger=1
+    // makes the connector's getDefaultReadLimit/ReadMaxFiles seam cap
+    // every micro-batch at one file, so the AvailableNow drain runs one
+    // checkpointed batch per admitted file instead of one giant batch —
+    // the bounded-backlog shape a 10k-file catch-up needs. Same oracle
+    // as the unbounded twin: bounding must not change the answer.
+    "stream_dsv2_bounded" -> ((s, dir) => {
+      val out = CoverageOps.buildTsvZone(s, dir)
+      val stream = s.readStream
+        .format(classOf[graft.sources.TsvLandingSource].getName)
+        .option("path", out)
+        .option("startDate", "2024-01-05").option("endDate", "2024-01-20")
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .where(col("event_date") >= "2024-01-05" && col("event_date") < "2024-01-20")
+      StreamingIngest.runToParquet(stream)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("cents"))
+        .orderBy(col("event_type"))
+    }),
     "stream_wap_publish" ->
       ((s, dir) => StreamingIngest.streamWapPublish(s, dir)),
     "stream_etl_dest" -> ((s, dir) => {
@@ -221,6 +241,8 @@ object StreamingOps {
         |ORDER BY purchase_id, view_id""".stripMargin,
     // the streamed zone must reassemble to the batch connector's report
     "stream_dsv2_landing" -> CoverageOps.oracleSql("src_dsv2_landing"),
+    // one-file-per-batch admission control must not change the answer
+    "stream_dsv2_bounded" -> CoverageOps.oracleSql("src_dsv2_landing"),
     // full-outer finality needs BOTH sides closed: every timestamp a row
     // carries must sit a full horizon behind the final watermark; −1 pads
     // the absent side of organic purchases and dead-end views

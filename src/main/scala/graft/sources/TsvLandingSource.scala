@@ -263,7 +263,9 @@ class TsvScanBuilder(path: String, options: CaseInsensitiveStringMap)
 
   override def build(): Scan = aggPushed match {
     case Some((groupByDate, aggs)) => TsvCountScan(path, pushed, groupByDate, aggs)
-    case None => TsvScan(path, required, pushed)
+    case None =>
+      TsvScan(path, required, pushed,
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   }
 }
 
@@ -295,7 +297,8 @@ object TsvAggKind {
   * filter shape [[TsvLanding.pushable]] rejects costs nothing but the
   * skipped pruning.
   */
-case class TsvScan(path: String, required: StructType, pushed: Array[Filter])
+case class TsvScan(path: String, required: StructType, pushed: Array[Filter],
+                   maxFilesPerTrigger: Option[Int] = None)
   extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   // runtime state, deliberately OUTSIDE the case-class fields: exchange
@@ -335,7 +338,7 @@ case class TsvScan(path: String, required: StructType, pushed: Array[Filter])
     TsvReaderFactory(required.fieldNames)
 
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
-    new TsvMicroBatchStream(path, required, pushed)
+    new TsvMicroBatchStream(path, required, pushed, maxFilesPerTrigger)
 }
 
 /** The landing zone as a MICRO-BATCH STREAM: the file-arrival stream
@@ -350,7 +353,8 @@ case class TsvScan(path: String, required: StructType, pushed: Array[Filter])
   * pushed-down scan, so a dated window never even lists out-of-range
   * files into its offset space.
   */
-class TsvMicroBatchStream(path: String, required: StructType, pushed: Array[Filter])
+class TsvMicroBatchStream(path: String, required: StructType, pushed: Array[Filter],
+                          maxFilesPerTrigger: Option[Int] = None)
   extends streaming.MicroBatchStream with streaming.SupportsTriggerAvailableNow {
 
   private case class TsvOffset(fileCount: Int) extends streaming.Offset {
@@ -364,13 +368,33 @@ class TsvMicroBatchStream(path: String, required: StructType, pushed: Array[Filt
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(TsvLanding.listAdmitted(path, pushed.toSeq).length)
 
-  // SupportsAdmissionControl seam: the engine calls the (start, limit)
-  // form; ReadLimit is deliberately ignored (a file is the admission
-  // granule here), and the no-arg legacy form must never be called
+  // the admission granule is a FILE, so the only limit shape honored is
+  // max-files; the default comes from the reader's maxFilesPerTrigger
+  // option (absent → drain everything available, the built-in file
+  // source's contract)
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    maxFilesPerTrigger.map(n => streaming.ReadLimit.maxFiles(n))
+      .getOrElse(streaming.ReadLimit.allAvailable())
+
+  /** SupportsAdmissionControl seam: the engine calls the (start, limit)
+    * form. A `ReadMaxFiles` limit caps each micro-batch to that many
+    * files past the committed offset — bounding a 10k-file backlog drain
+    * to checkpointable, memory-sized steps instead of one giant batch.
+    * Under AvailableNow the pinned target still wins the stop condition:
+    * the engine keeps triggering until the capped offset climbs to the
+    * target, then stops — the no-data final batch still runs.
+    */
   override def latestOffset(start: streaming.Offset,
-                            limit: streaming.ReadLimit): streaming.Offset =
-    TsvOffset(availableNowTarget.getOrElse(
-      TsvLanding.listAdmitted(path, pushed.toSeq).length))
+                            limit: streaming.ReadLimit): streaming.Offset = {
+    val avail = availableNowTarget.getOrElse(
+      TsvLanding.listAdmitted(path, pushed.toSeq).length)
+    val from = start.asInstanceOf[TsvOffset].fileCount
+    val capped = limit match {
+      case mf: streaming.ReadMaxFiles => math.min(avail, from + mf.maxFiles())
+      case _ => avail
+    }
+    TsvOffset(capped)
+  }
 
   override def latestOffset(): streaming.Offset =
     throw new UnsupportedOperationException(

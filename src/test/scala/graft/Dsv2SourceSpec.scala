@@ -167,6 +167,32 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("maxFilesPerTrigger caps each micro-batch to one file via ReadMaxFiles") {
+    val out = buildZone()
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream
+      .format(classOf[graft.sources.TsvLandingSource].getName)
+      .option("path", out)
+      .option("startDate", "2024-01-01").option("endDate", "2024-01-03")
+      .option("maxFilesPerTrigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count()
+        if (n > 0) batches.add(n)
+        ()
+      }
+      .option("checkpointLocation", graft.util.TempDirs.create("graft_dsv2_bounded_ckpt_"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // two admitted files → two capped data batches, one file each; the
+    // drain still reaches the pinned AvailableNow target
+    import scala.jdk.CollectionConverters._
+    val counts = batches.asScala.toSeq.sorted
+    assert(counts == Seq(1L, 2L), s"got $counts")
+  }
+
   test("post-pruning statistics let the planner broadcast a pruned zone read") {
     val out = buildZone()
     // the probe side is ~24 MB by the planner's own estimate — beyond the
