@@ -150,19 +150,22 @@ object StreamingOps {
         .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("cents"))
         .orderBy(col("event_type"))
     }),
-    // the DSv2 stream under ADMISSION CONTROL: maxFilesPerTrigger=1
-    // makes the connector's getDefaultReadLimit/ReadMaxFiles seam cap
-    // every micro-batch at one file, so the AvailableNow drain runs one
-    // checkpointed batch per admitted file instead of one giant batch —
-    // the bounded-backlog shape a 10k-file catch-up needs. Same oracle
-    // as the unbounded twin: bounding must not change the answer.
+    // the DSv2 stream under ADMISSION CONTROL: maxFilesPerTrigger makes
+    // the connector's getDefaultReadLimit/ReadMaxFiles seam cap every
+    // micro-batch, so the AvailableNow drain runs several checkpointed
+    // batches instead of one giant one — the bounded-backlog shape a
+    // 10k-file catch-up needs. (Dsv2SourceSpec pins the exact
+    // one-file-per-batch split; here the cap is sized so the 15-day
+    // window drains in ~4 batches — per-batch commit overhead is real,
+    // and the production knob trades it against batch memory.) Same
+    // oracle as the unbounded twin: bounding must not change the answer.
     "stream_dsv2_bounded" -> ((s, dir) => {
       val out = CoverageOps.buildTsvZone(s, dir)
       val stream = s.readStream
         .format(classOf[graft.sources.TsvLandingSource].getName)
         .option("path", out)
         .option("startDate", "2024-01-05").option("endDate", "2024-01-20")
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "4")
         .load()
         .where(col("event_date") >= "2024-01-05" && col("event_date") < "2024-01-20")
       StreamingIngest.runToParquet(stream)
