@@ -272,6 +272,24 @@ object CoverageOps {
       .orderBy(col("event_date"))
   }
 
+  /** SUM pushdown through the connector
+    * ([[graft.sources.TsvScanBuilder.pushAggregation]]): the
+    * revenue-per-day report runs as one LONG per admitted file — the
+    * reader parses exactly ONE column per line (the 4th field; the other
+    * three are stepped over) and Spark's final aggregate re-sums the
+    * per-file partials across `.p<N>` task segments. Same partial/final
+    * split as the count scan; graded against the direct-parquet oracle.
+    */
+  private def srcDsv2SumPushdown(s: SparkSession, dir: String): DataFrame = {
+    val out = buildTsvZone(s, dir)
+    s.read.format(classOf[graft.sources.TsvLandingSource].getName)
+      .option("path", out).load()
+      .where(col("event_date") >= "2024-01-05" && col("event_date") < "2024-01-20")
+      .groupBy(col("event_date"))
+      .agg(sum(col("value_cents")).as("cents"))
+      .orderBy(col("event_date"))
+  }
+
   /** MIN/MAX(event_date) pushdown through the connector
     * ([[graft.sources.TsvScanBuilder.pushAggregation]]): the "what date
     * range has landed?" freshness probe every incremental scheduler runs
@@ -763,6 +781,7 @@ object CoverageOps {
     "src_dsv2_runtime_prune" -> (srcDsv2RuntimePrune _),
     "src_dsv2_count_pushdown" -> (srcDsv2CountPushdown _),
     "src_dsv2_minmax_meta" -> (srcDsv2MinmaxMeta _),
+    "src_dsv2_sum_pushdown" -> (srcDsv2SumPushdown _),
     "snk_dsv2_landing" -> (snkDsv2Landing _),
     "sql_api_catalog_tsv" -> (sqlApiCatalogTsv _),
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
@@ -880,6 +899,13 @@ object CoverageOps {
         |FROM events
         |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-03'
         |  AND strftime(ts, '%Y-%m-%d') < '2024-01-20'""".stripMargin,
+    "src_dsv2_sum_pushdown" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-05'
+        |  AND strftime(ts, '%Y-%m-%d') < '2024-01-20'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_dsv2_runtime_prune" ->
       """WITH z AS (SELECT strftime(ts, '%Y-%m-%d') AS event_date,
         |             CAST(round(value * 100) AS BIGINT) AS value_cents

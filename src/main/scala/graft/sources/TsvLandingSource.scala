@@ -216,6 +216,10 @@ class TsvScanBuilder(path: String, options: CaseInsensitiveStringMap)
     *    LINE granularity (the format is one row per line), so the reader
     *    streams bytes and never tokenizes, boxes, or ships a row per
     *    event.
+    *  - `SUM(value_cents)` tokenizes exactly ONE column per line — the
+    *    4th field parses to a long, the rest are stepped over — so the
+    *    revenue-per-day report ships one long per file instead of every
+    *    event row.
     *  - `MIN`/`MAX(event_date)` is answered from the LISTING alone —
     *    `event_date` IS the filename date, so a file's min and max are
     *    its name and the reader never opens it at all (the flat-file
@@ -240,11 +244,17 @@ class TsvScanBuilder(path: String, options: CaseInsensitiveStringMap)
       case r: NamedReference => r.fieldNames().toSeq == Seq("event_date")
       case _ => false
     }
+    def isCentsRef(e: Expression): Boolean = e match {
+      case r: NamedReference => r.fieldNames().toSeq == Seq("value_cents")
+      case _ => false
+    }
     val parsed: Seq[Option[TsvAggKind]] =
       aggregation.aggregateExpressions().toSeq.map {
         case _: CountStar => Some(TsvAggKind.CountLines)
         case m: Min if isDateRef(m.column()) => Some(TsvAggKind.MinDate)
         case m: Max if isDateRef(m.column()) => Some(TsvAggKind.MaxDate)
+        case sm: org.apache.spark.sql.connector.expressions.aggregate.Sum
+          if !sm.isDistinct && isCentsRef(sm.column()) => Some(TsvAggKind.SumCents)
         case _ => None
       }
     val groupByDate = aggregation.groupByExpressions().toSeq match {
@@ -280,6 +290,11 @@ object TsvAggKind {
   case object MinDate extends TsvAggKind
   /** MAX(event_date): the filename date — the file is never opened. */
   case object MaxDate extends TsvAggKind
+  /** SUM(value_cents): one tokenized column per line — the 4th field
+    * parses to a long while the other three are only stepped over, and
+    * no row object ever leaves the reader.
+    */
+  case object SumCents extends TsvAggKind
 }
 
 /** Implements [[SupportsRuntimeFiltering]] so DYNAMIC PARTITION PRUNING
@@ -445,6 +460,7 @@ case class TsvCountScan(path: String, pushed: Array[Filter], groupByDate: Boolea
       case (TsvAggKind.CountLines, i) => StructField(s"count_$i", LongType, nullable = false)
       case (TsvAggKind.MinDate, i)    => StructField(s"min_$i", StringType, nullable = false)
       case (TsvAggKind.MaxDate, i)    => StructField(s"max_$i", StringType, nullable = false)
+      case (TsvAggKind.SumCents, i)   => StructField(s"sum_$i", LongType, nullable = false)
     }
     StructType(if (groupByDate) StructField("event_date", StringType, nullable = false) +: cols
                else cols)
@@ -468,41 +484,51 @@ case class TsvCountReaderFactory(groupByDate: Boolean, aggs: Seq[TsvAggKind])
       override def next(): Boolean = !done
       override def get(): InternalRow = {
         done = true
-        // the file is opened ONLY if a count was pushed; a pure
+        // the file is opened ONLY if a count or sum was pushed; a pure
         // min/max(event_date) aggregation is answered from the
         // partition's filename date with no I/O at all
-        val n: Long =
-          if (aggs.contains(TsvAggKind.CountLines)) countLines() else -1L
+        val needsSum = aggs.contains(TsvAggKind.SumCents)
+        val (n, cents): (Long, Long) =
+          if (needsSum || aggs.contains(TsvAggKind.CountLines)) scanLines(needsSum)
+          else (-1L, -1L)
         val vals: Seq[Any] = aggs.map {
           case TsvAggKind.CountLines => n
+          case TsvAggKind.SumCents   => cents
           case TsvAggKind.MinDate | TsvAggKind.MaxDate =>
             UTF8String.fromString(p.date)
         }
         new GenericInternalRow(
           (if (groupByDate) UTF8String.fromString(p.date) +: vals else vals).toArray)
       }
-      private def countLines(): Long = {
+      private def scanLines(needsSum: Boolean): (Long, Long) = {
         val fp = new Path(p.filePath)
         val fs = fp.getFileSystem(new Configuration())
         val reader = new BufferedReader(
           new InputStreamReader(fs.open(fp), StandardCharsets.UTF_8))
         var n = 0L
+        var cents = 0L
         try {
           var line = reader.readLine()
           while (line != null) {
             // arity check without tokenizing: the row path throws on a
             // malformed (incl. empty) line, and a count must not
-            // silently differ from what the row path would have produced
+            // silently differ from what the row path would have produced.
+            // For a pushed sum, only the 4th field (after the 3rd tab) is
+            // ever parsed — the other three are stepped over.
             var tabs = 0
             var i = 0
             while (i < line.length) { if (line.charAt(i) == '\t') tabs += 1; i += 1 }
             if (tabs != 3) throw new IllegalArgumentException(
               s"graft-tsv: malformed line in ${p.filePath} (${tabs + 1} fields): $line")
+            if (needsSum) {
+              val lastTab = line.lastIndexOf('\t')
+              cents += java.lang.Long.parseLong(line.substring(lastTab + 1))
+            }
             n += 1
             line = reader.readLine()
           }
         } finally reader.close()
-        n
+        (n, cents)
       }
       override def close(): Unit = ()
     }

@@ -37,11 +37,13 @@ class Dsv2SourceSpec extends AnyFunSuite {
     val out = buildZone()
     val df = readZone(out)
       .where(col("event_date") < "2024-01-03")
-      .groupBy(col("event_date")).agg(sum(col("value_cents")).as("cents"))
+      // max(value_cents) is NOT a pushable aggregate shape, so this stays
+      // on the ROW path and exercises column pruning in the line parser
+      .groupBy(col("event_date")).agg(max(col("value_cents")).as("cents"))
       .orderBy(col("event_date"))
     // the poisoned 01-03 file parses on open — reaching it throws
     val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(rows == Seq(("2024-01-01", 350L), ("2024-01-02", 75L)))
+    assert(rows == Seq(("2024-01-01", 250L), ("2024-01-02", 75L)))
 
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -138,6 +140,37 @@ class Dsv2SourceSpec extends AnyFunSuite {
     // bare count: same seam, no grouping column
     val bare = readZone(out).where(col("event_date") < "2024-01-03").count()
     assert(bare == 5L, s"got $bare")
+  }
+
+  test("SUM(value_cents) pushes into the scan, one parsed column per line") {
+    val out = buildZone()
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a second task segment for 01-01: per-FILE partial sums must
+    // re-aggregate across segments of one date
+    val os = fs.create(new org.apache.hadoop.fs.Path(s"$out/events_2024-01-01.p1.tsv"))
+    os.write("7\t12\tview\t40\n8\t13\tclick\t60\n".getBytes("UTF-8"))
+    os.close()
+
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(allScans)
+    }
+
+    val grouped = readZone(out)
+      .where(col("event_date") < "2024-01-03")
+      .groupBy(col("event_date")).agg(sum(col("value_cents")).as("cents"))
+    val rows = grouped.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq.sortBy(_._1)
+    assert(rows == Seq(("2024-01-01", 450L), ("2024-01-02", 75L)), s"got $rows")
+    val scans = allScans(grouped.queryExecution.executedPlan)
+    assert(scans.length == 1 &&
+      scans.head.scan.isInstanceOf[graft.sources.TsvCountScan],
+      s"grouped sum must plan the agg scan\n${grouped.queryExecution.executedPlan}")
   }
 
   test("MIN/MAX(event_date) answers from the listing with zero file opens") {
