@@ -248,9 +248,19 @@ class TsvScanBuilder(path: String, options: CaseInsensitiveStringMap)
       case r: NamedReference => r.fieldNames().toSeq == Seq("value_cents")
       case _ => false
     }
+    // COUNT(col) on any connector column ≡ COUNT(*): every column is
+    // non-nullable by construction (event_date from the filename, the
+    // three parsed fields arity-checked per line), so no row is skipped
+    def isAnyColRef(e: Expression): Boolean = e match {
+      case r: NamedReference => r.fieldNames().length == 1 &&
+        TsvLanding.Schema.fieldNames.contains(r.fieldNames()(0))
+      case _ => false
+    }
     val parsed: Seq[Option[TsvAggKind]] =
       aggregation.aggregateExpressions().toSeq.map {
         case _: CountStar => Some(TsvAggKind.CountLines)
+        case c: org.apache.spark.sql.connector.expressions.aggregate.Count
+          if !c.isDistinct && isAnyColRef(c.column()) => Some(TsvAggKind.CountLines)
         case m: Min if isDateRef(m.column()) => Some(TsvAggKind.MinDate)
         case m: Max if isDateRef(m.column()) => Some(TsvAggKind.MaxDate)
         case sm: org.apache.spark.sql.connector.expressions.aggregate.Sum

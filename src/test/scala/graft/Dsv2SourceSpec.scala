@@ -140,6 +140,18 @@ class Dsv2SourceSpec extends AnyFunSuite {
     // bare count: same seam, no grouping column
     val bare = readZone(out).where(col("event_date") < "2024-01-03").count()
     assert(bare == 5L, s"got $bare")
+
+    // COUNT(col) on a non-nullable connector column ≡ COUNT(*): same seam
+    val byCol = readZone(out)
+      .where(col("event_date") < "2024-01-03")
+      .groupBy(col("event_date")).agg(count(col("event_id")).as("n"))
+    val colRows = byCol.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq.sortBy(_._1)
+    assert(colRows == Seq(("2024-01-01", 4L), ("2024-01-02", 1L)), s"got $colRows")
+    val colScans = allScans(byCol.queryExecution.executedPlan)
+    assert(colScans.length == 1 &&
+      colScans.head.scan.isInstanceOf[graft.sources.TsvCountScan],
+      s"count(col) must plan the count scan\n${byCol.queryExecution.executedPlan}")
   }
 
   test("SUM(value_cents) pushes into the scan, one parsed column per line") {
