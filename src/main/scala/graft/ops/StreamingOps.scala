@@ -30,6 +30,32 @@ object StreamingOps {
     * the stream filters to the arrival slice — same fixture population as
     * the batch screen's batch side, minus nothing.
     */
+  /** The DSv2 zone drained through the connector's micro-batch stream
+    * and rolled up per event type — shared by the unbounded
+    * (`stream_dsv2_landing`) and admission-controlled
+    * (`stream_dsv2_bounded`) twins, so "bounding must not change the
+    * answer" compares two runs of the SAME pipeline differing only in
+    * `maxFilesPerTrigger`. Bound OPTIONS, not .where: streaming plans
+    * skip the batch pushdown rule, so the window prunes via the
+    * connector's explicit [startDate, endDate) contract (the .where
+    * stays as belt-and-braces row filtering above the stream).
+    */
+  private def dsv2ZoneRollup(s: SparkSession, dir: String,
+                             maxFiles: Option[Int]): DataFrame = {
+    val out = CoverageOps.buildTsvZone(s, dir)
+    val reader = s.readStream
+      .format(classOf[graft.sources.TsvLandingSource].getName)
+      .option("path", out)
+      .option("startDate", "2024-01-05").option("endDate", "2024-01-20")
+    maxFiles.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    val stream = reader.load()
+      .where(col("event_date") >= "2024-01-05" && col("event_date") < "2024-01-20")
+    StreamingIngest.runToParquet(stream)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("cents"))
+      .orderBy(col("event_type"))
+  }
+
   private def streamIngestScreen(s: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeText.register(s)
     val docsPath = s"$dir/documents.parquet"
@@ -133,24 +159,8 @@ object StreamingOps {
     // file-arrival stream — success proves date pruning reaches the
     // streaming scan (the poison file would throw) and the offset space
     // covers every admitted file exactly once
-    "stream_dsv2_landing" -> ((s, dir) => {
-      val out = CoverageOps.buildTsvZone(s, dir)
-      // bound OPTIONS, not .where: streaming plans skip the batch
-      // pushdown rule, so the window prunes via the connector's explicit
-      // [startDate, endDate) contract (the .where stays as belt-and-
-      // braces row filtering above the stream)
-      val stream = s.readStream
-        .format(classOf[graft.sources.TsvLandingSource].getName)
-        .option("path", out)
-        .option("startDate", "2024-01-05").option("endDate", "2024-01-20")
-        .load()
-        .where(col("event_date") >= "2024-01-05" && col("event_date") < "2024-01-20")
-      StreamingIngest.runToParquet(stream)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("cents"))
-        .orderBy(col("event_type"))
-    }),
-    // the DSv2 stream under ADMISSION CONTROL: maxFilesPerTrigger makes
+    "stream_dsv2_landing" -> ((s, dir) => dsv2ZoneRollup(s, dir, None)),
+    // the SAME pipeline under ADMISSION CONTROL: maxFilesPerTrigger makes
     // the connector's getDefaultReadLimit/ReadMaxFiles seam cap every
     // micro-batch, so the AvailableNow drain runs several checkpointed
     // batches instead of one giant one — the bounded-backlog shape a
@@ -159,20 +169,7 @@ object StreamingOps {
     // window drains in ~4 batches — per-batch commit overhead is real,
     // and the production knob trades it against batch memory.) Same
     // oracle as the unbounded twin: bounding must not change the answer.
-    "stream_dsv2_bounded" -> ((s, dir) => {
-      val out = CoverageOps.buildTsvZone(s, dir)
-      val stream = s.readStream
-        .format(classOf[graft.sources.TsvLandingSource].getName)
-        .option("path", out)
-        .option("startDate", "2024-01-05").option("endDate", "2024-01-20")
-        .option("maxFilesPerTrigger", "4")
-        .load()
-        .where(col("event_date") >= "2024-01-05" && col("event_date") < "2024-01-20")
-      StreamingIngest.runToParquet(stream)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("cents"))
-        .orderBy(col("event_type"))
-    }),
+    "stream_dsv2_bounded" -> ((s, dir) => dsv2ZoneRollup(s, dir, Some(4))),
     "stream_wap_publish" ->
       ((s, dir) => StreamingIngest.streamWapPublish(s, dir)),
     "stream_etl_dest" -> ((s, dir) => {

@@ -284,8 +284,15 @@ class TsvScanBuilder(path: String, options: CaseInsensitiveStringMap)
   override def build(): Scan = aggPushed match {
     case Some((groupByDate, aggs)) => TsvCountScan(path, pushed, groupByDate, aggs)
     case None =>
-      TsvScan(path, required, pushed,
-        Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      val maxFiles = Option(options.get("maxFilesPerTrigger")).map { v =>
+        val n = try v.toInt catch {
+          case _: NumberFormatException => -1
+        }
+        if (n <= 0) throw new IllegalArgumentException(
+          s"graft-tsv: maxFilesPerTrigger must be a positive integer, got '$v'")
+        n
+      }
+      TsvScan(path, required, pushed, maxFiles)
   }
 }
 
@@ -386,12 +393,18 @@ class TsvMicroBatchStream(path: String, required: StructType, pushed: Array[Filt
     override def json(): String = fileCount.toString
   }
 
-  // AvailableNow: pin the drain target when the trigger starts, so files
-  // landing mid-drain wait for the next run instead of extending this one
-  private var availableNowTarget: Option[Int] = None
+  // AvailableNow: pin the LISTING when the trigger starts — files landing
+  // mid-drain wait for the next run instead of extending this one, and a
+  // capped drain (maxFilesPerTrigger over a large backlog) slices this
+  // one pinned list per batch instead of re-listing the zone per batch
+  // (thousands of listing RPCs on an object store, O(files²) sort work)
+  private var availableNowList: Option[Seq[TsvPartition]] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(TsvLanding.listAdmitted(path, pushed.toSeq).length)
+    availableNowList = Some(TsvLanding.listAdmitted(path, pushed.toSeq))
+
+  private def admitted(): Seq[TsvPartition] =
+    availableNowList.getOrElse(TsvLanding.listAdmitted(path, pushed.toSeq))
 
   // the admission granule is a FILE, so the only limit shape honored is
   // max-files; the default comes from the reader's maxFilesPerTrigger
@@ -411,11 +424,13 @@ class TsvMicroBatchStream(path: String, required: StructType, pushed: Array[Filt
     */
   override def latestOffset(start: streaming.Offset,
                             limit: streaming.ReadLimit): streaming.Offset = {
-    val avail = availableNowTarget.getOrElse(
-      TsvLanding.listAdmitted(path, pushed.toSeq).length)
+    val avail = admitted().length
     val from = start.asInstanceOf[TsvOffset].fileCount
     val capped = limit match {
-      case mf: streaming.ReadMaxFiles => math.min(avail, from + mf.maxFiles())
+      case mf: streaming.ReadMaxFiles =>
+        // Long arithmetic: from + Int.MaxValue must saturate at avail,
+        // not wrap negative and walk the committed offset backwards
+        math.min(avail.toLong, from.toLong + mf.maxFiles()).toInt
       case _ => avail
     }
     TsvOffset(capped)
@@ -434,7 +449,7 @@ class TsvMicroBatchStream(path: String, required: StructType, pushed: Array[Filt
                                    end: streaming.Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[TsvOffset].fileCount
     val e = end.asInstanceOf[TsvOffset].fileCount
-    TsvLanding.listAdmitted(path, pushed.toSeq).slice(s, e).toArray
+    admitted().slice(s, e).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -520,20 +535,33 @@ case class TsvCountReaderFactory(groupByDate: Boolean, aggs: Seq[TsvAggKind])
         try {
           var line = reader.readLine()
           while (line != null) {
-            // arity check without tokenizing: the row path throws on a
-            // malformed (incl. empty) line, and a count must not
-            // silently differ from what the row path would have produced.
-            // For a pushed sum, only the 4th field (after the 3rd tab) is
-            // ever parsed — the other three are stepped over.
-            var tabs = 0
-            var i = 0
-            while (i < line.length) { if (line.charAt(i) == '\t') tabs += 1; i += 1 }
-            if (tabs != 3) throw new IllegalArgumentException(
-              s"graft-tsv: malformed line in ${p.filePath} (${tabs + 1} fields): $line")
-            if (needsSum) {
-              val lastTab = line.lastIndexOf('\t')
-              cents += java.lang.Long.parseLong(line.substring(lastTab + 1))
+            // arity check with EXACTLY the row path's validity rule
+            // ([[TsvPartitionReader.get]]'s `split('\t')`, which drops
+            // TRAILING empty fields): a pushed count/sum must not
+            // silently accept a line the row path rejects, nor reject
+            // one it accepts. Computed by char scan — no field is ever
+            // tokenized into a string.
+            var lastNonTab = line.length - 1
+            while (lastNonTab >= 0 && line.charAt(lastNonTab) == '\t') lastNonTab -= 1
+            var fields = 0
+            var thirdTabEnd = -1 // index just past the 3rd tab
+            if (lastNonTab >= 0) {
+              fields = 1
+              var i = 0
+              while (i <= lastNonTab) {
+                if (line.charAt(i) == '\t') {
+                  fields += 1
+                  if (fields == 4) thirdTabEnd = i + 1
+                }
+                i += 1
+              }
             }
+            if (fields != 4) throw new IllegalArgumentException(
+              s"graft-tsv: malformed line in ${p.filePath} ($fields fields): $line")
+            if (needsSum)
+              // in-place parse of the 4th field — same semantics as the
+              // row path's parts(3).toLong, zero allocation
+              cents += java.lang.Long.parseLong(line, thirdTabEnd, lastNonTab + 1, 10)
             n += 1
             line = reader.readLine()
           }

@@ -33,6 +33,18 @@ class Dsv2SourceSpec extends AnyFunSuite {
     spark.read.format(classOf[graft.sources.TsvLandingSource].getName)
       .option("path", out).load()
 
+  // one AQE-recursing plan walk for every plan-shape pin in this suite
+  // (executedPlan.collect does not see inside AdaptiveSparkPlanExec)
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(allScans)
+    }
+  }
+
   test("date filters prune files at plan time and columns prune at parse time") {
     val out = buildZone()
     val df = readZone(out)
@@ -45,15 +57,8 @@ class Dsv2SourceSpec extends AnyFunSuite {
     val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(rows == Seq(("2024-01-01", 250L), ("2024-01-02", 75L)))
 
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def allScans(p: SparkPlan): Seq[graft.sources.TsvScan] = p match {
-      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
-      case q: QueryStageExec => allScans(q.plan)
-      case b: BatchScanExec => Seq(b.scan.asInstanceOf[graft.sources.TsvScan])
-      case other => other.children.flatMap(allScans)
-    }
     val scans = allScans(df.queryExecution.executedPlan)
+      .map(_.scan.asInstanceOf[graft.sources.TsvScan])
     assert(scans.length == 1, df.queryExecution.executedPlan.toString)
     val scan = scans.head
     // column pruning: only the two referenced columns reach the reader
@@ -86,14 +91,6 @@ class Dsv2SourceSpec extends AnyFunSuite {
     val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(rows == Seq(("2024-01-01", 350L)), s"got $rows")
 
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def allScans(p: SparkPlan): Seq[BatchScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
-      case q: QueryStageExec => allScans(q.plan)
-      case b: BatchScanExec => Seq(b)
-      case other => other.children.flatMap(allScans)
-    }
     val exec = allScans(df.queryExecution.executedPlan)
       .filter(_.scan.isInstanceOf[graft.sources.TsvScan])
     assert(exec.length == 1, df.queryExecution.executedPlan.toString)
@@ -117,14 +114,6 @@ class Dsv2SourceSpec extends AnyFunSuite {
     os.write("7\t12\tview\t40\n8\t13\tclick\t60\n".getBytes("UTF-8"))
     os.close()
 
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def allScans(p: SparkPlan): Seq[BatchScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
-      case q: QueryStageExec => allScans(q.plan)
-      case b: BatchScanExec => Seq(b)
-      case other => other.children.flatMap(allScans)
-    }
 
     val grouped = readZone(out)
       .where(col("event_date") < "2024-01-03")
@@ -164,14 +153,6 @@ class Dsv2SourceSpec extends AnyFunSuite {
     os.write("7\t12\tview\t40\n8\t13\tclick\t60\n".getBytes("UTF-8"))
     os.close()
 
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def allScans(p: SparkPlan): Seq[BatchScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
-      case q: QueryStageExec => allScans(q.plan)
-      case b: BatchScanExec => Seq(b)
-      case other => other.children.flatMap(allScans)
-    }
 
     val grouped = readZone(out)
       .where(col("event_date") < "2024-01-03")
@@ -236,6 +217,15 @@ class Dsv2SourceSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     val counts = batches.asScala.toSeq.sorted
     assert(counts == Seq(1L, 2L), s"got $counts")
+
+    // a non-positive cap would silently drain NOTHING (latestOffset
+    // never advances) — reject it loudly at scan build instead
+    val ex = intercept[Exception] {
+      spark.read.format(classOf[graft.sources.TsvLandingSource].getName)
+        .option("path", out).option("maxFilesPerTrigger", "0")
+        .load().collect()
+    }
+    assert(ex.getMessage.contains("maxFilesPerTrigger"), ex.getMessage)
   }
 
   test("post-pruning statistics let the planner broadcast a pruned zone read") {
