@@ -174,12 +174,25 @@ class TsvTable(path: String) extends Table with SupportsRead with SupportsWrite 
 
 class TsvScanBuilder(path: String, options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = TsvLanding.Schema
   // Some((groupByDate, agg kinds in output order)) once an aggregation
   // has been accepted — see pushAggregation below
   private var aggPushed: Option[(Boolean, Seq[TsvAggKind])] = None
+  private var limitPushed: Option[Int] = None
+
+  /** LIMIT pushdown, PARTIAL (`isPartiallyPushed` stays true): each
+    * per-file reader stops after `limit` lines and Spark's own Limit
+    * takes the global n — a `LIMIT 100` preview over a 10k-file zone
+    * parses ≤ 100 lines per file instead of every line of every file.
+    * Declined when an aggregate has been pushed: a limit under a pushed
+    * count/sum would change the aggregate's input.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    if (aggPushed.isDefined) false
+    else { limitPushed = Some(limit); true }
+  }
   // STREAMING reads never run the batch pushdown rule, so dated windows
   // arrive as explicit bound OPTIONS (the Kafka-startingOffsets pattern):
   // [startDate, endDate) seeds the pushed set and prunes the stream's
@@ -292,7 +305,7 @@ class TsvScanBuilder(path: String, options: CaseInsensitiveStringMap)
           s"graft-tsv: maxFilesPerTrigger must be a positive integer, got '$v'")
         n
       }
-      TsvScan(path, required, pushed, maxFiles)
+      TsvScan(path, required, pushed, maxFiles, limitPushed)
   }
 }
 
@@ -330,7 +343,8 @@ object TsvAggKind {
   * skipped pruning.
   */
 case class TsvScan(path: String, required: StructType, pushed: Array[Filter],
-                   maxFilesPerTrigger: Option[Int] = None)
+                   maxFilesPerTrigger: Option[Int] = None,
+                   rowLimit: Option[Int] = None)
   extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   // runtime state, deliberately OUTSIDE the case-class fields: exchange
@@ -367,7 +381,7 @@ case class TsvScan(path: String, required: StructType, pushed: Array[Filter],
     TsvLanding.listAdmitted(path, (pushed ++ runtime).toSeq).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    TsvReaderFactory(required.fieldNames)
+    TsvReaderFactory(required.fieldNames, rowLimit.getOrElse(Int.MaxValue))
 
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
     new TsvMicroBatchStream(path, required, pushed, maxFilesPerTrigger)
@@ -461,10 +475,11 @@ class TsvMicroBatchStream(path: String, required: StructType, pushed: Array[Filt
 
 case class TsvPartition(filePath: String, date: String) extends InputPartition
 
-case class TsvReaderFactory(requiredCols: Array[String]) extends PartitionReaderFactory {
+case class TsvReaderFactory(requiredCols: Array[String],
+                            rowLimit: Int = Int.MaxValue) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TsvPartition]
-    new TsvPartitionReader(p.filePath, p.date, requiredCols)
+    new TsvPartitionReader(p.filePath, p.date, requiredCols, rowLimit)
   }
 }
 
@@ -655,7 +670,8 @@ class TsvDataWriter(staging: String, partitionId: Int) extends DataWriter[Intern
   * value_cents. `event_date` comes from the FILENAME — the layout's
   * contract — so pruned reads never parse it from data.
   */
-class TsvPartitionReader(filePath: String, date: String, requiredCols: Array[String])
+class TsvPartitionReader(filePath: String, date: String, requiredCols: Array[String],
+                         rowLimit: Int = Int.MaxValue)
   extends PartitionReader[InternalRow] {
 
   private val reader: BufferedReader = {
@@ -664,8 +680,16 @@ class TsvPartitionReader(filePath: String, date: String, requiredCols: Array[Str
     new BufferedReader(new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
   }
   private var line: String = _
+  private var emitted = 0
 
-  override def next(): Boolean = { line = reader.readLine(); line != null }
+  override def next(): Boolean = {
+    // a pushed (partial) LIMIT: stop this file after rowLimit lines —
+    // Spark's own Limit above the scan takes the global n
+    if (emitted >= rowLimit) return false
+    emitted += 1
+    line = reader.readLine()
+    line != null
+  }
 
   override def get(): InternalRow = {
     val parts = line.split('\t')

@@ -166,6 +166,20 @@ class Dsv2SourceSpec extends AnyFunSuite {
       s"grouped sum must plan the agg scan\n${grouped.queryExecution.executedPlan}")
   }
 
+  test("LIMIT pushes into the scan and caps each per-file reader") {
+    val out = buildZone()
+    val df = readZone(out)
+      .where(col("event_date") < "2024-01-03")
+      .limit(1)
+    assert(df.collect().length == 1)
+    val scans = allScans(df.queryExecution.executedPlan)
+      .map(_.scan).collect { case t: graft.sources.TsvScan => t }
+    assert(scans.length == 1 && scans.head.rowLimit == Some(1),
+      s"limit must reach the scan\n${df.queryExecution.executedPlan}")
+    // partial semantics: the scan caps per FILE; Spark's Limit takes the
+    // global n — so a 2-file zone with rowLimit=1 still yields exactly 1
+  }
+
   test("MIN/MAX(event_date) answers from the listing with zero file opens") {
     val out = buildZone()
     val fs = new org.apache.hadoop.fs.Path(out)
