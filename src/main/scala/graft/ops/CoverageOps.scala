@@ -310,6 +310,25 @@ object CoverageOps {
            max(col("event_date")).as("last_date"))
   }
 
+  /** TOP-N pushdown through the connector
+    * ([[graft.sources.TsvScanBuilder.pushTopN]]): "the latest landed
+    * events" — ORDER BY event_date DESC LIMIT n — opens only the n
+    * date-extreme non-empty files (each capped at n rows), because every
+    * row in a file carries the filename's date and omitted same-date
+    * files hold only sort-key ties. Selecting the date column alone
+    * keeps the result deterministic for the oracle. Dsv2SourceSpec pins
+    * the partition list; this query grades the values.
+    */
+  private def srcDsv2TopnMeta(s: SparkSession, dir: String): DataFrame = {
+    val out = buildTsvZone(s, dir)
+    s.read.format(classOf[graft.sources.TsvLandingSource].getName)
+      .option("path", out).load()
+      .where(col("event_date") < "2024-01-20")
+      .select(col("event_date"))
+      .orderBy(col("event_date").desc)
+      .limit(3)
+  }
+
   /** The landing zone reached through PLAIN SQL via the catalog plugin
     * ([[graft.sources.GraftCatalog]]): two confs bind the catalog, and
     * `FROM graft.`zone`` resolves straight to the connector table — the
@@ -782,6 +801,7 @@ object CoverageOps {
     "src_dsv2_count_pushdown" -> (srcDsv2CountPushdown _),
     "src_dsv2_minmax_meta" -> (srcDsv2MinmaxMeta _),
     "src_dsv2_sum_pushdown" -> (srcDsv2SumPushdown _),
+    "src_dsv2_topn_meta" -> (srcDsv2TopnMeta _),
     "snk_dsv2_landing" -> (snkDsv2Landing _),
     "sql_api_catalog_tsv" -> (sqlApiCatalogTsv _),
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
@@ -906,6 +926,11 @@ object CoverageOps {
         |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-05'
         |  AND strftime(ts, '%Y-%m-%d') < '2024-01-20'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_dsv2_topn_meta" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') < '2024-01-20'
+        |ORDER BY 1 DESC LIMIT 3""".stripMargin,
     "src_dsv2_runtime_prune" ->
       """WITH z AS (SELECT strftime(ts, '%Y-%m-%d') AS event_date,
         |             CAST(round(value * 100) AS BIGINT) AS value_cents

@@ -174,7 +174,7 @@ class TsvTable(path: String) extends Table with SupportsRead with SupportsWrite 
 
 class TsvScanBuilder(path: String, options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-  with SupportsPushDownAggregates with SupportsPushDownLimit {
+  with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var required: StructType = TsvLanding.Schema
   // Some((groupByDate, agg kinds in output order)) once an aggregation
@@ -192,6 +192,38 @@ class TsvScanBuilder(path: String, options: CaseInsensitiveStringMap)
   override def pushLimit(limit: Int): Boolean = {
     if (aggPushed.isDefined) false
     else { limitPushed = Some(limit); true }
+  }
+
+  private var topNPushed: Option[(Boolean, Int)] = None // (descending, n)
+
+  // both Limit and TopN pushdown are PARTIAL here (Spark keeps its own
+  // Limit / TakeOrderedAndProject above the scan); the explicit override
+  // resolves the two interfaces' identical default methods
+  override def isPartiallyPushed(): Boolean = true
+
+  /** TOP-N pushdown (`ORDER BY event_date [DESC] LIMIT n`), PARTIAL:
+    * every row in a file carries the FILENAME's date, so w.r.t. the sort
+    * key a file's rows are interchangeable — the scan serves the top n
+    * from just the n date-extreme non-empty files, each capped at n
+    * rows, and Spark's TakeOrderedAndProject re-sorts that ≤ n² superset
+    * (ties across omitted same-date files are equivalent under the key).
+    * "The latest events in the zone" opens ≤ n files out of 10k. Only a
+    * single-key order on `event_date` qualifies; anything else is
+    * declined and planned normally.
+    */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    if (aggPushed.isDefined) return false
+    orders.toSeq match {
+      case Seq(o) => o.expression() match {
+        case r: NamedReference if r.fieldNames().toSeq == Seq("event_date") =>
+          topNPushed = Some((o.direction() == SortDirection.DESCENDING, limit))
+          true
+        case _ => false
+      }
+      case _ => false
+    }
   }
   // STREAMING reads never run the batch pushdown rule, so dated windows
   // arrive as explicit bound OPTIONS (the Kafka-startingOffsets pattern):
@@ -305,7 +337,8 @@ class TsvScanBuilder(path: String, options: CaseInsensitiveStringMap)
           s"graft-tsv: maxFilesPerTrigger must be a positive integer, got '$v'")
         n
       }
-      TsvScan(path, required, pushed, maxFiles, limitPushed)
+      TsvScan(path, required, pushed, maxFiles,
+        limitPushed.orElse(topNPushed.map(_._2)), topNPushed.map(_._1))
   }
 }
 
@@ -344,7 +377,8 @@ object TsvAggKind {
   */
 case class TsvScan(path: String, required: StructType, pushed: Array[Filter],
                    maxFilesPerTrigger: Option[Int] = None,
-                   rowLimit: Option[Int] = None)
+                   rowLimit: Option[Int] = None,
+                   topNDesc: Option[Boolean] = None)
   extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   // runtime state, deliberately OUTSIDE the case-class fields: exchange
@@ -377,8 +411,20 @@ case class TsvScan(path: String, required: StructType, pushed: Array[Filter],
     s"graft-tsv path=$path, prunedSchema=${required.fieldNames.mkString(",")}, " +
       s"pushedDateFilters=[${pushed.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    TsvLanding.listAdmitted(path, (pushed ++ runtime).toSeq).toArray
+  override def planInputPartitions(): Array[InputPartition] = topNDesc match {
+    case Some(desc) =>
+      // pushed TOP-N: every row in a file carries the filename date, so
+      // the n date-extreme NON-EMPTY files (each reader already capped
+      // at n by rowLimit) form a valid superset of the top n — omitted
+      // same-date files only hold sort-key ties
+      val base = TsvLanding.listAdmitted(path, (pushed ++ runtime).toSeq,
+        nonEmptyOnly = true)
+      val ordered = if (desc) base.sortBy(p => (p.date, p.filePath)).reverse
+                    else base.sortBy(p => (p.date, p.filePath))
+      ordered.take(rowLimit.getOrElse(Int.MaxValue)).toArray
+    case None =>
+      TsvLanding.listAdmitted(path, (pushed ++ runtime).toSeq).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     TsvReaderFactory(required.fieldNames, rowLimit.getOrElse(Int.MaxValue))

@@ -180,6 +180,33 @@ class Dsv2SourceSpec extends AnyFunSuite {
     // global n — so a 2-file zone with rowLimit=1 still yields exactly 1
   }
 
+  test("ORDER BY event_date LIMIT n opens only the n date-extreme files") {
+    val out = buildZone()
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(new org.apache.hadoop.fs.Path(s"$out/events_2024-01-04.tsv"))
+    os.write("9\t14\tview\t10\n".getBytes("UTF-8"))
+    os.close()
+
+    val df = readZone(out)
+      .where(col("event_date").isin("2024-01-01", "2024-01-02", "2024-01-04"))
+      .select(col("event_date"))
+      .orderBy(col("event_date").desc)
+      .limit(2)
+    val vals = df.collect().map(_.getString(0)).toSeq
+    assert(vals == Seq("2024-01-04", "2024-01-02"), s"got $vals")
+
+    val scans = allScans(df.queryExecution.executedPlan)
+      .map(_.scan).collect { case t: graft.sources.TsvScan => t }
+    assert(scans.length == 1 && scans.head.topNDesc == Some(true),
+      s"topN must reach the scan\n${df.queryExecution.executedPlan}")
+    // only the two date-extreme files become partitions — the 01-01 file
+    // (and the poisoned 01-03, filtered out) are never listed into the scan
+    val parts = scans.head.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.TsvPartition].date).toSeq
+    assert(parts == Seq("2024-01-04", "2024-01-02"), parts.toString)
+  }
+
   test("MIN/MAX(event_date) answers from the listing with zero file opens") {
     val out = buildZone()
     val fs = new org.apache.hadoop.fs.Path(out)
