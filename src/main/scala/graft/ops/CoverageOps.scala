@@ -166,6 +166,32 @@ object CoverageOps {
   private[ops] def buildTsvZone(s: SparkSession, dir: String): String =
     zoneMemo.computeIfAbsent(dir, _ => buildTsvZoneUncached(s, dir))
 
+  /** Second landing zone for the storage-partitioned join: a per-day
+    * BUDGET dimension (one `events_<day>.tsv` per day, one row each:
+    * `0 \t 0 \t budget \t <that day's event count>`) — co-partitioned
+    * with the events zone by construction, since both key files by the
+    * same date. |days| rows pass through the driver, a dimension-build
+    * metadata scale, never the fact table.
+    */
+  private val budgetZoneMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def buildBudgetZone(s: SparkSession, dir: String): String =
+    budgetZoneMemo.computeIfAbsent(dir, _ => {
+      val out = graft.util.TempDirs.create("graft_tsv_budget_")
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Tables.load(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n")).collect()
+        .foreach { r =>
+          val os = fs.create(
+            new org.apache.hadoop.fs.Path(s"$out/events_${r.getString(0)}.tsv"))
+          os.write(s"0\t0\tbudget\t${r.getLong(1)}\n".getBytes("UTF-8"))
+          os.close()
+        }
+      out
+    })
+
   private def buildTsvZoneUncached(s: SparkSession, dir: String): String = {
     import org.apache.hadoop.fs.Path
     val out = graft.util.TempDirs.create("graft_tsv_zone_")
@@ -327,6 +353,111 @@ object CoverageOps {
       .select(col("event_date"))
       .orderBy(col("event_date").desc)
       .limit(3)
+  }
+
+  /** SHUFFLE-FREE per-day aggregation over the storage-partitioned zone
+    * ([[graft.sources.TsvScan.outputPartitioning]]): the scan reports
+    * key-grouped-by-event_date (every row of a file carries the
+    * filename's date), so the `groupBy(event_date)` rollup's
+    * ClusteredDistribution is ALREADY satisfied and EnsureRequirements
+    * inserts no Exchange — each day aggregates where it sits. The agg
+    * shape (max + count) is deliberately NOT pushable, so this exercises
+    * the row path; Dsv2SourceSpec pins the zero-Exchange plan. No
+    * orderBy: a final sort would re-introduce a range shuffle and the
+    * driver compare is order-insensitive.
+    */
+  private def srcDsv2SpjAgg(s: SparkSession, dir: String): DataFrame = {
+    // option-gated on this query's scans, inert for every other read
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val out = buildTsvZone(s, dir)
+    s.read.format(classOf[graft.sources.TsvLandingSource].getName)
+      .option("path", out).option("reportPartitioning", "true").load()
+      .where(col("event_date") >= "2024-01-05" && col("event_date") < "2024-01-20")
+      .groupBy(col("event_date"))
+      .agg(max(col("value_cents")).as("max_cents"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** STORAGE-PARTITIONED JOIN (SPJ) between two landing zones: the events
+    * zone joins its per-day budget dimension on `event_date` with ZERO
+    * Exchange on either side — both scans report key-grouped-by-date
+    * partitioning, so the merge join (hinted, to keep the broadcast
+    * planner from hiding the co-partitioning) and the per-day rollup
+    * above it all run inside the storage partitioning. At 100 TB this is
+    * the bucketed-join story without a bucketed table: the LAYOUT is the
+    * bucketing, and neither fact rows nor dimension rows ever move.
+    * Dsv2SourceSpec pins the zero-Exchange sort-merge plan.
+    */
+  private def srcDsv2SpjJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // tolerate per-side partition-value gaps (a day present on one side
+    // only) — Spark fills the other side with empty partitions instead
+    // of falling back to a shuffle
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    val fmt = classOf[graft.sources.TsvLandingSource].getName
+    val a = s.read.format(fmt).option("path", buildTsvZone(s, dir))
+      .option("reportPartitioning", "true").load()
+      .where(col("event_date") >= "2024-01-05" && col("event_date") < "2024-01-20")
+    val b = s.read.format(fmt).option("path", buildBudgetZone(s, dir))
+      .option("reportPartitioning", "true").load()
+      .where(col("event_date") >= "2024-01-05" && col("event_date") < "2024-01-20")
+      .select(col("event_date"), col("value_cents").as("day_budget"))
+    a.hint("merge").join(b, Seq("event_date"))
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_cents")).as("value_cents"),
+        max(col("day_budget")).as("day_budget"))
+  }
+
+  /** PROVENANCE metadata column through the connector
+    * ([[graft.sources.TsvTable.metadataColumns]]): `_file` surfaces the
+    * zone file each row was read from — requested on demand, invisible
+    * otherwise — so "which delivery produced these rows" is one
+    * grouping away, the audit every landing-zone incident starts with.
+    * The zone builder writes exactly one `events_<day>.tsv` per day, so
+    * the oracle derives the file name from the date; the per-(day, file)
+    * rollup hash-proves every row carries its true origin.
+    */
+  private def srcDsv2FileProvenance(s: SparkSession, dir: String): DataFrame = {
+    val out = buildTsvZone(s, dir)
+    s.read.format(classOf[graft.sources.TsvLandingSource].getName)
+      .option("path", out).load()
+      .where(col("event_date") >= "2024-01-05" && col("event_date") < "2024-01-20")
+      .select(col("event_date"), col("_file").as("file_name"), col("value_cents"))
+      .groupBy(col("event_date"), col("file_name"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value_cents")).as("cents"))
+      .orderBy(col("event_date"))
+  }
+
+  /** FILE-GRANULAR SQL DELETE via the catalog plugin
+    * ([[graft.sources.TsvTable.deleteWhere]]): the day-retention sweep —
+    * `DELETE FROM graft.`zone` WHERE event_date IN a window` — lands on
+    * the connector as whole-file deletes (every row of a file carries
+    * the filename's date), O(matched files) metadata ops and zero data
+    * rewrite. A fresh zone is written through the V2 commit protocol
+    * first (deletes are destructive — never the shared memoized zone);
+    * the post-delete rollup hash-proves exactly the window's days are
+    * gone and every other row survived. Dsv2SourceSpec additionally pins
+    * that a NON-date DELETE predicate is refused loudly.
+    */
+  private def sqlApiDeleteDay(s: SparkSession, dir: String): DataFrame = {
+    val zone = graft.util.TempDirs.create("graft_tsv_del_")
+    val cls = classOf[graft.sources.TsvLandingSource].getName
+    Tables.load(s, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+        col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .write.format(cls).option("path", zone).mode("append").save()
+    val p = new org.apache.hadoop.fs.Path(zone)
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", p.getParent.toString)
+    s.sql(s"DELETE FROM graft.`${p.getName}` " +
+      "WHERE event_date >= '2024-01-10' AND event_date < '2024-01-15'")
+    s.sql(
+      s"""SELECT event_date, count(*) AS n_events,
+         |  CAST(sum(value_cents) AS BIGINT) AS cents
+         |FROM graft.`${p.getName}`
+         |GROUP BY event_date ORDER BY event_date""".stripMargin)
   }
 
   /** The landing zone reached through PLAIN SQL via the catalog plugin
@@ -802,6 +933,10 @@ object CoverageOps {
     "src_dsv2_minmax_meta" -> (srcDsv2MinmaxMeta _),
     "src_dsv2_sum_pushdown" -> (srcDsv2SumPushdown _),
     "src_dsv2_topn_meta" -> (srcDsv2TopnMeta _),
+    "src_dsv2_spj_agg" -> (srcDsv2SpjAgg _),
+    "src_dsv2_spj_join" -> (srcDsv2SpjJoin _),
+    "src_dsv2_file_provenance" -> (srcDsv2FileProvenance _),
+    "sql_api_delete_day" -> (sqlApiDeleteDay _),
     "snk_dsv2_landing" -> (snkDsv2Landing _),
     "sql_api_catalog_tsv" -> (sqlApiCatalogTsv _),
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
@@ -931,6 +1066,45 @@ object CoverageOps {
         |FROM events
         |WHERE strftime(ts, '%Y-%m-%d') < '2024-01-20'
         |ORDER BY 1 DESC LIMIT 3""".stripMargin,
+    "src_dsv2_spj_agg" ->
+      """WITH z AS (SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+        |             CAST(round(value * 100) AS BIGINT) AS value_cents
+        |           FROM events)
+        |SELECT event_date, max(value_cents) AS max_cents,
+        |       count(*) AS n_events
+        |FROM z
+        |WHERE event_date >= '2024-01-05' AND event_date < '2024-01-20'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_dsv2_spj_join" ->
+      """WITH z AS (SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+        |             CAST(round(value * 100) AS BIGINT) AS value_cents
+        |           FROM events)
+        |SELECT event_date, count(*) AS n_events,
+        |       CAST(sum(value_cents) AS BIGINT) AS value_cents,
+        |       count(*) AS day_budget
+        |FROM z
+        |WHERE event_date >= '2024-01-05' AND event_date < '2024-01-20'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_dsv2_file_provenance" ->
+      """WITH z AS (SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+        |             CAST(round(value * 100) AS BIGINT) AS value_cents
+        |           FROM events)
+        |SELECT event_date,
+        |       'events_' || event_date || '.tsv' AS file_name,
+        |       count(*) AS n_events,
+        |       CAST(sum(value_cents) AS BIGINT) AS cents
+        |FROM z
+        |WHERE event_date >= '2024-01-05' AND event_date < '2024-01-20'
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "sql_api_delete_day" ->
+      """WITH z AS (SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+        |             CAST(round(value * 100) AS BIGINT) AS value_cents
+        |           FROM events)
+        |SELECT event_date, count(*) AS n_events,
+        |       CAST(sum(value_cents) AS BIGINT) AS cents
+        |FROM z
+        |WHERE event_date < '2024-01-10' OR event_date >= '2024-01-15'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_dsv2_runtime_prune" ->
       """WITH z AS (SELECT strftime(ts, '%Y-%m-%d') AS event_date,
         |             CAST(round(value * 100) AS BIGINT) AS value_cents

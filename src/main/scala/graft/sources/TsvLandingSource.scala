@@ -10,7 +10,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming
@@ -152,12 +152,50 @@ class TsvLandingSource extends TableProvider {
   }
 }
 
-class TsvTable(path: String) extends Table with SupportsRead with SupportsWrite {
+class TsvTable(path: String) extends Table with SupportsRead with SupportsWrite
+  with SupportsMetadataColumns with SupportsDelete {
   override def name(): String = s"graft-tsv `$path`"
   override def schema(): StructType = TsvLanding.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE)
+
+  /** PROVENANCE metadata column: `_file` is the zone file NAME the row
+    * was read from — requested on demand (`SELECT _file, …`), absent
+    * from the data schema otherwise, same contract as the built-in file
+    * sources' `_metadata`. It costs nothing to serve (the reader already
+    * holds its file) and answers the two questions every landing-zone
+    * incident starts with: which delivery produced this row, and which
+    * file do I quarantine. The NAME, not the full path — zone-relative,
+    * so audits survive a zone move.
+    */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType: DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "landing-zone file this row was read from"
+    })
+
+  /** FILE-GRANULAR `DELETE FROM` (SQL via [[GraftCatalog]]): date
+    * predicates admit or exclude whole files — every row of a file
+    * carries the filename's date, so a date-shaped DELETE is exact at
+    * file granularity and executes as O(matched files) metadata ops,
+    * never a rewrite. The day-retention sweep (`DELETE … WHERE
+    * event_date < cutoff`) is the operation a landing zone actually
+    * needs; anything finer (a row-level predicate) is REFUSED here so
+    * Spark fails the statement loudly instead of this table deleting
+    * rows it cannot isolate.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(TsvLanding.pushable)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    TsvLanding.listAdmitted(path, filters.toSeq).foreach { p =>
+      fs.delete(new Path(p.filePath), false)
+    }
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TsvScanBuilder(path, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -338,7 +376,9 @@ class TsvScanBuilder(path: String, options: CaseInsensitiveStringMap)
         n
       }
       TsvScan(path, required, pushed, maxFiles,
-        limitPushed.orElse(topNPushed.map(_._2)), topNPushed.map(_._1))
+        limitPushed.orElse(topNPushed.map(_._2)), topNPushed.map(_._1),
+        reportPartitioning =
+          Option(options.get("reportPartitioning")).exists(_.toBoolean))
   }
 }
 
@@ -378,8 +418,10 @@ object TsvAggKind {
 case class TsvScan(path: String, required: StructType, pushed: Array[Filter],
                    maxFilesPerTrigger: Option[Int] = None,
                    rowLimit: Option[Int] = None,
-                   topNDesc: Option[Boolean] = None)
-  extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
+                   topNDesc: Option[Boolean] = None,
+                   reportPartitioning: Boolean = false)
+  extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics
+  with SupportsReportPartitioning {
 
   // runtime state, deliberately OUTSIDE the case-class fields: exchange
   // reuse compares scans structurally, and two scans of the same zone
@@ -403,6 +445,35 @@ case class TsvScan(path: String, required: StructType, pushed: Array[Filter],
     private val bytes = TsvLanding.admittedBytes(path, (pushed ++ runtime).toSeq)
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+
+  /** STORAGE-PARTITIONED reads: the zone layout guarantees every row of a
+    * file carries the filename's date, so the scan's natural partitioning
+    * is "key-grouped by event_date" — reported here (each
+    * [[TsvPartition]] carries its key) so Spark can ELIDE THE SHUFFLE
+    * under a `groupBy(event_date)` aggregate and run a storage-
+    * partitioned join (SPJ) between two zones with zero Exchange on
+    * either side — at 100 TB, the difference between a per-day rollup
+    * that re-shuffles every event row and one that aggregates each day
+    * where it already sits. Spark groups the same-date `.p<N>` task
+    * segments into one partition when it uses the report, which trades
+    * per-file parallelism for shuffle elision — the right trade for
+    * day-grained rollups, the wrong one for a full-zone row scan — so
+    * the report is OPT-IN via `.option("reportPartitioning", true)`
+    * (plus Spark's own `spark.sql.sources.v2.bucketing.enabled` gate)
+    * rather than imposed on every zone read. Only offered while
+    * `event_date` survives column pruning: the key must be resolvable
+    * against the scan output.
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
+    if (reportPartitioning && required.fieldNames.contains("event_date")) {
+      val nKeys = TsvLanding.listAdmitted(path, (pushed ++ runtime).toSeq)
+        .map(_.date).distinct.length
+      new KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.identity("event_date")),
+        nKeys)
+    } else new UnknownPartitioning(0)
   }
 
   override def readSchema(): StructType = required
@@ -519,7 +590,18 @@ class TsvMicroBatchStream(path: String, required: StructType, pushed: Array[Filt
   override def stop(): Unit = ()
 }
 
+/** Implements [[HasPartitionKey]] so the scan can report key-grouped
+  * output ([[TsvScan.outputPartitioning]]): every row in this partition
+  * carries the filename's date, so the partition key IS that date.
+  * Harmless when partitioning is not reported — Spark only consults the
+  * key once a [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+  * report and `spark.sql.sources.v2.bucketing.enabled` line up.
+  */
 case class TsvPartition(filePath: String, date: String) extends InputPartition
+  with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString(date)))
+}
 
 case class TsvReaderFactory(requiredCols: Array[String],
                             rowLimit: Int = Int.MaxValue) extends PartitionReaderFactory {
@@ -727,6 +809,8 @@ class TsvPartitionReader(filePath: String, date: String, requiredCols: Array[Str
   }
   private var line: String = _
   private var emitted = 0
+  // the `_file` metadata column's value: the zone-relative file name
+  private val fileName = filePath.substring(filePath.lastIndexOf('/') + 1)
 
   override def next(): Boolean = {
     // a pushed (partial) LIMIT: stop this file after rowLimit lines —
@@ -746,6 +830,7 @@ class TsvPartitionReader(filePath: String, date: String, requiredCols: Array[Str
     while (i < requiredCols.length) {
       out(i) = requiredCols(i) match {
         case "event_date" => UTF8String.fromString(date)
+        case "_file" => UTF8String.fromString(fileName)
         case "event_id" => parts(0).toLong
         case "user_id" => parts(1).toLong
         case "event_type" => UTF8String.fromString(parts(2))

@@ -45,6 +45,132 @@ class Dsv2SourceSpec extends AnyFunSuite {
     }
   }
 
+  // all shuffle exchanges in the executed plan, recursing through AQE
+  // (ShuffleQueryStageExec wraps the exchange in .plan)
+  private def allShuffles(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    p match {
+      case a: AdaptiveSparkPlanExec => allShuffles(a.executedPlan)
+      case q: QueryStageExec => allShuffles(q.plan)
+      case e: ShuffleExchangeLike => e +: e.children.flatMap(allShuffles)
+      case other => other.children.flatMap(allShuffles)
+    }
+  }
+
+  test("reported key-grouped partitioning elides the groupBy(event_date) shuffle") {
+    // option-gated: inert for every read that doesn't opt in
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val out = buildZone()
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a second task segment of 01-01: same-date files must GROUP into one
+    // input partition and aggregate without any exchange
+    val os = fs.create(new org.apache.hadoop.fs.Path(s"$out/events_2024-01-01.p1.tsv"))
+    os.write("7\t12\tview\t999\n".getBytes("UTF-8"))
+    os.close()
+
+    val df = spark.read.format(classOf[graft.sources.TsvLandingSource].getName)
+      .option("path", out).option("reportPartitioning", "true").load()
+      .where(col("event_date") < "2024-01-03")
+      .groupBy(col("event_date")).agg(max(col("value_cents")).as("cents"))
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(rows == Seq(("2024-01-01", 999L), ("2024-01-02", 75L)), rows.toString)
+    val shuffles = allShuffles(df.queryExecution.executedPlan)
+    assert(shuffles.isEmpty,
+      s"groupBy(event_date) must run inside the storage partitioning\n" +
+        df.queryExecution.executedPlan)
+    // without the option, the same rollup shuffles — the report is opt-in
+    val off = readZone(out)
+      .where(col("event_date") < "2024-01-03")
+      .groupBy(col("event_date")).agg(max(col("value_cents")).as("cents"))
+    off.collect()
+    assert(allShuffles(off.queryExecution.executedPlan).nonEmpty,
+      s"un-opted read must keep the normal exchange\n${off.queryExecution.executedPlan}")
+  }
+
+  test("storage-partitioned join runs with zero exchanges on both sides") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    val zoneA = buildZone()
+    val zoneB = graft.util.TempDirs.create("graft_dsv2_spec_dim_")
+    val fs = new org.apache.hadoop.fs.Path(zoneB)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("2024-01-01" -> "0\t0\tbudget\t500", "2024-01-02" -> "0\t0\tbudget\t80")
+      .foreach { case (day, line) =>
+        val os = fs.create(new org.apache.hadoop.fs.Path(s"$zoneB/events_$day.tsv"))
+        os.write((line + "\n").getBytes("UTF-8"))
+        os.close()
+      }
+    def zone(path: String) =
+      spark.read.format(classOf[graft.sources.TsvLandingSource].getName)
+        .option("path", path).option("reportPartitioning", "true").load()
+        .where(col("event_date") < "2024-01-03")
+    val df = zone(zoneA).hint("merge")
+      .join(zone(zoneB).select(col("event_date"),
+        col("value_cents").as("day_budget")), Seq("event_date"))
+      .groupBy(col("event_date"))
+      .agg(sum(col("value_cents")).as("cents"), max(col("day_budget")).as("day_budget"))
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(rows == Seq(("2024-01-01", 350L, 500L), ("2024-01-02", 75L, 80L)), rows.toString)
+    val plan = df.queryExecution.executedPlan
+    assert(allShuffles(plan).isEmpty,
+      s"SPJ must move no rows on either side\n$plan")
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def hasSmj(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => hasSmj(a.executedPlan)
+      case q: QueryStageExec => hasSmj(q.plan)
+      case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+      case other => other.children.exists(hasSmj)
+    }
+    assert(hasSmj(plan), s"expected a sort-merge join over the co-partitioning\n$plan")
+  }
+
+  test("_file metadata column surfaces per-row provenance on demand") {
+    val out = buildZone()
+    val df = readZone(out)
+      .where(col("event_date") < "2024-01-03")
+      .select(col("event_id"), col("_file"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(rows == Seq(
+      (1L, "events_2024-01-01.tsv"), (2L, "events_2024-01-01.tsv"),
+      (3L, "events_2024-01-02.tsv")), rows.toString)
+    // the metadata column reaches the reader through the pruned schema…
+    val scan = allScans(df.queryExecution.executedPlan)
+      .map(_.scan.asInstanceOf[graft.sources.TsvScan]).head
+    assert(scan.readSchema().fieldNames.contains("_file"), scan.description())
+    // …and stays INVISIBLE unless asked for
+    assert(!readZone(out).schema.fieldNames.contains("_file"))
+  }
+
+  test("SQL DELETE removes whole files by date and refuses row-level predicates") {
+    val out = buildZone()
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", p.getParent.toString)
+    val table = s"graft.`${p.getName}`"
+
+    // a row-level predicate cannot be isolated to whole files — refused
+    val e = intercept[Throwable] {
+      spark.sql(s"DELETE FROM $table WHERE user_id = 10")
+    }
+    assert(e.getMessage != null, "refusal must carry a message")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/events_2024-01-01.tsv")),
+      "a refused DELETE must not delete anything")
+
+    // the day-retention sweep: one whole file gone, metadata-only
+    spark.sql(s"DELETE FROM $table WHERE event_date = '2024-01-01'")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/events_2024-01-01.tsv")))
+    // untouched: the other day, the poisoned file, and the non-zone file
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/events_2024-01-02.tsv")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/events_2024-01-03.tsv")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/ignore_me.txt")))
+    val left = readZone(out).where(col("event_date") < "2024-01-03")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSeq
+    assert(left == Seq(3L), left.toString)
+  }
+
   test("date filters prune files at plan time and columns prune at parse time") {
     val out = buildZone()
     val df = readZone(out)
