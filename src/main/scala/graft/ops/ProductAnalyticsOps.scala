@@ -148,7 +148,87 @@ object ProductAnalyticsOps {
       .limit(20)
   }
 
+  /** Deterministic 50/50 experiment assignment: the last hex nibble of
+    * `md5(user_id)` — '0'..'7' → A, else B — the same stable-hash idiom
+    * the sampling family uses ([[SamplingOps]]), so assignment is a pure
+    * function of the user: re-runs, other engines, and the DuckDB oracle
+    * all assign identically, and no assignment table needs storing or
+    * joining. Map-only at any scale.
+    */
+  private def variantOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(substring(md5(c.cast("string")), 32, 1) <= "7", "A").otherwise("B")
+
+  /** Sample-ratio-mismatch (SRM) check — the health gate run before ANY
+    * experiment readout: with a 50/50 split, `chi² = (n_a−n_b)²/(n_a+n_b)`
+    * against the p≈0.001 bound 10.83, kept EXACT as the integer
+    * cross-multiplication `100·(n_a−n_b)² > 1083·(n_a+n_b)` so the oracle
+    * replays it bit-for-bit (the standard trade in this repo: the float
+    * statistic's SKELETON, integer-exact). One distinct-users shuffle,
+    * one scalar row out.
+    */
+  private def abAssignmentSrm(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(col("user_id")).distinct()
+      .select(variantOf(col("user_id")).as("variant"))
+      .agg(sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        (((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))) * 100 >
+          (col("n_a") + col("n_b")) * 1083).as("srm"))
+
+  /** Two-proportion experiment readout: per-variant conversion (a user
+    * converts on any big-ticket purchase, value ≥ 150) with the pooled
+    * z-test's EXACT integer skeleton — z² > 3.84 (p<0.05) multiplied out
+    * to `100·(c_a·n_b − c_b·n_a)²·(n_a+n_b) > 384·n_a·n_b·(c_a+c_b)·
+    * ((n_a+n_b)−(c_a+c_b))`. The factors are EXACT BIGINTs (the cross
+    * term stays inside int64 to n ≈ 3·10⁹ users); the comparison then
+    * runs in double with pinned association, and both engines take the
+    * identical IEEE-754 steps on identical integers — so the flag is
+    * deterministic cross-engine without needing the (overflowing)
+    * full-integer product. Shape: one per-user rollup shuffle, one
+    * scalar row — the fact table is scanned once.
+    */
+  private def abConversionLift(s: SparkSession, dir: String): DataFrame = {
+    val perUser = events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 150.0, 1L)
+        .otherwise(0L)).as("converted"))
+      .select(variantOf(col("user_id")).as("variant"), col("converted"))
+    perUser.agg(
+      sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === "A", col("converted")).otherwise(0L)).as("c_a"),
+      sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === "B", col("converted")).otherwise(0L)).as("c_b"))
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        expr("c_a * 1000 div n_a").as("p_a_permille"),
+        expr("c_b * 1000 div n_b").as("p_b_permille"),
+        (expr("100.0 * cast(c_a * n_b - c_b * n_a as double) " +
+          "* cast(c_a * n_b - c_b * n_a as double) * cast(n_a + n_b as double)") >
+          expr("384.0 * cast(n_a as double) * cast(n_b as double) " +
+            "* cast(c_a + c_b as double) * cast((n_a + n_b) - (c_a + c_b) as double)"))
+          .as("significant"))
+  }
+
+  /** Per-segment assignment balance: the SRM skeleton of
+    * [[abAssignmentSrm]] replayed per event_type — the slice audit that
+    * catches a biased exposure path (one surface logging only variant A)
+    * that the global check averages away. Distinct (type, user) rollup,
+    * |types| rows out.
+    */
+  private def abSegmentBalance(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"), variantOf(col("user_id")).as("variant"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        (((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))) * 100 >
+          (col("n_a") + col("n_b")) * 1083).as("srm"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ab_assignment_srm" -> (abAssignmentSrm _),
+    "ab_conversion_lift" -> (abConversionLift _),
+    "ab_segment_balance" -> (abSegmentBalance _),
     "basket_lift" -> (basketLift _),
     "funnel_conversion" -> (funnelConversion _),
     "cohort_retention" -> (cohortRetention _),
@@ -157,6 +237,58 @@ object ProductAnalyticsOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ab_assignment_srm" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 32, 1) <= '7'
+        |              THEN 'A' ELSE 'B' END AS variant
+        |  FROM (SELECT DISTINCT user_id FROM events)
+        |), agg AS (
+        |  SELECT CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM v)
+        |SELECT n_a, n_b,
+        |       ((n_a - n_b) * (n_a - n_b)) * 100 > (n_a + n_b) * 1083 AS srm
+        |FROM agg""".stripMargin,
+    "ab_conversion_lift" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' AND value >= 150.0
+        |                  THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY 1
+        |), v AS (
+        |  SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 32, 1) <= '7'
+        |              THEN 'A' ELSE 'B' END AS variant,
+        |         converted
+        |  FROM pu
+        |), agg AS (
+        |  SELECT CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS BIGINT) AS c_a,
+        |         CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM v)
+        |SELECT n_a, c_a, n_b, c_b,
+        |       c_a * 1000 // n_a AS p_a_permille,
+        |       c_b * 1000 // n_b AS p_b_permille,
+        |       100.0 * CAST(c_a * n_b - c_b * n_a AS DOUBLE)
+        |         * CAST(c_a * n_b - c_b * n_a AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+        |       > 384.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |         * CAST(c_a + c_b AS DOUBLE) * CAST((n_a + n_b) - (c_a + c_b) AS DOUBLE)
+        |         AS significant
+        |FROM agg""".stripMargin,
+    "ab_segment_balance" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |         CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 32, 1) <= '7'
+        |              THEN 'A' ELSE 'B' END AS variant
+        |  FROM (SELECT DISTINCT event_type, user_id FROM events)
+        |), agg AS (
+        |  SELECT event_type,
+        |         CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM v GROUP BY 1)
+        |SELECT event_type, n_a, n_b,
+        |       ((n_a - n_b) * (n_a - n_b)) * 100 > (n_a + n_b) * 1083 AS srm
+        |FROM agg ORDER BY event_type""".stripMargin,
     "basket_lift" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pn AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part FROM items GROUP BY 1),
