@@ -1234,7 +1234,152 @@ object ScaleOps {
       .orderBy(col("digit"))
   }
 
+  /** Fixture for the MV-rewrite queries: a parquet fact destination
+    * (event_date, event_type, value_cents — the same derivation the zone
+    * queries use) plus its (date, type)-grain rollup MV, registered with
+    * [[graft.plans.MaterializedViewRewrite.MvCatalog]]. Memoized per
+    * source dir so the catalog's freshness fingerprint stays valid
+    * across a bench sweep's repeated runs.
+    */
+  private val mvMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def buildMvFixture(s: SparkSession, dir: String): String =
+    mvMemo.computeIfAbsent(dir, _ => {
+      val base = graft.util.TempDirs.create("graft_mv_base_")
+      Tables.load(s, dir, "events").select(
+        date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+        .write.mode(SaveMode.Overwrite).parquet(base)
+      val mv = graft.util.TempDirs.create("graft_mv_rollup_")
+      s.read.parquet(base).groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"),
+          min(col("value_cents")).as("min_cents"),
+          max(col("value_cents")).as("max_cents"))
+        .write.mode(SaveMode.Overwrite).parquet(mv)
+      graft.plans.MaterializedViewRewrite.register(s)
+      graft.plans.MaterializedViewRewrite.MvCatalog.register(s, base, mv,
+        dims = Seq("event_date", "event_type"), countCol = "n",
+        sumMap = Map("value_cents" -> "sum_cents"),
+        minMap = Map("value_cents" -> "min_cents"),
+        maxMap = Map("value_cents" -> "max_cents"))
+      base
+    })
+
+  /** MV rewrite, COARSENING path: the query is written against the fact
+    * destination (group by event_type — coarser than the MV's
+    * (date, type) grain) with all four distributive shapes; the
+    * registered MV answers it by re-aggregation, so the scan touches
+    * |dims| rows instead of the fact table. MvRewriteSpec pins that the
+    * planned scan reads the MV's files (and that staleness or a non-dim
+    * filter falls back to the base); this query grades the values
+    * against the fact-table oracle — the hash match IS the rewrite's
+    * equivalence proof.
+    */
+  private def mvRewriteRollup(s: SparkSession, dir: String): DataFrame = {
+    val base = buildMvFixture(s, dir)
+    s.read.parquet(base)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value_cents")).as("cents"),
+        min(col("value_cents")).as("min_cents"),
+        max(col("value_cents")).as("max_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  /** MV rewrite, DIMENSION-FILTER path: a dated window on the fact query
+    * rebases onto the MV (every base group is one MV row, so a dim
+    * filter is exact there) and the per-day report re-aggregates the
+    * (date, type) grain down to dates.
+    */
+  private def mvRewriteWindow(s: SparkSession, dir: String): DataFrame = {
+    val base = buildMvFixture(s, dir)
+    s.read.parquet(base)
+      .where(col("event_date") >= "2024-01-05" && col("event_date") < "2024-01-20")
+      .groupBy(col("event_date"))
+      .agg(sum(col("value_cents")).as("cents"), count(lit(1)).as("n_events"))
+      .orderBy(col("event_date"))
+  }
+
+  /** The MV LIFECYCLE end to end — the piece that makes the rewrite rule
+    * operable rather than a parlor trick: (1) a base + (date, type) MV
+    * register and serve; (2) a late-arriving day APPENDS to the base —
+    * the freshness fingerprint now declines every rewrite (stale MVs
+    * never serve, MvRewriteSpec pins the fallback); (3) an INCREMENTAL
+    * refresh folds ONLY the delta into the MV — the delta aggregates at
+    * MV grain and full-outer-merges with the old MV (counts/sums add,
+    * min/max take least/greatest; the Gupta–Mumick counting-IVM shape
+    * `etl_ivm_counting` uses), written to a NEW snapshot directory so
+    * readers never see a half-refreshed MV; (4) re-registration swaps
+    * the catalog entry and the rewrite serves again. At 100 TB the
+    * refresh cost is O(delta + |dims|), never a base rescan. The
+    * registered query runs the post-refresh daily report; its hash match
+    * proves the merged MV ≡ a full recompute. Lifecycle is memoized —
+    * re-runs re-execute only the serving query.
+    */
+  private val mvLifecycleMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def mvRefreshFixture(s: SparkSession, dir: String): String =
+    mvLifecycleMemo.computeIfAbsent(dir, _ => {
+      val Split = "2024-01-25"
+      val ev = Tables.load(s, dir, "events").select(
+        date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      val base = graft.util.TempDirs.create("graft_mvr_base_")
+      ev.where(col("event_date") < Split)
+        .write.mode(SaveMode.Overwrite).parquet(base)
+      def rollup(df: DataFrame): DataFrame =
+        df.groupBy(col("event_date"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"),
+            min(col("value_cents")).as("min_cents"),
+            max(col("value_cents")).as("max_cents"))
+      def register(mvPath: String): Unit =
+        graft.plans.MaterializedViewRewrite.MvCatalog.register(s, base, mvPath,
+          dims = Seq("event_date", "event_type"), countCol = "n",
+          sumMap = Map("value_cents" -> "sum_cents"),
+          minMap = Map("value_cents" -> "min_cents"),
+          maxMap = Map("value_cents" -> "max_cents"))
+      graft.plans.MaterializedViewRewrite.register(s)
+      val mv1 = graft.util.TempDirs.create("graft_mvr_v1_")
+      rollup(s.read.parquet(base)).write.mode(SaveMode.Overwrite).parquet(mv1)
+      register(mv1)
+      // (2) the late days land — every rewrite on this base now declines
+      val delta = ev.where(col("event_date") >= Split)
+      delta.write.mode(SaveMode.Append).parquet(base)
+      // (3) incremental refresh: delta-only aggregation merged into mv1,
+      // written as a NEW snapshot (readers never see a half-refresh)
+      val mv2 = graft.util.TempDirs.create("graft_mvr_v2_")
+      val merged = s.read.parquet(mv1).as("o")
+        .join(rollup(delta).as("d"), Seq("event_date", "event_type"), "full_outer")
+        .select(col("event_date"), col("event_type"),
+          (coalesce(col("o.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
+          (coalesce(col("o.sum_cents"), lit(0L)) +
+            coalesce(col("d.sum_cents"), lit(0L))).as("sum_cents"),
+          least(coalesce(col("o.min_cents"), col("d.min_cents")),
+            coalesce(col("d.min_cents"), col("o.min_cents"))).as("min_cents"),
+          greatest(coalesce(col("o.max_cents"), col("d.max_cents")),
+            coalesce(col("d.max_cents"), col("o.max_cents"))).as("max_cents"))
+      merged.write.mode(SaveMode.Overwrite).parquet(mv2)
+      // (4) the swap: re-registration records the grown base's fingerprint
+      register(mv2)
+      base
+    })
+
+  private def mvRefreshServe(s: SparkSession, dir: String): DataFrame = {
+    val base = mvRefreshFixture(s, dir)
+    s.read.parquet(base)
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value_cents")).as("cents"),
+        max(col("value_cents")).as("max_cents"))
+      .orderBy(col("event_date"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_rewrite_rollup" -> (mvRewriteRollup _),
+    "mv_rewrite_window" -> (mvRewriteWindow _),
+    "mv_refresh_serve" -> (mvRefreshServe _),
     "stats_benford" -> (statsBenford _),
     "stats_key_skew" -> (statsKeySkew _),
     "stats_mad_outliers" -> (statsMadOutliers _),
@@ -1263,6 +1408,31 @@ object ScaleOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "mv_rewrite_rollup" ->
+      """WITH z AS (SELECT event_type,
+        |             CAST(round(value * 100) AS BIGINT) AS value_cents
+        |           FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(value_cents) AS BIGINT) AS cents,
+        |       min(value_cents) AS min_cents, max(value_cents) AS max_cents
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mv_rewrite_window" ->
+      """WITH z AS (SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+        |             CAST(round(value * 100) AS BIGINT) AS value_cents
+        |           FROM events)
+        |SELECT event_date, CAST(sum(value_cents) AS BIGINT) AS cents,
+        |       count(*) AS n_events
+        |FROM z
+        |WHERE event_date >= '2024-01-05' AND event_date < '2024-01-20'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mv_refresh_serve" ->
+      """WITH z AS (SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+        |             CAST(round(value * 100) AS BIGINT) AS value_cents
+        |           FROM events)
+        |SELECT event_date, count(*) AS n_events,
+        |       CAST(sum(value_cents) AS BIGINT) AS cents,
+        |       max(value_cents) AS max_cents
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "j8_partition_prune_join" ->
       """WITH e AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_cents,
