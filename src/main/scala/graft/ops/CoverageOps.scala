@@ -239,6 +239,44 @@ object CoverageOps {
       .orderBy(col("event_date"))
   }
 
+  /** STREAMING write through the connector
+    * ([[graft.sources.TsvStreamingWrite]]): the zone-to-zone streaming
+    * pipe — `readStream` off one landing zone (dated window as options,
+    * capped drain) lands in another THROUGH `writeStream.format(tsv)`,
+    * each epoch staged and atomically published with deterministic
+    * `events_<date>.e<epoch>.p<N>.tsv` names (a replayed epoch re-stages
+    * the same names; losing a rename to an existing target is the
+    * idempotent ack). The read-back rollup against the direct-parquet
+    * oracle proves the multi-epoch, multi-file-per-date drain landed
+    * exactly once. Dsv2SourceSpec pins the restart-adds-nothing and
+    * per-epoch naming halves.
+    */
+  private val streamSinkMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def snkDsv2Stream(s: SparkSession, dir: String): DataFrame = {
+    val cls = classOf[graft.sources.TsvLandingSource].getName
+    val out = streamSinkMemo.computeIfAbsent(dir, _ => {
+      val src = buildTsvZone(s, dir)
+      val dst = graft.util.TempDirs.create("graft_tsv_ssink_")
+      val cp = graft.util.TempDirs.create("graft_tsv_ssink_cp_")
+      val q = s.readStream.format(cls).option("path", src)
+        .option("startDate", "2024-01-05").option("endDate", "2024-01-20")
+        .option("maxFilesPerTrigger", "5") // force a multi-epoch drain
+        .load()
+        .writeStream.format(cls).option("path", dst)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      dst
+    })
+    s.read.format(cls).option("path", out).load()
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("cents"))
+      .orderBy(col("event_date"))
+  }
+
   private def srcDsv2Landing(s: SparkSession, dir: String): DataFrame = {
     val out = buildTsvZone(s, dir)
     s.read.format(classOf[graft.sources.TsvLandingSource].getName)
@@ -938,6 +976,7 @@ object CoverageOps {
     "src_dsv2_file_provenance" -> (srcDsv2FileProvenance _),
     "sql_api_delete_day" -> (sqlApiDeleteDay _),
     "snk_dsv2_landing" -> (snkDsv2Landing _),
+    "snk_dsv2_stream" -> (snkDsv2Stream _),
     "sql_api_catalog_tsv" -> (sqlApiCatalogTsv _),
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
     "src_jdbc_roundtrip" -> (srcJdbcRoundtrip _),
@@ -1035,6 +1074,13 @@ object CoverageOps {
       """SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "snk_dsv2_stream" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-05'
+        |  AND strftime(ts, '%Y-%m-%d') < '2024-01-20'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_dsv2_landing" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents

@@ -548,6 +548,29 @@ object TextAnalysisOps {
     * Everything is deterministic standard SQL (md5/substr/div), so the
     * oracle replays the governed view bit-for-bit.
     */
+  /** Column-level LINEAGE extraction ([[graft.plans.ColumnLineage]]): the
+    * data-catalog feed, computed from the analyzed plan of a
+    * representative two-table rollup — which physical source columns
+    * feed each output's VALUE (join keys steer rows, not bytes, so they
+    * are not lineage; `COUNT(*)` has no source). Pure plan metadata —
+    * zero data work at any scale, which is the whole point: the audit
+    * runs as a pre-flight against a 100 TB pipeline's plan. The oracle
+    * is the literal expected edge set; a multi-source expression
+    * (`l_extendedprice·(1−l_discount)`) must emit one edge per source.
+    */
+  private def govColumnLineage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    val ord = Tables.load(s, dir, "orders")
+    val pipeline = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("net_revenue"),
+        count(lit(1)).as("n_items"))
+    graft.plans.ColumnLineage.of(pipeline)
+      .toDF("out_col", "src_table", "src_col")
+  }
+
   private def govColumnMask(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "customer")
       .where(col("c_nationkey").between(1, 3))
@@ -564,6 +587,7 @@ object TextAnalysisOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gov_column_mask" -> (govColumnMask _),
+    "gov_column_lineage" -> (govColumnLineage _),
     "privacy_k_anon" -> (privacyKAnon _),
     "ta_bpe_merges" -> (taBpeMerges _),
     "ta_bpe_encode" -> (taBpeEncode _),
@@ -650,6 +674,13 @@ object TextAnalysisOps {
     Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "gov_column_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('net_revenue', 'lineitem', 'l_discount'),
+        |  ('net_revenue', 'lineitem', 'l_extendedprice'),
+        |  ('o_orderpriority', 'orders', 'o_orderpriority'))
+        |  AS t(out_col, src_table, src_col)
+        |ORDER BY 1, 2, 3""".stripMargin,
     "gov_column_mask" ->
       """SELECT substr(md5(CAST(c_custkey AS VARCHAR)), 1, 16) AS pseudo_id,
         |  '***' || substr(c_name, length(c_name) - 2, 3) AS name_masked,

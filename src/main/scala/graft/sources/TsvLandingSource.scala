@@ -70,7 +70,8 @@ object TsvLanding {
     * segment (the write path emits one file per (date, task) — see
     * [[TsvBatchWrite]]).
     */
-  private[sources] val FileRe = """events_(\d{4}-\d{2}-\d{2})(?:\.p\d+)?\.tsv""".r
+  private[sources] val FileRe =
+    """events_(\d{4}-\d{2}-\d{2})(?:\.e\d+)?(?:\.p\d+)?\.tsv""".r
 
   /** Date bounds extracted from the pushable filters: file with date d
     * survives iff every accepted predicate admits d.
@@ -158,7 +159,7 @@ class TsvTable(path: String) extends Table with SupportsRead with SupportsWrite
   override def schema(): StructType = TsvLanding.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
 
   /** PROVENANCE metadata column: `_file` is the zone file NAME the row
     * was read from — requested on demand (`SELECT _file, …`), absent
@@ -205,6 +206,8 @@ class TsvTable(path: String) extends Table with SupportsRead with SupportsWrite
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new TsvBatchWrite(path, info.queryId())
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new TsvStreamingWrite(path, info.queryId())
       }
     }
   }
@@ -756,15 +759,70 @@ class TsvBatchWrite(path: String, queryId: String) extends BatchWrite {
 
 case class TsvCommitMessage(files: Seq[String]) extends WriterCommitMessage
 
+/** The STREAMING half of the commit protocol: `writeStream.format(tsv)`
+  * gets the same staged→atomic-publish discipline per EPOCH — tasks
+  * stage `events_<date>.e<epoch>.p<N>.tsv` under
+  * `_staging/<queryId>/epoch-<id>`, and only the engine's epoch commit
+  * renames into the zone, so readers never see a torn micro-batch. File
+  * names are DETERMINISTIC on (epoch, task partition, date): a replayed
+  * epoch (crash between sink commit and engine offset commit) re-stages
+  * the same names and a rename that loses to an existing target is the
+  * idempotent-ack path — the same file-granular exactly-once contract
+  * the built-in file sink gets from its manifest log, expressed in the
+  * zone's own naming scheme. (The standard file-sink caveat applies: a
+  * replay under a DIFFERENT task partitioning could stage different
+  * names; Spark replays a failed epoch with the same plan, which is the
+  * contract the built-in sink relies on too.)
+  */
+class TsvStreamingWrite(path: String, queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private def stagingFor(epochId: Long) = s"$path/_staging/$queryId/epoch-$epochId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    TsvStreamingWriterFactory(path, queryId)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val zone = new Path(path)
+    val fs = zone.getFileSystem(new Configuration())
+    messages.foreach {
+      case TsvCommitMessage(files) => files.foreach { f =>
+        val src = new Path(f)
+        val tgt = new Path(zone, src.getName)
+        if (!fs.rename(src, tgt) && !fs.exists(tgt))
+          throw new IllegalStateException(s"graft-tsv epoch publish failed for $src")
+      }
+    }
+    fs.delete(new Path(stagingFor(epochId)), true)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    fs.delete(new Path(stagingFor(epochId)), true) // nothing reached the zone
+  }
+}
+
+case class TsvStreamingWriterFactory(path: String, queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new TsvDataWriter(s"$path/_staging/$queryId/epoch-$epochId", partitionId,
+      epoch = Some(epochId))
+}
+
 case class TsvWriterFactory(staging: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new TsvDataWriter(staging, partitionId)
 }
 
 /** Buffers one open stream per date seen by this task; input column
-  * order is the landing schema (validated at newWriteBuilder).
+  * order is the landing schema (validated at newWriteBuilder). The file
+  * name carries the task partition (and, on the streaming path, the
+  * epoch) so concurrent tasks never contend and replays are name-stable.
   */
-class TsvDataWriter(staging: String, partitionId: Int) extends DataWriter[InternalRow] {
+class TsvDataWriter(staging: String, partitionId: Int,
+                    epoch: Option[Long] = None) extends DataWriter[InternalRow] {
   private val fs = new Path(staging).getFileSystem(new Configuration())
   private val open = scala.collection.mutable.Map.empty[String, java.io.OutputStream]
   private val files = Seq.newBuilder[String]
@@ -772,7 +830,8 @@ class TsvDataWriter(staging: String, partitionId: Int) extends DataWriter[Intern
   override def write(row: InternalRow): Unit = {
     val date = row.getUTF8String(0).toString
     val os = open.getOrElseUpdate(date, {
-      val f = s"$staging/events_$date.p$partitionId.tsv"
+      val seg = epoch.map(e => s".e$e").getOrElse("")
+      val f = s"$staging/events_$date$seg.p$partitionId.tsv"
       files += f
       fs.create(new Path(f))
     })

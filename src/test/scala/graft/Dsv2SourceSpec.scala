@@ -463,6 +463,46 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L), s"got $ids")
   }
 
+  test("streaming write publishes per epoch atomically and restarts add nothing") {
+    val src = buildZone()
+    val dst = graft.util.TempDirs.create("graft_dsv2_ssink_")
+    val cp = graft.util.TempDirs.create("graft_dsv2_ssink_cp_")
+    val cls = classOf[graft.sources.TsvLandingSource].getName
+    def drain(): Unit = {
+      val q = spark.readStream.format(cls).option("path", src)
+        .option("endDate", "2024-01-03") // prune the poisoned file
+        .option("maxFilesPerTrigger", "1") // one epoch per source file
+        .load()
+        .writeStream.format(cls).option("path", dst)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def landed(): Seq[String] = fs.listStatus(new org.apache.hadoop.fs.Path(dst))
+      .filter(_.isFile).map(_.getPath.getName).toSeq.sorted
+    val names = landed()
+    // per-epoch deterministic names, one epoch per admitted source file
+    assert(names.forall(_.matches("""events_\d{4}-\d{2}-\d{2}\.e\d+\.p\d+\.tsv""")),
+      names.toString)
+    assert(names.map(_.replaceAll(""".*\.e(\d+)\..*""", "$1")).distinct.size == 2,
+      names.toString)
+    val rows = spark.read.format(cls).option("path", dst).load()
+      .groupBy(col("event_date")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(rows == Seq(("2024-01-01", 2L), ("2024-01-02", 1L)), rows.toString)
+    // restart on the same checkpoint: all epochs committed, nothing lands
+    drain()
+    assert(landed() == names, landed().toString)
+    // no staged files left behind
+    val staging = new org.apache.hadoop.fs.Path(s"$dst/_staging")
+    if (fs.exists(staging))
+      assert(!fs.listFiles(staging, true).hasNext, "staging must be drained")
+  }
+
   test("write commit protocol: a failing job publishes NOTHING to the zone") {
     val out = graft.util.TempDirs.create("graft_dsv2_sink_abort_")
     val cls = classOf[graft.sources.TsvLandingSource].getName
