@@ -1,0 +1,234 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Ordered-series analytics the reference's users run downstream of the
+  * ETL destination (reference: the BigQuery-side "analyze the landed
+  * events" half of README.md's pipeline diagram) — interval algebra,
+  * clamped running balances, exact apportionment, and change-point
+  * scans. Every operator is a window/groupBy composition over ONE
+  * key-partitioned shuffle (no self-joins, no iteration, no driver-side
+  * loops), in exact integer arithmetic so the DuckDB oracle hash-matches
+  * bit for bit.
+  */
+object SeriesOps {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** W20: interval coalescing (merge overlapping activity intervals).
+    * Each event opens a 15-minute half-open activity interval
+    * [ts, ts+900s); overlapping or touching intervals per user merge
+    * into maximal islands — the classic coverage problem behind session
+    * dedup, on-call coverage, and GPU-occupancy accounting. The island
+    * boundary is `start > max(end) over all prior intervals` (prefix
+    * max), so the whole merge is two window functions and one groupBy
+    * over a single user_id shuffle — never an interval self-join. At
+    * 100 TB each user's intervals sort inside their partition
+    * (spillable), and the prefix max is O(1) per row. Microsecond
+    * BIGINT arithmetic end to end; oracle is the identical window
+    * composition in DuckDB.
+    */
+  private def w20IntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val iv = events(s, dir).select(
+      col("user_id"),
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) + lit(900000000L)).as("e"),
+      col("event_id"))
+    val order = Window.partitionBy("user_id").orderBy(col("s"), col("event_id"))
+    val prior = order.rowsBetween(Window.unboundedPreceding, -1)
+    iv
+      .withColumn("pe", max(col("e")).over(prior))
+      .withColumn("nf", when(col("pe").isNull || col("s") > col("pe"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("nf")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("is"), max(col("e")).as("ie"), count(lit(1)).as("n_iv"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_merged"),
+        sum(col("ie") - col("is")).as("covered_us"),
+        sum(col("n_iv")).as("n_raw"))
+      .orderBy(col("user_id"))
+  }
+
+  /** W21: clamped running balance — a wallet where withdrawals beyond
+    * the current balance are truncated (balance floors at zero), the
+    * credit-ledger shape reference users build over the landed billing
+    * events. Naively this is a sequential fold (balance_t depends on
+    * the clamp at t-1), but the floor-at-zero fold has a closed form
+    * over plain prefix aggregates:
+    *
+    *   balance_t = prefix_t − min(0, running_min(prefix)_t)
+    *
+    * so it costs two window functions over one user_id shuffle instead
+    * of a per-key sequential scan — the difference between a window and
+    * an un-parallelizable loop at 100 TB. Deltas are exact cents
+    * (even event_id = deposit, odd = withdrawal); the oracle replays
+    * the same identity in DuckDB.
+    */
+  private def w21ClampedBalance(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val tx = events(s, dir).select(
+      col("user_id"), col("event_id"),
+      when(col("event_id") % 2 === 0, cents).otherwise(-cents).as("delta"))
+    val order = Window.partitionBy("user_id").orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val byLast = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+    tx
+      .withColumn("p", sum(col("delta")).over(order))
+      .withColumn("rm", min(col("p")).over(order))
+      .withColumn("balance", col("p") - least(lit(0L), col("rm")))
+      .withColumn("lost", -least(lit(0L), col("rm")))
+      .withColumn("rn", row_number().over(byLast))
+      .where(col("rn") === 1)
+      .groupBy(col("user_id"))
+      .agg(max(col("balance")).as("final_balance"),
+        max(col("lost")).as("lost_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Largest-remainder apportionment: split an exact budget of 10 000
+    * sample slots across document sources proportional to their corpus
+    * share — the quota step every mixture pipeline needs BEFORE
+    * `mix_exact_quota` can draw, with the guarantee that quotas sum to
+    * exactly the budget (floor division loses slots; the remainder
+    * ranking hands them back deterministically). Pure integer math:
+    * base = slots·cnt div total, leftovers to the largest
+    * slots·cnt mod total (source name breaks ties), so the DuckDB
+    * oracle replays it exactly. One tiny aggregate (|sources| rows)
+    * after a map-side-combinable count — nothing here grows with data
+    * volume except the first count.
+    */
+  private def mixLargestRemainder(s: SparkSession, dir: String): DataFrame = {
+    val slots = 10000L
+    val counts = Tables.load(s, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+    val total = Window.partitionBy()
+    val byRem = Window.orderBy(col("rem").desc, col("source"))
+    counts
+      .withColumn("t", sum(col("cnt")).over(total))
+      .withColumn("base", expr(s"($slots * cnt) div t"))
+      .withColumn("rem", expr(s"($slots * cnt) % t"))
+      .withColumn("leftover", lit(slots) - sum(col("base")).over(total))
+      .withColumn("rnk", row_number().over(byRem))
+      .select(col("source"), col("cnt"),
+        col("base"),
+        (col("base") + when(col("rnk") <= col("leftover"), 1L).otherwise(0L))
+          .as("quota"))
+      .orderBy(col("source"))
+  }
+
+  /** CUSUM change-point scan over the daily event counts: the point
+    * where the cumulative deviation from the overall mean peaks is the
+    * most likely level-shift day — the volume-regression alarm run
+    * against every landed day. Deviations are scaled by n (S_i =
+    * Σ(c_j·n − total)) so the mean never leaves integer space; the
+    * argmax is a TopK(1) with a date tiebreak, not a driver-side scan.
+    * The daily rollup is partial-agg friendly (|days| rows out of the
+    * fact scan); everything after is O(|days|).
+    */
+  private def statsCusumShift(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val all = Window.partitionBy()
+    val order = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("n_days", count(lit(1)).over(all))
+      .withColumn("total", sum(col("c")).over(all))
+      .withColumn("s_scaled", sum(col("c") * col("n_days") - col("total")).over(order))
+      .orderBy(abs(col("s_scaled")).desc, col("day"))
+      .limit(1)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("shift_day"),
+        col("s_scaled"), col("n_days"), col("total").as("total_events"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w20_interval_merge" -> (w20IntervalMerge _),
+    "w21_clamped_balance" -> (w21ClampedBalance _),
+    "mix_largest_remainder" -> (mixLargestRemainder _),
+    "stats_cusum_shift" -> (statsCusumShift _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "w20_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 900000000 AS e, event_id
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, s, e, event_id,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |  FROM iv),
+        |fl AS (
+        |  SELECT user_id, s, e, event_id,
+        |    CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END AS nf
+        |  FROM m),
+        |isl AS (
+        |  SELECT user_id, s, e,
+        |    sum(nf) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM fl),
+        |g AS (
+        |  SELECT user_id, island, min(s) AS i_s, max(e) AS i_e, count(*) AS n_iv
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_merged,
+        |  CAST(sum(i_e - i_s) AS BIGINT) AS covered_us,
+        |  CAST(sum(n_iv) AS BIGINT) AS n_raw
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w21_clamped_balance" ->
+      """WITH tx AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_id % 2 = 0 THEN CAST(round(value * 100) AS BIGINT)
+        |         ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+        |  FROM events),
+        |p1 AS (
+        |  SELECT user_id, event_id,
+        |    sum(delta) OVER (PARTITION BY user_id ORDER BY event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS p
+        |  FROM tx),
+        |pf AS (
+        |  SELECT user_id, event_id, p,
+        |    min(p) OVER (PARTITION BY user_id ORDER BY event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS rm,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM p1)
+        |SELECT user_id,
+        |  CAST(max(p - least(0, rm)) AS BIGINT) AS final_balance,
+        |  CAST(max(-least(0, rm)) AS BIGINT) AS lost_cents
+        |FROM pf WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mix_largest_remainder" ->
+      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+        |b AS (
+        |  SELECT source, cnt,
+        |    (10000 * cnt) // (sum(cnt) OVER ()) AS base,
+        |    (10000 * cnt) % (sum(cnt) OVER ()) AS rem
+        |  FROM c),
+        |w AS (
+        |  SELECT source, cnt, base, rem,
+        |    10000 - sum(base) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rnk
+        |  FROM b)
+        |SELECT source, CAST(cnt AS BIGINT) AS cnt, CAST(base AS BIGINT) AS base,
+        |  CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM w ORDER BY source""".stripMargin,
+    "stats_cusum_shift" ->
+      """WITH d AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT day, c, count(*) OVER () AS n_days, sum(c) OVER () AS total
+        |  FROM d),
+        |w AS (
+        |  SELECT day, c, n_days, total,
+        |    sum(c * n_days - total) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |      AS s_scaled
+        |  FROM t)
+        |SELECT day AS shift_day, CAST(s_scaled AS BIGINT) AS s_scaled,
+        |  CAST(n_days AS BIGINT) AS n_days, CAST(total AS BIGINT) AS total_events
+        |FROM w ORDER BY abs(s_scaled) DESC, day LIMIT 1""".stripMargin
+  )
+}
