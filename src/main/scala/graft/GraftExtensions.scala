@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => plans.NanosTimestampPushdown)
     ext.injectOptimizerRule(_ => plans.BandedIntervalJoin)
     ext.injectPlannerStrategy(_ => plans.AsofJoinStrategy)
+    // analysis-time governance: reject unfiltered scans of guarded fact
+    // tables before a task launches (opt-in via spark.graft.scanGuard.*)
+    ext.injectCheckRule(session => plan => plans.ScanGuard.check(session)(plan))
+    // table-valued calendar spine, resolved like the built-in range()
+    ext.injectTableFunction(functions.DaySpanTvf.description)
     (functions.NativeText.builders ++ functions.NativeVector.builders ++
       functions.NativeAgg.builders ++ functions.CountMin.builders).foreach {
       case (name, builder) =>

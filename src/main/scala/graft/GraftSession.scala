@@ -28,6 +28,7 @@ object GraftSession {
     functions.NativeVector.register(spark)
     functions.NativeAgg.register(spark)
     functions.CountMin.register(spark)
+    functions.DaySpanTvf.register(spark)
     plans.AsofJoin.register(spark)
     TableNames.foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
     spark

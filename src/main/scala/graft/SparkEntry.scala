@@ -49,7 +49,8 @@ object SparkEntry {
       ops.SamplingOps.queries ++ ops.IngestScreenOps.queries ++ ops.CoverageOps.queries ++
       ops.WarehouseOps.queries ++ ops.EmbedClusterOps.queries ++ ops.SearchOps.queries ++
       ops.ScaleOps.queries ++ ops.NestedBillingOps.queries ++
-      ops.ProductAnalyticsOps.queries ++ ops.SeriesOps.queries ++ ops.GeoOps.queries
+      ops.ProductAnalyticsOps.queries ++ ops.SeriesOps.queries ++ ops.GeoOps.queries ++
+      ops.SqlSurfaceOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -62,5 +63,6 @@ object SparkEntry {
       ops.SamplingOps.oracleSql ++ ops.IngestScreenOps.oracleSql ++ ops.CoverageOps.oracleSql ++
       ops.WarehouseOps.oracleSql ++ ops.EmbedClusterOps.oracleSql ++ ops.SearchOps.oracleSql ++
       ops.ScaleOps.oracleSql ++ ops.NestedBillingOps.oracleSql ++
-      ops.ProductAnalyticsOps.oracleSql ++ ops.SeriesOps.oracleSql ++ ops.GeoOps.oracleSql
+      ops.ProductAnalyticsOps.oracleSql ++ ops.SeriesOps.oracleSql ++ ops.GeoOps.oracleSql ++
+      ops.SqlSurfaceOps.oracleSql
 }

@@ -53,6 +53,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // and the planner strategy for the custom as-of operator
       assert(s2.sessionState.planner.strategies.contains(plans.AsofJoinStrategy),
         "AsofJoinStrategy must be injected by the extensions")
+      // the TABLE-VALUED function resolves from bare SQL too
+      val days = s2.sql(
+        "SELECT count(*) AS n FROM graft_day_span(DATE '2024-01-01', DATE '2024-01-31')")
+        .collect()(0).getLong(0)
+      assert(days == 31L, s"graft_day_span must resolve via injectTableFunction, got $days")
+      // and the scan-guard CHECK rule fires at analysis time when armed
+      val guarded = SparkTestBase.tmpDir("graft_guard_") + "/events.parquet"
+      s2.range(3).selectExpr("CAST(id AS TIMESTAMP) AS ts", "id AS v")
+        .write.parquet(guarded)
+      s2.conf.set(plans.ScanGuard.EnabledKey, "true")
+      s2.conf.set(plans.ScanGuard.PathsKey, "events.parquet")
+      try {
+        val blocked = intercept[IllegalStateException] {
+          s2.read.parquet(guarded).groupBy("v").count().collect()
+        }
+        assert(blocked.getMessage.contains("scan guard"),
+          "unfiltered guarded scan must be rejected by the injected check rule")
+        // a time predicate unblocks the same query
+        val n = s2.read.parquet(guarded)
+          .where("ts >= TIMESTAMP '1970-01-01 00:00:00'")
+          .groupBy("v").count().collect().length
+        assert(n == 3, "filtered guarded scan must pass the check rule")
+      } finally {
+        s2.conf.set(plans.ScanGuard.EnabledKey, "false")
+        s2.conf.unset(plans.ScanGuard.PathsKey)
+      }
     } finally {
       // restore the shared session for every other suite (do NOT stop s2 —
       // it shares the one SparkContext)

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface family: recursive CTE semantics, the day-span TVF's plan
+  * shape and argument validation, scan-guard coverage semantics, and
+  * observe-metrics reconciliation.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  test("recursive CTE depth census matches the decimal-trie closed form") {
+    val rows = ops.SqlSurfaceOps.queries("sql_api_recursive_cte")(spark, Sf0001)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // the trie's depth IS digit-count minus one: every part must be
+    // reachable and counted exactly once
+    val truth = Tables.load(spark, Sf0001, "part")
+      .select((length(col("p_partkey").cast("string")) - 1).as("depth"))
+      .groupBy("depth").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows == truth, s"$rows != $truth")
+  }
+
+  test("day-span TVF emits a distributed Range plan, not a local list") {
+    functions.DaySpanTvf.register(spark)
+    val df = spark.sql(
+      "SELECT day FROM graft_day_span(DATE '2024-02-27', DATE '2024-03-02')")
+    val days = df.collect().map(_.getDate(0).toString).sorted
+    assert(days.toSeq == Seq("2024-02-27", "2024-02-28", "2024-02-29",
+      "2024-03-01", "2024-03-02"), "leap-day span wrong")
+    // the scale claim: the spine is Spark's Range leaf (parallelizable,
+    // codegen-fused), never a driver-built LocalRelation
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Range"), s"expected Range leaf in:\n$plan")
+    assert(!plan.contains("LocalRelation"), s"driver-side spine in:\n$plan")
+  }
+
+  test("day-span TVF rejects bad arity, unparseable dates, inverted spans") {
+    functions.DaySpanTvf.register(spark)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_day_span(DATE '2024-01-01')").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_day_span('nope', DATE '2024-01-02')").collect()
+    }
+    intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_day_span(DATE '2024-01-02', DATE '2024-01-01')").collect()
+    }
+  }
+
+  test("scan guard: filters cover only their own subtree; subqueries start uncovered") {
+    import graft.plans.ScanGuard
+    val ev = Tables.load(spark, Sf0001, "events")
+    spark.conf.set(ScanGuard.EnabledKey, "true")
+    spark.conf.set(ScanGuard.PathsKey, "events.parquet")
+    try {
+      // covered: filter on ts above the scan (even above a join)
+      val dim = Tables.load(spark, Sf0001, "customer")
+      val joined = ev.where(col("ts") >= lit("2024-01-01").cast("timestamp"))
+        .join(dim, ev("user_id") === dim("c_custkey"))
+        .groupBy("c_mktsegment").count()
+      ScanGuard.check(spark)(joined.queryExecution.analyzed)
+      // not covered: the same join with the filter on the DIM side only
+      val wrongSide = ev
+        .join(dim.where(col("c_custkey") > 0), ev("user_id") === dim("c_custkey"))
+        .groupBy("c_mktsegment").count()
+      intercept[IllegalStateException] {
+        ScanGuard.check(spark)(wrongSide.queryExecution.analyzed)
+      }
+      // a scalar subquery over the guarded table is NOT covered by the
+      // outer query's filter
+      graft.GraftSession.init(spark, Sf0001)
+      val sub = spark.sql(
+        """SELECT c_mktsegment, count(*) AS n FROM customer
+          |WHERE c_custkey < (SELECT max(user_id) FROM events)
+          |GROUP BY 1""".stripMargin)
+      intercept[IllegalStateException] {
+        ScanGuard.check(spark)(sub.queryExecution.analyzed)
+      }
+      // non-guarded tables are never touched
+      val other = dim.groupBy("c_mktsegment").count()
+      ScanGuard.check(spark)(other.queryExecution.analyzed)
+    } finally {
+      spark.conf.set(ScanGuard.EnabledKey, "false")
+      spark.conf.unset(ScanGuard.PathsKey)
+    }
+  }
+
+  test("observe metrics reconcile with a direct recomputation") {
+    val row = ops.SqlSurfaceOps.queries("obs_pipeline_metrics")(spark, Sf0001)
+      .collect()(0)
+    val bad = col("props").isNull || col("props") === ""
+    val truth = Tables.load(spark, Sf0001, "events").agg(
+      count(lit(1)).as("rows_in"),
+      sum(when(bad, 1L).otherwise(0L)).as("rej"),
+      sum(when(bad, 0L).otherwise(1L)).as("out"),
+      sum(when(bad, 0L).otherwise(round(col("value") * 100).cast("long")))
+        .as("cents")).collect()(0)
+    assert(row.getLong(0) == truth.getLong(0))
+    assert(row.getLong(1) == truth.getLong(1))
+    assert(row.getLong(2) == truth.getLong(2))
+    assert(row.getLong(3) == truth.getLong(3))
+  }
+}
