@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectCheckRule(session => plan => plans.ScanGuard.check(session)(plan))
     // table-valued calendar spine, resolved like the built-in range()
     ext.injectTableFunction(functions.DaySpanTvf.description)
+    // additive SQL grammar: GRAFT HISTORY '<dest>' (everything else
+    // delegates to Spark's parser verbatim)
+    ext.injectParser((_, delegate) => new plans.GraftSqlParser(delegate))
     (functions.NativeText.builders ++ functions.NativeVector.builders ++
       functions.NativeAgg.builders ++ functions.CountMin.builders).foreach {
       case (name, builder) =>

@@ -146,7 +146,57 @@ object SeriesOps {
         col("s_scaled"), col("n_days"), col("total").as("total_events"))
   }
 
+  /** Exact weighted median per group — the robust center the mean-based
+    * rollups can't give (one whale order drags a mean; the weighted
+    * median ignores it). Definition: smallest value v with
+    * 2·cumweight(≤v) ≥ totalweight (the lower weighted median — no
+    * interpolation, so the DuckDB oracle is bit-exact, unlike both
+    * engines' built-in `median`). Shape: collapse to (group, value)
+    * weight sums FIRST (partial-agg friendly, |distinct values| rows),
+    * then one window cumsum — never a per-group full sort of raw rows.
+    * Weights are deterministic ints (user_id % 4 + 1) standing in for
+    * row multiplicity.
+    */
+  private def statsWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val t = events(s, dir).select(
+      col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"),
+      (col("user_id") % 4 + 1).as("w"))
+    val g = t.groupBy(col("event_type"), col("cents")).agg(sum(col("w")).as("gw"))
+    val cum = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy("event_type")
+    g.withColumn("cw", sum(col("gw")).over(cum))
+      .withColumn("tw", sum(col("gw")).over(tot))
+      .where(col("cw") * 2 >= col("tw"))
+      .groupBy(col("event_type"))
+      .agg(min(col("cents")).as("median_cents"), max(col("tw")).as("total_w"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Sequence-motif detection (the MATCH_RECOGNIZE shape): positions
+    * where a user's event stream reads view → click → purchase
+    * consecutively — the conversion micro-funnel. Two `lead`s over one
+    * (user, time) window turn the pattern test into a per-row predicate:
+    * no self-joins, no per-user collect, one user_id shuffle. Ordering
+    * ties break on event_id so the motif census is deterministic in
+    * both engines.
+    */
+  private def pathMotifMatch(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("e1", lead(col("event_type"), 1).over(w))
+      .withColumn("e2", lead(col("event_type"), 2).over(w))
+      .where(col("event_type") === "view" && col("e1") === "click" &&
+        col("e2") === "purchase")
+      .agg(count(lit(1)).as("n_motifs"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_weighted_median" -> (statsWeightedMedian _),
+    "path_motif_match" -> (pathMotifMatch _),
     "w20_interval_merge" -> (w20IntervalMerge _),
     "w21_clamped_balance" -> (w21ClampedBalance _),
     "mix_largest_remainder" -> (mixLargestRemainder _),
@@ -154,6 +204,33 @@ object SeriesOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stats_weighted_median" ->
+      """WITH t AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    user_id % 4 + 1 AS w
+        |  FROM events),
+        |g AS (SELECT event_type, cents, sum(w) AS gw FROM t GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, cents,
+        |    sum(gw) OVER (PARTITION BY event_type ORDER BY cents
+        |                  ROWS UNBOUNDED PRECEDING) AS cw,
+        |    sum(gw) OVER (PARTITION BY event_type) AS tw
+        |  FROM g)
+        |SELECT event_type, CAST(min(cents) AS BIGINT) AS median_cents,
+        |  CAST(max(tw) AS BIGINT) AS total_w
+        |FROM c WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1""".stripMargin,
+    "path_motif_match" ->
+      """WITH m AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS e1,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS e2
+        |  FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n_motifs,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM m
+        |WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'""".stripMargin,
     "w20_interval_merge" ->
       """WITH iv AS (
         |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 900000000 AS e, event_id

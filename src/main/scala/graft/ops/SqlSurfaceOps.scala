@@ -129,7 +129,37 @@ object SqlSurfaceOps {
     }
   }
 
+  /** The custom `GRAFT HISTORY` statement ([[graft.plans.GraftSqlParser]],
+    * deployed cluster-wide via `injectParser`): publish two audited
+    * batches to a manifest-ledger destination, then read the commit log
+    * back THROUGH THE SQL VERB — batch ids, per-batch file counts
+    * (metadata-only), and row counts over exactly the manifest-named
+    * files. Staging is coalesced to one file per batch so the ledger's
+    * file column is deterministic for the oracle; the row counts are
+    * re-derived from the raw events split in DuckDB, so a statement that
+    * read the wrong snapshot hash-fails.
+    */
+  private def sqlParserHistory(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      date_format(col("ts"), "yyyy-MM-dd").as("export_date"))
+    val root = graft.util.TempDirs.create("graft_hist_")
+    def stageAndPublish(batchId: String, batch: DataFrame): Unit = {
+      val stage = s"$root/staging/$batchId"
+      batch.coalesce(1).write.parquet(stage)
+      val r = ScaleOps.publishStaged(s, s"$root/dest", stage, batchId, batch.count())
+      require(r.isRight, s"history fixture publish failed: $r")
+    }
+    stageAndPublish("b1_early", ev.where(col("export_date") < "2024-01-11"))
+    stageAndPublish("b2_late", ev.where(col("export_date") >= "2024-01-11"))
+    val plan = new graft.plans.GraftSqlParser(s.sessionState.sqlParser)
+      .parsePlan(s"GRAFT HISTORY '$root/dest'")
+    org.apache.spark.sql.graft.GraftSqlBridge.ofRows(s, plan)
+      .orderBy(col("batch_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_api_parser_history" -> (sqlParserHistory _),
     "sql_api_recursive_cte" -> (sqlRecursiveCte _),
     "sql_api_tvf_days" -> (sqlTvfDays _),
     "obs_pipeline_metrics" -> (obsPipelineMetrics _),
@@ -137,6 +167,14 @@ object SqlSurfaceOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sql_api_parser_history" ->
+      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS d FROM events)
+        |SELECT 'b1_early' AS batch_id, CAST(1 AS INTEGER) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_rows FROM e WHERE d < '2024-01-11'
+        |UNION ALL
+        |SELECT 'b2_late' AS batch_id, CAST(1 AS INTEGER) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_rows FROM e WHERE d >= '2024-01-11'
+        |ORDER BY batch_id""".stripMargin,
     "sql_api_recursive_cte" ->
       """WITH RECURSIVE tree(pk, depth) AS (
         |  SELECT p_partkey, 0 FROM part WHERE p_partkey < 10

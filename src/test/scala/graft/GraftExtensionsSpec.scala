@@ -79,6 +79,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s2.conf.set(plans.ScanGuard.EnabledKey, "false")
         s2.conf.unset(plans.ScanGuard.PathsKey)
       }
+      // the injected PARSER adds GRAFT HISTORY without disturbing normal SQL
+      assert(s2.sql("SELECT 1 + 1 AS two").collect()(0).getInt(0) == 2,
+        "delegated parsing must still work with the custom parser installed")
+      val dest = SparkTestBase.tmpDir("graft_ext_hist_")
+      val batch = s2.range(5).selectExpr("id AS v")
+      batch.coalesce(1).write.parquet(s"$dest/stage/b1")
+      val pub = ops.ScaleOps.publishStaged(s2, s"$dest/dest", s"$dest/stage/b1", "b1", 5L)
+      assert(pub.isRight, s"fixture publish failed: $pub")
+      val hist = s2.sql(s"GRAFT HISTORY '$dest/dest'").collect()
+      assert(hist.length == 1 && hist(0).getString(0) == "b1" &&
+        hist(0).getInt(1) == 1 && hist(0).getLong(2) == 5L,
+        s"GRAFT HISTORY must read the ledger via the injected parser, got ${hist.toSeq}")
     } finally {
       // restore the shared session for every other suite (do NOT stop s2 —
       // it shares the one SparkContext)

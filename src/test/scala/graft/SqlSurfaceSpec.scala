@@ -88,6 +88,49 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("GRAFT HISTORY grammar: case/semicolon tolerant, delegating, empty-safe") {
+    val p = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    assert(p.parsePlan("graft history '/tmp/x';")
+      .isInstanceOf[graft.plans.GraftHistoryCommand])
+    assert(p.parsePlan("  GRAFT\n  HISTORY\t'/a b/c'  ")
+      .asInstanceOf[graft.plans.GraftHistoryCommand].destDir == "/a b/c")
+    // anything else delegates verbatim
+    assert(spark.sessionState.executePlan(p.parsePlan("SELECT 1 AS one"))
+      .analyzed.schema.fieldNames.toSeq == Seq("one"))
+    intercept[Exception] { p.parsePlan("GRAFT HISTORIES '/tmp/x'") }
+    // a destination with no ledger yields an empty history, not an error
+    val empty = org.apache.spark.sql.graft.GraftSqlBridge
+      .ofRows(spark, p.parsePlan(s"GRAFT HISTORY '${tmpDir("graft_nohist_")}'"))
+    assert(empty.collect().isEmpty)
+  }
+
+  test("weighted median and motif census match driver-side brute force") {
+    val med = ops.SeriesOps.queries("stats_weighted_median")(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val raw = Tables.load(spark, Sf0001, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long"),
+        (col("user_id") % 4 + 1))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    raw.groupBy(_._1).foreach { case (et, rows) =>
+      val tw = rows.map(_._3).sum
+      var cum = 0L
+      val m = rows.sortBy(_._2).collectFirst {
+        case (_, c, w) if { cum += w; cum * 2 >= tw } => c
+      }.get
+      assert(med(et) == ((m, tw)), s"$et: ${med(et)} != ($m, $tw)")
+    }
+    val motif = ops.SeriesOps.queries("path_motif_match")(spark, Sf0001).collect()(0)
+    val seqs = Tables.load(spark, Sf0001, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val hits = seqs.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      rows.sortBy(t => (t._3, t._4)).map(_._2).sliding(3)
+        .filter(_.toSeq == Seq("view", "click", "purchase")).map(_ => u)
+    }
+    assert(motif.getLong(0) == hits.length.toLong, "motif count != brute force")
+    assert(motif.getLong(1) == hits.distinct.length.toLong, "motif users != brute force")
+  }
+
   test("observe metrics reconcile with a direct recomputation") {
     val row = ops.SqlSurfaceOps.queries("obs_pipeline_metrics")(spark, Sf0001)
       .collect()(0)
