@@ -239,6 +239,38 @@ object CoverageOps {
       .orderBy(col("event_date"))
   }
 
+  /** Day-scoped OVERWRITE through the connector's `SupportsOverwrite`
+    * ([[graft.sources.TsvTable.newWriteBuilder]]): the corrected-delivery
+    * workflow — a full zone lands through the commit protocol, then one
+    * day's data is re-delivered with corrected values via
+    * `writeTo(...).overwrite(event_date = d)`. The condition admits whole
+    * files, so the replace is O(that day's files) deletes inside job
+    * commit plus the staged publish — no other day's files are touched
+    * (pinned file-by-file in Dsv2SourceSpec). The read-back rollup
+    * hash-proves exactly the overwritten day carries the corrected cents
+    * and every other day survived byte-identical.
+    */
+  private def snkDsv2Overwrite(s: SparkSession, dir: String): DataFrame = {
+    val zone = graft.util.TempDirs.create("graft_tsv_ow_")
+    val cls = classOf[graft.sources.TsvLandingSource].getName
+    val ev = Tables.load(s, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+        col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+    ev.write.format(cls).option("path", zone).mode("append").save()
+    val day = "2024-01-10"
+    val corrected = ev.where(col("event_date") === day)
+      .withColumn("value_cents", col("value_cents") * 2)
+    val p = new org.apache.hadoop.fs.Path(zone)
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", p.getParent.toString)
+    corrected.writeTo(s"graft.`${p.getName}`").overwrite(col("event_date") === day)
+    s.read.format(cls).option("path", zone).load()
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("cents"))
+      .orderBy(col("event_date"))
+  }
+
   /** STREAMING write through the connector
     * ([[graft.sources.TsvStreamingWrite]]): the zone-to-zone streaming
     * pipe — `readStream` off one landing zone (dated window as options,
@@ -976,6 +1008,7 @@ object CoverageOps {
     "src_dsv2_file_provenance" -> (srcDsv2FileProvenance _),
     "sql_api_delete_day" -> (sqlApiDeleteDay _),
     "snk_dsv2_landing" -> (snkDsv2Landing _),
+    "snk_dsv2_overwrite" -> (snkDsv2Overwrite _),
     "snk_dsv2_stream" -> (snkDsv2Stream _),
     "sql_api_catalog_tsv" -> (sqlApiCatalogTsv _),
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
@@ -1074,6 +1107,13 @@ object CoverageOps {
       """SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "snk_dsv2_overwrite" ->
+      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+        |  CAST(round(value * 100) AS BIGINT) AS c FROM events)
+        |SELECT event_date, count(*) AS n,
+        |  CAST(sum(CASE WHEN event_date = '2024-01-10' THEN c * 2 ELSE c END)
+        |    AS BIGINT) AS cents
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "snk_dsv2_stream" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents

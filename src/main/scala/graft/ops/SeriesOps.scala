@@ -194,7 +194,31 @@ object SeriesOps {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Batch MODEL INFERENCE as a map-only projection — the shape every
+    * learned quality filter deploys at 100 TB: a linear classifier's
+    * score is one fused row-local expression (no shuffle before the
+    * rollup), and because the features and weights are INTEGERS the
+    * margin is exact and the DuckDB oracle replays the "model" bit for
+    * bit. Features: space count (token proxy), digit count, raw length;
+    * the margin's sign is the keep/drop verdict. Per-source rollup
+    * reports the classifier's acceptance profile.
+    */
+  private def taClassifierMargin(s: SparkSession, dir: String): DataFrame = {
+    val spaces = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+    val digits = length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))
+    Tables.load(s, dir, "documents")
+      .select(col("source"),
+        (lit(25L) * spaces + lit(50L) * digits - col("n_chars") - lit(100L))
+          .as("margin"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("margin") > 0, 1L).otherwise(0L)).as("n_keep"),
+        sum(col("margin")).as("margin_sum"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_classifier_margin" -> (taClassifierMargin _),
     "stats_weighted_median" -> (statsWeightedMedian _),
     "path_motif_match" -> (pathMotifMatch _),
     "w20_interval_merge" -> (w20IntervalMerge _),
@@ -204,6 +228,17 @@ object SeriesOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ta_classifier_margin" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    25 * (length(text) - length(replace(text, ' ', ''))) +
+        |    50 * (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) -
+        |    n_chars - 100 AS margin
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(sum(margin) AS BIGINT) AS margin_sum
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "stats_weighted_median" ->
       """WITH t AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,

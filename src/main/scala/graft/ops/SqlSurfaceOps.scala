@@ -158,8 +158,50 @@ object SqlSurfaceOps {
       .orderBy(col("batch_id"))
   }
 
+  /** The SQL PIVOT clause — monthly type×cents crosstab with an EXPLICIT
+    * value list (declared columns, so no distinct-values pre-job scans
+    * the fact table at 100 TB; the DataFrame twin is `mix_pivot_matrix`).
+    * DuckDB's PIVOT dialect differs, so the oracle is the portable
+    * conditional-aggregation spelling — same result, which is the point.
+    */
+  private def sqlPivot(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.init(s, dir)
+    s.sql(
+      """SELECT week, coalesce(view, 0) AS view_cents,
+        |  coalesce(click, 0) AS click_cents,
+        |  coalesce(purchase, 0) AS purchase_cents
+        |FROM (
+        |  SELECT date_format(date_trunc('week', ts), 'yyyy-MM-dd') AS week, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events
+        |) PIVOT (
+        |  sum(c) FOR event_type IN ('view' AS view, 'click' AS click,
+        |                            'purchase' AS purchase)
+        |)
+        |ORDER BY week""".stripMargin)
+  }
+
+  /** The SQL UNPIVOT clause — the wide monthly report melted back to
+    * (month, metric, val) rows, the reshape every metrics warehouse does
+    * before a generic time-series store. Map-only over the already-small
+    * rollup; the oracle is the portable UNION ALL spelling.
+    */
+  private def sqlUnpivot(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.init(s, dir)
+    s.sql(
+      """SELECT week, metric, val FROM (
+        |  SELECT date_format(date_trunc('week', ts), 'yyyy-MM-dd') AS week,
+        |    count(*) AS n_events,
+        |    count(DISTINCT user_id) AS n_users
+        |  FROM events GROUP BY 1
+        |) UNPIVOT (val FOR metric IN (n_events, n_users))
+        |ORDER BY week, metric""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_api_parser_history" -> (sqlParserHistory _),
+    "sql_api_pivot" -> (sqlPivot _),
+    "sql_api_unpivot" -> (sqlUnpivot _),
     "sql_api_recursive_cte" -> (sqlRecursiveCte _),
     "sql_api_tvf_days" -> (sqlTvfDays _),
     "obs_pipeline_metrics" -> (obsPipelineMetrics _),
@@ -167,6 +209,25 @@ object SqlSurfaceOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sql_api_pivot" ->
+      """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'view'
+        |    THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS view_cents,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'click'
+        |    THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS click_cents,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS purchase_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sql_api_unpivot" ->
+      """WITH m AS (
+        |  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM events GROUP BY 1)
+        |SELECT week, 'n_events' AS metric, n_events AS val FROM m
+        |UNION ALL
+        |SELECT week, 'n_users' AS metric, n_users AS val FROM m
+        |ORDER BY week, metric""".stripMargin,
     "sql_api_parser_history" ->
       """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS d FROM events)
         |SELECT 'b1_early' AS batch_id, CAST(1 AS INTEGER) AS n_files,

@@ -159,7 +159,8 @@ class TsvTable(path: String) extends Table with SupportsRead with SupportsWrite
   override def schema(): StructType = TsvLanding.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
 
   /** PROVENANCE metadata column: `_file` is the zone file NAME the row
     * was read from — requested on demand (`SELECT _file, …`), absent
@@ -199,15 +200,48 @@ class TsvTable(path: String) extends Table with SupportsRead with SupportsWrite
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TsvScanBuilder(path, options)
+  /** Write builder, now with FILE-GRANULAR OVERWRITE (`SupportsOverwrite`
+    * + the TRUNCATE capability): `INSERT OVERWRITE` and
+    * `df.writeTo(...).overwrite(cond)` land here. Like
+    * [[deleteWhere]], only date-shaped conditions are accepted — they
+    * admit or exclude whole files, so the replace is O(matched files)
+    * deletes + the staged publish, never a data rewrite; `canOverwrite`
+    * refuses anything finer so the statement fails loudly at planning.
+    * The delete of the replaced files happens inside JOB COMMIT, after
+    * every task staged successfully — a failed job leaves the zone
+    * untouched. (Between the delete and the renames a concurrent lister
+    * can observe the gap — the same non-transactional window the
+    * built-in file sources' dynamic overwrite has; the WAP/manifest path
+    * in ScaleOps is the engine's transactional alternative.)
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(info.schema().fieldNames.sameElements(TsvLanding.Schema.fieldNames),
       s"graft-tsv write expects columns ${TsvLanding.Schema.fieldNames.mkString(", ")}; " +
         s"got ${info.schema().fieldNames.mkString(", ")}")
-    new WriteBuilder {
+    new WriteBuilder with SupportsOverwrite {
+      private var replaced: Option[Seq[Filter]] = None
+
+      private def dateShaped(filters: Array[Filter]): Option[Seq[Filter]] = {
+        val effective = filters.filterNot(_.isInstanceOf[AlwaysTrue]).toSeq
+        if (effective.forall(TsvLanding.pushable)) Some(effective) else None
+      }
+
+      override def canOverwrite(filters: Array[Filter]): Boolean =
+        dateShaped(filters).isDefined
+
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        replaced = Some(dateShaped(filters).getOrElse(throw new IllegalArgumentException(
+          "graft-tsv overwrite accepts only event_date predicates (whole-file " +
+            s"granularity); got ${filters.mkString(", ")}")))
+        this
+      }
+
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new TsvBatchWrite(path, info.queryId())
-        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        override def toBatch: BatchWrite = new TsvBatchWrite(path, info.queryId(), replaced)
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(replaced.isEmpty, "graft-tsv streaming writes are append-only")
           new TsvStreamingWrite(path, info.queryId())
+        }
       }
     }
   }
@@ -732,7 +766,8 @@ case class TsvCountReaderFactory(groupByDate: Boolean, aggs: Seq[TsvAggKind])
   * discipline (ScaleOps S26) expressed at the connector seam, where
   * every engine-initiated write gets it for free.
   */
-class TsvBatchWrite(path: String, queryId: String) extends BatchWrite {
+class TsvBatchWrite(path: String, queryId: String,
+                    replaced: Option[Seq[Filter]] = None) extends BatchWrite {
   private val staging = s"$path/_staging/$queryId"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -741,6 +776,13 @@ class TsvBatchWrite(path: String, queryId: String) extends BatchWrite {
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val zone = new Path(path)
     val fs = zone.getFileSystem(new Configuration())
+    // overwrite semantics: the admitted existing files vanish only at
+    // job commit, after every task staged — a failed job replaces nothing
+    replaced.foreach { filters =>
+      TsvLanding.listAdmitted(path, filters).foreach { p =>
+        fs.delete(new Path(p.filePath), false)
+      }
+    }
     messages.foreach {
       case TsvCommitMessage(files) => files.foreach { f =>
         val src = new Path(f)

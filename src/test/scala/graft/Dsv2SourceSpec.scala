@@ -576,6 +576,54 @@ class Dsv2SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("overwrite replaces exactly the matched day's files; finer predicates refused") {
+    val out = buildZone()
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def zoneFiles(): Set[String] =
+      fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).toSet
+    spark.conf.set("spark.sql.catalog.gow",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gow.root", p.getParent.toString)
+    try {
+      val before = zoneFiles()
+      import spark.implicits._
+      val corrected = Seq(("2024-01-02", 30L, 12L, "signup", 999L))
+        .toDF("event_date", "event_id", "user_id", "event_type", "value_cents")
+      corrected.writeTo(s"gow.`${p.getName}`")
+        .overwrite(col("event_date") === "2024-01-02")
+      val after = zoneFiles()
+      // day-2's original file is gone, replaced by staged p-files; every
+      // other file (including the poison) is untouched
+      assert(!after.contains("events_2024-01-02.tsv"), "old day file must be deleted")
+      assert(after.exists(f => f.startsWith("events_2024-01-02.") && f.endsWith(".tsv")),
+        s"corrected day files must be published, got $after")
+      assert(after.filterNot(_.startsWith("events_2024-01-02")) ==
+        before.filterNot(_.startsWith("events_2024-01-02")),
+        "no other file may be touched by a day-scoped overwrite")
+      val day2 = readZone(out).where(col("event_date") < "2024-01-03")
+        .where(col("event_date") === "2024-01-02")
+        .collect().map(r => (r.getLong(1), r.getString(3), r.getLong(4)))
+      assert(day2.toSeq == Seq((30L, "signup", 999L)), s"got ${day2.toSeq}")
+      // a non-date predicate cannot map to whole files: refused at planning
+      val bad = intercept[Exception] {
+        corrected.writeTo(s"gow.`${p.getName}`").overwrite(col("event_id") === 30L)
+      }
+      assert(bad.getMessage != null, s"expected a loud refusal, got $bad")
+      // SQL INSERT OVERWRITE = truncate-then-insert: only the new day remains
+      spark.sql(s"INSERT OVERWRITE gow.`${p.getName}` " +
+        "VALUES ('2024-01-05', 90, 9, 'view', 10)")
+      val files = zoneFiles().filter(_.startsWith("events_"))
+      assert(files.forall(_.startsWith("events_2024-01-05.")),
+        s"truncate overwrite must clear every prior day file, got $files")
+      val rows = readZone(out).collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.toSeq == Seq(("2024-01-05", 90L)))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gow")
+      spark.conf.unset("spark.sql.catalog.gow.root")
+    }
+  }
+
   test("an unfiltered read of a poisoned zone fails loudly, not silently") {
     val out = buildZone()
     val e = intercept[Exception] { readZone(out).count() }
