@@ -133,6 +133,109 @@ case class TopKPairsAgg(
   override def prettyName: String = "graft_topk_pairs"
 }
 
+/** Bounded exact-distinct — the cardinality GUARD aggregate. The built-in
+  * `count(DISTINCT x)` answers "how many" by materializing every distinct
+  * value through an Expand + second aggregate: per-group state is
+  * unbounded, which is exactly the failure mode when a group explodes at
+  * 100 TB. This aggregate answers the question guards actually ask —
+  * "is the cardinality still under k, and what is it if so" — with
+  * per-group state HARD-CAPPED at k+1 longs: the map side saturates,
+  * clears its set, and from then on contributes a constant-size buffer.
+  * Output: struct(n_distinct = min(distinct, k), saturated = distinct > k)
+  * — both EXACT (saturation loses the count, never the verdict), so the
+  * DuckDB oracle (`least(count(DISTINCT x), k)`, `> k`) hash-checks it.
+  * Nulls are ignored, like the built-in distinct count. Planned as
+  * ObjectHashAggregate partial+final (NativeAggSpec pins it).
+  */
+case class BoundedDistinctAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BoundedDistinctAgg.Buf] {
+  import BoundedDistinctAgg.Buf
+
+  require(k > 0 && k <= (1 << 20), s"graft_distinct_cap: k must be in (0, 2^20], got $k")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_distinct_cap expects (x BIGINT, k INT); got ${child.dataType.sql} — " +
+        "cast the input explicitly")
+  }
+
+  override def createAggregationBuffer(): Buf = new Buf(new java.util.HashSet[Long](), false)
+
+  private def saturate(b: Buf): Unit = { b.saturated = true; b.seen.clear() }
+
+  override def update(b: Buf, input: InternalRow): Buf = {
+    if (!b.saturated) {
+      val v = child.eval(input)
+      if (v != null) {
+        b.seen.add(v.asInstanceOf[Long])
+        if (b.seen.size > k) saturate(b)
+      }
+    }
+    b
+  }
+
+  override def merge(b1: Buf, b2: Buf): Buf = {
+    if (b1.saturated || b2.saturated) saturate(b1)
+    else {
+      b1.seen.addAll(b2.seen)
+      if (b1.seen.size > k) saturate(b1)
+    }
+    b1
+  }
+
+  override def eval(b: Buf): Any =
+    new GenericInternalRow(Array[Any](
+      if (b.saturated) k.toLong else b.seen.size.toLong, b.saturated))
+
+  override def serialize(b: Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeBoolean(b.saturated)
+    out.writeInt(if (b.saturated) 0 else b.seen.size)
+    if (!b.saturated) { val it = b.seen.iterator(); while (it.hasNext) out.writeLong(it.next()) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = ByteBuffer.wrap(bytes)
+    val saturated = in.get() != 0
+    val n = in.getInt
+    val seen = new java.util.HashSet[Long]()
+    var i = 0
+    while (i < n) { seen.add(in.getLong); i += 1 }
+    new Buf(seen, saturated)
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("saturated", BooleanType, nullable = false)))
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BoundedDistinctAgg =
+    copy(child = newChildren(0))
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedDistinctAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedDistinctAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "graft_distinct_cap"
+}
+
+object BoundedDistinctAgg {
+  /** Mutable pair: the (≤ k+1)-element set while exact, or the saturated
+    * flag alone once the cap is crossed (the set is cleared — constant
+    * state from then on).
+    */
+  final class Buf(val seen: java.util.HashSet[Long], var saturated: Boolean)
+}
+
 object NativeAgg {
 
   def register(spark: SparkSession): Unit = {
@@ -159,6 +262,18 @@ object NativeAgg {
           s"graft_topk_pairs: k must be an integer literal, got $other")
       }
       TopKPairsAgg(exprs(0), exprs(1), k).toAggregateExpression()
+    }),
+    "graft_distinct_cap" -> (exprs => {
+      if (exprs.length != 2) throw new IllegalArgumentException(
+        s"graft_distinct_cap(x BIGINT, k INT) takes exactly 2 arguments, " +
+          s"got ${exprs.length}")
+      val k = exprs(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case Literal(v: Long, LongType) if v.isValidInt => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_distinct_cap: k must be an integer literal, got $other")
+      }
+      BoundedDistinctAgg(exprs(0), k).toAggregateExpression()
     })
   )
 }

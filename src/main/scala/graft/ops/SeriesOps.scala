@@ -217,8 +217,116 @@ object SeriesOps {
       .orderBy(col("source"))
   }
 
+  /** Exact least-squares trend over the daily volume series — normal
+    * equations kept in BIGINT (numerator n·Σxy − Σx·Σy, denominator
+    * n·Σx² − (Σx)²) so the fit is bit-exact, with the slope surfaced as
+    * a floored milli-units-per-day ratio computed by the IDENTICAL
+    * double-division + floor in both engines. Complements the CUSUM
+    * scan: CUSUM locates a level shift, the slope quantifies drift. The
+    * daily rollup is the only data-sized pass; the regression runs over
+    * |days| rows.
+    */
+  private def statsTrendSlope(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .select(datediff(col("day"), lit("1970-01-01").cast("date"))
+        .cast("long").as("x"), col("y"))
+    daily.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .withColumn("slope_milli",
+        floor(lit(1000.0) * col("num") / col("den")).cast("long"))
+  }
+
+  /** Funnel conversion LATENCY — not whether users convert (that is
+    * `funnel_conversion`) but how fast: per user, the delay from first
+    * view to the first purchase at-or-after it, with the exact lower
+    * median and the tail max over converting users. The per-user reduce
+    * is two grouped aggregates + one equi-join on user_id (never an
+    * event-level self-join); the median runs over |users| rows via the
+    * rank trick — no interpolation, bit-exact in DuckDB.
+    */
+  private def funnelLatency(s: SparkSession, dir: String): DataFrame = {
+    val firstView = events(s, dir).where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("tv"))
+    val delays = events(s, dir).where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tp"))
+      .join(firstView, "user_id")
+      .where(col("tp") >= col("tv"))
+      .groupBy(col("user_id"))
+      .agg(min(col("tp")).as("mtp"), max(col("tv")).as("mtv"))
+      .select(col("user_id"), expr("(mtp - mtv) div 1000000").as("delay_sec"))
+    val order = Window.orderBy(col("delay_sec"), col("user_id"))
+    val all = Window.partitionBy()
+    delays
+      .withColumn("rn", row_number().over(order))
+      .withColumn("nc", count(lit(1)).over(all))
+      .where(col("rn") * 2 >= col("nc"))
+      .agg(max(col("nc")).as("n_converted"),
+        min(col("delay_sec")).as("median_delay_sec"),
+        max(col("delay_sec")).as("max_delay_sec"))
+  }
+
+  /** Equi-depth boundary planning — the EXACT version of what
+    * `repartitionByRange` estimates by sampling: decile boundary values
+    * of the cents distribution, each boundary the value at rank
+    * ⌈i·n/10⌉, plus the realized per-bucket row count to prove balance.
+    * The raw scan collapses to (value, count) groups FIRST (partial-agg
+    * friendly), so the global cumsum window orders |distinct values|
+    * rows, never the fact table. This is the layout-planning primitive
+    * behind balanced range partitioning and file-size targeting.
+    */
+  private def statsEquidepthBounds(s: SparkSession, dir: String): DataFrame = {
+    val g = events(s, dir)
+      .groupBy(round(col("value") * 100).cast("long").as("cents"))
+      .agg(count(lit(1)).as("c"))
+    val cum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy()
+    val cd = g.withColumn("cw", sum(col("c")).over(cum))
+      .withColumn("n", sum(col("c")).over(all))
+      .withColumn("pcw", col("cw") - col("c"))
+    val deciles = cd.select(col("cents"), col("cw"), col("pcw"), col("n"),
+      explode(array((1 to 10).map(i => lit(i.toLong)): _*)).as("decile"))
+      .withColumn("target", expr("(decile * n + 9) div 10"))
+    deciles
+      .where(col("cw") >= col("target") && col("pcw") < col("target"))
+      .select(col("decile").cast("int").as("decile"), col("cents").as("bound"),
+        // rows landing in bucket i: ranks (target_{i-1}, target_i]
+        (col("target") - expr("((decile - 1) * n + 9) div 10")).as("bucket_n"))
+      .orderBy(col("decile"))
+  }
+
+  /** The cardinality-guard aggregate
+    * ([[graft.functions.BoundedDistinctAgg]]) deployed: per
+    * (event_type, day), distinct users CAPPED at 64 — the group-by
+    * explosion detector a 100 TB pipeline runs continuously, where
+    * `count(DISTINCT …)` would carry unbounded per-group state and this
+    * carries ≤ 65 longs before saturating to a constant-size verdict.
+    * Both outputs stay exact (the count below the cap, the saturation
+    * flag above it), so the oracle's `least(count(DISTINCT …), 64)` +
+    * `> 64` hash-checks the aggregate through partial/merge/serialize.
+    */
+  private def statsDistinctCap(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeAgg.register(s)
+    events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("graft_distinct_cap(user_id, 64)").as("c"))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("c.n_distinct").as("n_distinct"), col("c.saturated").as("saturated"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_classifier_margin" -> (taClassifierMargin _),
+    "stats_distinct_cap" -> (statsDistinctCap _),
+    "stats_trend_slope" -> (statsTrendSlope _),
+    "funnel_latency" -> (funnelLatency _),
+    "stats_equidepth_bounds" -> (statsEquidepthBounds _),
     "stats_weighted_median" -> (statsWeightedMedian _),
     "path_motif_match" -> (pathMotifMatch _),
     "w20_interval_merge" -> (w20IntervalMerge _),
@@ -228,6 +336,68 @@ object SeriesOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stats_distinct_cap" ->
+      """WITH d AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    count(DISTINCT user_id) AS nd
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, CAST(least(nd, 64) AS BIGINT) AS n_distinct,
+        |  nd > 64 AS saturated
+        |FROM d ORDER BY 1, 2""".stripMargin,
+    "stats_trend_slope" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM d)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS den,
+        |  CAST(floor((1000.0 * (n * sxy - sx * sy)) / (n * sxx - sx * sx))
+        |    AS BIGINT) AS slope_milli
+        |FROM m""".stripMargin,
+    "funnel_latency" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |dl AS (
+        |  SELECT e.user_id,
+        |    (min(epoch_us(e.ts)) - max(fv.tv)) // 1000000 AS delay_sec
+        |  FROM events e JOIN fv ON fv.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.tv
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT delay_sec,
+        |    row_number() OVER (ORDER BY delay_sec, user_id) AS rn,
+        |    count(*) OVER () AS nc
+        |  FROM dl)
+        |SELECT CAST(max(nc) AS BIGINT) AS n_converted,
+        |  CAST(min(delay_sec) AS BIGINT) AS median_delay_sec,
+        |  CAST(max(delay_sec) AS BIGINT) AS max_delay_sec
+        |FROM r WHERE rn * 2 >= nc""".stripMargin,
+    "stats_equidepth_bounds" ->
+      """WITH g AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS cents, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT cents, c,
+        |    sum(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cw,
+        |    sum(c) OVER () AS n
+        |  FROM g),
+        |d AS (
+        |  SELECT w.cents, w.cw, w.cw - w.c AS pcw, w.n, i.decile,
+        |    (i.decile * w.n + 9) // 10 AS target,
+        |    ((i.decile - 1) * w.n + 9) // 10 AS prev_target
+        |  FROM w CROSS JOIN (
+        |    SELECT * FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9),
+        |                          (10)) t(decile)) i)
+        |SELECT CAST(decile AS INTEGER) AS decile, CAST(cents AS BIGINT) AS bound,
+        |  CAST(target - prev_target AS BIGINT) AS bucket_n
+        |FROM d WHERE cw >= target AND pcw < target
+        |ORDER BY decile""".stripMargin,
     "ta_classifier_margin" ->
       """WITH f AS (
         |  SELECT source,

@@ -96,4 +96,32 @@ class NativeAggSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("BIGINT"), s"unexpected message: ${e.getMessage}")
   }
+
+  test("graft_distinct_cap equals least(countDistinct, k) with an exact flag") {
+    functions.NativeAgg.register(spark)
+    import spark.implicits._
+    // groups straddling the cap: sizes k-1, k, k+1, k+7; duplicates and
+    // nulls must not move the count
+    val k = 8
+    val rows = Seq(7, 8, 9, 15).zipWithIndex.flatMap { case (n, gi) =>
+      (0 until n).flatMap(i =>
+        Seq((s"g$gi", Some(i.toLong)), (s"g$gi", Some(i.toLong)))) :+
+        ((s"g$gi", Option.empty[Long]))
+    }
+    val df = rows.toDF("g", "x").repartition(7) // force partial/merge paths
+    val got = df.groupBy("g").agg(expr(s"graft_distinct_cap(x, $k)").as("c"))
+      .select(col("g"), col("c.n_distinct"), col("c.saturated"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map("g0" -> ((7L, false)), "g1" -> ((8L, false)),
+      "g2" -> ((8L, true)), "g3" -> ((8L, true))), s"got $got")
+    // the scale property: planned as partial+final ObjectHashAggregate
+    val plan = df.groupBy("g").agg(expr(s"graft_distinct_cap(x, $k)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") &&
+      plan.contains("partial_graft_distinct_cap"),
+      s"expected partial+final ObjectHashAggregate\n$plan")
+    // misuse fails at analysis, not mid-job
+    intercept[Exception] { df.agg(expr("graft_distinct_cap(g, 8)")).collect() }
+    intercept[Exception] { df.selectExpr("graft_distinct_cap(x)") }
+  }
 }
