@@ -150,6 +150,8 @@ object StreamingOps {
       ((s, dir) => StreamingIngest.streamBucketDrift(s, dir)),
     "stream_topk_custom" ->
       ((s, dir) => StreamingIngest.streamTopkCustom(s, dir)),
+    "stream_distinct_cap" ->
+      ((s, dir) => StreamingIngest.streamDistinctCap(s, dir)),
     "stream_countmin" ->
       ((s, dir) => StreamingIngest.streamCountmin(s, dir)),
     "stream_asof_attrib" ->
@@ -214,6 +216,7 @@ object StreamingOps {
     "stream_bucket_drift" -> ScaleOps.oracleSql("stats_bucket_drift"),
     // the incremental custom-agg state must converge to the batch top-k
     "stream_topk_custom" -> RelationalOps.oracleSql("a9_topk_custom_agg"),
+    "stream_distinct_cap" -> SeriesOps.oracleSql("stats_distinct_cap"),
     // the incrementally-merged CMS grid must grade identically to the
     // batch sketch twin (same exact side, same envelope pins)
     "stream_countmin" -> CoverageOps.oracleSql("stats_countmin"),

@@ -293,6 +293,30 @@ object StreamingIngest {
       .orderBy(col("event_type"), col("rnk"))
   }
 
+  /** The cardinality GUARD running always-on: `graft_distinct_cap`
+    * ([[graft.functions.BoundedDistinctAgg]]) as a streaming aggregate in
+    * Complete mode — each micro-batch folds its user ids into the capped
+    * per-(type, day) sets, and batch-over-batch the state store carries
+    * ≤ k+1 longs per group (a saturated group's state is CONSTANT — the
+    * property that lets the guard run forever, where a streaming
+    * count(DISTINCT) is unsupported precisely because its state is
+    * unbounded). Converging to the batch `stats_distinct_cap` oracle pins
+    * the aggregate's serialize/deserialize/merge through the state store
+    * — including the saturate-then-merge transitions a one-shot batch
+    * never exercises in this order.
+    */
+  def streamDistinctCap(spark: SparkSession, dir: String): DataFrame = withStateGrain(spark) {
+    graft.functions.NativeAgg.register(spark)
+    val agg = eventsStream(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("graft_distinct_cap(user_id, 64)").as("c"))
+    val drained = runToMemory(agg,
+      s"stream_dcap_${System.nanoTime()}", OutputMode.Complete())
+    drained.select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+      col("c.n_distinct").as("n_distinct"), col("c.saturated").as("saturated"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** The count-min sketch maintained INCREMENTALLY on the stream: the
     * custom [[graft.functions.CountMinAgg]] as an always-on streaming
     * aggregate — each micro-batch's partial grid merges into the one
