@@ -37,13 +37,14 @@ object GeoOps {
     * LEFT side probes its 9 neighboring cells, the RIGHT side sits in
     * its one home cell, and `a.id < b.id` orients the pair.
     */
+  // map-side 3×3 neighborhood: explode a 9-element literal, no join
+  private def offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
+    yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+
   private def geoGridJoin(s: SparkSession, dir: String): DataFrame = {
     val pts = points(s, dir)
       .withColumn("cx", expr(s"x div $R"))
       .withColumn("cy", expr(s"y div $R"))
-    // map-side 3×3 neighborhood: explode a 9-element literal, no join
-    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
-      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
     val probes = pts
       .withColumn("o", explode(offsets))
       .select(col("id").as("ia"), col("x").as("xa"), col("y").as("ya"),
@@ -60,11 +61,75 @@ object GeoOps {
         sum(col("d2")).as("sum_d2"))
   }
 
+  /** geo_nearest_within: each point's NEAREST neighbor within radius R —
+    * the per-entity argmin over the same grid-blocked candidates (both
+    * directions kept, since every point is a subject). The argmin is a
+    * per-subject row_number(1) with an id tiebreak — deterministic in
+    * both engines — and the audit aggregates reconcile against the total
+    * point census so an empty-candidate bug cannot pass as "no
+    * neighbors". Points whose true nearest neighbor lies beyond R are
+    * correctly unmatched: the grid guarantees completeness only within
+    * R, which is the operator's contract (radius-bounded 1-NN, the
+    * join shape of geo-dedup and store-cannibalization audits).
+    */
+  private def geoNearestWithin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = points(s, dir)
+      .withColumn("cx", expr(s"x div $R"))
+      .withColumn("cy", expr(s"y div $R"))
+    val probes = pts
+      .withColumn("o", explode(offsets))
+      .select(col("id").as("ia"), col("x").as("xa"), col("y").as("ya"),
+        (col("cx") + col("o.dx")).as("pcx"), (col("cy") + col("o.dy")).as("pcy"))
+    val right = pts.select(col("id").as("ib"), col("x").as("xb"),
+      col("y").as("yb"), col("cx"), col("cy"))
+    val w = Window.partitionBy("ia").orderBy(col("d2"), col("ib"))
+    val nn = probes
+      .join(right, probes("pcx") === right("cx") && probes("pcy") === right("cy")
+        && probes("ia") =!= right("ib"))
+      .select(col("ia"), col("ib"),
+        ((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb"))).as("d2"))
+      .where(col("d2") <= lit(R * R))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+    nn.agg(count(lit(1)).as("n_matched"), min(col("d2")).as("min_d2"),
+      sum(col("d2")).as("sum_min_d2"))
+      .crossJoin(points(s, dir).agg(count(lit(1)).as("n_points")))
+      .select(col("n_points"), col("n_matched"), col("min_d2"), col("sum_min_d2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "geo_grid_join" -> (geoGridJoin _)
+    "geo_grid_join" -> (geoGridJoin _),
+    "geo_nearest_within" -> (geoNearestWithin _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    "geo_nearest_within" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |    CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 3) AS BIGINT) AS x,
+        |    CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 4, 3) AS BIGINT) AS y
+        |  FROM customer),
+        |cells AS (SELECT id, x, y, x // 64 AS cx, y // 64 AS cy FROM pts),
+        |off AS (SELECT o1.dx, o2.dy
+        |        FROM (VALUES (-1), (0), (1)) o1(dx)
+        |        CROSS JOIN (VALUES (-1), (0), (1)) o2(dy)),
+        |cand AS (
+        |  SELECT a.id AS ia, b.id AS ib,
+        |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+        |  FROM cells a CROSS JOIN off o
+        |  JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+        |              AND a.id <> b.id),
+        |nn AS (
+        |  SELECT ia, d2,
+        |    row_number() OVER (PARTITION BY ia ORDER BY d2, ib) AS rn
+        |  FROM cand WHERE d2 <= 4096),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM pts)
+        |SELECT n_points, CAST(count(*) AS BIGINT) AS n_matched,
+        |  CAST(min(d2) AS BIGINT) AS min_d2,
+        |  CAST(sum(d2) AS BIGINT) AS sum_min_d2
+        |FROM nn CROSS JOIN t WHERE rn = 1 GROUP BY n_points""".stripMargin,
     "geo_grid_join" ->
       """WITH pts AS (
         |  SELECT c_custkey AS id,

@@ -42,6 +42,70 @@ class CustomOpPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: distinct-cap ≡ least(countDistinct, k) over arbitrary multisets") {
+    import sp.implicits._
+    functions.NativeAgg.register(spark)
+    val gen = for {
+      k <- Gen.chooseNum(1, 12)
+      n <- Gen.chooseNum(0, 400)
+      // a narrow value domain clusters sizes around the cap, hitting the
+      // exact/saturated boundary often; two groups exercise grouping
+      xs <- Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(0L, 3L * k)))
+      parts <- Gen.chooseNum(1, 7) // merge() and saturate-then-merge in the path
+    } yield (k, xs, parts)
+    val prop = Prop.forAll(gen) { case (k, xs, parts) =>
+      val truth = xs.groupBy(_._1).map { case (g, vs) =>
+        val d = vs.map(_._2).distinct.size.toLong
+        g -> ((math.min(d, k.toLong), d > k))
+      }
+      val got =
+        if (xs.isEmpty) Map.empty[String, (Long, Boolean)]
+        else xs.toDF("g", "x").repartition(parts)
+          .groupBy("g").agg(expr(s"graft_distinct_cap(x, $k)").as("c"))
+          .select(col("g"), col("c.n_distinct"), col("c.saturated"))
+          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      got == truth
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: interval-merge window fold ≡ sequential sweep on random tapes") {
+    import sp.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      n <- Gen.chooseNum(1, 120)
+      // short spans + short lengths force heavy overlap, ties, and touching
+      iv <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 200L), Gen.chooseNum(1L, 30L)))
+    } yield iv.zipWithIndex.map { case ((s, len), i) => (s, s + len, i.toLong) }
+    val prop = Prop.forAll(gen) { iv =>
+      val df = iv.toDF("s", "e", "id")
+      val order = Window.orderBy(col("s"), col("id"))
+      val prior = order.rowsBetween(Window.unboundedPreceding, -1)
+      val got = df
+        .withColumn("pe", max(col("e")).over(prior))
+        .withColumn("nf", when(col("pe").isNull || col("s") > col("pe"), 1L).otherwise(0L))
+        .withColumn("island",
+          sum(col("nf")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("island"))
+        .agg(min(col("s")).as("is"), max(col("e")).as("ie"))
+        .agg(count(lit(1)).as("n"), sum(col("ie") - col("is")).as("covered"))
+        .collect()(0)
+      var nm = 0L; var covered = 0L
+      var curS = 0L; var curE = Long.MinValue
+      iv.sortBy(t => (t._1, t._3)).foreach { case (s, e, _) =>
+        if (curE == Long.MinValue || s > curE) {
+          if (curE != Long.MinValue) covered += curE - curS
+          nm += 1; curS = s; curE = e
+        } else if (e > curE) curE = e
+      }
+      covered += curE - curS
+      got.getLong(0) == nm && got.getLong(1) == covered
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: as-of operator ≡ window formulation on random tapes") {
     import org.apache.spark.sql.expressions.Window
     import sp.implicits._
