@@ -27,7 +27,9 @@ object DaySpanTvf {
   val Name = "graft_day_span"
 
   private def foldToDays(e: Expression, side: String): Int = {
-    val cast = Cast(e, DateType)
+    // timestamp-typed bounds need a zone for the date cast; the engine
+    // pins UTC sessions, so fold in UTC (date/string bounds ignore it)
+    val cast = Cast(e, DateType, Some("UTC"))
     if (!e.foldable) throw new IllegalArgumentException(
       s"$Name: $side bound must be a foldable date expression, got $e")
     val v = cast.eval(null)

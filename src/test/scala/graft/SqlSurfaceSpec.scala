@@ -48,6 +48,12 @@ class SqlSurfaceSpec extends AnyFunSuite {
       spark.sql(
         "SELECT * FROM graft_day_span(DATE '2024-01-02', DATE '2024-01-01')").collect()
     }
+    // timestamp-typed bounds fold through the UTC date cast
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM graft_day_span(
+        |  TIMESTAMP '2024-01-01 23:59:59', TIMESTAMP '2024-01-03 00:00:01')"""
+        .stripMargin).collect()(0).getLong(0)
+    assert(n == 3L, s"timestamp bounds must span 3 days, got $n")
   }
 
   test("scan guard: filters cover only their own subtree; subqueries start uncovered") {
