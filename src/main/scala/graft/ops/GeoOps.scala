@@ -99,12 +99,37 @@ object GeoOps {
       .select(col("n_points"), col("n_matched"), col("min_d2"), col("sum_min_d2"))
   }
 
+  /** geo_density_cells: the k densest grid cells — hotspot detection,
+    * and the diagnostic that tells you whether the radius join above is
+    * about to skew (a cell holding 10% of all points makes its 3×3
+    * neighborhood the straggler task; the fix is salting or a finer
+    * grid, and THIS query is how you notice). One partial-agg rollup to
+    * |cells| rows, then TakeOrdered(k) with a coordinate tiebreak.
+    */
+  private def geoDensityCells(s: SparkSession, dir: String): DataFrame =
+    points(s, dir)
+      .groupBy(expr(s"x div $R").as("cx"), expr(s"y div $R").as("cy"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("cx"), col("cy"))
+      .limit(10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_grid_join" -> (geoGridJoin _),
-    "geo_nearest_within" -> (geoNearestWithin _)
+    "geo_nearest_within" -> (geoNearestWithin _),
+    "geo_density_cells" -> (geoDensityCells _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    "geo_density_cells" ->
+      """WITH pts AS (
+        |  SELECT
+        |    CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 3) AS BIGINT) AS x,
+        |    CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 4, 3) AS BIGINT) AS y
+        |  FROM customer)
+        |SELECT CAST(x // 64 AS BIGINT) AS cx, CAST(y // 64 AS BIGINT) AS cy,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM pts GROUP BY 1, 2
+        |ORDER BY n DESC, cx, cy LIMIT 10""".stripMargin,
     "geo_nearest_within" ->
       """WITH pts AS (
         |  SELECT c_custkey AS id,

@@ -146,6 +146,63 @@ object SeriesOps {
         col("s_scaled"), col("n_days"), col("total").as("total_events"))
   }
 
+  /** W22: longest idle gap per user — the dual of interval coalescing
+    * (w20 reports what activity COVERS, this reports the largest hole
+    * between merged activity islands: the churn-risk signal). Same
+    * prefix-max window over the same single user_id shuffle; a gap
+    * exists exactly where a new island starts (s > max prior end), so
+    * no second pass over the merged islands is needed. Users with one
+    * island report zero.
+    */
+  private def w22IdleGap(s: SparkSession, dir: String): DataFrame = {
+    val iv = events(s, dir).select(
+      col("user_id"),
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) + lit(900000000L)).as("e"),
+      col("event_id"))
+    val prior = Window.partitionBy("user_id").orderBy(col("s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    iv.withColumn("pe", max(col("e")).over(prior))
+      .withColumn("gap",
+        when(col("pe").isNotNull && col("s") > col("pe"), col("s") - col("pe"))
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(max(col("gap")).as("max_idle_us"),
+        sum(when(col("gap") > 0, 1L).otherwise(0L)).as("n_gaps"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Wald–Wolfowitz-shaped runs census over the daily volume series —
+    * the randomness diagnostic that closes the time-series suite (CUSUM
+    * finds the level shift, the slope quantifies drift, the runs count
+    * asks "does the series even wiggle like noise"). Day-over-day moves
+    * (ties dropped, so the sign sequence is well-defined) fold into
+    * sign islands via the gaps-and-islands trick; everything after the
+    * daily rollup is O(|days|), exact integers.
+    */
+  private def statsRunsUpdown(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val byDay = Window.orderBy("day")
+    val moves = daily
+      .withColumn("prev", lag(col("c"), 1).over(byDay))
+      .where(col("prev").isNotNull && col("c") =!= col("prev"))
+      .withColumn("sign", when(col("c") > col("prev"), 1L).otherwise(-1L))
+    val bySeq = Window.orderBy("day")
+    val runs = moves
+      .withColumn("turn",
+        when(lag(col("sign"), 1).over(bySeq).isNull ||
+          lag(col("sign"), 1).over(bySeq) =!= col("sign"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("turn")).over(
+        bySeq.rowsBetween(Window.unboundedPreceding, 0)))
+    runs.groupBy(col("run_id")).agg(count(lit(1)).as("len"))
+      .agg(count(lit(1)).as("n_runs"), max(col("len")).as("longest_run"),
+        sum(col("len")).as("n_moves"))
+      .crossJoin(daily.agg(count(lit(1)).as("n_days")))
+      .select(col("n_days"), col("n_moves"), col("n_runs"), col("longest_run"))
+  }
+
   /** Exact weighted median per group — the robust center the mean-based
     * rollups can't give (one whale order drags a mean; the weighted
     * median ignores it). Definition: smallest value v with
@@ -329,6 +386,8 @@ object SeriesOps {
     "stats_equidepth_bounds" -> (statsEquidepthBounds _),
     "stats_weighted_median" -> (statsWeightedMedian _),
     "path_motif_match" -> (pathMotifMatch _),
+    "w22_idle_gap" -> (w22IdleGap _),
+    "stats_runs_updown" -> (statsRunsUpdown _),
     "w20_interval_merge" -> (w20IntervalMerge _),
     "w21_clamped_balance" -> (w21ClampedBalance _),
     "mix_largest_remainder" -> (mixLargestRemainder _),
@@ -409,6 +468,50 @@ object SeriesOps {
         |  CAST(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
         |  CAST(sum(margin) AS BIGINT) AS margin_sum
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w22_idle_gap" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 900000000 AS e, event_id
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, s,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id,
+        |    CASE WHEN pe IS NOT NULL AND s > pe THEN s - pe ELSE 0 END AS gap
+        |  FROM m)
+        |SELECT user_id, CAST(max(gap) AS BIGINT) AS max_idle_us,
+        |  CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stats_runs_updown" ->
+      """WITH d AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |mv AS (
+        |  SELECT day, c, lag(c, 1) OVER (ORDER BY day) AS prev
+        |  FROM d),
+        |sg AS (
+        |  SELECT day, CASE WHEN c > prev THEN 1 ELSE -1 END AS sign
+        |  FROM mv WHERE prev IS NOT NULL AND c <> prev),
+        |tn AS (
+        |  SELECT day, sign,
+        |    CASE WHEN lag(sign, 1) OVER (ORDER BY day) IS NULL
+        |           OR lag(sign, 1) OVER (ORDER BY day) <> sign
+        |         THEN 1 ELSE 0 END AS turn
+        |  FROM sg),
+        |ri AS (
+        |  SELECT day, sum(turn) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS run_id
+        |  FROM tn),
+        |rl AS (SELECT run_id, count(*) AS len FROM ri GROUP BY 1),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_runs,
+        |    CAST(max(len) AS BIGINT) AS longest_run,
+        |    CAST(sum(len) AS BIGINT) AS n_moves
+        |  FROM rl),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d)
+        |SELECT n_days, n_moves, n_runs, longest_run FROM agg CROSS JOIN t""".stripMargin,
     "stats_weighted_median" ->
       """WITH t AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,

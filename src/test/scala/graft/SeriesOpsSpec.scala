@@ -86,6 +86,43 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(row.getLong(2) == n && row.getLong(3) == total)
   }
 
+  test("idle gaps and runs census match sequential replays") {
+    // w22: largest hole between merged activity islands, per user
+    val out = ops.SeriesOps.queries("w22_idle_gap")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val iv = Tables.load(spark, Sf0001, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("s"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val truth = iv.groupBy(_._1).map { case (u, rows) =>
+      var curE = Long.MinValue; var maxGap = 0L; var nGaps = 0L
+      rows.map { case (_, s, id) => (s, s + 900000000L, id) }
+        .sortBy(t => (t._1, t._3)).foreach { case (s, e, _) =>
+          if (curE != Long.MinValue && s > curE) {
+            nGaps += 1; if (s - curE > maxGap) maxGap = s - curE
+          }
+          if (e > curE) curE = e
+        }
+      u -> ((maxGap, nGaps))
+    }
+    assert(out == truth)
+    // runs census: replay the sign sequence sequentially
+    val row = ops.SeriesOps.queries("stats_runs_updown")(spark, Sf0001).collect()(0)
+    val daily = Tables.load(spark, Sf0001, "events")
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+      .orderBy(col("day")).collect().map(_.getLong(1))
+    val signs = daily.sliding(2).collect {
+      case Array(a, b) if a != b => if (b > a) 1 else -1
+    }.toSeq
+    val runLens = signs.foldLeft(List.empty[(Int, Long)]) {
+      case ((s, n) :: tail, x) if s == x => (s, n + 1) :: tail
+      case (acc, x) => (x, 1L) :: acc
+    }.map(_._2)
+    assert(row.getLong(0) == daily.length.toLong)
+    assert(row.getLong(1) == signs.length.toLong, "n_moves mismatch")
+    assert(row.getLong(2) == runLens.length.toLong, "n_runs mismatch")
+    assert(row.getLong(3) == runLens.max, "longest_run mismatch")
+  }
+
   test("geo grid join equals brute force and plans as an equi-join (no cartesian)") {
     val df = ops.GeoOps.queries("geo_grid_join")(spark, Sf0001)
     val row = df.collect()(0)
