@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.QueryHygiene.Staged
+import org.apache.spark.sql.graft.GraftSqlBridge
 
 /** Duplicate-cluster resolution — the step that turns pairwise dedup output
   * into the thing a training pipeline actually consumes: one canonical
@@ -82,6 +84,19 @@ object ClusterOps {
     */
   val reliableCheckpointer: Checkpointer = _.checkpoint(eager = true)
 
+  /** Frees a SUPERSEDED round's checkpoint blocks the moment the next
+    * round is materialized. Without this every round of every iterative
+    * query parks its (long, long) relation in executor storage until the
+    * driver happens to GC — harmless alone, but a full-registry sweep
+    * accumulates hundreds of dead rounds and the late-alphabet queries
+    * pay the eviction churn. No-op for reliable (file-based) checkpoints:
+    * their RDDs are not persisted, and the files belong to the checkpoint
+    * dir's lifecycle. MUST only be called on a round provably never read
+    * again — a local checkpoint has no lineage to recompute from.
+    */
+  private def releaseRound(df: DataFrame): Unit =
+    GraftSqlBridge.releaseLocalCheckpoint(df)
+
   /** Hash-min connected components over an (a_id, b_id) edge list.
     * Returns (doc_id, cluster_id) with cluster_id = min doc_id reachable.
     * Only nodes that appear in at least one edge are labeled — at corpus
@@ -150,6 +165,11 @@ object ClusterOps {
                 least(col("label"), coalesce(col("llabel"), col("label"))).as("label")))
         }
       val nextSum = labelSum(next)
+      // `next` is materialized: the previous round (and the pre-jump
+      // relation when the jump ran) is provably dead — free its executor
+      // blocks now instead of waiting for a driver GC
+      releaseRound(labels)
+      if (!(next eq propagated)) releaseRound(propagated)
       converged = nextSum == prevSum
       prevSum = nextSum
       labels = next
@@ -175,15 +195,19 @@ object ClusterOps {
     */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = DedupOps.withExactDups(Tables.load(s, dir, "documents")).cache()
+    val sh = DedupOps.shingled(docs).cache()
     val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
     val exactEdges = hashed
       .join(hashed.groupBy(col("h")).agg(min(col("doc_id")).as("a_id")), "h")
       .where(col("doc_id") =!= col("a_id"))
       .select(col("a_id"), col("doc_id").as("b_id"))
     val nearEdges = DedupOps
-      .minhashPairs(docs, DedupOps.shingled(docs).cache())
+      .minhashPairs(docs, sh) // hygienic: returns a materialized pair set
       .select(col("a_id"), col("b_id"))
     val labels = connectedComponents(exactEdges.union(nearEdges).distinct())
+    // labels is checkpointed (materialized) — the doc/shingle caches that
+    // fed edge building are dead; the projection below reads only labels
+    docs.unpersist(blocking = false); sh.unpersist(blocking = false)
     labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size",
@@ -227,15 +251,22 @@ object ClusterOps {
     var ranks = checkpointer(
       deg.select(col("src").as("node"), lit(1000L).as("r")))
     (1 to iterations).foreach { _ =>
+      val prev = ranks
       ranks = checkpointer(
         edgesWithDeg
-          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .join(prev.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node"), expr("r div d").as("contrib"))
           .groupBy(col("node"))
           .agg((lit(150L) + expr("850 * sum(contrib) div 1000")).as("r")))
+      releaseRound(prev) // superseded round: free its blocks eagerly
     }
-    val out = ranks.join(deg, col("node") === col("src"))
-      .select(col("node"), col("r"), col("d"))
+    // materialize the final join BEFORE dropping the caches it reads —
+    // returning it lazy would silently replay the whole edge build at the
+    // caller's first action, cache-less
+    val out = checkpointer(
+      ranks.join(deg, col("node") === col("src"))
+        .select(col("node"), col("r"), col("d")))
+    releaseRound(ranks)
     cached.unpersist(); deg.unpersist(); edgesWithDeg.unpersist()
     out
   }
@@ -281,7 +312,10 @@ object ClusterOps {
     * desc, id asc) — pure integer math, replayed exactly by the DuckDB
     * oracle's identical SQL unrolling.
     */
-  private def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+  private def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    graphTrianglesStaged(s, dir).hygienic()
+
+  private[graft] def graphTrianglesStaged(s: SparkSession, dir: String): Staged = {
     val items = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     // canonical undirected co-purchase edges: one row per pair, u < v
@@ -290,10 +324,11 @@ object ClusterOps {
         col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
-    triangleCounts(und)
+    val st = triangleCountsStaged(und)
+    Staged(st.plan
       .select(col("node").as("p_partkey"), col("n_triangles"))
       .orderBy(col("n_triangles").desc, col("p_partkey"))
-      .limit(20)
+      .limit(20), st.caches: _*)
   }
 
   /** The orientation-based counting core, reusable over any canonical
@@ -318,7 +353,13 @@ object ClusterOps {
     * co-purchase graph this cut graph_triangles from 9.9 s to ~2 s at
     * sf0.1 (SCALE.md bench history).
     */
-  def triangleCounts(undRaw: DataFrame): DataFrame = {
+  def triangleCounts(undRaw: DataFrame): DataFrame =
+    triangleCountsStaged(undRaw).hygienic()
+
+  /** The lazy pipeline + its caches — [[triangleCounts]] serves the
+    * hygienic view; PlanSpec pins THIS plan (the real join shapes).
+    */
+  private[graft] def triangleCountsStaged(undRaw: DataFrame): Staged = {
     // und feeds the degree rollup AND the orientation — cache so the
     // upstream edge build (typically a self-join) runs once
     val und = undRaw.cache()
@@ -348,9 +389,11 @@ object ClusterOps {
         array_intersect(col("nbrs_s"), col("nbrs_t")).as("common"))
       .where(size(col("common")) > 0)
     // one row per triangle (s, t, w), then per-node membership counts
-    closed.select(col("s"), col("t"), explode(col("common")).as("w"))
+    val counts = closed
+      .select(col("s"), col("t"), explode(col("common")).as("w"))
       .select(explode(array(col("s"), col("t"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    Staged(counts, und, ornt)
   }
 
   /** Multi-source breadth-first hop distance, bounded at `maxHops`.
@@ -383,7 +426,9 @@ object ClusterOps {
         .select(e("dst").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .withColumn("hop", lit(h.toLong))
+      val prev = visited
       visited = checkpointer(visited.unionAll(next))
+      releaseRound(prev) // superseded round: free its blocks eagerly
     }
     visited
   }
@@ -406,12 +451,13 @@ object ClusterOps {
       .distinct().cache()
     val seeds = edges.select(col("src").as("node")).distinct()
       .where(col("node") % 500 === 0)
-    val out = bfsHops(edges, seeds, maxHops = 3)
+    val visited = bfsHops(edges, seeds, maxHops = 3) // checkpointed rounds
+    edges.unpersist(blocking = false) // dead once the last round is materialized
+    visited
       .groupBy(col("hop"))
       .agg(count(lit(1)).as("n_nodes"),
         min(col("node")).as("min_node"), max(col("node")).as("max_node"))
       .orderBy(col("hop"))
-    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -925,7 +925,10 @@ object CoverageOps {
     * TakeOrderedAndProject, a map-side top-k then one k-row merge, never
     * a global window; everything after runs on ≤ 3k rows.
     */
-  private def statsKmvSetops(s: SparkSession, dir: String): DataFrame = {
+  private def statsKmvSetops(s: SparkSession, dir: String): DataFrame =
+    statsKmvSetopsStaged(s, dir).hygienic()
+
+  private[graft] def statsKmvSetopsStaged(s: SparkSession, dir: String): QueryHygiene.Staged = {
     val K = 64
     val ev = Tables.load(s, dir, "events")
     def side(t: String): DataFrame = ev.where(col("event_type") === t)
@@ -945,7 +948,7 @@ object CoverageOps {
       .agg(count(lit(1)).as("n_exact_inter"))
       .crossJoin(a.agg(count(lit(1)).as("n_a")))
       .crossJoin(b.agg(count(lit(1)).as("n_b")))
-    exact.crossJoin(uStats).crossJoin(rho) // all 1-row audit inputs
+    val out = exact.crossJoin(uStats).crossJoin(rho) // all 1-row audit inputs
       .withColumn("n_exact_union",
         col("n_a") + col("n_b") - col("n_exact_inter"))
       .withColumn("n_est_union", expr(
@@ -954,6 +957,7 @@ object CoverageOps {
         s"CASE WHEN n_kept < $K THEN rho ELSE (rho * n_est_union) div $K END"))
       .select(col("n_a"), col("n_b"), col("n_exact_union"), col("n_exact_inter"),
         col("n_kept"), col("h_k"), col("rho"), col("n_est_union"), col("n_est_inter"))
+    QueryHygiene.Staged(out, a, b)
   }
 
   /** Dense global ID assignment — the two-pass partition-offset pattern

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.ops.QueryHygiene.Staged
 
 /** Deduplication operator family over the `documents` table — the first of
   * the LLM-training-data-pipeline components (BASELINE.json north_star;
@@ -100,7 +101,10 @@ object DedupOps {
     * deliberately small: all-pairs is the thing the bucketed variants exist
     * to avoid.
     */
-  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    dedupNgramJaccardStaged(s, dir).hygienic()
+
+  private[graft] def dedupNgramJaccardStaged(s: SparkSession, dir: String): Staged = {
     val sh = shingled(documents(s, dir).where(col("doc_id") % 10 === 0)).cache()
     // Pair enumeration runs over NARROW (id, set-size) rows — the theta
     // join would otherwise copy both shingle arrays into each of the
@@ -116,12 +120,12 @@ object DedupOps {
           col("b_n").cast("double") >= col("a_n") * JaccardThreshold)
       .select(col("a_id"), col("b_id"))
     // arrays re-attach via hash joins, only for surviving pairs
-    pairs
+    Staged(pairs
       .join(sh.select(col("doc_id").as("a_id"), col("sh_hashes").as("a_sh")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh_hashes").as("b_sh")), "b_id")
       .select(col("a_id"), col("b_id"), jaccard(col("a_sh"), col("b_sh")).as("j"))
       .where(col("j") >= JaccardThreshold)
-      .orderBy(col("a_id"), col("b_id"))
+      .orderBy(col("a_id"), col("b_id")), sh)
   }
 
   /** MinHash + banded LSH near-dup detection, then exact-Jaccard
@@ -136,13 +140,26 @@ object DedupOps {
     * degenerate signature would otherwise make them all collide.
     */
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    minhashPairs(documents(s, dir), shingled(documents(s, dir)).cache())
+    dedupMinhashLshStaged(s, dir).hygienic()
+
+  private[graft] def dedupMinhashLshStaged(s: SparkSession, dir: String): Staged = {
+    val sh = shingled(documents(s, dir)).cache()
+    val st = minhashPairsStaged(documents(s, dir), sh)
+    Staged(st.plan, st.caches :+ sh: _*)
+  }
 
   /** The MinHash-LSH pair pipeline over an arbitrary doc set (reused by
     * [[ClusterOps]] for the near-dup edge list): banded candidates from
     * `docs`, exact-Jaccard verified against the shingle projection `sh`.
     */
-  private[ops] def minhashPairs(docs: DataFrame, sh: DataFrame): DataFrame = {
+  private[ops] def minhashPairs(docs: DataFrame, sh: DataFrame): DataFrame =
+    minhashPairsStaged(docs, sh).hygienic()
+
+  /** The lazy pipeline + its band cache — [[minhashPairs]] serves the
+    * hygienic (materialized, cache-released) view; PlanSpec pins THIS
+    * plan's no-cartesian candidate join.
+    */
+  private[graft] def minhashPairsStaged(docs: DataFrame, sh: DataFrame): Staged = {
     graft.functions.NativeText.register(docs.sparkSession)
     // cache: the self-join below would otherwise recompute signatures per side
     val banded = docs
@@ -159,7 +176,7 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    verifyPairs(candidates, sh)
+    Staged(verifyPairs(candidates, sh), banded)
   }
 
   /** SimHash near-dup detection: 60-bit signatures bucketed by block-PAIR
@@ -178,7 +195,10 @@ object DedupOps {
       .where(col("sim").isNotNull) // shingleless docs have no signature
   }
 
-  private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    dedupSimhashStaged(s, dir).hygienic()
+
+  private[graft] def dedupSimhashStaged(s: SparkSession, dir: String): Staged = {
     val sh = shingled(documents(s, dir)).cache()
     val hashed = simhashes(documents(s, dir))
     val blocked = hashed
@@ -194,7 +214,7 @@ object DedupOps {
       .where(hamming(col("x.sim"), col("y.sim")) <= SimhashBlocks - 2)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    verifyPairs(candidates, sh)
+    Staged(verifyPairs(candidates, sh), sh, blocked)
   }
 
   /** Exact-Jaccard verification of candidate pairs (the final stage of every
@@ -284,7 +304,10 @@ object DedupOps {
   private def dedupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
     val srcs = docs.select(col("doc_id"), col("source"))
-    minhashPairs(docs, shingled(docs).cache())
+    val sh = shingled(docs).cache()
+    val pairs = minhashPairs(docs, sh) // hygienic: materialized
+    sh.unpersist(blocking = false)
+    pairs
       .join(srcs.select(col("doc_id").as("a_id"), col("source").as("src_a")), "a_id")
       .join(srcs.select(col("doc_id").as("b_id"), col("source").as("src_b")), "b_id")
       .select(least(col("src_a"), col("src_b")).as("src_lo"),
@@ -309,7 +332,10 @@ object DedupOps {
     * shingles appearing in > f docs — stop-shingle removal) to bound the
     * posting-list fanout; integer milli-containment replays exactly.
     */
-  private def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    dedupContainmentStaged(s, dir).hygienic()
+
+  private[graft] def dedupContainmentStaged(s: SparkSession, dir: String): Staged = {
     val sh = shingled(documents(s, dir)).cache()
     val suspects = sh.where(col("doc_id") % 10 === 3 && size(col("sh_hashes")) > 0)
     val aEx = suspects.select(col("doc_id").as("a_id"),
@@ -319,11 +345,11 @@ object DedupOps {
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_inter"))
     val sizes = suspects.select(col("doc_id").as("a_id"),
       size(col("sh_hashes")).cast("long").as("n_a"))
-    inter.join(broadcast(sizes), "a_id") // suspects: the small probe side
+    Staged(inter.join(broadcast(sizes), "a_id") // suspects: the small probe side
       .select(col("a_id"), col("b_id"), col("n_inter"), col("n_a"),
         expr("n_inter * 1000 div n_a").as("containment_milli"))
       .where(col("containment_milli") >= 500)
-      .orderBy(col("a_id"), col("b_id"))
+      .orderBy(col("a_id"), col("b_id")), sh)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -132,7 +132,16 @@ object EmbedClusterOps {
     * integer-ratio double the argmin minimized.
     */
   def kmeansDistances(vectors: DataFrame, k: Int = 0, iters: Int = Iters,
-                      memoKey: Option[String] = None): DataFrame = {
+                      memoKey: Option[String] = None): DataFrame =
+    kmeansDistancesStaged(vectors, k, iters, memoKey).hygienic()
+
+  /** The lazy assignment pipeline + its Lloyd-loop cache —
+    * [[kmeansDistances]] serves the hygienic view; EmbedClusterSpec pins
+    * THIS plan (broadcast + map-only assignment).
+    */
+  private[graft] def kmeansDistancesStaged(
+      vectors: DataFrame, k: Int = 0, iters: Int = Iters,
+      memoKey: Option[String] = None): QueryHygiene.Staged = {
     val spark = vectors.sparkSession
     graft.functions.NativeVector.register(spark)
     // each Lloyd pass re-reads the quantized relation (3 assigns + 2
@@ -165,9 +174,13 @@ object EmbedClusterOps {
     }
     val centsRow = finalCents
       .agg(sort_array(collect_list(struct(col("cid"), col("s"), col("n")))).as("cents"))
-    vecs.crossJoin(broadcast(centsRow))
+    val out = vecs.crossJoin(broadcast(centsRow))
       .select(col("vec_id"), bestStruct(col("cents"), col("q")).as("best"))
       .select(col("vec_id"), col("best.cid").as("cid"), col("best.d").as("d"))
+    // hygienic consumption materializes the assignment (narrow (id, cid,
+    // d) rows), then drops the Lloyd-loop cache — nothing stays registered
+    // in the CacheManager after the query returns
+    QueryHygiene.Staged(out, vecs)
   }
 
   private def embedKmeans(s: SparkSession, dir: String): DataFrame =
@@ -196,11 +209,13 @@ object EmbedClusterOps {
     val m = fx.join(kmeansAssign(fx, memoKey = Some(s"$dir/semdedup_fx")), Seq("vec_id")).cache()
     val a = m.select(col("vec_id").as("a_id"), col("embedding").as("a_e"), col("cid"))
     val b = m.select(col("vec_id").as("b_id"), col("embedding").as("b_e"), col("cid"))
-    a.join(b, Seq("cid")).where(col("a_id") < col("b_id"))
-      .where(round(call_function("graft_cosine", col("a_e"), col("b_e")), 6) >= 0.99)
-      .select(col("b_id").as("vec_id"), col("cid"))
-      .distinct()
-      .orderBy(col("vec_id"))
+    QueryHygiene.Staged(
+      a.join(b, Seq("cid")).where(col("a_id") < col("b_id"))
+        .where(round(call_function("graft_cosine", col("a_e"), col("b_e")), 6) >= 0.99)
+        .select(col("b_id").as("vec_id"), col("cid"))
+        .distinct()
+        .orderBy(col("vec_id")),
+      m).hygienic()
   }
 
   /** Embedding-space outlier screen: the top ⌈5%⌉ most-distant members of

@@ -100,16 +100,18 @@ object IngestScreenOps {
           when(col("__nbg") > 0, col("__top").cast("double") / col("__nbg").cast("double"))
             .otherwise(lit(0.0)) <= TextAnalysisOps.MaxTopBigramFrac).as("__keep"))
 
-    flagged
-      .join(dupExact.withColumn("__de", lit(true)), Seq("doc_id"), "left")
-      .join(dupNear.withColumn("__dn", lit(true)), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("__de"), "dup_exact")
-          .when(col("__dn"), "dup_near")
-          .when(col("__pii"), "pii_flagged")
-          .when(!col("__keep"), "repetitive")
-          .otherwise("accepted").as("disposition"))
-      .orderBy(col("doc_id"))
+    QueryHygiene.Staged(
+      flagged
+        .join(dupExact.withColumn("__de", lit(true)), Seq("doc_id"), "left")
+        .join(dupNear.withColumn("__dn", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__de"), "dup_exact")
+            .when(col("__dn"), "dup_near")
+            .when(col("__pii"), "pii_flagged")
+            .when(!col("__keep"), "repetitive")
+            .otherwise("accepted").as("disposition"))
+        .orderBy(col("doc_id")),
+      corpus, batch).hygienic()
   }
 
   // ---------------------------------------------------------------------

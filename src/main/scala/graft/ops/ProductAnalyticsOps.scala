@@ -116,10 +116,19 @@ object ProductAnalyticsOps {
     * multiplication `n_ab · N > n_a · n_b` plus a milli-lift via
     * `n_ab · N · 1000 div (n_a · n_b)` — no float ratios to diverge
     * between engines. Shape: the pair rollup (one self-equi-join on the
-    * order key) joins per-part order counts TWICE (both broadcastable
-    * at any SF: |parts| ≪ facts) and a 1-row total; |pairs| rows out.
+    * order key) joins per-part order counts TWICE and a 1-row total;
+    * |pairs| rows out. The per-part joins carry NO broadcast hint: the
+    * rollup is |parts|-sized, which a forced broadcast turns into a
+    * driver OOM at 100× scale — and the pairs side is already keyed on
+    * part_a/part_b, so a shuffle join co-partitions for free. AQE is
+    * still free to choose a broadcast when runtime stats say the rollup
+    * is small (it does at bench SF); only the 1-row total is pinned
+    * broadcast.
     */
-  private def basketLift(s: SparkSession, dir: String): DataFrame = {
+  private def basketLift(s: SparkSession, dir: String): DataFrame =
+    basketLiftStaged(s, dir).hygienic()
+
+  private[graft] def basketLiftStaged(s: SparkSession, dir: String): QueryHygiene.Staged = {
     // items feeds the pair self-join (twice), the per-part counts, and the
     // order total — four references that would each replay the fact scan
     // and the distinct without the cache
@@ -135,10 +144,10 @@ object ProductAnalyticsOps {
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= 3)
-    pairs
-      .join(broadcast(partN.select(col("l_partkey").as("part_a"), col("n_part").as("n_a"))), "part_a")
-      .join(broadcast(partN.select(col("l_partkey").as("part_b"), col("n_part").as("n_b"))), "part_b")
-      .crossJoin(broadcast(totalN))
+    val out = pairs
+      .join(partN.select(col("l_partkey").as("part_a"), col("n_part").as("n_a")), "part_a")
+      .join(partN.select(col("l_partkey").as("part_b"), col("n_part").as("n_b")), "part_b")
+      .crossJoin(broadcast(totalN)) // 1-row audit input: always broadcast
       .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
         expr("n_ab * 1000 div n_a").as("conf_a_to_b_milli"),
         expr("n_ab * 1000 div n_b").as("conf_b_to_a_milli"),
@@ -146,6 +155,7 @@ object ProductAnalyticsOps {
         (col("n_ab") * col("n_orders_total") > col("n_a") * col("n_b")).as("positive_assoc"))
       .orderBy(col("lift_milli").desc, col("part_a"), col("part_b"))
       .limit(20)
+    QueryHygiene.Staged(out, items)
   }
 
   /** Deterministic 50/50 experiment assignment: the last hex nibble of

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Cache hygiene for queries whose RETURNED plan references query-local
+  * `.cache()`d intermediates (self-join pipelines, multi-branch rollups).
+  *
+  * The failure mode this kills: each such query is correct and fast in
+  * isolation, but a single long-lived session sweeping the whole registry
+  * (exactly what the round driver's bench does) accumulates dozens of
+  * orphaned CacheManager entries — LRU eviction churn + GC pressure then
+  * bill whichever query runs late in the sweep (r11: `graph_triangles`
+  * 6.75 s isolated → 24.6 s at sweep position ~130).
+  *
+  * The contract: build the pipeline lazily (tests pin ITS plan — the real
+  * join shapes), then serve the registry a [[Staged.hygienic]] view that
+  * materializes the result once (eager local checkpoint — the results
+  * here are rollups, orders of magnitude smaller than their inputs) and
+  * unpersists every query-local cache before returning. The returned
+  * Dataset owns plain RDD blocks, freed by the ContextCleaner as soon as
+  * the caller drops the reference — nothing is left registered in the
+  * CacheManager, so query N's working set can never bill query N+1.
+  *
+  * Cluster note: `localCheckpoint` blocks live on executors, so an
+  * executor loss between the checkpoint and the caller's terminal action
+  * fails the query (it simply re-runs — the inputs are immutable). That is
+  * the same trade the iterative ops' default [[ClusterOps.localCheckpointer]]
+  * makes; jobs wanting executor-loss-proof intermediates pass the reliable
+  * checkpointer and a checkpoint dir.
+  */
+private[graft] object QueryHygiene {
+
+  /** A lazily-built query pipeline plus the query-local caches its plan
+    * references. `plan` is what PlanSpec inspects; `hygienic()` is what
+    * the query registry serves.
+    */
+  final case class Staged(plan: DataFrame, caches: Dataset[_]*) {
+    def hygienic(): DataFrame = {
+      val out = plan.localCheckpoint(eager = true)
+      release()
+      out
+    }
+
+    /** Drop the cache registrations without materializing — for tests
+      * that only inspect [[plan]].
+      */
+    def release(): Unit = caches.foreach(_.unpersist(blocking = false))
+  }
+}

@@ -443,10 +443,16 @@ object TextAnalysisOps {
               lit(s" $l $r "), lit(s" $l$r ")),
             lit(s" $l $r "), lit(s" $l$r ")).as("syms"))
           .localCheckpoint()
+        // the superseded round's blocks are dead the moment `next` is
+        // materialized (no-op for the cached round-0 seed)
+        org.apache.spark.sql.graft.GraftSqlBridge.releaseLocalCheckpoint(cur)
         (next, acc :+ ((k, l, r, l + r, n)))
-    }._2
+    }
+    // the final round's checkpoint is equally dead: the merge list is all
+    // that leaves this function (results are memoized driver-side)
+    org.apache.spark.sql.graft.GraftSqlBridge.releaseLocalCheckpoint(merges._1)
     wf.unpersist()
-    merges
+    merges._2
   }
 
   /** Tokenizer APPLICATION — the other half of the BPE loop: encode every

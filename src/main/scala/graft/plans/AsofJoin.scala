@@ -40,6 +40,11 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * be long-backed (LongType / TimestampType) — covers keys, event times,
   * and id tiebreaks, and keeps the hot comparison loop primitive (no
   * generic ordering dispatch in the per-row path).
+  *
+  * NULL semantics (SQL join rules): a NULL key or on-value compares
+  * UNKNOWN, so a NULL-keyed LEFT row emits with nulls on the right and a
+  * NULL-keyed RIGHT row matches nothing — never the rows whose key is
+  * literally 0.
   */
 case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
@@ -136,12 +141,24 @@ case class AsofJoinExec(
         private var rHead: InternalRow = _
         private var rHeadKey: UnsafeRow = _
         private var rHeadOn: UnsafeRow = _
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
-            rHead = rIter.next()
-            rHeadKey = rKeyProj(rHead).copy()
-            rHeadOn = rOnProj(rHead).copy()
-          } else { rHead = null; rHeadKey = null; rHeadOn = null }
+        // SQL join semantics for NULLs: a NULL key or on-value compares
+        // UNKNOWN, so such a row can never match — without this check the
+        // long-vector compare would read a NULL slot as 0 and silently
+        // match NULL-keyed rows against key 0. Ascending sort puts NULLs
+        // first, so the skip loop runs once at partition start.
+        private def advanceRight(): Unit = {
+          rHead = null; rHeadKey = null; rHeadOn = null
+          while (rHead == null && rIter.hasNext) {
+            val cand = rIter.next()
+            val k = rKeyProj(cand)
+            val o = rOnProj(cand)
+            if (!k.anyNull && !o.anyNull) {
+              rHead = cand
+              rHeadKey = k.copy()
+              rHeadOn = o.copy()
+            }
+          }
+        }
         advanceRight()
         // ...plus the running best match and the key it belongs to
         private var bestKey: UnsafeRow = _
@@ -152,6 +169,10 @@ case class AsofJoinExec(
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
           val lOnV = lOnProj(lRow)
+          // a NULL-keyed left row matches nothing (left-outer nulls out),
+          // mirroring the right-side skip above
+          if (lKey.anyNull || lOnV.anyNull)
+            return outProj(joined(lRow, nullRight))
           // consume right rows up to (lKey, lOn) — strictly below for
           // backward, non-strictly for forward; the last same-key row
           // consumed is the backward match, the head the forward one

@@ -210,12 +210,23 @@ object BandedIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
           else UnixMicros(b.hi)
         // Sequence is TimeZoneAwareExpression: stays UNRESOLVED until a
         // zone is bound, even for integral sequences
-        val seq = new Sequence(
-          floorDiv(UnixMicros(b.lo), bandUs),
-          floorDiv(lastUs, bandUs),
-          Literal(1L)).withTimeZone(conf.sessionLocalTimeZone)
+        val loBand = floorDiv(UnixMicros(b.lo), bandUs)
+        val hiBand = floorDiv(lastUs, bandUs)
+        val seq = new Sequence(loBand, hiBand, Literal(1L))
+          .withTimeZone(conf.sessionLocalTimeZone)
+        // DEGENERATE-INTERVAL GUARD: an inverted (hi < lo) or empty
+        // ([x, x) with x on a band boundary) interval row matched nothing
+        // pre-rewrite, but hands Sequence inverted bounds — a runtime
+        // crash. Emit zero bands for it instead (non-outer Explode drops
+        // the row); NULL bounds keep flowing to Sequence, which returns
+        // NULL ⇒ Explode emits nothing — same rows out as the original
+        // NULL-rejecting condition.
+        val guarded = If(
+          And(IsNotNull(hiBand), And(IsNotNull(loBand), LessThan(hiBand, loBand))),
+          Literal.create(Array.empty[Long], org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)),
+          seq)
         val bandAttr = AttributeReference("__graft_band", LongType)()
-        val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
+        val gen = Generate(Explode(guarded), unrequiredChildIndex = Nil,
           outer = false, qualifier = None, generatorOutput = Seq(bandAttr),
           child = boundPlan)
         val newCond = (EqualTo(ptProj.output.last.toAttribute, bandAttr) +:

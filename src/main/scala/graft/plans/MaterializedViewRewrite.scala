@@ -163,20 +163,26 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
       case a: AttributeReference if mvDef.dims.contains(a.name) =>
         Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
       case al @ Alias(AggregateExpression(f, Complete, false, None, _), name) =>
+        def agg(fn: AggregateFunction): Expression =
+          AggregateExpression(fn, Complete, isDistinct = false)
         val rewritten: Option[Expression] = f match {
-          case Count(Seq(Literal(1, _))) => Some(Sum(mvAttr(mvDef.countCol)))
+          // COUNT(*) is non-nullable and returns 0 over an empty group-set
+          // (a GLOBAL aggregate whose dim filter matches zero MV rows);
+          // SUM over the same returns NULL. Coalesce restores both the
+          // value and the non-nullability the original exprId advertises —
+          // without it parents that elided null checks would read garbage.
+          case Count(Seq(Literal(1, _))) =>
+            Some(Coalesce(Seq(agg(Sum(mvAttr(mvDef.countCol))), Literal(0L))))
           case Sum(a: AttributeReference, _) =>
-            mvDef.sumMap.get(a.name).map(c => Sum(mvAttr(c)))
+            mvDef.sumMap.get(a.name).map(c => agg(Sum(mvAttr(c))))
           case Min(a: AttributeReference) =>
-            mvDef.minMap.get(a.name).map(c => Min(mvAttr(c)))
+            mvDef.minMap.get(a.name).map(c => agg(Min(mvAttr(c))))
           case Max(a: AttributeReference) =>
-            mvDef.maxMap.get(a.name).map(c => Max(mvAttr(c)))
+            mvDef.maxMap.get(a.name).map(c => agg(Max(mvAttr(c))))
           case _ => None
         }
         rewritten match {
-          case Some(e) =>
-            Alias(AggregateExpression(e.asInstanceOf[AggregateFunction],
-              Complete, isDistinct = false), name)(exprId = al.exprId)
+          case Some(e) => Alias(e, name)(exprId = al.exprId)
           case None => return None
         }
       case _ => return None

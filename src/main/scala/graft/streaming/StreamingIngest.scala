@@ -21,6 +21,16 @@ import org.apache.spark.sql.types.LongType
   */
 object StreamingIngest {
 
+  /** Full-microsecond epoch value of a Timestamp. Closed-region cutoffs
+    * MUST be derived through this, never `getTime` alone: `getTime`
+    * truncates to milliseconds, while the DuckDB oracles compare against
+    * `max(ts) − INTERVAL 2 HOUR` at full microsecond precision — a row
+    * whose timestamp lands in the sub-millisecond window would be kept by
+    * the oracle but dropped by the stream.
+    */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000 + t.getNanos / 1000
+
   /** Stream the `events` parquet as a file source (schema pinned from a
     * batch probe; nanos ts rescaled exactly as Tables.load does).
     *
@@ -499,7 +509,7 @@ object StreamingIngest {
     val maxTs = graft.Tables.load(spark, dir, "events")
       .agg(max(col("ts"))).head.getTimestamp(0)
     // last ≤ max−8h ⟺ end(=last+6h) ≤ max−2h
-    val cutoffUs = (maxTs.getTime - 2L * 3600 * 1000) * 1000
+    val cutoffUs = tsMicros(maxTs) - 2L * 3600 * 1000000L
     drained.where(col("end_us") <= cutoffUs)
       .drop("end_us")
       .orderBy(col("user_id"), col("session_start"))
@@ -600,7 +610,7 @@ object StreamingIngest {
     val maxTs = graft.Tables.load(spark, dir, "events")
       .agg(max(col("ts"))).head.getTimestamp(0)
     // last ≤ max−8h ⟺ end(=last+6h) ≤ max−2h
-    val cutoffUs = (maxTs.getTime - 2L * 3600 * 1000) * 1000
+    val cutoffUs = tsMicros(maxTs) - 2L * 3600 * 1000000L
     drained.where(col("end_us") <= cutoffUs)
       .drop("end_us")
       .orderBy(col("user_id"), col("session_start"))
@@ -827,7 +837,9 @@ object StreamingIngest {
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
         (user: Long, events: Iterator[KeyedEvent], state: GroupState[Timestamp]) =>
-          val batchMax = events.map(_.ts).maxBy(_.getTime)
+          // full-micros comparator: getTime truncates to ms and could pick
+          // the wrong max inside a same-millisecond batch
+          val batchMax = events.map(_.ts).maxBy(tsMicros)
           val newMax = state.getOption match {
             case Some(prev) if prev.after(batchMax) => prev
             case _ => batchMax
@@ -975,8 +987,8 @@ object StreamingIngest {
     // closed-region cutoff from the batch view of the same corpus
     val maxTs = graft.Tables.load(spark, dir, "events")
       .agg(max(col("ts"))).head.getTimestamp(0)
-    val cutoff = new Timestamp(maxTs.getTime - 2L * 3600 * 1000)
-    drained.where(col("p_ts") <= lit(cutoff))
+    val cutoffUs = tsMicros(maxTs) - 2L * 3600 * 1000000L
+    drained.where(unix_micros(col("p_ts")) <= lit(cutoffUs))
       .select(col("purchase_id"), col("view_id"))
       .orderBy(col("purchase_id"), col("view_id"))
   }
@@ -1020,10 +1032,10 @@ object StreamingIngest {
     val drained = runToParquet(joined)
     val maxTs = graft.Tables.load(spark, dir, "events")
       .agg(max(col("ts"))).head.getTimestamp(0)
-    val cutoff = new Timestamp(maxTs.getTime - 2L * 3600 * 1000)
+    val cutoffUs = tsMicros(maxTs) - 2L * 3600 * 1000000L
     drained
-      .where((col("p_ts").isNull || col("p_ts") <= lit(cutoff)) &&
-        (col("v_ts").isNull || col("v_ts") <= lit(cutoff)))
+      .where((col("p_ts").isNull || unix_micros(col("p_ts")) <= lit(cutoffUs)) &&
+        (col("v_ts").isNull || unix_micros(col("v_ts")) <= lit(cutoffUs)))
       .select(col("purchase_id"), col("view_id"))
       .orderBy(col("purchase_id"), col("view_id"))
   }

@@ -18,4 +18,22 @@ import org.apache.spark.sql.classic
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Frees the executor blocks behind a `localCheckpoint(eager = true)`d
+    * Dataset. `spark.catalog.clearCache()` only empties the CacheManager;
+    * checkpoint blocks are plain persisted RDDs the ContextCleaner frees
+    * only when the driver GCs — which a large-heap, 300-query sweep may
+    * not do for minutes, so each iterative query's superseded rounds pile
+    * up in executor storage. Call this on a round's Dataset ONLY once it
+    * is provably never read again (a local checkpoint discards lineage,
+    * so the data cannot be recomputed). Reliable (file-based) checkpoints
+    * are untouched: their RDDs are not persisted, so `unpersist` is a
+    * no-op and the files stay owned by the checkpoint dir's lifecycle.
+    */
+  def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

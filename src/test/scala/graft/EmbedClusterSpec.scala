@@ -116,8 +116,12 @@ class EmbedClusterSpec extends AnyFunSuite {
   }
 
   test("assignment plan is broadcast + map-only (no vector-side shuffle before argmin)") {
-    val p = ops.EmbedClusterOps.queries("embed_kmeans")(spark, Sf0001)
-      .queryExecution.executedPlan.toString
+    // the staged (lazy) pipeline — the registry serves the hygienic view,
+    // whose root is an opaque LogicalRDD
+    val staged = ops.EmbedClusterOps.kmeansDistancesStaged(
+      Tables.load(spark, Sf0001, "embeddings"))
+    val p = staged.plan.queryExecution.executedPlan.toString
+    staged.release()
     assert(!p.contains("CartesianProduct"), p)
     // the cross join with the 1-row centroid array must be a broadcast
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)

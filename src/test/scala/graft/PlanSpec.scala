@@ -112,7 +112,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("minhash LSH candidate join is a hash-bucket equality join, not cartesian") {
-    val plan = physical(ops.DedupOps.queries("dedup_minhash_lsh")(spark, Sf0001))
+    // the staged (lazy) pipeline: the registry serves its hygienic view
+    // (materialize + cache release), whose root is an opaque LogicalRDD
+    val staged = ops.DedupOps.dedupMinhashLshStaged(spark, Sf0001)
+    val plan = physical(staged.plan)
+    staged.release()
     assert(!plan.contains("CartesianProduct"),
       s"bucketed dedup must never plan a cartesian product\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
@@ -529,7 +533,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("triangle counting joins stay equi-keyed — no nested-loop anywhere") {
-    val plan = physical(ops.ClusterOps.queries("graph_triangles")(spark, Sf0001))
+    val staged = ops.ClusterOps.graphTrianglesStaged(spark, Sf0001)
+    val plan = physical(staged.plan)
+    staged.release()
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"degree orientation must keep every join hashable\n$plan")
@@ -540,9 +546,39 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("containment probe is an equi-join on the shingle hash, never all-pairs") {
-    val plan = physical(ops.DedupOps.queries("dedup_containment")(spark, Sf0001))
+    val staged = ops.DedupOps.dedupContainmentStaged(spark, Sf0001)
+    val plan = physical(staged.plan)
+    staged.release()
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"posting-list join only\n$plan")
+  }
+
+  test("basket lift never FORCES a broadcast of the |parts| rollup") {
+    // an explicit broadcast() hint on the per-part count join would OOM
+    // the driver at 100× scale and overrides AQE's size protection; the
+    // logical plan must carry at most the 1-row total's hint. AQE remains
+    // free to CHOOSE a broadcast at small SF — we pin the absence of the
+    // hint (plan-time coercion), not the runtime join strategy.
+    val staged = ops.ProductAnalyticsOps.basketLiftStaged(spark, Sf0001)
+    val analyzed = staged.plan.queryExecution.analyzed
+    staged.release()
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    def hasHint(p: LogicalPlan): Boolean = p match {
+      case j: Join =>
+        j.hint.leftHint.exists(_.strategy.isDefined) ||
+          j.hint.rightHint.exists(_.strategy.isDefined)
+      case _ => false
+    }
+    // UnresolvedHint nodes resolve into JoinHint during analysis; count
+    // join nodes whose hint pins a strategy and whose keys are the part
+    // columns (the total's crossJoin is the one sanctioned broadcast)
+    val forced = analyzed.collect {
+      case j: Join if hasHint(j) &&
+        j.condition.exists(_.references.exists(a =>
+          a.name == "part_a" || a.name == "part_b")) => j
+    }
+    assert(forced.isEmpty,
+      s"per-part rollup joins must not carry a broadcast hint\n${forced.mkString("\n")}")
   }
 
   test("cumulative daily growth aggregates the fact table BEFORE windowing") {
