@@ -50,6 +50,34 @@ object EtlJob {
       status: String,
       attempts: Int)
 
+  /** N3 runner shim — the reference's PARTIAL_SUCCESS (HTTP 206) response
+    * (`core/services/billing_etl.py:329-334`): some upload batches loaded,
+    * some exhausted their retries. A Spark write job is all-or-nothing, so
+    * partial loads cannot happen INSIDE one run (SURVEY §2.1/S7 scopes
+    * that as a non-goal); the failure grain that CAN go partial is the
+    * fan-out above the run — a message expanding to several independent
+    * sub-runs (per org/tenant/source). This folds those outcomes to the
+    * reference's response taxonomy. Like the reference (`:190-191`), a
+    * non-200 response means the caller re-runs the whole message; Parity
+    * mode then compounds the N1 boundary duplicates, Exact mode's
+    * partition overwrite makes the replay idempotent.
+    *
+    * PARTIAL_SUCCESS is a RUNNER response code, deliberately NOT an
+    * [[graft.model.EtlStatus]] enum value: the reference's status TABLE
+    * only ever holds IN_PROGRESS/SUCCESS/FAILED rows (N7 exact strings) —
+    * the 206 exists on the wire, and each failed sub-run has already
+    * written its own FAILED row.
+    */
+  val PartialSuccess = "PARTIAL_SUCCESS"
+
+  def partialOutcome(
+      outcomes: Seq[Either[EngineError, RunReport]]): (Int, String) = {
+    val ok = outcomes.count(_.isRight)
+    if (outcomes.nonEmpty && ok == outcomes.size) (200, EtlStatus.Success)
+    else if (ok > 0) (206, PartialSuccess)
+    else (500, EtlStatus.Failed)
+  }
+
   /** Run one incremental ETL job.
     *
     * @param source       the client's billing table (any DataFrame with `watermarkCol`)

@@ -64,6 +64,32 @@ class AsofJoinSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("NULL keys/on-values follow SQL join rules — never matched as key 0") {
+    import spark.implicits._
+    graft.plans.AsofJoin.register(spark)
+    // key 0 exists on BOTH sides: pre-fix, the long-vector compare read a
+    // NULL key slot as 0 and silently matched these rows to it
+    val left = Seq(
+      (Some(0L), Some(10L), 100L),  // legit key-0 row: must match r-0@5
+      (None, Some(10L), 101L),      // NULL key: must NOT match key 0
+      (Some(1L), None, 102L),       // NULL on-value: no match either
+      (Some(1L), Some(10L), 103L))  // sanity: matches r-1@7
+      .toDF("k", "t", "pid")
+    val right = Seq(
+      (Some(0L), Some(5L), 900L),
+      (None, Some(5L), 901L),       // NULL-keyed right row matches NOTHING
+      (Some(1L), None, 902L),       // NULL on-value right row matches NOTHING
+      (Some(1L), Some(7L), 903L))
+      .toDF("rk", "rt", "vid")
+    val got = graft.plans.AsofJoin(left, right,
+      keys = Seq("k" -> "rk"), on = Seq("t" -> "rt"))
+      .select(col("pid"), col("vid"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == Seq((100L, 900L), (101L, null), (102L, null), (103L, 903L)),
+      got.toString)
+  }
+
   test("plans as AsofJoinExec — no window, no union, one exchange per side") {
     graft.plans.AsofJoin.register(spark)
     val (left, right) = mkSides(3)

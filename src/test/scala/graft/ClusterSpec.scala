@@ -140,6 +140,37 @@ class ClusterSpec extends AnyFunSuite {
     assert(viaReliable == (89L to 100L).map(_ -> 89L).toMap)
   }
 
+  test("pagerank and bfsHops run end-to-end on the RELIABLE checkpointer, bit-identical") {
+    import spark.implicits._
+    // the cluster fault-tolerance path: every round persists to the
+    // checkpoint dir (the HDFS/object-store stand-in) instead of executor
+    // blocks; labels/ranks/hops must be bit-identical to the local path
+    val ckDir = tmpDir("iter_ck_")
+    spark.sparkContext.setCheckpointDir(ckDir)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L),
+      (4L, 5L), (5L, 4L))
+      .toDF("src", "dst")
+    def ranks(cp: ops.ClusterOps.Checkpointer) =
+      ops.ClusterOps.pagerank(edges, iterations = 3, cp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(ranks(ops.ClusterOps.reliableCheckpointer) ==
+      ranks(ops.ClusterOps.localCheckpointer))
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    def hops(cp: ops.ClusterOps.Checkpointer) =
+      ops.ClusterOps.bfsHops(edges, seeds, maxHops = 2, cp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(hops(ops.ClusterOps.reliableCheckpointer) ==
+      hops(ops.ClusterOps.localCheckpointer))
+    assert(hops(ops.ClusterOps.reliableCheckpointer) ==
+      Seq((1L, 0L), (2L, 1L), (3L, 1L)))
+    // the reliable path must have actually WRITTEN rounds to the dir
+    def countFiles(d: java.io.File): Int =
+      Option(d.listFiles).toSeq.flatten.map(f =>
+        if (f.isDirectory) countFiles(f) else 1).sum
+    assert(countFiles(new java.io.File(ckDir)) > 0,
+      "reliable checkpointer must persist rounds into the checkpoint dir")
+  }
+
   test("source contamination matrix conserves the verified pair count") {
     val matrix = ops.DedupOps.queries("dedup_source_matrix")(SparkTestBase.spark, SparkTestBase.Sf0001)
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))

@@ -169,6 +169,40 @@ class EtlJobSpec extends AnyFunSuite {
     assert(meta.statusLog.where(col("status") === EtlStatus.Failed).count() == 1)
   }
 
+  test("N3: a partially-failed fan-out surfaces the reference's 206 PARTIAL_SUCCESS") {
+    // the reference returns 206 when some upload batches load and some
+    // exhaust retries (billing_etl.py:329-334). Spark writes are
+    // all-or-nothing per job, so the grain that CAN go partial is the
+    // fan-out above the run: one message → independent sub-runs. Org 8
+    // loads; org 9's transform fails every attempt.
+    val (meta, root) = freshMeta(8, 9)
+    val boom: DataFrame => DataFrame = _ => throw new RuntimeException("load blew up")
+    val jobTime = utcTs("2024-01-15 00:00:00")
+    val outcomes = Seq(
+      EtlJob.run(spark, meta, events, "ts", s"$root/dest8", EtlJobMessage(8),
+        jobTime, sleeper = _ => ()),
+      EtlJob.run(spark, meta, events, "ts", s"$root/dest9", EtlJobMessage(9),
+        jobTime, transform = boom, maxRetries = 3, sleeper = _ => ()))
+    assert(EtlJob.partialOutcome(outcomes) == (206, EtlJob.PartialSuccess))
+    // the status TABLE stays within the reference's exact enum (N7): the
+    // loaded sub-run committed SUCCESS, the failed one FAILED — the 206
+    // exists only on the wire
+    val byOrg = meta.statusLog.orderBy("seq").select("org_id", "status")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(byOrg.filter(_._1 == 8).map(_._2) ==
+      Seq(EtlStatus.InProgress, EtlStatus.Success))
+    assert(byOrg.filter(_._1 == 9).map(_._2) ==
+      Seq(EtlStatus.InProgress, EtlStatus.InProgress, EtlStatus.InProgress,
+        EtlStatus.Failed))
+    assert(byOrg.forall(s => EtlStatus.values.contains(s._2)))
+    // the loaded side's data IS there (partial means partial, not rollback)
+    assert(EtlJob.readDestination(spark, s"$root/dest8").count() > 0)
+    assert(!graft.util.Fs.exists(spark, s"$root/dest9"))
+    // taxonomy endpoints: all-success → 200, all-failed → 500
+    assert(EtlJob.partialOutcome(Seq(outcomes.head)) == (200, EtlStatus.Success))
+    assert(EtlJob.partialOutcome(Seq(outcomes.last)) == (500, EtlStatus.Failed))
+  }
+
   test("transient failure recovers on retry (attempts counted)") {
     val (meta, root) = freshMeta(7)
     var calls = 0

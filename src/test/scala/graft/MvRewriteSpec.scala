@@ -140,6 +140,52 @@ class MvRewriteSpec extends AnyFunSuite {
       s"post-refresh serving must read the new MV snapshot\n${df.queryExecution.executedPlan}")
   }
 
+  test("global COUNT with a zero-match dim filter returns 0 from the MV, not NULL") {
+    val (base, mv) = fixture()
+    // GLOBAL aggregate (no grouping keys): the original COUNT(*) returns a
+    // non-nullable 0 over the empty match; the rewrite's SUM(mv.n) over
+    // zero MV rows is NULL — the coalesce guard must restore 0 (and the
+    // advertised non-nullability) or parents that elided null checks read
+    // garbage.
+    val df = spark.read.parquet(base)
+      .where(col("event_date") === "2099-12-31")
+      .agg(count(lit(1)).as("n"))
+    val row = df.collect()(0)
+    assert(!row.isNullAt(0) && row.getLong(0) == 0L, row.toString)
+    assert(scanRoots(df).exists(_.contains(mv)),
+      s"the rewrite must still fire for the global aggregate\n${df.queryExecution.executedPlan}")
+    // grouped flavor for contrast: zero-match group-by emits zero ROWS in
+    // both worlds — no NULL to guard, but the rewrite must not invent rows
+    val grouped = spark.read.parquet(base)
+      .where(col("event_date") === "2099-12-31")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    assert(grouped.collect().isEmpty)
+  }
+
+  test("a Dataset PLANNED before base drift still serves the planning-time snapshot") {
+    import spark.implicits._
+    val (base, mv) = fixture()
+    val df = rollup(base)
+    // force optimization NOW: the freshness fingerprint is checked at plan
+    // time, so the physical plan pins the MV snapshot
+    val planned = df.queryExecution.executedPlan.toString
+    assert(scanRoots(df).exists(_.contains(mv)), planned)
+    // base drifts BETWEEN analysis and execution
+    Seq(("2024-01-03", "a", 1000L)).toDF("event_date", "event_type", "value_cents")
+      .coalesce(1).write.mode("append").parquet(base)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    // SNAPSHOT semantics — identical to a plain parquet Dataset, whose
+    // file listing is also pinned at planning: the pre-drift answer, never
+    // a torn mix of old plan + new files
+    assert(rows == Seq(("a", 410L), ("b", 57L)), rows.toString)
+    // and a NEWLY planned query declines the stale MV and sees the drift
+    val fresh = rollup(base)
+    val freshRows = fresh.collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(freshRows == Seq(("a", 1410L), ("b", 57L)), freshRows.toString)
+    assert(scanRoots(fresh).exists(_.contains(base)),
+      fresh.queryExecution.executedPlan.toString)
+  }
+
   test("non-dimension filters and non-distributive aggregates decline") {
     val (base, _) = fixture()
     val filtered = spark.read.parquet(base)

@@ -245,6 +245,40 @@ class WarehouseOpsSpec extends AnyFunSuite {
       s"flipped orientation must band too\n$plan")
   }
 
+  test("BandedIntervalJoin: degenerate intervals produce zero bands, not a crash") {
+    import SparkTestBase.Sf0001
+    import org.apache.spark.sql.functions._
+    // pre-guard, these rows handed Sequence INVERTED bounds (a runtime
+    // crash in an always-on injected rule): an inverted window (hi < lo),
+    // and an empty [x, x) window whose bound sits exactly on a band
+    // boundary (strict upper ⇒ last covered µs = x − 1 µs, one band BELOW
+    // lo's). Both matched nothing pre-rewrite; they must keep matching
+    // nothing — and the one normal window must still join.
+    def win = spark.sql(
+      """SELECT * FROM VALUES
+        |  (0, timestamp'2024-01-09 12:00:00', timestamp'2024-01-11 00:00:00'),
+        |  (1, timestamp'2024-01-12 06:00:00', timestamp'2024-01-12 00:00:00'),
+        |  (2, timestamp'2024-01-14 00:00:00', timestamp'2024-01-14 00:00:00'),
+        |  (3, timestamp'2024-01-14 03:00:00', timestamp'2024-01-14 03:00:00')
+        |AS t(wid, w_start, w_end)""".stripMargin)
+    def naive = Tables.load(spark, Sf0001, "events")
+      .select(col("event_id"), col("ts"))
+      .join(win, col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select(col("event_id"), col("wid"))
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ eq graft.plans.BandedIntervalJoin)
+    val expected = try naive.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      finally spark.experimental.extraOptimizations = saved
+    graft.plans.BandedIntervalJoin.register(spark)
+    val got = naive.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(expected.nonEmpty && expected.forall(_._2 == 0),
+      "only the normal window may match")
+    assert(got == expected)
+    val plan = naive.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_band"), s"the rule must still fire\n$plan")
+  }
+
   test("BandedIntervalJoin ≡ rule-off join on 40 seeded-random windows") {
     import SparkTestBase.Sf0001
     import org.apache.spark.sql.functions._
