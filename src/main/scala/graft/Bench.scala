@@ -6,12 +6,22 @@ import org.apache.spark.sql.SparkSession
   * object and excluded from `value` — a fast failure must never masquerade
   * as a fast query.
   *
-  * Methodology: per query, one untimed warmup then three timed runs,
-  * reporting the MEDIAN — so a timing measures the query's plan, not
-  * whatever shared-JVM debris (GC pressure, codegen-cache churn, temp-dir
-  * I/O from pipeline-executing entries) the alphabetical sweep accumulated
-  * before it. Cold-start cost is a property of the sweep, not of any one
-  * query; it is excluded by construction.
+  * Methodology — TWO modes, because they answer different questions:
+  *
+  *  - default (medians): per query, one untimed warmup then
+  *    SPARK_GRAFT_BENCH_RUNS timed runs (default 3), reporting the
+  *    MEDIAN, with an explicit GC + cache clear between queries — a
+  *    timing measures the query's PLAN, not whatever shared-JVM debris
+  *    the alphabetical sweep accumulated before it.
+  *  - SPARK_GRAFT_BENCH_MODE=sweep: one cold timed pass per query, no
+  *    per-query warmup, no forced GC, no cache clearing — the
+  *    driver-style contended single-session sweep. This is the mode that
+  *    exposes cross-query leaks (a cache or state store left behind by
+  *    query N bills query N+40); the queries release their own caches,
+  *    so sweep totals should land near the summed medians plus cold-start
+  *    costs, not multiples of them.
+  *
+  * SCALE.md's bench-history table records which mode a number came from.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,6 +33,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill scratch on the RAM fs when one exists (same policy
+      // as TempDirs): local-mode executor scratch is ephemeral by contract
+      .config("spark.local.dir", graft.util.TempDirs.create("graft_local_"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -46,30 +59,38 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }.toSeq
+    val sweepMode = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("sweep")
     selected.sortBy(_._1).foreach { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // per-query caches must not leak across timings
+        if (!sweepMode)
+          spark.catalog.clearCache() // per-query caches must not leak across timings
         dt
       }
       try {
-        // Sweep hygiene: earlier queries' dead shuffles/broadcasts/
-        // accumulators are only reclaimed when the ContextCleaner's weak
-        // refs are processed — i.e. on GC. On a large heap GC is rare, so
-        // a late-alphabet query otherwise executes amid hundreds of MBs
-        // of another query's debris and bills for it (the full sweep was
-        // timing stream_* 2-4x slower than an isolated run). One explicit
-        // GC per query, outside the timed window, keeps each timing a
-        // property of the query's plan rather than of its sweep position.
-        System.gc()
-        once() // per-query warmup (plan compilation, first-touch I/O)
-        val runs = Seq.fill(timedRuns)(once()).sorted
-        // true median: middle value, or mean of the two middles when even
-        timings(name) =
-          if (runs.size % 2 == 1) runs(runs.size / 2)
-          else (runs(runs.size / 2 - 1) + runs(runs.size / 2)) / 2.0
+        if (sweepMode) {
+          // contended single pass: no warmup, no GC, no cache clearing —
+          // queries must clean up after THEMSELVES for this to stay flat
+          timings(name) = once()
+        } else {
+          // Sweep hygiene: earlier queries' dead shuffles/broadcasts/
+          // accumulators are only reclaimed when the ContextCleaner's weak
+          // refs are processed — i.e. on GC. On a large heap GC is rare, so
+          // a late-alphabet query otherwise executes amid hundreds of MBs
+          // of another query's debris and bills for it (the full sweep was
+          // timing stream_* 2-4x slower than an isolated run). One explicit
+          // GC per query, outside the timed window, keeps each timing a
+          // property of the query's plan rather than of its sweep position.
+          System.gc()
+          once() // per-query warmup (plan compilation, first-touch I/O)
+          val runs = Seq.fill(timedRuns)(once()).sorted
+          // true median: middle value, or mean of the two middles when even
+          timings(name) =
+            if (runs.size % 2 == 1) runs(runs.size / 2)
+            else (runs(runs.size / 2 - 1) + runs(runs.size / 2)) / 2.0
+        }
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

@@ -14,6 +14,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill scratch on the RAM fs when one exists (same policy
+      // as TempDirs): local-mode executor scratch is ephemeral by contract
+      .config("spark.local.dir", graft.util.TempDirs.create("graft_local_"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

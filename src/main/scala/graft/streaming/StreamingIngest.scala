@@ -31,6 +31,19 @@ object StreamingIngest {
   private def tsMicros(t: java.sql.Timestamp): Long =
     t.getTime / 1000 * 1000000 + t.getNanos / 1000
 
+  /** Memoized `max(ts)` of a fixture dir's events table — the batch-side
+    * anchor every closed-region cutoff derives from. Same immutable-dir
+    * contract as Tables.load's plan cache; without the memo each streaming
+    * drain re-scans the full events table just to find the corpus end.
+    */
+  private val maxTsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.sql.Timestamp]()
+
+  private def maxEventTs(spark: SparkSession, dir: String): java.sql.Timestamp =
+    maxTsMemo.computeIfAbsent(dir, d =>
+      graft.Tables.load(spark, d, "events")
+        .agg(max(col("ts"))).head.getTimestamp(0))
+
   /** Stream the `events` parquet as a file source (schema pinned from a
     * batch probe; nanos ts rescaled exactly as Tables.load does).
     *
@@ -506,8 +519,7 @@ object StreamingIngest {
           .as("session_end"),
         col("n_events"),
         col("end_us")))
-    val maxTs = graft.Tables.load(spark, dir, "events")
-      .agg(max(col("ts"))).head.getTimestamp(0)
+    val maxTs = maxEventTs(spark, dir)
     // last ≤ max−8h ⟺ end(=last+6h) ≤ max−2h
     val cutoffUs = tsMicros(maxTs) - 2L * 3600 * 1000000L
     drained.where(col("end_us") <= cutoffUs)
@@ -607,8 +619,7 @@ object StreamingIngest {
           .as("session_end"),
         col("n_events"),
         col("end_us")))
-    val maxTs = graft.Tables.load(spark, dir, "events")
-      .agg(max(col("ts"))).head.getTimestamp(0)
+    val maxTs = maxEventTs(spark, dir)
     // last ≤ max−8h ⟺ end(=last+6h) ≤ max−2h
     val cutoffUs = tsMicros(maxTs) - 2L * 3600 * 1000000L
     drained.where(col("end_us") <= cutoffUs)
@@ -985,8 +996,7 @@ object StreamingIngest {
         coalesce(col("view_id"), lit(-1L)).as("view_id"))
     val drained = runToParquet(joined)
     // closed-region cutoff from the batch view of the same corpus
-    val maxTs = graft.Tables.load(spark, dir, "events")
-      .agg(max(col("ts"))).head.getTimestamp(0)
+    val maxTs = maxEventTs(spark, dir)
     val cutoffUs = tsMicros(maxTs) - 2L * 3600 * 1000000L
     drained.where(unix_micros(col("p_ts")) <= lit(cutoffUs))
       .select(col("purchase_id"), col("view_id"))
@@ -1030,8 +1040,7 @@ object StreamingIngest {
         coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
         coalesce(col("view_id"), lit(-1L)).as("view_id"))
     val drained = runToParquet(joined)
-    val maxTs = graft.Tables.load(spark, dir, "events")
-      .agg(max(col("ts"))).head.getTimestamp(0)
+    val maxTs = maxEventTs(spark, dir)
     val cutoffUs = tsMicros(maxTs) - 2L * 3600 * 1000000L
     drained
       .where((col("p_ts").isNull || unix_micros(col("p_ts")) <= lit(cutoffUs)) &&

@@ -21,8 +21,28 @@ object TempDirs {
     }
   }))
 
+  /** Scratch root. These dirs hold EPHEMERAL state — demo-drain streaming
+    * checkpoints, staging zones, per-query sinks — that is created, read
+    * once, and deleted at JVM exit, so a RAM-backed filesystem is the
+    * right home when one exists: each streaming drain commits dozens of
+    * small WAL/state/sink files whose create+rename round trips otherwise
+    * hit disk (the single biggest fixed cost of an AvailableNow
+    * micro-batch at toy scale). Overridable via GRAFT_TMP_ROOT; falls back
+    * to java.io.tmpdir when no RAM fs is present. Durable outputs (a real
+    * deployment's checkpoints and destinations) never come from here —
+    * callers pass those paths explicitly.
+    */
+  private val fastRoot: Option[Path] = {
+    val cand = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_TMP_ROOT", "/dev/shm"))
+    if (Files.isDirectory(cand) && Files.isWritable(cand)) Some(cand) else None
+  }
+
   def create(prefix: String): String = {
-    val p = Files.createTempDirectory(prefix)
+    val p = fastRoot match {
+      case Some(root) => Files.createTempDirectory(root, prefix)
+      case None => Files.createTempDirectory(prefix)
+    }
     created.add(p)
     p.toString
   }

@@ -36,4 +36,11 @@ object GraftSqlBridge {
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** True when the session's CacheManager holds no cached relations —
+    * the invariant QueryHygieneSpec pins after every hygienic query
+    * (Spark exposes no public "list cached relations" API).
+    */
+  def cacheManagerEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }
