@@ -345,7 +345,11 @@ object DedupOps {
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_inter"))
     val sizes = suspects.select(col("doc_id").as("a_id"),
       size(col("sh_hashes")).cast("long").as("n_a"))
-    Staged(inter.join(broadcast(sizes), "a_id") // suspects: the small probe side
+    // NO broadcast hint on sizes: the suspect set scales WITH the corpus
+    // (a fixed stratum of it), so a forced broadcast is a driver OOM at
+    // 100× — and inter is already keyed on a_id, so the shuffle join
+    // co-partitions for free. AQE still broadcasts at small SF.
+    Staged(inter.join(sizes, "a_id")
       .select(col("a_id"), col("b_id"), col("n_inter"), col("n_a"),
         expr("n_inter * 1000 div n_a").as("containment_milli"))
       .where(col("containment_milli") >= 500)

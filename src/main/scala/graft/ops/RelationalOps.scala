@@ -955,10 +955,14 @@ object RelationalOps {
         col("revenue_cents"), col("n_rows"), col("gid").cast("long").as("gid"))
       .orderBy(col("gid"), col("returnflag"), col("linestatus"))
 
-  /** Headline join+agg (bench shape): fact-to-dim broadcast join then group. */
+  /** Headline join+agg (bench shape): fact-to-dim join then group. The
+    * dim carries NO broadcast hint — customer is LINEAR in SF (a forced
+    * broadcast is a driver OOM at 100×); the planner broadcasts it while
+    * it fits and falls back to a shuffle join when it doesn't.
+    */
   private def q2(s: SparkSession, dir: String): DataFrame =
     orders(s, dir)
-      .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
@@ -1105,15 +1109,17 @@ object RelationalOps {
     * (extendedprice×(1−discount) − retailprice×quantity) and the part
     * filter is a substring match (`p_name LIKE '%red%'`) that can't use
     * an index — the shape that forces a real fact⋈dim hash join with a
-    * post-scan residual on the dim side. part (2k rows/SF, name-filtered
-    * smaller) broadcasts; lineitem⋈orders is the only big shuffle.
+    * post-scan residual on the dim side. part is LINEAR in SF, so it
+    * carries no broadcast hint (the planner broadcasts the name-filtered
+    * slice while it fits); lineitem⋈orders is the only guaranteed big
+    * shuffle.
     * Profit can be negative — the signed-cents rounding is identical in
     * both engines (round-half-away-from-zero on DOUBLE).
     */
   private def q9(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
-      .join(broadcast(part(s, dir).where(col("p_name").contains("red"))
-        .select(col("p_partkey"), col("p_retailprice"))),
+      .join(part(s, dir).where(col("p_name").contains("red"))
+        .select(col("p_partkey"), col("p_retailprice")),
         col("l_partkey") === col("p_partkey"))
       .join(supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.load(s, dir, "nation")),
@@ -1207,7 +1213,10 @@ object RelationalOps {
     lineitem(s, dir)
       .where(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
         col("l_shipdate") < ts("1999-01-01 00:00:00"))
-      .join(broadcast(pairSuppliers), col("l_suppkey") === col("s_suppkey"))
+      // pairSuppliers is supplier-derived (linear in SF): no forced
+      // broadcast — the nation-pair filter already sits outside the fact
+      // joins, and the planner broadcasts the slice while it fits
+      .join(pairSuppliers, col("l_suppkey") === col("s_suppkey"))
       .join(pairOrders, col("l_orderkey") === col("o_orderkey"))
       .where(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),

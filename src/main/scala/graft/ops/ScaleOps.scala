@@ -403,7 +403,9 @@ object ScaleOps {
         .cast("long").as("rev_cents"))
     fact
       .where(probe)
-      .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+      // dim is supplier-derived (linear in SF): the bloom probe above is
+      // the scale mechanism; no forced broadcast on the verifying join
+      .join(dim, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("n_items"), sum(col("rev_cents")).as("revenue_cents"))
       .orderBy(col("l_suppkey"))
@@ -1158,7 +1160,10 @@ object ScaleOps {
         .as("v_window"),
       (count(lit(1)) - countDistinct(col("event_id"))).as("v_dup"))
     val orphan = ev.select(col("user_id"))
-      .join(broadcast(cust), col("user_id") === col("c_custkey"), "left_anti")
+      // customer is linear in SF: referential-integrity anti-joins shuffle
+      // at scale; no forced broadcast (the planner still picks one while
+      // the key column fits)
+      .join(cust, col("user_id") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("v_orphan"))
     scan.crossJoin(orphan)
       .select(col("n").as("n_checked"),

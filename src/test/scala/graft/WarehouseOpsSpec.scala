@@ -288,7 +288,12 @@ class WarehouseOpsSpec extends AnyFunSuite {
     val baseMs = java.sql.Timestamp.valueOf("2024-01-05 00:00:00").getTime
     val rows = (0 until 40).map { i =>
       val start = baseMs + rnd.nextInt(20 * 24 * 3600) * 1000L
-      val lenS = 60L + rnd.nextInt(5 * 24 * 3600)
+      // every 5th window DEGENERATE: inverted (hi < lo) or empty [x, x) —
+      // they match nothing and, pre-guard, crashed the band explode
+      val lenS =
+        if (i % 10 == 4) -(60L + rnd.nextInt(24 * 3600))
+        else if (i % 10 == 9) 0L
+        else 60L + rnd.nextInt(5 * 24 * 3600)
       (i, new java.sql.Timestamp(start), new java.sql.Timestamp(start + lenS * 1000))
     }
     implicit val sp: org.apache.spark.sql.SparkSession = spark
