@@ -177,12 +177,15 @@ object WarehouseOps {
       .withColumn("w_end", expr("w_start + INTERVAL 36 HOURS"))
     // half-open [w_start, w_end): the last covered band is the day of
     // (w_end − 1µs), so a window ending exactly at midnight doesn't claim
-    // the following day
+    // the following day. Degenerate windows (w_end ≤ w_start — impossible
+    // for this fixed fixture, but this is the reusable spelling) must emit
+    // ZERO bands instead of handing sequence() inverted bounds, the same
+    // guard the automatic BandedIntervalJoin rule carries.
+    val lastBand = to_date(col("w_end") - expr("INTERVAL 1 MICROSECOND"))
     val banded = win.select(col("wid"), col("w_start"), col("w_end"),
-      explode(sequence(
-        to_date(col("w_start")),
-        to_date(col("w_end") - expr("INTERVAL 1 MICROSECOND")),
-        expr("INTERVAL 1 DAY"))).as("band"))
+      explode(when(lastBand >= to_date(col("w_start")),
+        sequence(to_date(col("w_start")), lastBand, expr("INTERVAL 1 DAY"))))
+        .as("band"))
     events(s, dir)
       .select(col("event_id"), col("ts"), col("value"), to_date(col("ts")).as("band"))
       .join(broadcast(banded), Seq("band"))

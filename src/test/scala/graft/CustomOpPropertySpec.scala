@@ -149,4 +149,57 @@ class CustomOpPropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("property: as-of NULL semantics ≡ brute force (NULL key/on matches nothing)") {
+    import sp.implicits._
+    graft.plans.AsofJoin.register(spark)
+    // ~1/6 of keys and on-values NULL, on a tiny domain that guarantees a
+    // legitimate key 0 exists on both sides — the value a NULL slot reads
+    // as if the comparator ever skips its null check again
+    val optVal: Gen[Option[Long]] =
+      Gen.frequency(5 -> Gen.chooseNum(0L, 3L).map(Some(_)), 1 -> Gen.const(None))
+    val tapeGen = for {
+      nl <- Gen.chooseNum(1, 40)
+      nr <- Gen.chooseNum(0, 40)
+      l <- Gen.listOfN(nl, Gen.zip(optVal, optVal))
+      r <- Gen.listOfN(nr, Gen.zip(optVal, optVal))
+      parts <- Gen.chooseNum(1, 4)
+    } yield (l, r, parts)
+    val prop = Prop.forAll(tapeGen) { case (l, rRaw, parts) =>
+      // dedupe the right tape on (key, on): with no tiebreak column in
+      // `on`, tied right tuples would make the operator's pick among them
+      // sort-stability-dependent (the first property test pins tie
+      // handling via an explicit tiebreak column instead)
+      val r = rRaw.distinct
+      val left = l.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "lid").repartition(parts)
+      val right = r.zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i) }
+        .toDF("rk", "rt", "rid").repartition(parts)
+      def run(forward: Boolean) = graft.plans.AsofJoin(left, right,
+        keys = Seq("k" -> "rk"), on = Seq("t" -> "rt"), forward = forward)
+        .select(col("lid"), col("rid"))
+        .collect().map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .sorted.toSeq
+      // brute force with SQL NULL rules: a NULL on either side of any
+      // compared column disqualifies the row from matching
+      def brute(forward: Boolean) = l.zipWithIndex.map { case ((k, t), i) =>
+        val pick = (k, t) match {
+          case (Some(kk), Some(tt)) =>
+            val cands = r.zipWithIndex.collect {
+              case ((Some(rk), Some(rt)), j)
+                if rk == kk && (if (forward) rt > tt else rt < tt) => (rt, 1000L + j)
+            }
+            if (cands.isEmpty) -1L
+            else if (forward) cands.min._2
+            else cands.max._2
+          case _ => -1L
+        }
+        (i.toLong, pick)
+      }.sorted.toSeq
+      run(forward = false) == brute(forward = false) &&
+        run(forward = true) == brute(forward = true)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
