@@ -63,8 +63,13 @@ object Bench {
     selected.sortBy(_._1).foreach { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        val df = fn(spark, sfDir)
+        df.count()
         val dt = (System.nanoTime() - t0) / 1e9
+        // hygienic queries return a materialized local checkpoint; its
+        // blocks are dead after the count — free them in BOTH modes (this
+        // is the query's own lifecycle, not harness hygiene)
+        org.apache.spark.sql.graft.GraftSqlBridge.releaseLocalCheckpoint(df)
         if (!sweepMode)
           spark.catalog.clearCache() // per-query caches must not leak across timings
         dt

@@ -23,8 +23,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // hygienic queries return a materialized local checkpoint; its
+        // blocks are dead once the dump is written — free them now rather
+        // than waiting for a driver GC (no-op for lazy queries)
+        org.apache.spark.sql.graft.GraftSqlBridge.releaseLocalCheckpoint(df)
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
