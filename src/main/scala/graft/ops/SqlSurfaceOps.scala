@@ -139,21 +139,30 @@ object SqlSurfaceOps {
     * re-derived from the raw events split in DuckDB, so a statement that
     * read the wrong snapshot hash-fails.
     */
+  // The published two-batch ledger is deterministic per (session, sfDir) —
+  // build it once per JVM (the memoized value is a PATH; same invariants
+  // as NestedBillingOps.destMemo). The HISTORY statement itself always
+  // runs live against the ledger.
+  private val histMemo = new graft.util.SessionMemo[String, String]
+
   private def sqlParserHistory(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(s, dir, "events").select(
-      col("event_id"), col("user_id"),
-      date_format(col("ts"), "yyyy-MM-dd").as("export_date"))
-    val root = graft.util.TempDirs.create("graft_hist_")
-    def stageAndPublish(batchId: String, batch: DataFrame): Unit = {
-      val stage = s"$root/staging/$batchId"
-      batch.coalesce(1).write.parquet(stage)
-      val r = ScaleOps.publishStaged(s, s"$root/dest", stage, batchId, batch.count())
-      require(r.isRight, s"history fixture publish failed: $r")
+    val dest = histMemo.getOrElseUpdate(s, dir) {
+      val ev = Tables.load(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("export_date"))
+      val root = graft.util.TempDirs.create("graft_hist_")
+      def stageAndPublish(batchId: String, batch: DataFrame): Unit = {
+        val stage = s"$root/staging/$batchId"
+        batch.coalesce(1).write.parquet(stage)
+        val r = ScaleOps.publishStaged(s, s"$root/dest", stage, batchId, batch.count())
+        require(r.isRight, s"history fixture publish failed: $r")
+      }
+      stageAndPublish("b1_early", ev.where(col("export_date") < "2024-01-11"))
+      stageAndPublish("b2_late", ev.where(col("export_date") >= "2024-01-11"))
+      s"$root/dest"
     }
-    stageAndPublish("b1_early", ev.where(col("export_date") < "2024-01-11"))
-    stageAndPublish("b2_late", ev.where(col("export_date") >= "2024-01-11"))
     val plan = new graft.plans.GraftSqlParser(s.sessionState.sqlParser)
-      .parsePlan(s"GRAFT HISTORY '$root/dest'")
+      .parsePlan(s"GRAFT HISTORY '$dest'")
     org.apache.spark.sql.graft.GraftSqlBridge.ofRows(s, plan)
       .orderBy(col("batch_id"))
   }
