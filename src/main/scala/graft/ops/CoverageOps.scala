@@ -614,12 +614,19 @@ object CoverageOps {
     * "within 5 % of exact" audit (the ann_*_recall pattern). At 100 TB the
     * sketch is the only affordable distinct count — one pass, fixed memory,
     * mergeable across partitions — and this query pins its error envelope.
+    *
+    * The sketch precision is REQUESTED as rsd = 1 % so the 5 % envelope is
+    * a 5σ bound (still ~12 KB of fixed state per group). The default
+    * rsd = 5 % is a one-standard-deviation figure — an envelope equal to
+    * it fails ~1 in 3 estimates by design, which is exactly what a
+    * cross-scale sweep caught at sf0.1 (every sf0.01 estimate happened to
+    * land inside; the sf0.1 ones did not).
     */
   private def statsApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_exact"),
-        approx_count_distinct(col("user_id")).as("__approx"))
+        approx_count_distinct(col("user_id"), 0.01).as("__approx"))
       .select(col("event_type"), col("n_exact"),
         (abs(col("__approx") - col("n_exact")) <= col("n_exact") * 0.05)
           .as("within_5pct"))
