@@ -766,15 +766,17 @@ object CoverageOps {
     * merges instead of a 100 TB rescan per question. Datasketches HLL
     * union at a shared lgK is lossless over the partials, so the merged
     * estimate is graded against the exact month distinct with the same
-    * in-query boolean contract as the ANN recall floors (±2%, honest for
-    * lgK=14's ~0.8% RSE); SketchMergeSpec pins union-of-partials ≡ one
+    * in-query boolean contract as the ANN recall floors (±2% at lgK=16's
+    * ~0.4% RSE — a ~5σ envelope, so a fixture regeneration cannot flip it
+    * the way a 2.5σ one statistically could; the same lesson as
+    * `stats_approx_distinct`'s rsd); SketchMergeSpec pins union-of-partials ≡ one
     * global sketch, the identity the pattern rests on.
     */
   private def statsHllMerge(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
       .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
     val daily = ev.groupBy(col("day"))
-      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"), count(lit(1)).as("n"))
+      .agg(hll_sketch_agg(col("user_id"), 16).as("sk"), count(lit(1)).as("n"))
     val merged = daily.agg(
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
       sum(col("n")).as("n_rows"), count(lit(1)).as("n_days"))
