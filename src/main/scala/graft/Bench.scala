@@ -68,7 +68,12 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // hygienic queries return a materialized local checkpoint; its
         // blocks are dead after the count — free them in BOTH modes (this
-        // is the query's own lifecycle, not harness hygiene)
+        // is the query's own lifecycle, not harness hygiene).
+        // INVARIANT: registry queries must not return plans referencing a
+        // SHARED checkpointed Dataset unless it was registered via
+        // GraftSqlBridge.protectSharedCheckpoint — this call unpersists
+        // every unprotected LogicalRDD in the plan, and local checkpoints
+        // are unrecoverable once unpersisted.
         org.apache.spark.sql.graft.GraftSqlBridge.releaseLocalCheckpoint(df)
         if (!sweepMode)
           spark.catalog.clearCache() // per-query caches must not leak across timings

@@ -28,7 +28,12 @@ object Verify {
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         // hygienic queries return a materialized local checkpoint; its
         // blocks are dead once the dump is written — free them now rather
-        // than waiting for a driver GC (no-op for lazy queries)
+        // than waiting for a driver GC (no-op for lazy queries).
+        // INVARIANT: registry queries must not return plans referencing a
+        // SHARED checkpointed Dataset unless it was registered via
+        // GraftSqlBridge.protectSharedCheckpoint — this call unpersists
+        // every unprotected LogicalRDD in the plan, and local checkpoints
+        // are unrecoverable once unpersisted.
         org.apache.spark.sql.graft.GraftSqlBridge.releaseLocalCheckpoint(df)
       }
       catch { case e: Throwable =>

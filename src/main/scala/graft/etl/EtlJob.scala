@@ -73,7 +73,11 @@ object EtlJob {
   def partialOutcome(
       outcomes: Seq[Either[EngineError, RunReport]]): (Int, String) = {
     val ok = outcomes.count(_.isRight)
-    if (outcomes.nonEmpty && ok == outcomes.size) (200, EtlStatus.Success)
+    // Empty fan-out is SUCCESS, matching the reference's `failed_batches == 0`
+    // branch (billing_etl.py:326-328): a message that expands to zero
+    // sub-runs has nothing failed, and reporting 500 would re-queue it
+    // forever.
+    if (ok == outcomes.size) (200, EtlStatus.Success)
     else if (ok > 0) (206, PartialSuccess)
     else (500, EtlStatus.Failed)
   }

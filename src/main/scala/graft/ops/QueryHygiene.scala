@@ -25,8 +25,23 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * executor loss between the checkpoint and the caller's terminal action
   * fails the query (it simply re-runs — the inputs are immutable). That is
   * the same trade the iterative ops' default [[ClusterOps.localCheckpointer]]
-  * makes; jobs wanting executor-loss-proof intermediates pass the reliable
-  * checkpointer and a checkpoint dir.
+  * makes; jobs wanting executor-loss-proof intermediates pass
+  * [[ClusterOps.reliableCheckpointer]] (and set a checkpoint dir) to
+  * [[Staged.hygienic]] — same knob, same semantics.
+  *
+  * Output-size note: `hygienic()` materializes the FULL result. For the
+  * registry's rollup-shaped queries that is orders of magnitude smaller
+  * than the inputs; a few queries (ingest_screen's per-doc dispositions,
+  * dedup pair lists) return outputs LINEAR in corpus size, so their
+  * materialization pins O(corpus) blocks until the caller's terminal
+  * action frees them. That is an accepted, bounded trade — one extra
+  * linear pass of storage for the duration of one query, in exchange for
+  * the cache-release-before-return guarantee — NOT a contradiction of the
+  * no-linear-broadcast policy (broadcasts are per-executor copies and
+  * driver-resident; checkpoint blocks are partitioned once across the
+  * cluster, exactly like the shuffle files the same query already wrote).
+  * A per-doc-output query that ever outgrows executor storage should
+  * switch to the reliable checkpointer or write-through-a-path instead.
   */
 private[graft] object QueryHygiene {
 
@@ -35,8 +50,16 @@ private[graft] object QueryHygiene {
     * the query registry serves.
     */
   final case class Staged(plan: DataFrame, caches: Dataset[_]*) {
-    def hygienic(): DataFrame = {
-      val out = plan.localCheckpoint(eager = true)
+
+    /** Materialize once through `checkpointer` (default: eager local
+      * checkpoint), unpersist every query-local cache, return the
+      * materialized view. Cluster jobs pass
+      * [[ClusterOps.reliableCheckpointer]] so the materialized result
+      * survives executor loss (requires `sparkContext.setCheckpointDir`).
+      */
+    def hygienic(checkpointer: ClusterOps.Checkpointer =
+                   ClusterOps.localCheckpointer): DataFrame = {
+      val out = checkpointer(plan)
       release()
       out
     }

@@ -233,7 +233,13 @@ object RelationalOps {
   private def o4GlobalIndex(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = events(s, dir).select(col("event_id"), col("ts"))
-    val ranged = ev.repartitionByRange(32, col("ts"), col("event_id"))
+    // Partition count scales WITH the session (defaultParallelism = total
+    // executor cores on a cluster), not a literal: a fixed 32 would give
+    // a 1000-executor run 32 giant slices. The assignment itself is
+    // partition-count-independent — the oracle is a true global
+    // ROW_NUMBER, so any P produces the same global_idx values.
+    val p = math.max(1, s.sparkContext.defaultParallelism)
+    val ranged = ev.repartitionByRange(p, col("ts"), col("event_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
     val counts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))

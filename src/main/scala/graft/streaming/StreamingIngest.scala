@@ -28,8 +28,13 @@ object StreamingIngest {
     * whose timestamp lands in the sub-millisecond window would be kept by
     * the oracle but dropped by the stream.
     */
-  private def tsMicros(t: java.sql.Timestamp): Long =
-    t.getTime / 1000 * 1000000 + t.getNanos / 1000
+  private[graft] def tsMicros(t: java.sql.Timestamp): Long =
+    // floorDiv, not `/`: truncating division rounds toward zero for
+    // pre-1970 timestamps (negative epoch millis), overstating the whole
+    // seconds by one while getNanos still adds the positive sub-second
+    // part — up to a full second too high. floorDiv keeps the
+    // seconds+nanos decomposition consistent across the epoch.
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
 
   /** Memoized `max(ts)` of a fixture dir's events table — the batch-side
     * anchor every closed-region cutoff derives from. Same immutable-dir

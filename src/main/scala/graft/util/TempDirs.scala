@@ -32,10 +32,23 @@ object TempDirs {
     * deployment's checkpoints and destinations) never come from here —
     * callers pass those paths explicitly.
     */
+  /** Minimum free bytes a RAM-backed candidate must have before we prefer
+    * it over disk tmp. tmpfs is typically capped at 50% of RAM; a
+    * larger-SF sweep that spills shuffle + streaming state there can
+    * ENOSPC mid-run where plain disk would have survived. 8 GiB covers
+    * the sf0.1 sweep's observed peak with wide margin while still
+    * rejecting a nearly-full or tiny tmpfs.
+    */
+  private val MinFastRootFreeBytes: Long = 8L << 30
+
   private val fastRoot: Option[Path] = {
     val cand = java.nio.file.Paths.get(
       sys.env.getOrElse("GRAFT_TMP_ROOT", "/dev/shm"))
-    if (Files.isDirectory(cand) && Files.isWritable(cand)) Some(cand) else None
+    val usable =
+      Files.isDirectory(cand) && Files.isWritable(cand) &&
+        (try Files.getFileStore(cand).getUsableSpace >= MinFastRootFreeBytes
+         catch { case _: Throwable => false })
+    if (usable) Some(cand) else None
   }
 
   def create(prefix: String): String = {

@@ -201,6 +201,10 @@ class EtlJobSpec extends AnyFunSuite {
     // taxonomy endpoints: all-success → 200, all-failed → 500
     assert(EtlJob.partialOutcome(Seq(outcomes.head)) == (200, EtlStatus.Success))
     assert(EtlJob.partialOutcome(Seq(outcomes.last)) == (500, EtlStatus.Failed))
+    // empty fan-out → SUCCESS (reference's failed_batches == 0 branch,
+    // billing_etl.py:326-328): zero sub-runs has nothing failed; a 500
+    // here would re-queue the message forever
+    assert(EtlJob.partialOutcome(Seq.empty) == (200, EtlStatus.Success))
   }
 
   test("transient failure recovers on retry (attempts counted)") {

@@ -50,4 +50,46 @@ class QueryHygieneSpec extends AnyFunSuite {
     assert(grown <= 12, s"persisted RDDs grew by $grown across 6 iterative calls")
     assert(GraftSqlBridge.cacheManagerEmpty(spark))
   }
+
+  test("protectSharedCheckpoint shields a shared Dataset from release") {
+    import spark.implicits._
+    val shared = (1 to 100).toDF("x").localCheckpoint(eager = true)
+    val ephemeral = (1 to 100).toDF("y").localCheckpoint(eager = true)
+    GraftSqlBridge.protectSharedCheckpoint(shared)
+    // Bench/Verify free every returned result's blocks — a shared memoized
+    // checkpoint must survive that (a local checkpoint has no lineage, so
+    // an unpersisted one is unrecoverable for every later query)
+    GraftSqlBridge.releaseLocalCheckpoint(shared)
+    GraftSqlBridge.releaseLocalCheckpoint(ephemeral)
+    val persistedIds = spark.sparkContext.getPersistentRDDs.keySet
+    assert(GraftSqlBridge.logicalRddIds(shared).forall(persistedIds.contains),
+      "protected checkpoint blocks were unpersisted")
+    assert(GraftSqlBridge.logicalRddIds(ephemeral).forall(!persistedIds.contains(_)),
+      "unprotected checkpoint blocks were not freed")
+    assert(shared.count() == 100) // still readable after the release pass
+    shared.unpersist(blocking = false)
+  }
+
+  test("hygienic() with the reliable checkpointer survives and matches") {
+    // cluster-mode knob: the materialized result goes to the checkpoint
+    // dir (executor-loss-proof) instead of executor storage; same rows,
+    // same cache-release contract, files actually written
+    val dir = graft.util.TempDirs.create("graft_qh_ck_")
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val local = graft.ops.DedupOps
+        .dedupNgramJaccardStaged(spark, Sf0001).hygienic()
+        .collect().map(_.toSeq).toSeq
+      val reliable = graft.ops.DedupOps
+        .dedupNgramJaccardStaged(spark, Sf0001)
+        .hygienic(graft.ops.ClusterOps.reliableCheckpointer)
+        .collect().map(_.toSeq).toSeq
+      assert(reliable == local)
+      assert(GraftSqlBridge.cacheManagerEmpty(spark),
+        "reliable-checkpoint hygienic left cached relations registered")
+      val written = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(written > 0, "reliable checkpoint wrote no files")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
 }

@@ -13,6 +13,19 @@ import graft.streaming.StreamingIngest
 class StreamingDedupSpec extends AnyFunSuite {
   import SparkTestBase._
 
+  test("tsMicros is floor-consistent across the epoch (pre-1970 rows)") {
+    // getTime/1000 truncates toward zero for negative epoch millis while
+    // getNanos stays positive — up to a full second too high. floorDiv
+    // keeps the decomposition consistent; latent with the 2024 fixtures
+    // but part of the helper's documented general contract.
+    val pre = new java.sql.Timestamp(-750L) // 1969-12-31T23:59:59.250Z
+    assert(pre.getNanos == 250000000)
+    assert(StreamingIngest.tsMicros(pre) == -750000L)
+    val post = java.sql.Timestamp.valueOf("2024-01-15 01:02:03.123456")
+    val expected = post.getTime / 1000 * 1000000L + post.getNanos / 1000
+    assert(StreamingIngest.tsMicros(post) == expected)
+  }
+
   test("the copies=2 landing zone delivers every record twice") {
     val name = s"dup_raw_${System.nanoTime()}"
     val q = StreamingIngest.eventsStream(spark, Sf0001, copies = 2)
