@@ -486,6 +486,13 @@ object ClusterOps {
     * completeness argument as `dedup_minhash_lsh`), then labels every node
     * with the min reachable id. Star vs clique exact edges differ as edge
     * LISTS but generate identical components.
+    *
+    * Tractability (round 15): the near-dup pair enumeration uses the
+    * posting-list candidate join (provably ≡ the all-pairs form — see
+    * DedupOps.duckPairs), and the triangle close is an explicit JOIN on
+    * the oriented edge set rather than EXISTS — equivalent with no fanout
+    * because (s, t) is unique in `ornt`, and ~10× faster in DuckDB
+    * (validated identical at sf0.01; 18.7 s at sf0.1 vs a blown 45 s box).
     */
   val oracleSql: Map[String, String] = Map(
     "graph_triangles" ->
@@ -509,7 +516,7 @@ object ClusterOps {
         |  SELECT e1.s AS s, e1.t AS t1, e2.t AS t2
         |  FROM ornt e1 JOIN ornt e2
         |    ON e1.s = e2.s AND (e1.dt, e1.t) < (e2.dt, e2.t)
-        |  WHERE EXISTS (SELECT 1 FROM ornt c WHERE c.s = e1.t AND c.t = e2.t)),
+        |  JOIN ornt c ON c.s = e1.t AND c.t = e2.t),
         |nodes AS (
         |  SELECT s AS p_partkey FROM tri
         |  UNION ALL SELECT t1 FROM tri
@@ -555,18 +562,18 @@ object ClusterOps {
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM fixture a JOIN fixture b
          |    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+         |post AS (SELECT doc_id, unnest(t) AS g FROM tok),
+         |nsz AS (SELECT doc_id, len(t) AS n FROM tok),
+         |cand AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
          |near_edges AS (
-         |  SELECT a_id, b_id FROM (
-         |    SELECT a.doc_id a_id, b.doc_id b_id,
-         |      CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
-         |           ELSE len(list_intersect(a.t, b.t))::DOUBLE
-         |                / len(list_distinct(a.t || b.t))::DOUBLE
-         |      END AS j
-         |    FROM tok a JOIN tok b
-         |      ON a.doc_id < b.doc_id
-         |     AND len(a.t)::DOUBLE >= len(b.t) * ${DedupOps.JaccardThreshold}
-         |     AND len(b.t)::DOUBLE >= len(a.t) * ${DedupOps.JaccardThreshold})
-         |  WHERE j >= ${DedupOps.JaccardThreshold}),
+         |  SELECT a_id, b_id FROM cand
+         |  JOIN nsz ta ON ta.doc_id = a_id
+         |  JOIN nsz tb ON tb.doc_id = b_id
+         |  WHERE inter::DOUBLE / (ta.n + tb.n - inter)::DOUBLE
+         |    >= ${DedupOps.JaccardThreshold}),
          |edges AS (SELECT * FROM exact_edges UNION SELECT * FROM near_edges),
          |sym AS (SELECT a_id AS s, b_id AS d FROM edges
          |        UNION SELECT b_id, a_id FROM edges),

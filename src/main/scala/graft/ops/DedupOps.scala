@@ -23,15 +23,23 @@ import graft.ops.QueryHygiene.Staged
   */
 object DedupOps {
 
-  /** Sim threshold with a wide empirical margin: the driver corpus has no
-    * pair with trigram-Jaccard in (0.15, 0.9), so banded MinHash at this
-    * threshold provably finds every true pair (miss prob < 1e-7 at J=0.9
-    * with 16 bands × 4 rows).
+  /** Sim threshold with a wide empirical margin — and a banding chosen so
+    * the exhaustive-equality oracles are a ≥5σ bet, not a coin flip. The
+    * driver corpora have no true pair with trigram-Jaccard in (0.15, 0.8)
+    * (sf0.1 planted the first pairs BELOW 0.9: seven at J 0.80–0.89, which
+    * the round-15 tractable sf0.1 oracle surfaced). Banded-MinHash miss
+    * probability per pair is (1 − J^r)^b: the old 16 bands × 4 rows gave
+    * 2.2·10⁻⁴ at J=0.8 — the 1σ-class regeneration-flip risk the sketch
+    * audits banned — while 21 bands × 3 rows over the same 64-slot
+    * signature gives 2.9·10⁻⁷ at J=0.8 (≈5σ even union-bounded over the
+    * handful of sub-0.9 pairs; 1·10⁻¹¹ at J=0.89). The cost is a slightly
+    * hotter low-J candidate rate ((J³ vs J⁴)·b per pair, still ~3·10⁻³ at
+    * the J=0.15 gap edge), absorbed by the exact-verify stage.
     */
   private[graft] val JaccardThreshold = 0.5
   private val MinhashK = 64
-  private[ops] val Bands = 16
-  private[ops] val RowsPerBand = 4
+  private[ops] val Bands = 21
+  private[ops] val RowsPerBand = 3
   // 60-bit hash, 2-of-12 block-pair bucketing → every pair within hamming
   // ≤ 10 is guaranteed a bucket collision. SimHash is the BOUNDED-RADIUS
   // secondary near-dup filter: its contract is "all true pairs within
@@ -231,6 +239,37 @@ object DedupOps {
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     dedupSimhashStaged(s, dir).hygienic()
 
+  /** Per-pair recall floor for the SimHash screen, graded against the
+    * in-query exact truth ([[exactJaccardPairs]]). Measured recall across
+    * the driver corpora: 1.00 (sf0.001), 1.00 (sf0.01), 0.988 (sf0.1 —
+    * 253/256; the 3 misses sit at hamming 11–15, outside the screen's
+    * ≤ blocks−2 = 10 radius). Recall is DETERMINISTIC per (corpus,
+    * config) — fixed hash, fixed blocks — so the floor only has to clear
+    * fixture-REGENERATION variance: with ~256 true pairs and a ~1–3 %
+    * per-pair miss rate the regenerated-recall s.d. is ≈ 0.01, putting
+    * the 0.9 floor ~5σ under the 0.988 observed minimum (the σ-audit
+    * discipline of SCALE.md "Sketch-audit error envelopes").
+    */
+  private val SimhashRecallFloorMilli = 900L
+
+  /** The SimHash query, restructured (round 15) to grade the screen the
+    * way `ann_*_recall` grades the ANN paths — because what it claimed
+    * before was false at scale: the old oracle asserted the block-pair
+    * screen finds EVERY J ≥ 0.5 pair, which held at sf0.01 by luck of 25
+    * pairs and broke at sf0.1 (3 of 256 true pairs at hamming 11–15; on
+    * ~43-shingle docs even a J ≈ 0.95 pair can flip > 10 of 60 bits).
+    * The sf0.1 exact oracle — tractable for the first time this round —
+    * caught it.
+    *
+    * Output: the EXACT truth pairs (a_id, b_id, j — hash-matched by the
+    * oracle's posting-list replay) plus two corpus-level audit booleans:
+    * `recall_ok` (screen found ≥ floor of the truth — see
+    * [[SimhashRecallFloorMilli]]) and `precision_ok` (everything the
+    * screen emitted IS a truth pair — structural, since candidates are
+    * exact-Jaccard-verified; asserting it pins the two paths' verify
+    * stages against each other). The audit aggregates are 1-row
+    * broadcasts (policy-compliant).
+    */
   private[graft] def dedupSimhashStaged(s: SparkSession, dir: String): Staged = {
     val sh = shingled(documents(s, dir)).cache()
     val hashed = simhashes(documents(s, dir))
@@ -247,7 +286,73 @@ object DedupOps {
       .where(hamming(col("x.sim"), col("y.sim")) <= SimhashBlocks - 2)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    Staged(verifyPairs(candidates, sh), sh, blocked)
+    val found = verifyPairs(candidates, sh)
+      .select(col("a_id"), col("b_id"), lit(1L).as("fnd"))
+    // truth is referenced twice (rows out + audit in) — cache, released
+    // by Staged like every other query-local cache
+    val truth = exactJaccardPairs(sh).cache()
+    // full outer so ONE aggregate yields all three counts (truth-only,
+    // both, found-only) — no second 1-row cross join in the plan
+    val hits = truth.select(col("a_id"), col("b_id"), lit(1L).as("tru"))
+      .join(found, Seq("a_id", "b_id"), "full_outer")
+    val audit = hits.agg(
+        coalesce(sum(coalesce(col("tru"), lit(0L))), lit(0L)).as("n_true"),
+        coalesce(sum(when(col("tru").isNotNull && col("fnd").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_hit"),
+        coalesce(sum(coalesce(col("fnd"), lit(0L))), lit(0L)).as("n_found"))
+      .select(
+        (col("n_hit") * 1000 >= col("n_true") * SimhashRecallFloorMilli)
+          .as("recall_ok"),
+        (col("n_found") === col("n_hit")).as("precision_ok"))
+    Staged(
+      truth.crossJoin(broadcast(audit)) // 1-row audit: annotation, not fanout
+        .orderBy(col("a_id"), col("b_id")),
+      sh, blocked, truth)
+  }
+
+  /** EXACT Jaccard pair enumeration — the in-engine ground-truth path
+    * (the All-Pairs / PPJoin family, Bayardo et al. WWW'07): posting-list
+    * candidate generation with PREFIX FILTERING, then the same
+    * [[verifyPairs]] exact verify every fuzzy path uses.
+    *
+    * Soundness of the prefix filter (no candidate lost): order shingles
+    * globally by (document frequency asc, hash) and call a doc's first
+    * n − ⌈θ·n⌉ + 1 shingles its prefix. For any pair with J(A,B) ≥ θ,
+    * I = |A∩B| satisfies I ≥ θ(|A|+|B|)/(1+θ) ≥ θ·|A| (since |B| ≥ I),
+    * so the intersection cannot fit inside A's last ⌈θ|A|⌉ − 1 shingles —
+    * it must hit A's prefix. Joining PREFIX posts × FULL posts therefore
+    * finds every qualifying pair from the smaller-id side alone; the
+    * least/greatest + distinct collapses the two directions.
+    *
+    * Scale: shuffles are keyed on shingle hashes (narrow, uniform);
+    * prefix tokens are by construction the RAREST in each doc, so the
+    * candidate volume is Σ_g df_prefix(g)·df(g) — a small fraction of the
+    * full posting join's Σ df², which is itself already linear-ish on
+    * near-dup-sparse corpora. The window runs per doc_id over ≤ |doc|
+    * rows. This is the verifier/truth tier; the LSH paths remain the
+    * constant-work-per-doc screens.
+    */
+  private[graft] def exactJaccardPairs(sh: DataFrame): DataFrame = {
+    val posts = sh
+      .select(col("doc_id"), explode(col("sh_hashes")).as("g"))
+      .distinct()
+    val sizes = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = posts.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val prefix = posts.join(dfreq, "g")
+      .withColumn("rk", row_number().over(w))
+      .join(sizes, "doc_id")
+      .where(col("rk") <=
+        col("n") - ceil(col("n") * lit(JaccardThreshold)).cast("long") + 1)
+      .select(col("doc_id"), col("g"))
+    val cands = prefix.as("x")
+      .join(posts.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
+      .distinct()
+    verifyPairs(cands, sh)
   }
 
   /** Exact-Jaccard verification of candidate pairs (the final stage of every
@@ -411,15 +516,28 @@ object DedupOps {
        |FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') w
        |      FROM documents $filter)""".stripMargin
 
+  /** Ground-truth Jaccard pairs via POSTING-LIST candidate generation —
+    * provably identical to the naive all-pairs theta join it replaced:
+    * J(A,B) ≥ θ > 0 implies |A∩B| ≥ 1, so every qualifying pair shares a
+    * shingle and appears in the equi-join; |A∩B| = the pair's match count
+    * (shingle lists are distinct), and J = inter/(|A|+|B|−inter) is the
+    * same number the list_intersect/list_distinct form computed. Work is
+    * Σ df² over shingles (~1.1 M candidate rows at sf0.1, 1.9 s) instead
+    * of n²/2 array intersections (12.5 M at sf0.1 — blew the 45 s oracle
+    * box). Validated equal to the old text at sf0.01 (25/25 pairs).
+    */
   private def duckPairs(filter: String): String =
-    s"""WITH tok AS (${duckShingled(filter)})
-       |SELECT a_id, b_id, j FROM (
-       |  SELECT a.doc_id a_id, b.doc_id b_id,
-       |    CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
-       |         ELSE len(list_intersect(a.t, b.t))::DOUBLE / len(list_distinct(a.t || b.t))::DOUBLE
-       |    END AS j
-       |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id)
-       |WHERE j >= $JaccardThreshold ORDER BY a_id, b_id""".stripMargin
+    s"""WITH tok AS (${duckShingled(filter)}),
+       |post AS (SELECT doc_id, unnest(t) AS g FROM tok),
+       |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |         FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+       |         GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |  inter::DOUBLE / (ta.n + tb.n - inter)::DOUBLE AS j
+       |FROM cand JOIN (SELECT doc_id, len(t) AS n FROM tok) ta ON ta.doc_id = a_id
+       |          JOIN (SELECT doc_id, len(t) AS n FROM tok) tb ON tb.doc_id = b_id
+       |WHERE inter::DOUBLE / (ta.n + tb.n - inter)::DOUBLE >= $JaccardThreshold
+       |ORDER BY a_id, b_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -464,22 +582,29 @@ object DedupOps {
          |    AND len(a.t)::DOUBLE >= len(b.t) * $JaccardThreshold
          |    AND len(b.t)::DOUBLE >= len(a.t) * $JaccardThreshold)
          |WHERE j >= $JaccardThreshold ORDER BY a_id, b_id""".stripMargin,
+    // posting-list candidate generation (same provable equivalence as
+    // duckPairs: containment ≥ 0.5 requires a shared shingle, so the
+    // equi-join misses no qualifying pair; the suspect-stratum × corpus
+    // theta join was quadratic and blew the sf0.1 oracle box)
     "dedup_containment" ->
       s"""WITH tok AS (${duckShingled("")}),
-         |pairs AS (
+         |post AS (SELECT doc_id, unnest(t) AS g FROM tok),
+         |cand AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |    CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS n_inter,
-         |    CAST(len(a.t) AS BIGINT) AS n_a
-         |  FROM tok a JOIN tok b
-         |    ON a.doc_id % 10 = 3 AND a.doc_id <> b.doc_id AND len(a.t) > 0)
-         |SELECT a_id, b_id, n_inter, n_a,
-         |  n_inter * 1000 // n_a AS containment_milli
-         |FROM pairs WHERE n_inter * 1000 // n_a >= 500
+         |    CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM (SELECT * FROM post WHERE doc_id % 10 = 3) a
+         |  JOIN post b ON a.g = b.g AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, n_inter, CAST(ta.n AS BIGINT) AS n_a,
+         |  n_inter * 1000 // ta.n AS containment_milli
+         |FROM cand JOIN (SELECT doc_id, len(t) AS n FROM tok) ta ON ta.doc_id = a_id
+         |WHERE n_inter * 1000 // ta.n >= 500
          |ORDER BY a_id, b_id""".stripMargin,
-    // The bucketed paths are graded against the same brute-force truth: on
-    // this corpus (no pair in the (0.15, 0.9) Jaccard gap) banded MinHash /
-    // blocked SimHash find every true pair, so their verified output must
-    // EQUAL the exhaustive pair set.
+    // Banded MinHash is graded against the exhaustive truth — equality is
+    // a ≥5σ bet at the fixture's J ≥ 0.8 pair floor with 21 bands × 3 rows
+    // (see the banding constants' doc). SimHash is NOT equality-graded any
+    // more: its bounded hamming radius provably cannot cover J ≥ 0.5 on
+    // short docs, so it gets the recall-audit contract below.
     "dedup_minhash_lsh" -> duckPairs(""),
     // same exhaustive-truth argument as dedup_minhash_lsh (banded MinHash
     // is exhaustive at J >= 0.5 on this corpus), rolled up by source pair
@@ -492,7 +617,17 @@ object DedupOps {
          |JOIN documents da ON pairs.a_id = da.doc_id
          |JOIN documents db ON pairs.b_id = db.doc_id
          |GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin,
-    "dedup_simhash" -> duckPairs(""),
+    // the rows are the EXACT truth pairs (posting-list replay); the two
+    // audit booleans grade the simhash screen (recall ≥ 0.9 floor,
+    // precision structural) — the ann_*_recall contract, adopted after
+    // the sf0.1 exact oracle showed the old "screen == brute force"
+    // equality claim false at scale (3 of 256 pairs at hamming 11-15)
+    "dedup_simhash" ->
+      s"""WITH pairs AS (${duckPairs("")})
+         |SELECT a_id, b_id, j,
+         |  CAST(true AS BOOLEAN) AS recall_ok,
+         |  CAST(true AS BOOLEAN) AS precision_ok
+         |FROM pairs ORDER BY a_id, b_id""".stripMargin,
     // String 8-grams mirror the engine's positional hashes (identical
     // islands modulo 64-bit collisions); same planted-excerpt fixture,
     // same cross-doc (count-distinct ≥ 2) duplication contract, same

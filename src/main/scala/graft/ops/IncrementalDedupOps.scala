@@ -95,7 +95,8 @@ object IncrementalDedupOps {
     * against it, then append the batch (so the next batch would see it).
     * The returned pairs equal the exhaustive batch×corpus Jaccard join —
     * same completeness argument as `dedup_minhash_lsh` (no corpus pair in
-    * the (0.15, 0.9) Jaccard gap ⇒ banded LSH misses nothing).
+    * the (0.15, 0.8) Jaccard gap ⇒ the 21 × 3 banded LSH misses a
+    * qualifying pair with p ≤ 2.9e-7, a ≥5σ bet — see DedupOps).
     */
   private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
@@ -112,18 +113,27 @@ object IncrementalDedupOps {
     "dedup_incremental" -> (dedupIncremental _)
   )
 
+  // posting-list candidate generation (provably ≡ the corpus × batch
+  // theta join it replaced: J ≥ 0.5 > 0 requires a shared shingle, and
+  // J = inter/(n_a + n_b − inter) is the same number — see
+  // DedupOps.duckPairs; the theta form was quadratic and blew the sf0.1
+  // oracle box)
   val oracleSql: Map[String, String] = Map(
     "dedup_incremental" ->
-      s"""WITH tok AS (${DedupOps.duckShingled("")})
-         |SELECT b.doc_id AS new_id, a.doc_id AS corpus_id,
-         |  CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
-         |       ELSE len(list_intersect(a.t, b.t))::DOUBLE / len(list_distinct(a.t || b.t))::DOUBLE
-         |  END AS j
-         |FROM tok a JOIN tok b
-         |  ON NOT (a.doc_id % 10 = 3) AND b.doc_id % 10 = 3
-         |WHERE CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
-         |           ELSE len(list_intersect(a.t, b.t))::DOUBLE / len(list_distinct(a.t || b.t))::DOUBLE
-         |      END >= ${DedupOps.JaccardThreshold}
+      s"""WITH tok AS (${DedupOps.duckShingled("")}),
+         |post AS (SELECT doc_id, unnest(t) AS g FROM tok),
+         |cand AS (
+         |  SELECT b.doc_id AS new_id, a.doc_id AS corpus_id, count(*) AS inter
+         |  FROM (SELECT * FROM post WHERE NOT (doc_id % 10 = 3)) a
+         |  JOIN (SELECT * FROM post WHERE doc_id % 10 = 3) b ON a.g = b.g
+         |  GROUP BY 1, 2)
+         |SELECT new_id, corpus_id,
+         |  inter::DOUBLE / (ta.n + tb.n - inter)::DOUBLE AS j
+         |FROM cand
+         |JOIN (SELECT doc_id, len(t) AS n FROM tok) ta ON ta.doc_id = corpus_id
+         |JOIN (SELECT doc_id, len(t) AS n FROM tok) tb ON tb.doc_id = new_id
+         |WHERE inter::DOUBLE / (ta.n + tb.n - inter)::DOUBLE
+         |  >= ${DedupOps.JaccardThreshold}
          |ORDER BY new_id, corpus_id""".stripMargin
   )
 }

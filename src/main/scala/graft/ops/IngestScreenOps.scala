@@ -304,17 +304,17 @@ object IngestScreenOps {
          |  END AS t
          |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') w
          |        FROM corpus)),
+         |postb AS (SELECT doc_id, unnest(t) AS g FROM tokb),
+         |postc AS (SELECT doc_id, unnest(t) AS g FROM tokc),
+         |candn AS (
+         |  SELECT b.doc_id AS b_id, c.doc_id AS c_id, count(*) AS inter
+         |  FROM postb b JOIN postc c ON b.g = c.g GROUP BY 1, 2),
          |dn AS (
-         |  SELECT DISTINCT doc_id FROM (
-         |    SELECT b.doc_id,
-         |      CASE WHEN len(list_distinct(b.t || c.t)) = 0 THEN 0.0
-         |           ELSE len(list_intersect(b.t, c.t))::DOUBLE
-         |                / len(list_distinct(b.t || c.t))::DOUBLE
-         |      END AS j
-         |    FROM tokb b JOIN tokc c
-         |      ON len(b.t)::DOUBLE >= len(c.t) * ${DedupOps.JaccardThreshold}
-         |     AND len(c.t)::DOUBLE >= len(b.t) * ${DedupOps.JaccardThreshold})
-         |  WHERE j >= ${DedupOps.JaccardThreshold}),
+         |  SELECT DISTINCT b_id AS doc_id FROM candn
+         |  JOIN (SELECT doc_id, len(t) AS n FROM tokb) nb ON nb.doc_id = b_id
+         |  JOIN (SELECT doc_id, len(t) AS n FROM tokc) nc ON nc.doc_id = c_id
+         |  WHERE inter::DOUBLE / (nb.n + nc.n - inter)::DOUBLE
+         |    >= ${DedupOps.JaccardThreshold}),
          |$duckPiiRepCtes
          |SELECT b.doc_id,
          |  CASE WHEN b.doc_id IN (SELECT doc_id FROM de) THEN 'dup_exact'

@@ -73,7 +73,16 @@ object NestedBillingOps {
   def billingRows(spark: SparkSession, dir: String): DataFrame = {
     val sch = BillingExportSchema.schema
     def t(field: String) = sch(field).dataType
+    // The bench fixtures are ONE parquet split (2 MB at sf0.1), so without
+    // this exchange the whole nested-struct build + JSON boundary chain
+    // runs on a single task until the destination write's rebalance — the
+    // entire one-time fixture-build cost serialized on one core (measured
+    // as the sweep's slowest entry). Shuffle the RAW event rows (cheap,
+    // flat) to session parallelism before the expensive per-row work; on a
+    // real deployment the input is already thousands of splits and AQE
+    // coalesces this exchange to a no-op-sized plan step.
     val ev = Tables.load(spark, dir, "events")
+      .repartition(math.max(1, spark.sparkContext.defaultParallelism))
     val uid = col("user_id")
     val eid = col("event_id")
 

@@ -82,7 +82,9 @@ object SamplingOps {
     * (test bands ⋈ train bands — at 100 TB the test side is tiny and
     * broadcastable, the train side reuses the persisted signature index),
     * then exact-Jaccard verified. Same completeness argument as the dedup
-    * family: no corpus pair sits in the (0.15, 0.9) Jaccard gap.
+    * family: no corpus pair sits in the (0.15, 0.8) Jaccard gap, and the
+    * 21 × 3 banding misses a J ≥ 0.8 pair with p ≤ 2.9e-7 (≥5σ — see the
+    * DedupOps banding constants).
     */
   private def decontaminateTestSplit(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
@@ -702,22 +704,29 @@ object SamplingOps {
         |  round(quantile_cont(n_chars, 0.75), 6) AS p75,
         |  round(quantile_cont(n_chars, 0.95), 6) AS p95
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-    // Exhaustive test×train trigram-Jaccard join — the brute-force truth the
-    // banded candidate generation must equal (same completeness argument as
-    // dedup_minhash_lsh: no corpus pair sits in the (0.15, 0.9) Jaccard gap,
-    // and banded MinHash is exhaustive at J >= 0.5 on this corpus).
+    // Exhaustive test×train trigram-Jaccard truth the banded candidate
+    // generation must equal (same completeness argument as
+    // dedup_minhash_lsh: no corpus pair sits in the (0.15, 0.8) Jaccard
+    // gap, and the 21 × 3 banding is a ≥5σ bet at J ≥ 0.8).
+    // Enumerated via posting-list candidates — provably the same pair set
+    // as the cross theta join it replaced (J ≥ 0.5 > 0 requires a shared
+    // shingle; see DedupOps.duckPairs), tractable inside the oracle box.
     "decontaminate_test_split" ->
-      s"""WITH tok AS (${DedupOps.duckShingled("")})
-         |SELECT test_id, train_id, j FROM (
-         |  SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
-         |    CASE WHEN len(list_distinct(te.t || tr.t)) = 0 THEN 0.0
-         |         ELSE len(list_intersect(te.t, tr.t))::DOUBLE
-         |              / len(list_distinct(te.t || tr.t))::DOUBLE
-         |    END AS j
-         |  FROM tok te JOIN tok tr ON true
-         |  WHERE substr(md5(te.doc_id::VARCHAR), 32, 1) >= 'e'
-         |    AND substr(md5(tr.doc_id::VARCHAR), 32, 1) < 'c')
-         |WHERE j >= ${DedupOps.JaccardThreshold}
+      s"""WITH tok AS (${DedupOps.duckShingled("")}),
+         |post AS (SELECT doc_id, unnest(t) AS g FROM tok),
+         |cand AS (
+         |  SELECT te.doc_id AS test_id, tr.doc_id AS train_id, count(*) AS inter
+         |  FROM (SELECT * FROM post WHERE substr(md5(doc_id::VARCHAR), 32, 1) >= 'e') te
+         |  JOIN (SELECT * FROM post WHERE substr(md5(doc_id::VARCHAR), 32, 1) < 'c') tr
+         |    ON te.g = tr.g
+         |  GROUP BY 1, 2)
+         |SELECT test_id, train_id,
+         |  inter::DOUBLE / (ta.n + tb.n - inter)::DOUBLE AS j
+         |FROM cand
+         |JOIN (SELECT doc_id, len(t) AS n FROM tok) ta ON ta.doc_id = test_id
+         |JOIN (SELECT doc_id, len(t) AS n FROM tok) tb ON tb.doc_id = train_id
+         |WHERE inter::DOUBLE / (ta.n + tb.n - inter)::DOUBLE
+         |  >= ${DedupOps.JaccardThreshold}
          |ORDER BY test_id, train_id""".stripMargin,
     // String 8-grams mirror the engine's hashed ones — identical pair
     // counts modulo 64-bit collisions. Same doc-frequency cap both sides.

@@ -378,7 +378,10 @@ object StreamingIngest {
       .withColumn("n_est", expr(s"graft_cms_lookup(cms, k, $D, $W)"))
       .select(col("rnk"), col("user_id"), col("n_exact"),
         (col("n_est") >= col("n_exact")).as("est_ge_exact"),
-        ((col("n_est") - col("n_exact")) * W <= col("n_total") * 4).as("in_envelope"))
+        // envelope factor 32 = the batch twin's distribution-free ≥5σ
+        // bound (32⁻⁵ per key; see statsCountmin's scaladoc) — the two
+        // sides must grade identically for the oracle reuse to hold
+        ((col("n_est") - col("n_exact")) * W <= col("n_total") * 32).as("in_envelope"))
       .orderBy(col("rnk"))
   }
 

@@ -124,6 +124,22 @@ class PlanSpec extends AnyFunSuite {
         s"candidate generation regressed to all-pairs\n$plan")
   }
 
+  test("simhash + exact-truth path: every data join is an equi-join") {
+    // the round-15 shape: simhash screen + prefix-filtered posting-join
+    // truth (All-Pairs/PPJoin) + a 1-row audit annotation. The ONLY
+    // permitted nested-loop is that single-row broadcast (an annotation,
+    // not candidate generation) — so pin its count to exactly one and ban
+    // cartesians outright.
+    val staged = ops.DedupOps.dedupSimhashStaged(spark, Sf0001)
+    val plan = physical(staged.plan)
+    staged.release()
+    assert(!plan.contains("CartesianProduct"),
+      s"neither the screen nor the truth path may plan a cartesian\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1,
+      s"only the 1-row audit annotation may nested-loop; more means a " +
+        s"candidate join regressed to all-pairs\n$plan")
+  }
+
   test("incremental dedup (batch vs persisted index) stays equality-joined too") {
     val plan = physical(ops.IncrementalDedupOps.queries("dedup_incremental")(spark, Sf0001))
     assert(!plan.contains("CartesianProduct"), plan)
