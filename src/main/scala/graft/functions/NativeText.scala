@@ -4,10 +4,10 @@ import java.util.Locale
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native (codegen'd) text hashing for the dedup hot path.
@@ -100,6 +100,32 @@ object NativeText {
   /** Distinct position-mixed trigram hashes (sorted; set semantics). */
   def shingleHashes(s: UTF8String): ArrayData =
     new GenericArrayData(ngramHashArray(tokenHashArray(s), 3))
+
+  /** Exact Jaccard of two SORTED DISTINCT long arrays in ONE merge pass —
+    * the verify-stage hot path. The generic
+    * `array_intersect`/`array_union` formulation builds two boxed hash
+    * sets per PAIR (and the union twice); with millions of candidate
+    * pairs per corpus that dominates every exact-verify stage. Every
+    * caller feeds arrays from [[ngramHashArray]] (sorted, distinct by
+    * construction — the contract is the function name); J = inter /
+    * (|A| + |B| − inter), 0.0 when both sides are empty.
+    */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na + nb == 0) return 0.0
+    var i = 0
+    var jj = 0
+    var inter = 0
+    while (i < na && jj < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(jj)
+      if (x == y) { inter += 1; i += 1; jj += 1 }
+      else if (x < y) i += 1
+      else jj += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
 
   /** Distinct 8-gram hashes — the exact-overlap decontamination feature
     * (GPT-3-style n-gram contamination checks use 8–13-gram windows; 8
@@ -279,7 +305,8 @@ object NativeText {
     "graft_repetition_stats" -> (exprs => RepetitionStatsExpr(exprs.head)),
     "graft_ngram8_hashes" -> (exprs => Ngram8HashesExpr(exprs.head)),
     "graft_ngram8_pos_hashes" -> (exprs => Ngram8PosHashesExpr(exprs.head)),
-    "graft_normalize_text" -> (exprs => NormalizeTextExpr(exprs.head))
+    "graft_normalize_text" -> (exprs => NormalizeTextExpr(exprs.head)),
+    "graft_jaccard_sorted" -> (exprs => JaccardSortedExpr(exprs(0), exprs(1)))
   )
 }
 
@@ -405,4 +432,30 @@ case class Simhash60Expr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_simhash60"
   override protected def withNewChildInternal(newChild: Expression): Simhash60Expr =
     copy(child = newChild)
+}
+
+/** One-pass merge Jaccard over two sorted-distinct long arrays — see
+  * [[NativeText.jaccardSorted]] for the contract and why it replaces the
+  * `array_intersect`/`array_union` formulation on the verify hot path.
+  */
+case class JaccardSortedExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> columns, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeText.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.NativeText$$.MODULE$$.jaccardSorted($a, $b)")
+  override def prettyName: String = "graft_jaccard_sorted"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSortedExpr =
+    copy(left = newLeft, right = newRight)
 }

@@ -35,6 +35,17 @@ object TextFunctions {
       .otherwise(size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)).cast("double"))
 
+  /** [[jaccard]] specialized to SORTED DISTINCT hash arrays (the
+    * `graft_shingle_hashes` / `graft_ngram8_hashes` output contract):
+    * one merge pass in generated code instead of three boxed hash-set
+    * builds per pair — the exact-verify stages run millions of pairs, so
+    * this is the dedup family's hot inner loop. Same value as [[jaccard]]
+    * on such inputs (property-pinned in NativeTextSpec); requires
+    * [[NativeText.register]] on the session (every dedup path registers).
+    */
+  def jaccardSorted(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_jaccard_sorted", a, b)
+
   /** Hash each shingle once — the input to the MinHash permutation family.
     * Materialize this as its own column so the k permutations below reuse
     * it instead of re-hashing strings k times.

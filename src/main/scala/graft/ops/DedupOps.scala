@@ -160,7 +160,7 @@ object DedupOps {
           col("n").cast("double") >= col("x_n") * JaccardThreshold)
       .select(least(col("x_id"), col("doc_id")).as("a_id"),
         greatest(col("x_id"), col("doc_id")).as("b_id"),
-        jaccard(col("x_sh"), col("sh_hashes")).as("j"))
+        jaccardSorted(col("x_sh"), col("sh_hashes")).as("j"))
       .where(col("j") >= JaccardThreshold)
       // a pair whose endpoints are BOTH anchors is found from each side;
       // j is symmetric and deterministic, so distinct collapses it
@@ -290,7 +290,8 @@ object DedupOps {
       .select(col("a_id"), col("b_id"), lit(1L).as("fnd"))
     // truth is referenced twice (rows out + audit in) — cache, released
     // by Staged like every other query-local cache
-    val truth = exactJaccardPairs(sh).cache()
+    val (truthPairs, posts) = exactJaccardPairs(sh)
+    val truth = truthPairs.cache()
     // full outer so ONE aggregate yields all three counts (truth-only,
     // both, found-only) — no second 1-row cross join in the plan
     val hits = truth.select(col("a_id"), col("b_id"), lit(1L).as("tru"))
@@ -307,7 +308,7 @@ object DedupOps {
     Staged(
       truth.crossJoin(broadcast(audit)) // 1-row audit: annotation, not fanout
         .orderBy(col("a_id"), col("b_id")),
-      sh, blocked, truth)
+      sh, blocked, truth, posts)
   }
 
   /** EXACT Jaccard pair enumeration — the in-engine ground-truth path
@@ -332,16 +333,23 @@ object DedupOps {
     * rows. This is the verifier/truth tier; the LSH paths remain the
     * constant-work-per-doc screens.
     */
-  private[graft] def exactJaccardPairs(sh: DataFrame): DataFrame = {
+  /** Returns (pairs, posts-cache). The caller owns releasing the second
+    * element — hand it to [[Staged]] like every other query-local cache
+    * (the posting relation is referenced by three downstream plans: the
+    * doc-frequency rollup, the prefix ranking, and the candidate probe
+    * side; uncached it would re-run the explode per reference).
+    * `graft_shingle_hashes` has SET semantics (sorted distinct), so the
+    * explode needs no dedup shuffle and the set size is `size(sh_hashes)`.
+    */
+  private[graft] def exactJaccardPairs(sh: DataFrame): (DataFrame, DataFrame) = {
     val posts = sh
-      .select(col("doc_id"), explode(col("sh_hashes")).as("g"))
-      .distinct()
-    val sizes = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .select(col("doc_id"), size(col("sh_hashes")).as("n"),
+        explode(col("sh_hashes")).as("g"))
+      .cache()
     val dfreq = posts.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
     val prefix = posts.join(dfreq, "g")
       .withColumn("rk", row_number().over(w))
-      .join(sizes, "doc_id")
       .where(col("rk") <=
         col("n") - ceil(col("n") * lit(JaccardThreshold)).cast("long") + 1)
       .select(col("doc_id"), col("g"))
@@ -352,7 +360,7 @@ object DedupOps {
         least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
       .distinct()
-    verifyPairs(cands, sh)
+    (verifyPairs(cands, sh), posts)
   }
 
   /** Exact-Jaccard verification of candidate pairs (the final stage of every
@@ -364,7 +372,7 @@ object DedupOps {
     candidates
       .join(sh.select(col("doc_id").as("a_id"), col("sh_hashes").as("a_sh")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh_hashes").as("b_sh")), "b_id")
-      .select(col("a_id"), col("b_id"), jaccard(col("a_sh"), col("b_sh")).as("j"))
+      .select(col("a_id"), col("b_id"), jaccardSorted(col("a_sh"), col("b_sh")).as("j"))
       .where(col("j") >= JaccardThreshold)
       .orderBy(col("a_id"), col("b_id"))
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextFunctions.{bandHashes, jaccard}
+import graft.functions.TextFunctions.{bandHashes, jaccardSorted}
 
 /** Incremental near-dup detection: a NEW BATCH of documents deduped against
   * a PERSISTED signature index, without re-signaturing (or even re-reading)
@@ -86,7 +86,7 @@ object IncrementalDedupOps {
       .join(newSh, "new_id")
       .join(corpusSh, "corpus_id")
       .select(col("new_id"), col("corpus_id"),
-        jaccard(col("n_sh"), col("c_sh")).as("j"))
+        jaccardSorted(col("n_sh"), col("c_sh")).as("j"))
       .where(col("j") >= DedupOps.JaccardThreshold)
       .orderBy(col("new_id"), col("corpus_id"))
   }

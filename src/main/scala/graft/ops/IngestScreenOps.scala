@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextFunctions.jaccard
+import graft.functions.TextFunctions.jaccardSorted
 
 /** The daily-ingest screening pipeline, end to end: a new batch of
   * documents arrives, and every doc gets exactly one disposition —
@@ -79,7 +79,7 @@ object IngestScreenOps {
         .select(col("doc_id").as("batch_id"), col("sh_hashes").as("bsh")), "batch_id")
       .join(DedupOps.shingled(corpus)
         .select(col("doc_id").as("corpus_id"), col("sh_hashes").as("csh")), "corpus_id")
-      .where(jaccard(col("bsh"), col("csh")) >= DedupOps.JaccardThreshold)
+      .where(jaccardSorted(col("bsh"), col("csh")) >= DedupOps.JaccardThreshold)
       .select(col("batch_id").as("doc_id"))
       .distinct()
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextFunctions.{jaccard, tokens}
+import graft.functions.TextFunctions.{jaccardSorted, tokens}
 
 /** Reproducible corpus sampling and splitting — the training-mix
   * construction ops a 100 TB pipeline runs daily (downsample dominant
@@ -104,7 +104,7 @@ object SamplingOps {
       .join(testSh, "test_id")
       .join(trainSh, "train_id")
       .select(col("test_id"), col("train_id"),
-        jaccard(col("te_sh"), col("tr_sh")).as("j"))
+        jaccardSorted(col("te_sh"), col("tr_sh")).as("j"))
       .where(col("j") >= DedupOps.JaccardThreshold)
       .orderBy(col("test_id"), col("train_id"))
   }

@@ -23,6 +23,7 @@ class ExactPairsPropertySpec extends AnyFunSuite {
 
   test("property: prefix-filtered posting join ≡ naive all-pairs Jaccard") {
     import sp.implicits._
+    functions.NativeText.register(spark) // verify stage uses graft_jaccard_sorted
     val theta = ops.DedupOps.JaccardThreshold
     val corpusGen = for {
       nDocs <- Gen.chooseNum(2, 40)
@@ -40,10 +41,14 @@ class ExactPairsPropertySpec extends AnyFunSuite {
         union = a.toSet.union(b.toSet).size
         if union > 0 && inter.toDouble / union >= theta
       } yield (aId, bId)).toSet
-      val sh = docs.toDF("doc_id", "sh_hashes")
-      val got = ops.DedupOps.exactJaccardPairs(sh)
+      // the engine contract: sorted distinct hash arrays
+      val sh = docs.map { case (id, hs) => (id, hs.sorted) }
+        .toDF("doc_id", "sh_hashes")
+      val (pairs, posts) = ops.DedupOps.exactJaccardPairs(sh)
+      val got = pairs
         .select(col("a_id"), col("b_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      posts.unpersist()
       if (got != truth)
         println(s"[exact-pairs] missing=${truth -- got} extra=${got -- truth}")
       got == truth

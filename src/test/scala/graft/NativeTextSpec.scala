@@ -21,6 +21,29 @@ class NativeTextSpec extends AnyFunSuite {
     Tables.load(spark, Sf0001, "documents").limit(100).cache()
   }
 
+  test("merge-pass jaccard equals the set-op jaccard on shingle arrays") {
+    // all corpus cross pairs of shingle sets (sorted distinct by the
+    // graft_shingle_hashes contract) — the merge pass must agree with the
+    // array_intersect/array_union formulation bit-for-bit, including
+    // empty-vs-empty (0.0) and empty-vs-nonempty edges
+    val sh = docs.select(col("doc_id"),
+      expr("graft_shingle_hashes(text)").as("t"))
+    val a = sh.select(col("doc_id").as("a_id"), col("t").as("a_t"))
+    val b = sh.select(col("doc_id").as("b_id"), col("t").as("b_t"))
+    val d = a.join(b, col("a_id") % 7 === col("b_id") % 7) // dense sample of pairs
+      .select(
+        TextFunctions.jaccardSorted(col("a_t"), col("b_t")).as("native"),
+        TextFunctions.jaccard(col("a_t"), col("b_t")).as("composable"))
+    assert(d.where(col("native") =!= col("composable")).count() == 0)
+    // the documented empty/empty edge
+    import sp.implicits._
+    val e = Seq((Array.empty[Long], Array.empty[Long]),
+      (Array.empty[Long], Array(1L, 2L))).toDF("x", "y")
+      .select(TextFunctions.jaccardSorted(col("x"), col("y")).as("j"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(e == Seq(0.0, 0.0))
+  }
+
   test("native unigram simhash equals the composable HOF simhash") {
     val d = docs
       .select(expr("graft_simhash60(text)").as("native"),
