@@ -18,8 +18,10 @@ import graft.ops.QueryHygiene.Staged
   * are keyed on (band_idx, band_hash): uniformly-hashed, narrow (16 bytes),
   * and skew-resistant because identical-text clusters are first collapsed
   * by exact dedup. The only all-pairs computation anywhere is *within* a
-  * candidate bucket, whose size is bounded by collision probability, and
-  * the deliberately tiny `dedup_ngram_jaccard` verifier sample.
+  * candidate bucket, whose size is bounded by collision probability; the
+  * `dedup_ngram_jaccard` verifier is a FIXED ~50-anchor set against the
+  * corpus (O(corpus) work, O(1) broadcast side), and the exact truth path
+  * ([[exactJaccardPairs]]) is a prefix-filtered posting join — never n².
   */
 object DedupOps {
 
