@@ -40,8 +40,8 @@ object DedupOps {
     */
   private[graft] val JaccardThreshold = 0.5
   private val MinhashK = 64
-  private[ops] val Bands = 21
-  private[ops] val RowsPerBand = 3
+  private[graft] val Bands = 21
+  private[graft] val RowsPerBand = 3
   // 60-bit hash, 2-of-12 block-pair bucketing → every pair within hamming
   // ≤ 10 is guaranteed a bucket collision. SimHash is the BOUNDED-RADIUS
   // secondary near-dup filter: its contract is "all true pairs within
