@@ -440,13 +440,22 @@ case class Simhash60Expr(child: Expression) extends UnaryExpression {
   */
 case class JaccardSortedExpr(left: Expression, right: Expression)
     extends BinaryExpression {
+  // containsNull = false is REQUIRED, not just preferred: the merge pass
+  // reads primitive longs, so a null element would silently read garbage.
+  // Every producer (the graft_*_hashes family) declares non-null arrays;
+  // an ad-hoc SQL caller with a nullable array gets an analysis error
+  // here instead of a plausible wrong answer. (Sortedness is the other
+  // half of the contract and is in the function's NAME — it cannot be
+  // checked at analysis time; unsorted input belongs to plain set-op
+  // jaccard.)
   override def checkInputDataTypes(): TypeCheckResult =
     if (Seq(left, right).forall(e => e.dataType match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     })) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<bigint> columns, got " +
+      s"$prettyName requires two array<bigint> columns with non-null " +
+        s"elements (the graft_*_hashes contract), got " +
         s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any =

@@ -41,22 +41,62 @@ object IncrementalDedupOps {
 
   /** `(doc_id, band_idx, band_hash)` index rows for a set of documents.
     * Shingleless docs carry no signature and are excluded (they can never
-    * verify above threshold; see the DedupOps note).
+    * verify above threshold; see the DedupOps note). The banding
+    * parameters default to the current engine constants; index probes and
+    * appends pass a persisted index's PINNED parameters instead (the
+    * 64-slot signature itself is generation-stable, banding is
+    * post-processing — so an old-generation index stays probeable).
     */
-  def bandRows(docs: DataFrame): DataFrame = {
+  def bandRows(docs: DataFrame,
+               bands: Int = DedupOps.Bands,
+               rowsPerBand: Int = DedupOps.RowsPerBand): DataFrame = {
     graft.functions.NativeText.register(docs.sparkSession)
     docs.select(col("doc_id"), expr("graft_minhash_sig64(text)").as("sig"))
       .where(col("sig").isNotNull)
       .select(col("doc_id"),
-        posexplode(bandHashes(col("sig"), DedupOps.Bands, DedupOps.RowsPerBand))
+        posexplode(bandHashes(col("sig"), bands, rowsPerBand))
           .as(Seq("band_idx", "band_hash")))
   }
 
-  /** Append a batch's band rows to the persisted index (write-once files;
-    * append adds new files, never rewrites existing ones).
+  /** The banding a persisted index was built with, pinned at creation in
+    * a one-row parquet sidecar (`<indexPath>_params`) — same contract as
+    * [[SimilarityOps.embedIndexParams]]: band hashes from different
+    * (bands, rowsPerBand) generations never match, so a constants bump
+    * (16×4 → 21×3 in round 15) would otherwise make every probe of an
+    * old index silently return ZERO candidates and admit duplicates.
     */
-  def appendToIndex(docs: DataFrame, indexPath: String): Unit =
-    bandRows(docs).write.mode(SaveMode.Append).parquet(indexPath)
+  def indexParams(spark: SparkSession, indexPath: String): Option[(Int, Int)] =
+    if (graft.util.Fs.exists(spark, indexPath + "_params"))
+      spark.read.parquet(indexPath + "_params")
+        .select(col("bands"), col("rows_per_band"))
+        .collect().headOption.map(r => (r.getInt(0), r.getInt(1)))
+    else None
+
+  /** Append a batch's band rows to the persisted index (write-once files;
+    * append adds new files, never rewrites existing ones). The first
+    * append pins the current banding constants in the sidecar; later
+    * appends REUSE the pinned values so the index stays internally
+    * consistent across engine upgrades. Rows are made durable before the
+    * sidecar (crash leaves rows-without-params, which every reader fails
+    * CLOSED on — never params-without-rows; see the embed-index twin).
+    */
+  def appendToIndex(docs: DataFrame, indexPath: String): Unit = {
+    val spark = docs.sparkSession
+    indexParams(spark, indexPath) match {
+      case Some((b, r)) =>
+        bandRows(docs, b, r).write.mode(SaveMode.Append).parquet(indexPath)
+      case None =>
+        if (graft.util.Fs.hasParquetFiles(spark, indexPath))
+          throw new IllegalStateException(
+            s"index $indexPath has rows but no params sidecar " +
+              "(interrupted first append?) — rebuild the index")
+        bandRows(docs).write.mode(SaveMode.Append).parquet(indexPath)
+        import spark.implicits._
+        Seq((DedupOps.Bands, DedupOps.RowsPerBand))
+          .toDF("bands", "rows_per_band")
+          .write.mode(SaveMode.Overwrite).parquet(indexPath + "_params")
+    }
+  }
 
   /** Near-dups of `batch` against the documents already in the index:
     * bucket-join candidates, exact-Jaccard verify (shingles for corpus
@@ -70,8 +110,13 @@ object IncrementalDedupOps {
     // built when the DataFrame is defined), so the returned — lazy — result
     // is pinned to the index as of this call: rows appended afterwards
     // (e.g. this very batch) do not leak into its own candidate set.
+    // probe with the index's PINNED banding — a generation mismatch
+    // between engine constants and persisted rows must never silently
+    // empty the candidate set (fail closed when the sidecar is missing)
+    val (pb, pr) = indexParams(spark, indexPath).getOrElse(
+      throw new IllegalStateException(s"no params sidecar for index $indexPath"))
     val index = spark.read.parquet(indexPath)
-    val batchBands = bandRows(batch)
+    val batchBands = bandRows(batch, pb, pr)
     val candidates = batchBands.as("n")
       .join(index.as("i"),
         col("n.band_idx") === col("i.band_idx") &&

@@ -32,22 +32,27 @@ object TempDirs {
     * deployment's checkpoints and destinations) never come from here —
     * callers pass those paths explicitly.
     */
-  /** Minimum free bytes a RAM-backed candidate must have before we prefer
-    * it over disk tmp. tmpfs is typically capped at 50% of RAM; a
+  /** Minimum free bytes the IMPLICIT /dev/shm default must have before we
+    * prefer it over disk tmp. tmpfs is typically capped at 50% of RAM; a
     * larger-SF sweep that spills shuffle + streaming state there can
     * ENOSPC mid-run where plain disk would have survived. 8 GiB covers
     * the sf0.1 sweep's observed peak with wide margin while still
-    * rejecting a nearly-full or tiny tmpfs.
+    * rejecting a nearly-full or tiny tmpfs. An EXPLICIT `GRAFT_TMP_ROOT`
+    * is exempt: the user named that filesystem on purpose (maybe for a
+    * run that needs far less than 8 GiB), and silently discarding their
+    * override would be an invisible performance regression — it is only
+    * validated for existence/writability.
     */
   private val MinFastRootFreeBytes: Long = 8L << 30
 
   private val fastRoot: Option[Path] = {
-    val cand = java.nio.file.Paths.get(
-      sys.env.getOrElse("GRAFT_TMP_ROOT", "/dev/shm"))
+    val explicit = sys.env.get("GRAFT_TMP_ROOT")
+    val cand = java.nio.file.Paths.get(explicit.getOrElse("/dev/shm"))
     val usable =
       Files.isDirectory(cand) && Files.isWritable(cand) &&
-        (try Files.getFileStore(cand).getUsableSpace >= MinFastRootFreeBytes
-         catch { case _: Throwable => false })
+        (explicit.isDefined ||
+          (try Files.getFileStore(cand).getUsableSpace >= MinFastRootFreeBytes
+           catch { case _: Throwable => false }))
     if (usable) Some(cand) else None
   }
 

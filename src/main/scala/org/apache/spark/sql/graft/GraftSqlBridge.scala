@@ -41,7 +41,14 @@ object GraftSqlBridge {
     * construction (register at memo-build time).
     */
   private val protectedRddIds =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
+
+  // RDD ids restart from 0 when a SparkContext is recreated in the same
+  // JVM, so the key carries the owning context's applicationId — a stale
+  // protection from a stopped context can never shield an unrelated new
+  // checkpoint that happens to reuse the integer id.
+  private def key(lr: org.apache.spark.sql.execution.LogicalRDD): (String, Int) =
+    (lr.rdd.context.applicationId, lr.rdd.id)
 
   /** Marks a checkpointed Dataset as shared: [[releaseLocalCheckpoint]]
     * will skip its blocks. Call once, when the Dataset is built, before
@@ -50,14 +57,14 @@ object GraftSqlBridge {
   def protectSharedCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        val _ = protectedRddIds.add(lr.rdd.id)
+        val _ = protectedRddIds.add(key(lr))
       case _ => ()
     }
 
   def releaseLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD
-          if !protectedRddIds.contains(lr.rdd.id) =>
+          if !protectedRddIds.contains(key(lr)) =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }

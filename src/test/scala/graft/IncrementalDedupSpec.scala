@@ -29,6 +29,44 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() == corpusRows + expectedBatchRows)
   }
 
+  test("an old-generation index stays probeable via its pinned banding") {
+    // the round-15 constants bump (16x4 -> 21x3) must not silently empty
+    // probes of an index persisted under the OLD banding: the sidecar
+    // pins the generation, appends and probes reuse it, and the pair set
+    // equals the current-generation index's (the 64-slot signature is
+    // generation-stable; only recall margins differ, and this corpus's
+    // pairs are found by both)
+    val corpus = docs.where("NOT (doc_id % 10 = 3)")
+    val batch = docs.where("doc_id % 10 = 3")
+    val oldIdx = s"${tmpDir("idx_old_")}/index"
+    ops.IncrementalDedupOps.bandRows(corpus, 16, 4)
+      .write.parquet(oldIdx)
+    import spark.implicits._
+    Seq((16, 4)).toDF("bands", "rows_per_band")
+      .write.parquet(oldIdx + "_params")
+    assert(ops.IncrementalDedupOps.indexParams(spark, oldIdx).contains((16, 4)))
+    val viaOld = ops.IncrementalDedupOps.dedupAgainstIndex(batch, corpus, oldIdx)
+      .select("new_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val newIdx = s"${tmpDir("idx_new_")}/index"
+    ops.IncrementalDedupOps.appendToIndex(corpus, newIdx)
+    // first append pins the CURRENT generation
+    assert(ops.IncrementalDedupOps.indexParams(spark, newIdx)
+      .contains((ops.DedupOps.Bands, ops.DedupOps.RowsPerBand)))
+    val viaNew = ops.IncrementalDedupOps.dedupAgainstIndex(batch, corpus, newIdx)
+      .select("new_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaOld == viaNew && viaNew.nonEmpty,
+      s"old-generation probe diverged: old=$viaOld new=$viaNew")
+    // rows without a sidecar = interrupted first append: probes fail CLOSED
+    val bareIdx = s"${tmpDir("idx_bare_")}/index"
+    ops.IncrementalDedupOps.bandRows(corpus).write.parquet(bareIdx)
+    intercept[IllegalStateException] {
+      ops.IncrementalDedupOps.dedupAgainstIndex(batch, corpus, bareIdx).collect()
+    }
+    intercept[IllegalStateException] {
+      ops.IncrementalDedupOps.appendToIndex(batch, bareIdx)
+    }
+  }
+
   test("embedding index appends add files without rewriting existing ones") {
     val idx = s"${tmpDir("eidx_spec_")}/index"
     val corpus = Tables.load(spark, Sf0001, "embeddings")

@@ -26,8 +26,12 @@ for n in names:
             capture_output=True, text=True, timeout=box)
         res[n] = "PASS" if p.returncode == 0 else "FAIL"
         if p.returncode != 0:
+            # stdout carries the oracle diff line; stderr carries crashes
+            # (ImportError, bad paths) — print both or an environmental
+            # failure masquerades as hundreds of oracle mismatches
             tail = [l for l in p.stdout.splitlines() if n in l][-1:]
-            print(f"FAIL {n}: {tail}", flush=True)
+            err = p.stderr.strip().splitlines()[-2:]
+            print(f"FAIL {n}: {tail} stderr={err}", flush=True)
     except subprocess.TimeoutExpired:
         res[n] = "TIMEOUT"
         print(f"TIMEOUT {n}", flush=True)
