@@ -6,6 +6,15 @@ import org.apache.spark.sql.functions._
 /** Dev harness: measure ANN recall (per-query min/mean) and candidate
   * volume per config across scale factors — the evidence behind the
   * SimilarityOps parameter choices. Args: sfDir...
+  *
+  * FIXTURE-SCALE TOOL, NOT A PIPELINE OP: this main collects the full
+  * brute-force truth pair set driver-side to score configs — fine for the
+  * sf fixtures it exists for, a driver OOM at corpus scale. It is a
+  * registry non-member on purpose and must stay one. The AT-SCALE way to
+  * grade recall is the registered `ann_lsh_recall` / `ann_ivf_recall`
+  * queries, which compute the same per-query recall fully distributed
+  * (truth and candidates meet in a join, only the graded aggregate comes
+  * back).
   */
 object AnnTune {
   def main(args: Array[String]): Unit = {

@@ -22,6 +22,18 @@ import org.apache.spark.sql.SparkSession
   *    costs, not multiples of them.
   *
   * SCALE.md's bench-history table records which mode a number came from.
+  *
+  * SELF-DIAGNOSIS (round 16): a median alone cannot defend itself — a
+  * machine-contended run (round 15's driver artifact: graph_pagerank
+  * median 9.73 s where the plan costs ~1.9 s) is indistinguishable from
+  * a plan regression after the fact. The archived BENCH_FULL.json
+  * therefore carries, per query, the full [min … median … max] spread
+  * plus the warmup time, and a run-environment stamp (1-minute load
+  * average before/after the sweep, availableProcessors, the TempDirs
+  * scratch root, mode, runs-per-query). Reading rule (SCALE.md "Reading
+  * a bench artifact"): median >> min on the same tree means contention,
+  * not regression — trust min for plan-cost trending and check the
+  * loadavg stamp; a REAL regression moves min.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,6 +50,11 @@ object Bench {
       .config("spark.local.dir", graft.util.TempDirs.create("graft_local_"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // expected dead-block unpersist WARNs would bury real ones (USAGE.md)
+    graft.util.Logs.suppressExpectedUnpersistWarnings()
+
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadBefore = osBean.getSystemLoadAverage // -1.0 where unsupported
 
     def esc(s: String): String =
       s.flatMap {
@@ -53,6 +70,10 @@ object Bench {
     try Tables.load(spark, sfDir, "lineitem").count() catch { case _: Throwable => () }
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-query evidence for the archive: (warmup, sorted timed runs) —
+    // the spread is what lets a later reader tell contention (median >>
+    // min) from regression (min moved)
+    val details = scala.collection.mutable.LinkedHashMap[String, (Double, Seq[Double])]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // optional query-name args restrict the sweep (local iteration only;
     // the round driver passes none, so it always times the full surface)
@@ -84,6 +105,7 @@ object Bench {
           // contended single pass: no warmup, no GC, no cache clearing —
           // queries must clean up after THEMSELVES for this to stay flat
           timings(name) = once()
+          details(name) = (0.0, Seq(timings(name)))
         } else {
           // Sweep hygiene: earlier queries' dead shuffles/broadcasts/
           // accumulators are only reclaimed when the ContextCleaner's weak
@@ -94,12 +116,13 @@ object Bench {
           // GC per query, outside the timed window, keeps each timing a
           // property of the query's plan rather than of its sweep position.
           System.gc()
-          once() // per-query warmup (plan compilation, first-touch I/O)
+          val warmup = once() // per-query warmup (plan compilation, first-touch I/O)
           val runs = Seq.fill(timedRuns)(once()).sorted
           // true median: middle value, or mean of the two middles when even
           timings(name) =
             if (runs.size % 2 == 1) runs(runs.size / 2)
             else (runs(runs.size / 2 - 1) + runs(runs.size / 2)) / 2.0
+          details(name) = (warmup, runs)
         }
       } catch {
         case e: Throwable =>
@@ -114,9 +137,23 @@ object Bench {
     println(line)
     // archive the complete per-query map to a repo file as well — log-tail
     // capture truncates long lines, and the full map is what makes
-    // cross-round trending possible
+    // cross-round trending possible. The archive is a SUPERSET of the
+    // stdout line: per-query [min, median, max] + warmup evidence and a
+    // run-environment stamp, so a contended run is identifiable from the
+    // artifact alone (SCALE.md "Reading a bench artifact").
+    val loadAfter = osBean.getSystemLoadAverage
+    val det = details.map { case (k, (warm, runs)) =>
+      val rs = runs.mkString("[", ",", "]")
+      s""""${esc(k)}":{"min":${runs.min},"median":${timings(k)},"max":${runs.max},"warmup":$warm,"runs":$rs}"""
+    }.mkString("{", ",", "}")
+    val env =
+      s"""{"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,""" +
+        s""""available_processors":${Runtime.getRuntime.availableProcessors},""" +
+        s""""scratch_root":"${esc(graft.util.TempDirs.rootDescription)}",""" +
+        s""""mode":"${if (sweepMode) "sweep" else "median"}","timed_runs":$timedRuns}"""
+    val full = line.dropRight(1) + s""","detail":$det,"env":$env}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] archive write failed: ${e.getMessage}") }
     spark.stop()
   }

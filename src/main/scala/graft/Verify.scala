@@ -19,6 +19,8 @@ object Verify {
       .config("spark.local.dir", graft.util.TempDirs.create("graft_local_"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // expected dead-block unpersist WARNs would bury real ones (USAGE.md)
+    graft.util.Logs.suppressExpectedUnpersistWarnings()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

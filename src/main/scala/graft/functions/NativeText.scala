@@ -292,21 +292,37 @@ object NativeText {
     }
   }
 
+  /** Arity guard shared by every registry builder: a SQL call with the
+    * wrong argument count must fail at ANALYSIS time with the function's
+    * name and expected arity, not leak a NoSuchElementException /
+    * IndexOutOfBoundsException from `exprs.head` / `exprs(1)` out of the
+    * resolver.
+    */
+  private def arity(name: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n)
+        throw new IllegalArgumentException(
+          s"$name expects exactly $n argument${if (n == 1) "" else "s"}, " +
+            s"got ${exprs.length}")
+      f(exprs)
+    }
+
   /** (name, builder) pairs — one source of truth shared by [[register]]
     * (per-session wiring) and [[graft.GraftExtensions]] (the
     * `spark.sql.extensions` cluster-wide wiring).
     */
   private[graft] def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_token_hashes" -> (exprs => TokenHashesExpr(exprs.head)),
-    "graft_shingle_hashes" -> (exprs => ShingleHashesExpr(exprs.head)),
-    "graft_simhash60" -> (exprs => Simhash60Expr(exprs.head)),
-    "graft_simhash60_shingles" -> (exprs => Simhash60ShinglesExpr(exprs.head)),
-    "graft_minhash_sig64" -> (exprs => MinhashSig64Expr(exprs.head)),
-    "graft_repetition_stats" -> (exprs => RepetitionStatsExpr(exprs.head)),
-    "graft_ngram8_hashes" -> (exprs => Ngram8HashesExpr(exprs.head)),
-    "graft_ngram8_pos_hashes" -> (exprs => Ngram8PosHashesExpr(exprs.head)),
-    "graft_normalize_text" -> (exprs => NormalizeTextExpr(exprs.head)),
-    "graft_jaccard_sorted" -> (exprs => JaccardSortedExpr(exprs(0), exprs(1)))
+    "graft_token_hashes" -> arity("graft_token_hashes", 1)(exprs => TokenHashesExpr(exprs.head)),
+    "graft_shingle_hashes" -> arity("graft_shingle_hashes", 1)(exprs => ShingleHashesExpr(exprs.head)),
+    "graft_simhash60" -> arity("graft_simhash60", 1)(exprs => Simhash60Expr(exprs.head)),
+    "graft_simhash60_shingles" -> arity("graft_simhash60_shingles", 1)(exprs => Simhash60ShinglesExpr(exprs.head)),
+    "graft_minhash_sig64" -> arity("graft_minhash_sig64", 1)(exprs => MinhashSig64Expr(exprs.head)),
+    "graft_repetition_stats" -> arity("graft_repetition_stats", 1)(exprs => RepetitionStatsExpr(exprs.head)),
+    "graft_ngram8_hashes" -> arity("graft_ngram8_hashes", 1)(exprs => Ngram8HashesExpr(exprs.head)),
+    "graft_ngram8_pos_hashes" -> arity("graft_ngram8_pos_hashes", 1)(exprs => Ngram8PosHashesExpr(exprs.head)),
+    "graft_normalize_text" -> arity("graft_normalize_text", 1)(exprs => NormalizeTextExpr(exprs.head)),
+    "graft_jaccard_sorted" -> arity("graft_jaccard_sorted", 2)(exprs => JaccardSortedExpr(exprs(0), exprs(1)))
   )
 }
 

@@ -79,6 +79,18 @@ object IncrementalDedupOps {
     * consistent across engine upgrades. Rows are made durable before the
     * sidecar (crash leaves rows-without-params, which every reader fails
     * CLOSED on — never params-without-rows; see the embed-index twin).
+    *
+    * CONCURRENCY CONTRACT: one writer per index path. The check-then-write
+    * sidecar protocol is NOT safe under concurrent FIRST appends — two
+    * writers can both observe "no sidecar", both append rows, and race the
+    * sidecar overwrite (harmless only while the banding constants agree).
+    * That matches the index's intended role — the serialized ingest step
+    * of a streaming/batch dedup pipeline, where exactly one job owns an
+    * index generation — and is the same single-writer assumption every
+    * non-transactional parquet append carries. Once the sidecar exists,
+    * concurrent row appends are safe (append-only files; readers take the
+    * pinned params). A multi-writer deployment needs an external lock or
+    * a transactional table format underneath this path.
     */
   def appendToIndex(docs: DataFrame, indexPath: String): Unit = {
     val spark = docs.sparkSession

@@ -56,6 +56,15 @@ object TempDirs {
     if (usable) Some(cand) else None
   }
 
+  /** The scratch root currently in effect — RAM fs, explicit override, or
+    * disk tmp. Diagnostic only (bench artifacts stamp it so a run that
+    * silently fell back from /dev/shm to disk is identifiable from the
+    * artifact alone).
+    */
+  def rootDescription: String =
+    fastRoot.map(_.toString)
+      .getOrElse(sys.props.getOrElse("java.io.tmpdir", "java.io.tmpdir"))
+
   def create(prefix: String): String = {
     val p = fastRoot match {
       case Some(root) => Files.createTempDirectory(root, prefix)

@@ -559,6 +559,47 @@ class PlanSpec extends AnyFunSuite {
     // no wedge set may ever reach an exchange or a closing join
     assert(plan.contains("array_intersect"),
       s"the closing check must be a local array_intersect\n$plan")
+    // degrees come from the materialized graph table — the in-session
+    // rollup (unionAll of both endpoints + groupBy) must be GONE, or
+    // every run re-pays an O(m) exchange for a column the table stores
+    assert(!plan.contains("Union"),
+      s"degree rollup must read the graph table's degrees, not rebuild them\n$plan")
+  }
+
+  test("prepared pagerank never re-distincts the graph table or rebuilds degrees") {
+    // identity checkpointer: keeps the FULL 3-round plan visible (the
+    // registry query truncates lineage per round, hiding prep work from
+    // the final plan string)
+    val full = ops.ClusterOps.pagerankPrepared(
+      ops.ClusterOps.coPurchaseEdges(spark, Sf0001),
+      ops.ClusterOps.coPurchaseDegrees(spark, Sf0001),
+      iterations = 3, checkpointer = df => df)
+    val plan = physical(full)
+    // a defensive re-distinct of the edge list shows up as an aggregate
+    // keyed on BOTH src and dst — one full edge exchange per run at scale
+    val distinctAgg = "HashAggregate\\(keys=\\[src#\\d+L?, dst#\\d+L?\\]".r
+    assert(distinctAgg.findFirstIn(plan).isEmpty,
+      s"graph table is distinct by contract — no re-distinct exchange\n$plan")
+    // degrees are a stored column of the graph table: the only aggregates
+    // in the plan are the per-round contribution rollups (keyed on the
+    // rank row's node), never a degree rebuild keyed on src alone
+    val perRoundAggs = "HashAggregate\\(keys=\\[node#\\d+L?\\]".r
+      .findAllIn(plan).length
+    assert(perRoundAggs >= 3, // partial+final per round, 3 rounds
+      s"rank rollups missing — plan shape changed?\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"equi-joins only\n$plan")
+  }
+
+  test("the materialized co-purchase graph table carries degrees on edges and nodes") {
+    // the 100 TB contract: the graph table a pipeline writes next to the
+    // corpus includes the degree columns, so no consumer ever rebuilds them
+    assert(ops.ClusterOps.coPurchaseEdges(spark, Sf0001).columns.toSeq ==
+      Seq("src", "dst", "d"))
+    assert(ops.ClusterOps.coPurchaseDegrees(spark, Sf0001).columns.toSeq ==
+      Seq("node", "d"))
+    assert(ops.ClusterOps.coPurchaseCanonical(spark, Sf0001).columns.toSeq ==
+      Seq("u", "v"))
   }
 
   test("containment probe is an equi-join on the shingle hash, never all-pairs") {

@@ -44,10 +44,10 @@ class SigmaAuditSpec extends AnyFunSuite {
   private val DynamicAlarm = 1e-6
 
   private def fixtureUnionBound(dir: String): Option[(Double, Int, Double)] = {
-    val sh = DedupOps.shingled(Tables.load(spark, dir, "documents"))
-    val (pairs, posts) = DedupOps.exactJaccardPairs(sh)
-    val js = pairs.select("j").collect().map(_.getDouble(0))
-    posts.unpersist()
+    // the SAME per-(session, dir) truth memo dedup_simhash's audit reads —
+    // the bound is certified against the exact artifact the query grades on
+    val js = DedupOps.truthPairs(spark, dir)
+      .select("j").collect().map(_.getDouble(0))
     if (js.isEmpty) None
     else Some((js.map(j =>
       math.pow(1.0 - math.pow(j, DedupOps.RowsPerBand), DedupOps.Bands)).sum,

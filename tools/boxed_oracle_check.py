@@ -3,8 +3,9 @@
 
 Runs tools/oracle_check.py one query at a time in a subprocess with a
 wall-clock box (default 45 s/query, the grading box), so a pathological
-oracle can never stall the whole sweep. Writes a JSON verdict map next to
-nothing (stdout + /tmp/boxed_oracle.json).
+oracle can never stall the whole sweep. The JSON verdict map is written
+INSIDE the verify out_dir (boxed_oracle.json), so two concurrent runs
+over different scales cannot clobber each other's results.
 
 Usage: python3 tools/boxed_oracle_check.py <verify_out_dir> <sf_dir> [box_s] [query ...]
 Dev tool only -- not part of the engine.
@@ -28,8 +29,12 @@ for n in names:
         if p.returncode != 0:
             # stdout carries the oracle diff line; stderr carries crashes
             # (ImportError, bad paths) — print both or an environmental
-            # failure masquerades as hundreds of oracle mismatches
-            tail = [l for l in p.stdout.splitlines() if n in l][-1:]
+            # failure masquerades as hundreds of oracle mismatches. When no
+            # stdout line names the query (e.g. the checker died before the
+            # compare), fall back to the last raw stdout lines so the FAIL
+            # diagnostic is never an empty tail.
+            tail = [l for l in p.stdout.splitlines() if n in l][-1:] \
+                or p.stdout.strip().splitlines()[-2:]
             err = p.stderr.strip().splitlines()[-2:]
             print(f"FAIL {n}: {tail} stderr={err}", flush=True)
     except subprocess.TimeoutExpired:
@@ -39,5 +44,5 @@ npass = sum(1 for v in res.values() if v == "PASS")
 print(f"\n{npass} PASS / {len(res)} total; "
       f"timeouts: {[k for k, v in res.items() if v == 'TIMEOUT']}; "
       f"fails: {[k for k, v in res.items() if v == 'FAIL']}")
-json.dump(res, open("/tmp/boxed_oracle.json", "w"), indent=1)
+json.dump(res, open(os.path.join(out_dir, "boxed_oracle.json"), "w"), indent=1)
 sys.exit(0 if npass == len(res) else 1)
