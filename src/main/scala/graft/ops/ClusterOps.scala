@@ -257,12 +257,12 @@ object ClusterOps {
                checkpointer: Checkpointer = localCheckpointer): DataFrame = {
     val cached = edges.select(col("src"), col("dst")).distinct().cache()
     val deg = cached.groupBy(col("src")).agg(count(lit(1)).as("d")).cache()
-    val edgesWithDeg = cached.join(deg, "src").cache()
-    val out = pagerankPrepared(edgesWithDeg,
+    // no cache on the join: pagerankPrepared caches its repartitioned form
+    val out = pagerankPrepared(cached.join(deg, "src"),
       deg.select(col("src").as("node"), col("d")), iterations, checkpointer)
     // pagerankPrepared materialized `out` through the checkpointer, so
     // the caches it read are droppable here
-    cached.unpersist(); deg.unpersist(); edgesWithDeg.unpersist()
+    cached.unpersist(); deg.unpersist()
     out
   }
 
@@ -277,26 +277,35 @@ object ClusterOps {
     */
   def pagerankPrepared(edgesWithDeg: DataFrame, degrees: DataFrame, iterations: Int,
                        checkpointer: Checkpointer = localCheckpointer): DataFrame = {
+    // ONE scan + ONE hash exchange of the adjacency per run: the cache is
+    // built already partitioned on src, so every round's join reads it
+    // with NO edge-side exchange (only the narrow rank rows shuffle) —
+    // the same partitioning-reuse the pre-table implementation got from
+    // caching its join output, minus the per-run distinct/degree prep.
+    // Production PageRank persists the adjacency for exactly this reason;
+    // released before return, so no blocks outlive the run.
+    val e = edgesWithDeg.select(col("src"), col("dst"), col("d"))
+      .repartition(col("src")).cache()
     var ranks = checkpointer(
       degrees.select(col("node"), lit(1000L).as("r")))
     (1 to iterations).foreach { _ =>
       val prev = ranks
       ranks = checkpointer(
-        edgesWithDeg.select(col("src"), col("dst"), col("d"))
-          .join(prev.withColumnRenamed("node", "src"), "src")
+        e.join(prev.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node"), expr("r div d").as("contrib"))
           .groupBy(col("node"))
           .agg((lit(150L) + expr("850 * sum(contrib) div 1000")).as("r")))
       releaseRound(prev) // superseded round: free its blocks eagerly
     }
-    // materialize the final join BEFORE the caller drops whatever backs
-    // `degrees` — returning it lazy would silently replay the edge build
-    // at the caller's first action
+    // materialize the final join BEFORE dropping the caches it reads —
+    // returning it lazy would silently replay the edge build at the
+    // caller's first action
     val out = checkpointer(
       ranks.join(degrees.withColumnRenamed("node", "deg_node"),
           col("node") === col("deg_node"))
         .select(col("node"), col("r"), col("d")))
     releaseRound(ranks)
+    e.unpersist(blocking = false)
     out
   }
 
@@ -315,11 +324,13 @@ object ClusterOps {
     *               d = out-degree(src) = undirected degree denormalized
     *               onto each edge — the adjacency form PageRank consumes
     *               with zero prep joins;
-    *  - `canonical` (u, v) with u < v: the undirected half the
-    *               orientation-based ops (triangles) start from — half
-    *               the scan bytes of filtering `edges` per run;
+    *  - `oriented` (s, t): each undirected edge exactly once, degree-
+    *               ORIENTED (low-(d, id) endpoint first) — the form
+    *               triangle counting consumes with zero prep joins; the
+    *               plain canonical (u, v) half is a map-only
+    *               least/greatest view of it;
     *  - `degrees`  (node, d): the per-node degree table (rank init,
-    *               final annotation, triangle orientation).
+    *               final annotation).
     *
     * Stored as parquet under the ephemeral scratch root (at cluster
     * scale this is the graph table a pipeline writes next to the
@@ -344,9 +355,22 @@ object ClusterOps {
       deg.select(col("src").as("node"), col("d")).write.parquet(s"$p/degrees")
       directed.join(deg, "src").select(col("src"), col("dst"), col("d"))
         .write.parquet(s"$p/edges")
+      // degree-ORIENTED canonical half: each undirected edge exactly once,
+      // low-(degree, id) endpoint → high — the orientation is a pure
+      // function of the snapshot, so it belongs IN the table; storing it
+      // removes both per-run degree joins from triangle counting, and the
+      // plain canonical (u, v) form is a map-only least/greatest view of
+      // it (one stored copy serves both shapes at 100 TB)
       directed.where(col("src") < col("dst"))
         .select(col("src").as("u"), col("dst").as("v"))
-        .write.parquet(s"$p/canonical")
+        .join(deg.select(col("src").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("src").as("v"), col("d").as("dv")), "v")
+        .select(
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+            .otherwise(col("v")).as("s"),
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+            .otherwise(col("u")).as("t"))
+        .write.parquet(s"$p/oriented")
       directed.unpersist(blocking = false)
       p
     }
@@ -355,9 +379,18 @@ object ClusterOps {
   private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"${coPurchasePath(s, dir)}/edges")
 
-  /** Canonical undirected (u, v), u < v — see the memo doc. */
+  /** Degree-oriented undirected edges (s, t), one row per edge — see the
+    * memo doc.
+    */
+  private[graft] def coPurchaseOriented(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${coPurchasePath(s, dir)}/oriented")
+
+  /** Canonical undirected (u, v), u < v — a map-only projection of the
+    * stored oriented half (same edge set, order normalized).
+    */
   private[graft] def coPurchaseCanonical(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"${coPurchasePath(s, dir)}/canonical")
+    coPurchaseOriented(s, dir)
+      .select(least(col("s"), col("t")).as("u"), greatest(col("s"), col("t")).as("v"))
 
   /** Per-node (node, d) degrees of the symmetric graph — see the memo doc. */
   private[graft] def coPurchaseDegrees(s: SparkSession, dir: String): DataFrame =
@@ -404,16 +437,18 @@ object ClusterOps {
     graphTrianglesStaged(s, dir).hygienic()
 
   private[graft] def graphTrianglesStaged(s: SparkSession, dir: String): Staged = {
-    // canonical undirected co-purchase edges (one row per pair, u < v)
-    // and per-node degrees, both straight from the materialized graph
-    // table — no per-run halving scan of the symmetric list, no degree
-    // rollup exchange (PlanSpec pins the absence)
-    val und = coPurchaseCanonical(s, dir)
-    val st = triangleCountsStaged(und, Some(coPurchaseDegrees(s, dir)))
+    // the graph table stores the degree-ORIENTED edge half, so the whole
+    // per-run prep — halving scan, degree rollup, two orientation joins —
+    // is gone: the query is the close itself (PlanSpec pins no Union and
+    // no degree joins in the plan). Cached for the run: the close
+    // references it three times (adjacency rollup + both join sides);
+    // released via Staged like every query-local cache.
+    val ornt = coPurchaseOriented(s, dir).cache()
+    val st = orientedTriangleCountsStaged(ornt)
     Staged(st.plan
       .select(col("node").as("p_partkey"), col("n_triangles"))
       .orderBy(col("n_triangles").desc, col("p_partkey"))
-      .limit(20), st.caches: _*)
+      .limit(20), (st.caches :+ ornt): _*)
   }
 
   /** The orientation-based counting core, reusable over any canonical
@@ -471,7 +506,23 @@ object ClusterOps {
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
           .otherwise(col("u")).as("t"))
       .cache()
-    // one array per node: its oriented out-neighborhood (a set — und is
+    val st = orientedTriangleCountsStaged(ornt)
+    // und is a query-local cache only on the rollup path; prepared-degree
+    // callers read it straight from the graph table (nothing to release)
+    val caches = (if (degrees.isEmpty) Seq(und) else Seq.empty) ++
+      (st.caches :+ ornt)
+    Staged(st.plan, caches: _*)
+  }
+
+  /** The close over an already-ORIENTED (s, t) edge list (each undirected
+    * edge exactly once, oriented low-(degree, id) → high; a SET — no
+    * duplicate rows). This is the whole query when the orientation is a
+    * stored column of the graph table ([[coPurchaseOriented]]). `ornt`
+    * is referenced three times (adjacency rollup + both join sides) —
+    * callers cache it and own the release.
+    */
+  private[graft] def orientedTriangleCountsStaged(ornt: DataFrame): Staged = {
+    // one array per node: its oriented out-neighborhood (a set — ornt is
     // distinct). Sink nodes (no out-edges) simply have no row, and the
     // inner join below correctly drops edges whose head is a sink: a
     // pivot edge needs BOTH endpoints to have out-neighbors.
@@ -487,9 +538,7 @@ object ClusterOps {
       .select(col("s"), col("t"), explode(col("common")).as("w"))
       .select(explode(array(col("s"), col("t"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
-    // und is a query-local cache only on the rollup path; prepared-degree
-    // callers read it straight from the graph table (nothing to release)
-    if (degrees.isEmpty) Staged(counts, und, ornt) else Staged(counts, ornt)
+    Staged(counts)
   }
 
   /** Multi-source breadth-first hop distance, bounded at `maxHops`.

@@ -559,11 +559,14 @@ class PlanSpec extends AnyFunSuite {
     // no wedge set may ever reach an exchange or a closing join
     assert(plan.contains("array_intersect"),
       s"the closing check must be a local array_intersect\n$plan")
-    // degrees come from the materialized graph table — the in-session
-    // rollup (unionAll of both endpoints + groupBy) must be GONE, or
-    // every run re-pays an O(m) exchange for a column the table stores
+    // the orientation is STORED in the graph table — the in-session
+    // degree rollup (unionAll + groupBy) and the two orientation joins
+    // must be GONE, or every run re-pays O(m) exchanges for columns the
+    // table already has
     assert(!plan.contains("Union"),
-      s"degree rollup must read the graph table's degrees, not rebuild them\n$plan")
+      s"degree rollup must read the graph table, not rebuild it\n$plan")
+    assert(!plan.contains("du#") && !plan.contains("dv#"),
+      s"orientation must come from the stored oriented half, not per-run joins\n$plan")
   }
 
   test("prepared pagerank never re-distincts the graph table or rebuilds degrees") {
@@ -591,15 +594,32 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), s"equi-joins only\n$plan")
   }
 
-  test("the materialized co-purchase graph table carries degrees on edges and nodes") {
+  test("the materialized co-purchase graph table carries degrees and orientation") {
     // the 100 TB contract: the graph table a pipeline writes next to the
-    // corpus includes the degree columns, so no consumer ever rebuilds them
+    // corpus includes the degree columns AND the degree-oriented edge
+    // half, so no consumer ever rebuilds either
     assert(ops.ClusterOps.coPurchaseEdges(spark, Sf0001).columns.toSeq ==
       Seq("src", "dst", "d"))
     assert(ops.ClusterOps.coPurchaseDegrees(spark, Sf0001).columns.toSeq ==
       Seq("node", "d"))
+    assert(ops.ClusterOps.coPurchaseOriented(spark, Sf0001).columns.toSeq ==
+      Seq("s", "t"))
     assert(ops.ClusterOps.coPurchaseCanonical(spark, Sf0001).columns.toSeq ==
       Seq("u", "v"))
+    // the stored orientation must BE the low-(degree, id) → high order the
+    // close assumes: recompute it from degrees and diff — empty both ways
+    val deg = ops.ClusterOps.coPurchaseDegrees(spark, Sf0001)
+    val expected = ops.ClusterOps.coPurchaseCanonical(spark, Sf0001)
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+    val stored = ops.ClusterOps.coPurchaseOriented(spark, Sf0001)
+    assert(stored.exceptAll(expected).isEmpty && expected.exceptAll(stored).isEmpty,
+      "stored orientation disagrees with the degree order")
   }
 
   test("containment probe is an equi-join on the shingle hash, never all-pairs") {
