@@ -353,7 +353,25 @@ object ClusterOps {
         .cache()
       val deg = directed.groupBy(col("src")).agg(count(lit(1)).as("d"))
       deg.select(col("src").as("node"), col("d")).write.parquet(s"$p/degrees")
-      directed.join(deg, "src").select(col("src"), col("dst"), col("d"))
+      // pin the write layout: hash-distributed on the key every consumer
+      // joins/groups on, at the session's full shuffle width. Left to
+      // AQE, the tiny fixture join output coalesces to half as many
+      // files — and since the per-round BFS/close scans inherit the file
+      // count as their parallelism at fixture scale (files far below
+      // maxPartitionBytes never split), that silently halved scan
+      // parallelism (graph_bfs_hops 1.0 → 1.6 s until pinned). At real
+      // scale files exceed the split size and this is moot, but a
+      // key-distributed layout is what a production graph table wants
+      // anyway.
+      // the pin goes BEFORE the join: a post-join repartition(width, src)
+      // is elided as redundant (the join already hash-partitions on src)
+      // and the join's own ENSURE_REQUIREMENTS shuffle is exactly what
+      // AQE coalesces — the pin would silently vanish. A pre-join
+      // REPARTITION_BY_NUM shuffle is neither elidable nor coalescable,
+      // and the src-equi-join preserves it.
+      val width = s.sessionState.conf.numShufflePartitions
+      directed.repartition(width, col("src"))
+        .join(deg, "src").select(col("src"), col("dst"), col("d"))
         .write.parquet(s"$p/edges")
       // degree-ORIENTED canonical half: each undirected edge exactly once,
       // low-(degree, id) endpoint → high — the orientation is a pure
@@ -370,6 +388,7 @@ object ClusterOps {
             .otherwise(col("v")).as("s"),
           when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
             .otherwise(col("u")).as("t"))
+        .repartition(width, col("s")) // same layout pin as `edges`
         .write.parquet(s"$p/oriented")
       directed.unpersist(blocking = false)
       p
@@ -589,6 +608,10 @@ object ClusterOps {
   private def graphBfsHops(s: SparkSession, dir: String): DataFrame = {
     // read the materialized graph per round instead of caching: at scale
     // you scan the graph table, you don't pin 100 TB of edges in memory
+    // (column pruning drops the degree column from every BFS scan; a
+    // symmetrized read of the oriented half was tried and measured WORSE
+    // at fixture scale — two scans + a union per round beat the one
+    // pruned scan's bytes saved)
     val edges = coPurchaseEdges(s, dir)
     val seeds = edges.select(col("src").as("node")).distinct()
       .where(col("node") % 500 === 0)
