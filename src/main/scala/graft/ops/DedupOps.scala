@@ -560,11 +560,18 @@ object DedupOps {
   private[graft] def containmentStaged(docs: DataFrame, maxDocFreq: Long): Staged = {
     val posts = shingled(docs)
       .select(col("doc_id"), explode(col("sh_hashes")).as("h"))
-    val keep = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDocFreq).select(col("h"))
+    // the screen joins against the STOP list (df > f), not the keep list:
+    // the stop side is the heavy-hitter tail — at most total-postings/f
+    // entries by construction, tiny in practice — so the anti-join's
+    // build side is small enough for AQE to broadcast, where a keep-side
+    // inner join carries the whole shingle vocabulary through a shuffle
+    // for the same result. No FORCED broadcast (a pathological corpus
+    // could have a large stop list; AQE decides).
+    val stop = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq).select(col("h"))
     // the screened posting list feeds three plans (suspect probe side,
     // corpus side, denominator rollup) — cache it, released via Staged
-    val pf = posts.join(keep, "h").cache()
+    val pf = posts.join(stop, Seq("h"), "left_anti").cache()
     val aEx = pf.where(col("doc_id") % 10 === 3)
       .select(col("doc_id").as("a_id"), col("h"))
     val bEx = pf.select(col("doc_id").as("b_id"), col("h"))
