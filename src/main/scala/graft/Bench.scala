@@ -144,13 +144,19 @@ object Bench {
     val loadAfter = osBean.getSystemLoadAverage
     val det = details.map { case (k, (warm, runs)) =>
       val rs = runs.mkString("[", ",", "]")
-      s""""${esc(k)}":{"min":${runs.min},"median":${timings(k)},"max":${runs.max},"warmup":$warm,"runs":$rs}"""
+      // sweep mode runs NO warmup — null, not a fabricated 0.0, so the
+      // artifact never claims a warmup that didn't happen
+      val w = if (sweepMode) "null" else warm.toString
+      s""""${esc(k)}":{"min":${runs.min},"median":${timings(k)},"max":${runs.max},"warmup":$w,"runs":$rs}"""
     }.mkString("{", ",", "}")
+    // the stamped timed_runs must describe what THIS run did: sweep mode
+    // executes exactly one cold pass regardless of SPARK_GRAFT_BENCH_RUNS
     val env =
       s"""{"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,""" +
         s""""available_processors":${Runtime.getRuntime.availableProcessors},""" +
         s""""scratch_root":"${esc(graft.util.TempDirs.rootDescription)}",""" +
-        s""""mode":"${if (sweepMode) "sweep" else "median"}","timed_runs":$timedRuns}"""
+        s""""mode":"${if (sweepMode) "sweep" else "median"}",""" +
+        s""""timed_runs":${if (sweepMode) 1 else timedRuns}}"""
     val full = line.dropRight(1) + s""","detail":$det,"env":$env}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")

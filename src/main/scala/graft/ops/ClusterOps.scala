@@ -351,7 +351,9 @@ object ClusterOps {
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
         .distinct()
         .cache()
-      val deg = directed.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      // deg feeds all three writes (degrees, edges join, orientation) —
+      // cache for the build only, like directed
+      val deg = directed.groupBy(col("src")).agg(count(lit(1)).as("d")).cache()
       deg.select(col("src").as("node"), col("d")).write.parquet(s"$p/degrees")
       // pin the write layout: hash-distributed on the key every consumer
       // joins/groups on, at the session's full shuffle width. Left to
@@ -379,20 +381,35 @@ object ClusterOps {
       // removes both per-run degree joins from triangle counting, and the
       // plain canonical (u, v) form is a map-only least/greatest view of
       // it (one stored copy serves both shapes at 100 TB)
-      directed.where(col("src") < col("dst"))
-        .select(col("src").as("u"), col("dst").as("v"))
-        .join(deg.select(col("src").as("u"), col("d").as("du")), "u")
-        .join(deg.select(col("src").as("v"), col("d").as("dv")), "v")
-        .select(
-          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
-            .otherwise(col("v")).as("s"),
-          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
-            .otherwise(col("u")).as("t"))
+      orientEdges(
+          directed.where(col("src") < col("dst"))
+            .select(col("src").as("u"), col("dst").as("v")),
+          deg.select(col("src").as("node"), col("d")))
         .repartition(width, col("s")) // same layout pin as `edges`
         .write.parquet(s"$p/oriented")
       directed.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
       p
     }
+
+  /** Degree-orient a canonical undirected (u, v) edge list against a
+    * (node, d) degree table: low-(d, id) endpoint → high. ONE definition
+    * shared by the graph-table build and the in-session triangle path —
+    * the close's single-pivot-per-triangle guarantee depends on every
+    * producer applying the IDENTICAL total order, so the expression must
+    * not exist twice. (PlanSpec's stored-vs-recomputed check keeps its
+    * own spelled-out copy on purpose: an independent recomputation, so a
+    * bug here cannot certify itself.)
+    */
+  private[graft] def orientEdges(und: DataFrame, degrees: DataFrame): DataFrame =
+    und
+      .join(degrees.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(degrees.select(col("node").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
 
   /** Directed DISTINCT (src, dst, d) adjacency — see the memo doc. */
   private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
@@ -496,41 +513,23 @@ object ClusterOps {
     triangleCountsStaged(undRaw).hygienic()
 
   /** The lazy pipeline + its caches — [[triangleCounts]] serves the
-    * hygienic view; PlanSpec pins THIS plan (the real join shapes).
-    *
-    * `degrees`: the per-node (node, d) table when the caller owns a
-    * materialized one (the co-purchase graph table stores it); None
-    * rolls it up from the edge list in-session. With a provided table
-    * the edge list is referenced exactly once, so the defensive cache is
-    * skipped too — the whole prep is two scans of the graph table's
-    * columns instead of a cache + an exchange.
+    * hygienic view; PlanSpec pins THIS plan (the real join shapes). The
+    * co-purchase registry query does NOT come through here — its
+    * orientation is a stored column of the graph table, so it enters at
+    * [[orientedTriangleCountsStaged]] directly.
     */
-  private[graft] def triangleCountsStaged(
-      undRaw: DataFrame, degrees: Option[DataFrame] = None): Staged = {
-    // without a degree table, und feeds the rollup AND the orientation —
-    // cache so the upstream edge build (typically a self-join) runs once
-    val und = if (degrees.isEmpty) undRaw.cache() else undRaw
-    val deg = degrees.getOrElse(
-      und.select(col("u").as("node"))
-        .unionAll(und.select(col("v").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("d")))
+  private[graft] def triangleCountsStaged(undRaw: DataFrame): Staged = {
+    // und feeds the degree rollup AND the orientation — cache so the
+    // upstream edge build (typically a self-join) runs once
+    val und = undRaw.cache()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
     // orient low-(d, id) → high-(d, id): a total order, so out-degrees
     // are O(√m)-bounded and each triangle gets exactly one pivot edge
-    val ornt = und
-      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
-      .select(
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
-          .otherwise(col("v")).as("s"),
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
-          .otherwise(col("u")).as("t"))
-      .cache()
+    val ornt = orientEdges(und, deg).cache()
     val st = orientedTriangleCountsStaged(ornt)
-    // und is a query-local cache only on the rollup path; prepared-degree
-    // callers read it straight from the graph table (nothing to release)
-    val caches = (if (degrees.isEmpty) Seq(und) else Seq.empty) ++
-      (st.caches :+ ornt)
-    Staged(st.plan, caches: _*)
+    Staged(st.plan, (Seq(und) ++ st.caches :+ ornt): _*)
   }
 
   /** The close over an already-ORIENTED (s, t) edge list (each undirected

@@ -34,7 +34,8 @@ for n in names:
             # compare), fall back to the last raw stdout lines so the FAIL
             # diagnostic is never an empty tail.
             tail = [l for l in p.stdout.splitlines() if n in l][-1:] \
-                or p.stdout.strip().splitlines()[-2:]
+                or p.stdout.strip().splitlines()[-2:] \
+                or ["<no stdout from oracle_check>"]
             err = p.stderr.strip().splitlines()[-2:]
             print(f"FAIL {n}: {tail} stderr={err}", flush=True)
     except subprocess.TimeoutExpired:
