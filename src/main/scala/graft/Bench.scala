@@ -74,6 +74,12 @@ object Bench {
     // the spread is what lets a later reader tell contention (median >>
     // min) from regression (min moved)
     val details = scala.collection.mutable.LinkedHashMap[String, (Double, Seq[Double])]()
+    // per-query wall position: seconds from sweep start to this query's
+    // first timed activity. In sweep mode (single cold pass, no spread)
+    // this is the only leak detector the artifact has: a cross-query leak
+    // shows as a monotone RAMP of per-query time against `at`, while host
+    // contention inflates queries uniformly regardless of position.
+    val ats = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // optional query-name args restrict the sweep (local iteration only;
     // the round driver passes none, so it always times the full surface)
@@ -81,7 +87,9 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }.toSeq
     val sweepMode = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("sweep")
+    val sweepT0 = System.nanoTime()
     selected.sortBy(_._1).foreach { case (name, fn) =>
+      ats(name) = (System.nanoTime() - sweepT0) / 1e9
       def once(): Double = {
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
@@ -133,21 +141,27 @@ object Bench {
     val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}","cpus":$cpus}"""
+    // ONE builder for both outputs: the stdout line and the archive share
+    // the same core field string, so they can never drift apart — the
+    // previous string-surgery assembly (line.dropRight(1) + suffix) would
+    // silently corrupt the archive on any change to the line's tail
+    val core = s""""metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}","cpus":$cpus"""
+    val line = "{" + core + "}"
     println(line)
     // archive the complete per-query map to a repo file as well — log-tail
     // capture truncates long lines, and the full map is what makes
     // cross-round trending possible. The archive is a SUPERSET of the
-    // stdout line: per-query [min, median, max] + warmup evidence and a
-    // run-environment stamp, so a contended run is identifiable from the
-    // artifact alone (SCALE.md "Reading a bench artifact").
+    // stdout line: per-query [min, median, max] + warmup evidence, the
+    // query's wall position in the sweep (`at`), and a run-environment
+    // stamp, so a contended run is identifiable from the artifact alone
+    // (SCALE.md "Reading a bench artifact").
     val loadAfter = osBean.getSystemLoadAverage
     val det = details.map { case (k, (warm, runs)) =>
       val rs = runs.mkString("[", ",", "]")
       // sweep mode runs NO warmup — null, not a fabricated 0.0, so the
       // artifact never claims a warmup that didn't happen
       val w = if (sweepMode) "null" else warm.toString
-      s""""${esc(k)}":{"min":${runs.min},"median":${timings(k)},"max":${runs.max},"warmup":$w,"runs":$rs}"""
+      s""""${esc(k)}":{"min":${runs.min},"median":${timings(k)},"max":${runs.max},"warmup":$w,"at":${ats(k)},"runs":$rs}"""
     }.mkString("{", ",", "}")
     // the stamped timed_runs must describe what THIS run did: sweep mode
     // executes exactly one cold pass regardless of SPARK_GRAFT_BENCH_RUNS
@@ -157,7 +171,14 @@ object Bench {
         s""""scratch_root":"${esc(graft.util.TempDirs.rootDescription)}",""" +
         s""""mode":"${if (sweepMode) "sweep" else "median"}",""" +
         s""""timed_runs":${if (sweepMode) 1 else timedRuns}}"""
-    val full = line.dropRight(1) + s""","detail":$det,"env":$env}"""
+    val full = "{" + core + s""","detail":$det,"env":$env}"""
+    // parse-back assertion: a malformed archive must fail HERE, loudly,
+    // not in some later round's trend tooling (jackson ships with Spark)
+    try new com.fasterxml.jackson.databind.ObjectMapper().readTree(full)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] archive JSON failed to parse back: ${e.getMessage}")
+      throw e
+    }
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] archive write failed: ${e.getMessage}") }

@@ -512,8 +512,8 @@ object DedupOps {
     * J = |A|/|B| ≈ 0 but containment C(A,B) = |S_A ∩ S_B| / |S_A| ≈ 1.
     * This is the quote/boilerplate/subset detector a training corpus
     * runs AFTER near-dup removal (near-dups are symmetric; contamination
-    * and license text are not). Shape: the suspect set (here a 10%
-    * sample — in production the shorter-doc stratum) explodes its
+    * and license text are not). Shape: the suspect set (here a ~12.5 %
+    * hash-bucket stratum — in production the shorter-doc stratum) explodes its
     * shingles and equi-joins the corpus's exploded shingles on the
     * 64-bit shingle hash — |suspects|·avg-shingles probe rows against
     * the corpus posting list, never an all-pairs product; the rollup to
@@ -547,6 +547,22 @@ object DedupOps {
   private[graft] val ContainmentStopFloor = 16L
   private[graft] val ContainmentStopFraction = 250L
 
+  /** Suspect-stratum gate: the last hex nibble of md5(doc_id) below this
+    * bound — 2 of 16 uniform buckets, ~12.5 % of docs on ANY id space
+    * (the [[SamplingOps]] hash-bucket idiom). The previous
+    * `doc_id % 10 == 3` residue assumed a dense id space — the same
+    * critique that converted the verifier anchors to rank selection
+    * (round 16): on sparse/offset ids a residue stratum can silently
+    * select ~0 suspects. A PROPORTIONAL gate (not a fixed-rank one like
+    * the anchors/BFS seeds) because the suspect stratum models a corpus
+    * slice that scales WITH the snapshot — which is also why it must
+    * never carry a broadcast hint (see the sizes note below).
+    */
+  private[graft] val ContainmentSuspectNibbleBound = "2"
+
+  private def containmentSuspect(id: Column): Column =
+    substring(md5(id.cast("string")), 32, 1) < ContainmentSuspectNibbleBound
+
   private[graft] def containmentMaxDocFreq(corpusDocs: Long): Long =
     math.max(ContainmentStopFloor, corpusDocs / ContainmentStopFraction)
 
@@ -558,8 +574,12 @@ object DedupOps {
     * df > `maxDocFreq` removed from BOTH sides first (screen doc above).
     */
   private[graft] def containmentStaged(docs: DataFrame, maxDocFreq: Long): Staged = {
+    // cached: materializing pf scans posts twice (the stop-list df rollup
+    // and the anti-join probe side) — uncached, the corpus shingle
+    // explode would run twice during the build; released via Staged
     val posts = shingled(docs)
       .select(col("doc_id"), explode(col("sh_hashes")).as("h"))
+      .cache()
     // the screen joins against the STOP list (df > f), not the keep list:
     // the stop side is the heavy-hitter tail — at most total-postings/f
     // entries by construction, tiny in practice — so the anti-join's
@@ -572,14 +592,14 @@ object DedupOps {
     // the screened posting list feeds three plans (suspect probe side,
     // corpus side, denominator rollup) — cache it, released via Staged
     val pf = posts.join(stop, Seq("h"), "left_anti").cache()
-    val aEx = pf.where(col("doc_id") % 10 === 3)
+    val aEx = pf.where(containmentSuspect(col("doc_id")))
       .select(col("doc_id").as("a_id"), col("h"))
     val bEx = pf.select(col("doc_id").as("b_id"), col("h"))
     val inter = aEx.join(bEx, "h").where(col("a_id") =!= col("b_id"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_inter"))
     // denominator = the suspect's INFORMATIVE shingle count (post-screen);
     // suspects with zero informative shingles drop out by construction
-    val sizes = pf.where(col("doc_id") % 10 === 3)
+    val sizes = pf.where(containmentSuspect(col("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
       .select(col("doc_id").as("a_id"), col("n_a"))
     // NO broadcast hint on sizes: the suspect set scales WITH the corpus
@@ -590,7 +610,7 @@ object DedupOps {
       .select(col("a_id"), col("b_id"), col("n_inter"), col("n_a"),
         expr("n_inter * 1000 div n_a").as("containment_milli"))
       .where(col("containment_milli") >= 500)
-      .orderBy(col("a_id"), col("b_id")), pf)
+      .orderBy(col("a_id"), col("b_id")), pf, posts)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -698,7 +718,9 @@ object DedupOps {
          |cand AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |    CAST(count(*) AS BIGINT) AS n_inter
-         |  FROM (SELECT * FROM pf WHERE doc_id % 10 = 3) a
+         |  FROM (SELECT * FROM pf
+         |        WHERE substr(md5(doc_id::VARCHAR), 32, 1)
+         |          < '$ContainmentSuspectNibbleBound') a
          |  JOIN pf b ON a.g = b.g AND a.doc_id <> b.doc_id
          |  GROUP BY 1, 2)
          |SELECT a_id, b_id, n_inter, ta.n AS n_a,

@@ -74,6 +74,24 @@ class ClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("the materialized dedup-pair table is sound and covers every dup node") {
+    // the memoized pair table stores exact-dup STAR edges (group-min →
+    // member) where the brute-force truth here enumerates CLIQUE pairs, so
+    // the pin is subset + node coverage (star ⊆ clique with identical
+    // connectivity), not list equality — component equality is the
+    // union-find test above
+    val stored = ops.ClusterOps.dedupPairEdges(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truthSet = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(stored.nonEmpty)
+    assert(stored.subsetOf(truthSet),
+      s"stored pair table contains non-dup edges: ${stored -- truthSet}")
+    val storedNodes = stored.flatMap(e => Set(e._1, e._2))
+    val truthNodes = truthSet.flatMap(e => Set(e._1, e._2))
+    assert(storedNodes == truthNodes,
+      "stored pair table must cover exactly the docs that appear in a true dup pair")
+  }
+
   test("the fixture graph exercises transitivity (some component spans 3+ docs)") {
     assert(clusters.groupBy(_._2).values.exists(_.size >= 3),
       "no multi-hop component — the clusters query degenerates to pair output")

@@ -66,22 +66,25 @@ class ContainmentScreenSpec extends AnyFunSuite {
     import spark.implicits._
     val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val quote = "quoted passage from document one hundred spanning exactly twelve words total"
+    // suspect-stratum membership is the md5-nibble gate (< '2'): of the
+    // boiler ids 1..20 exactly 10 and 12 are suspects; 123 is a suspect,
+    // the host 100 (nibble 'd') is not
     val docs = (
       // 20 docs sharing ONLY the boilerplate run — the df bomb
       (1L to 20L).map(i => (i, s"$boiler unique$i")) :+
         (100L, quote) :+ // the host
-        (103L, s"$quote and two more") // the suspect: mostly the quote
+        (123L, s"$quote and two more") // the suspect: mostly the quote
       ).toDF("doc_id", "text")
     val unscreened = run(docs, Long.MaxValue)
     val screened = run(docs, 5L) // boiler shingles (df=20) drop; quote (df=2) stays
-    // unscreened: suspects 3 and 13 pair with every boiler doc
-    assert(unscreened.exists(p => p._1 == 3L && p._2 == 4L),
+    // unscreened: suspects 10 and 12 pair with every boiler doc
+    assert(unscreened.exists(p => p._1 == 10L && p._2 == 11L),
       s"boilerplate pair must qualify unscreened\n$unscreened")
-    assert(screened.forall(p => !(Set(3L, 13L) contains p._1)),
+    assert(screened.forall(p => !(Set(10L, 12L) contains p._1)),
       s"boilerplate-only pairs must be screened out\n$screened")
     // the genuine containment survives the screen
-    assert(unscreened.exists(p => p._1 == 103L && p._2 == 100L))
-    assert(screened.exists(p => p._1 == 103L && p._2 == 100L),
+    assert(unscreened.exists(p => p._1 == 123L && p._2 == 100L))
+    assert(screened.exists(p => p._1 == 123L && p._2 == 100L),
       s"quoted-content containment must survive the screen\n$screened")
   }
 }

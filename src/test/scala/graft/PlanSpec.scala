@@ -594,6 +594,31 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), s"equi-joins only\n$plan")
   }
 
+  test("bfs rounds read the per-run cached adjacency — one edge scan per run") {
+    // identity checkpointer keeps the FULL 3-round plan visible (the
+    // registry query truncates lineage per round); the plan is captured
+    // BEFORE the cache is released, as bfsHops itself would
+    val edges = ops.ClusterOps.coPurchaseEdges(spark, Sf0001)
+    // seeds come from the degrees relation, NOT from `edges`: the identity
+    // checkpointer keeps seed lineage live, and a seed set derived from the
+    // same Dataset as the adjacency trips the ambiguous-self-join check
+    // (the registry query materializes round 0, so it can seed from edges)
+    val seeds = ops.ClusterOps.coPurchaseDegrees(spark, Sf0001)
+      .select(col("node")).limit(2)
+    val (out, e) = ops.ClusterOps.bfsHopsStaged(edges, seeds, maxHops = 3,
+      checkpointer = df => df)
+    val plan = physical(out)
+    e.unpersist(blocking = false)
+    // every round's edge side must read the InMemoryRelation built once
+    // per run (pagerankPrepared's discipline — the edge file is scanned
+    // once, each round joins cache-side with only frontier rows moving);
+    // 3 rounds → at least 3 cache reads
+    assert("InMemoryTableScan".r.findAllIn(plan).length >= 3,
+      s"bfs rounds must read the per-run cached adjacency, not re-scan the file\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"equi-joins only\n$plan")
+  }
+
   test("the materialized co-purchase graph table carries degrees and orientation") {
     // the 100 TB contract: the graph table a pipeline writes next to the
     // corpus includes the degree columns AND the degree-oriented edge
