@@ -15,10 +15,17 @@ emits one JSON object with, per query:
                    artifacts (null when only one artifact) — positive =
                    the newest run's floor sits above every older floor
 
-plus a `flags` list of queries whose newest min moved more than
---threshold (default 20%) ABOVE the prior floor: the one-command
-regression screen a judge runs before reading any prose. Movement below
-the floor (a speedup) updates the anchor and is never flagged.
+plus a `flags` list — the one-command regression screen a judge runs
+before reading any prose. Flagging is normalized by the newest run's
+UNIFORM drift first: `uniform_drift_ratio` = the median, over all
+queries, of (newest min / prior floor). Host-level (hypervisor)
+contention inflates every query together — including each query's min —
+so raw drift would flood the flag list on any drifted run; a query is
+flagged only when its newest min exceeds prior_floor x uniform_ratio x
+(1 + --threshold) (default 20%), i.e. when it moved ABOVE the pack.
+Movement below the floor (a speedup) updates the anchor and is never
+flagged. Reading rule for a flag: it means "re-run this query on a quiet
+box" — a real plan regression reproduces; host drift does not.
 
 Usage:
   python3 tools/bench_trend.py OUT.json IN1.json IN2.json ... [--threshold 0.2]
@@ -27,6 +34,7 @@ Artifacts without a `detail` map (pre-round-16 driver captures) are
 skipped with a note rather than failing the fold.
 """
 import json
+import statistics
 import sys
 
 
@@ -60,6 +68,17 @@ def main(argv):
         print("no artifacts with a detail map — nothing to fold", file=sys.stderr)
         return 1
     queries = sorted(set().union(*[set(r["mins"]) for r in runs]))
+    # the newest run's uniform component: median over queries of
+    # newest-min / prior-floor — 1.0 on a quiet box, >1 when the whole
+    # run is inflated (the guest-invisible hypervisor-neighbor case)
+    ratios = []
+    if len(runs) > 1:
+        for q in queries:
+            latest = runs[-1]["mins"].get(q)
+            earlier = [r["mins"][q] for r in runs[:-1] if q in r["mins"]]
+            if latest and earlier:
+                ratios.append(latest / min(earlier))
+    uniform = statistics.median(ratios) if ratios else 1.0
     trend, flags = {}, []
     for q in queries:
         mins = [r["mins"].get(q) for r in runs]
@@ -71,18 +90,22 @@ def main(argv):
             if earlier:
                 prior_floor = min(earlier)
                 drift = (mins[-1] - prior_floor) / prior_floor
-                if drift > threshold:
+                # flag EXCESS over the run's uniform drift, not raw drift
+                if mins[-1] > prior_floor * uniform * (1 + threshold):
                     flags.append({"query": q, "prior_floor": round(prior_floor, 4),
                                   "latest_min": round(mins[-1], 4),
-                                  "drift_pct": round(100 * drift, 1)})
+                                  "drift_pct": round(100 * drift, 1),
+                                  "excess_pct": round(
+                                      100 * (mins[-1] / (prior_floor * uniform) - 1), 1)})
         trend[q] = {"mins": [None if m is None else round(m, 4) for m in mins],
                     "min_of_mins": round(floor, 4),
                     "drift_pct": None if drift is None else round(100 * drift, 1)}
-    flags.sort(key=lambda f: -f["drift_pct"])
+    flags.sort(key=lambda f: -f["excess_pct"])
     result = {
         "inputs": [r["file"] for r in runs],
         "skipped_no_detail": skipped,
         "threshold_pct": round(100 * threshold, 1),
+        "uniform_drift_ratio": round(uniform, 3),
         "n_queries": len(queries),
         "flags": flags,
         "queries": trend,
@@ -90,13 +113,17 @@ def main(argv):
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=False)
         f.write("\n")
-    print(f"folded {len(runs)} artifacts, {len(queries)} queries -> {out_path}")
+    print(f"folded {len(runs)} artifacts, {len(queries)} queries, "
+          f"uniform drift x{uniform:.3f} -> {out_path}")
     if flags:
-        print(f"{len(flags)} queries moved >{100*threshold:.0f}% above their prior floor:")
+        print(f"{len(flags)} queries moved >{100*threshold:.0f}% above the "
+              f"uniform-drift-adjusted floor (re-run these on a quiet box):")
         for fl in flags[:15]:
-            print(f"  {fl['query']}: {fl['prior_floor']}s -> {fl['latest_min']}s (+{fl['drift_pct']}%)")
+            print(f"  {fl['query']}: {fl['prior_floor']}s -> {fl['latest_min']}s "
+                  f"(+{fl['drift_pct']}% raw, +{fl['excess_pct']}% over the pack)")
     else:
-        print("no query's newest min sits above its prior floor by more than the threshold")
+        print("no query's newest min sits above the uniform-drift-adjusted floor "
+              "by more than the threshold")
     return 0
 
 
