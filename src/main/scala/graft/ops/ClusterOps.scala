@@ -688,7 +688,13 @@ object ClusterOps {
     // at-scale storage-level caveat) — column pruning drops the degree
     // column before the cache, so the pinned relation is two longs/edge
     val edges = coPurchaseEdges(s, dir)
-    val seeds = edges.select(col("src").as("node")).distinct()
+    // seeds come from the DEGREES relation, which stores exactly the
+    // graph's node set one row per node (the graph is symmetric, so
+    // src-set = node-set) — seeding from `edges` would re-scan the edge
+    // parquet and pay a |E|-row distinct exchange to recover a set the
+    // table already has; the oracle's DISTINCT-src spelling is
+    // set-identical by construction
+    val seeds = coPurchaseDegrees(s, dir).select(col("node"))
       .orderBy(md5(col("node").cast("string")), col("node"))
       .limit(BfsSeedTarget)
     val visited = bfsHops(edges, seeds, maxHops = 3) // checkpointed rounds

@@ -48,11 +48,19 @@ def load_mins(path):
 
 
 def main(argv):
-    args = [a for a in argv if not a.startswith("--threshold")]
-    threshold = 0.2
-    for a in argv:
-        if a.startswith("--threshold"):
-            threshold = float(a.split("=", 1)[1] if "=" in a else argv[argv.index(a) + 1])
+    # proper flag parsing: BOTH '--threshold 0.3' and '--threshold=0.3'
+    # consume their value token (the filter-comprehension version left the
+    # space-separated value behind as a phantom input path)
+    threshold, args = 0.2, []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--threshold":
+            threshold = float(argv[i + 1]); i += 2
+        elif a.startswith("--threshold="):
+            threshold = float(a.split("=", 1)[1]); i += 1
+        else:
+            args.append(a); i += 1
     if len(args) < 3:
         print(__doc__)
         return 2

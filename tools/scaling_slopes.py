@@ -56,6 +56,7 @@ def main(argv):
         return 2
     out_path, scale_args = pos[0], pos[1:]
     scales = []  # (sf_label, sf_value, mins, env)
+    stat_by_scale = {}
     for arg in scale_args:
         label, path = arg.split("=", 1)
         sf = float(label.replace("sf", ""))
@@ -63,10 +64,25 @@ def main(argv):
             doc = json.load(f)
         det = doc.get("detail") or {}
         mins = {q: d["min"] for q, d in det.items() if "min" in d}
-        if not mins:  # fall back to the medians map for detail-less artifacts
+        if mins:
+            stat_by_scale[label] = "min"
+        else:
+            # detail-less (pre-round-16) artifact: only medians exist.
+            # Label it LOUDLY — medians carry contention, and a silently
+            # substituted median on the graded leg could mask a
+            # super-linear query behind a mislabeled statistic.
             mins = dict(doc.get("queries") or {})
+            stat_by_scale[label] = "median (FALLBACK: artifact has no detail map)"
+            print(f"WARNING: {path} has no detail map — using MEDIANS for "
+                  f"{label}; slopes on this leg carry contention noise",
+                  file=sys.stderr)
         scales.append((label, sf, mins, doc.get("env")))
     scales.sort(key=lambda s: s[1])
+    if len({s[1] for s in scales}) != len(scales):
+        print("ERROR: two inputs share a scale factor — pass exactly one "
+              "artifact per scale (fold same-scale runs with bench_trend.py "
+              "first)", file=sys.stderr)
+        return 2
     labels = [s[0] for s in scales]
     queries = sorted(set().union(*[set(s[2]) for s in scales]))
     top_pair = (labels[-2], labels[-1])
@@ -100,6 +116,7 @@ def main(argv):
         "scales": labels,
         "graded_pair": f"{top_pair[0]}->{top_pair[1]}",
         "statistic": "per-query min over timed runs (the plan-cost anchor)",
+        "statistic_by_scale": stat_by_scale,
         "flag_threshold": flag_at,
         "abs_floor_sec": floor,
         "n_queries": len(queries),
