@@ -31,10 +31,21 @@ import graft.functions.TextFunctions.{bandHashes, jaccardSorted}
   */
 object IncrementalDedupOps {
 
-  /** Batch membership: every 10th doc (mod 3) arrives as "today's batch",
-    * the rest is the standing corpus — sf-stable and oracle-reproducible.
+  /** Batch membership: the ~12.5 % md5-nibble bucket of docs arrives as
+    * "today's batch", the rest is the standing corpus — sf-stable,
+    * oracle-reproducible, and (round 17, the uniform-idiom sweep) robust
+    * on ANY id space: the previous `doc_id % 10 = 3` residue could model
+    * an empty batch on sparse/offset ids, silently vacating the
+    * incremental path. Same hash-bucket idiom as SamplingOps and the
+    * containment suspect stratum; `NOT (batch)` is the corpus, so the
+    * two sides partition the snapshot by construction.
     */
-  private val BatchPred = "doc_id % 10 = 3"
+  private[graft] val BatchPred =
+    "substring(md5(cast(doc_id as string)), 32, 1) < '2'"
+
+  /** The DuckDB spelling of [[BatchPred]] (identical md5-hex semantics). */
+  private[graft] val BatchPredDuck =
+    "substr(md5(doc_id::VARCHAR), 32, 1) < '2'"
 
   private def documents(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -181,8 +192,8 @@ object IncrementalDedupOps {
          |post AS (SELECT doc_id, unnest(t) AS g FROM tok),
          |cand AS (
          |  SELECT b.doc_id AS new_id, a.doc_id AS corpus_id, count(*) AS inter
-         |  FROM (SELECT * FROM post WHERE NOT (doc_id % 10 = 3)) a
-         |  JOIN (SELECT * FROM post WHERE doc_id % 10 = 3) b ON a.g = b.g
+         |  FROM (SELECT * FROM post WHERE NOT ($BatchPredDuck)) a
+         |  JOIN (SELECT * FROM post WHERE $BatchPredDuck) b ON a.g = b.g
          |  GROUP BY 1, 2)
          |SELECT new_id, corpus_id,
          |  inter::DOUBLE / (ta.n + tb.n - inter)::DOUBLE AS j

@@ -524,8 +524,15 @@ object WarehouseOps {
     val dF = o.where(col("o_orderdate") >= to_timestamp(lit(Cut)))
     val c = Tables.load(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
-    val dD = c.where(col("c_custkey") % 10 === 3) // late-registered dims
-    val dOld = c.where(col("c_custkey") % 10 =!= 3)
+    // late-registered dims: a hash-bucket split (the SamplingOps nibble
+    // idiom), not an id residue — a residue split can silently degenerate
+    // to an empty delta on sparse/offset key spaces (round-17 uniform-idiom
+    // sweep). The oracle is split-invariant (it checks the appended MV
+    // against the from-scratch join of the COMPLETE sides), so the gate is
+    // pure fixture mechanics.
+    val lateDim = substring(md5(col("c_custkey").cast("string")), 32, 1) < lit("2")
+    val dD = c.where(lateDim)
+    val dOld = c.where(!lateDim)
     // the MV is genuinely materialized: the maintenance below reads no
     // V_old rows, it only APPENDS delta join results beside them
     val mvPath = graft.util.TempDirs.create("graft_ivm_join_")

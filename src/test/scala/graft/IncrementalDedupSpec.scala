@@ -13,8 +13,8 @@ class IncrementalDedupSpec extends AnyFunSuite {
 
   test("index appends add files without rewriting existing ones") {
     val idx = s"${tmpDir("idx_spec_")}/index"
-    val corpus = docs.where("NOT (doc_id % 10 = 3)")
-    val batch = docs.where("doc_id % 10 = 3")
+    val corpus = docs.where(s"NOT (${ops.IncrementalDedupOps.BatchPred})")
+    val batch = docs.where(ops.IncrementalDedupOps.BatchPred)
     ops.IncrementalDedupOps.appendToIndex(corpus, idx)
     val before = graft.util.Fs.listParquetFiles(spark, idx).toMap
     val corpusRows = spark.read.parquet(idx).count()
@@ -36,8 +36,8 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // equals the current-generation index's (the 64-slot signature is
     // generation-stable; only recall margins differ, and this corpus's
     // pairs are found by both)
-    val corpus = docs.where("NOT (doc_id % 10 = 3)")
-    val batch = docs.where("doc_id % 10 = 3")
+    val corpus = docs.where(s"NOT (${ops.IncrementalDedupOps.BatchPred})")
+    val batch = docs.where(ops.IncrementalDedupOps.BatchPred)
     val oldIdx = s"${tmpDir("idx_old_")}/index"
     ops.IncrementalDedupOps.bandRows(corpus, 16, 4)
       .write.parquet(oldIdx)
@@ -129,8 +129,8 @@ class IncrementalDedupSpec extends AnyFunSuite {
 
   test("batch-vs-index dedup equals the exhaustive batch×corpus Jaccard join") {
     val idx = s"${tmpDir("idx_spec_")}/index"
-    val corpus = docs.where("NOT (doc_id % 10 = 3)")
-    val batch = docs.where("doc_id % 10 = 3")
+    val corpus = docs.where(s"NOT (${ops.IncrementalDedupOps.BatchPred})")
+    val batch = docs.where(ops.IncrementalDedupOps.BatchPred)
     ops.IncrementalDedupOps.appendToIndex(corpus, idx)
     val got = ops.IncrementalDedupOps.dedupAgainstIndex(batch, corpus, idx)
       .select("new_id", "corpus_id").collect()
