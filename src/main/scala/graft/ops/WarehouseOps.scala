@@ -530,7 +530,11 @@ object WarehouseOps {
     // sweep). The oracle is split-invariant (it checks the appended MV
     // against the from-scratch join of the COMPLETE sides), so the gate is
     // pure fixture mechanics.
-    val lateDim = substring(md5(col("c_custkey").cast("string")), 32, 1) < lit("2")
+    // hash-bucket, NOT md5: this gate is never oracle-replayed (the oracle
+    // checks the appended MV against the from-scratch COMPLETE-sides join,
+    // split-invariant), so the cheapest codegen'd deterministic hash wins —
+    // md5-hex is reserved for gates a DuckDB oracle must replay bit-for-bit
+    val lateDim = pmod(xxhash64(col("c_custkey")), lit(16)) < 2
     val dD = c.where(lateDim)
     val dOld = c.where(!lateDim)
     // the MV is genuinely materialized: the maintenance below reads no

@@ -76,17 +76,39 @@ def main(argv):
         print("no artifacts with a detail map — nothing to fold", file=sys.stderr)
         return 1
     queries = sorted(set().union(*[set(r["mins"]) for r in runs]))
-    # the newest run's uniform component: median over queries of
-    # newest-min / prior-floor — 1.0 on a quiet box, >1 when the whole
-    # run is inflated (the guest-invisible hypervisor-neighbor case)
-    ratios = []
-    if len(runs) > 1:
+
+    def flag_names(history, latest):
+        """Queries whose `latest` min sits >threshold above the uniform-
+        drift-adjusted floor of `history` (list of mins-maps)."""
+        ratios, out = [], []
         for q in queries:
-            latest = runs[-1]["mins"].get(q)
-            earlier = [r["mins"][q] for r in runs[:-1] if q in r["mins"]]
-            if latest and earlier:
-                ratios.append(latest / min(earlier))
-    uniform = statistics.median(ratios) if ratios else 1.0
+            lm = latest.get(q)
+            earlier = [r[q] for r in history if q in r]
+            if lm and earlier:
+                ratios.append(lm / min(earlier))
+        uni = statistics.median(ratios) if ratios else 1.0
+        for q in queries:
+            lm = latest.get(q)
+            earlier = [r[q] for r in history if q in r]
+            if lm and earlier and lm > min(earlier) * uni * (1 + threshold):
+                out.append(q)
+        return uni, set(out)
+
+    if len(runs) > 1:
+        uniform, flagged_now = flag_names(
+            [r["mins"] for r in runs[:-1]], runs[-1]["mins"])
+    else:
+        uniform, flagged_now = 1.0, set()
+    # a contention EPISODE flags a different block of queries each run; a
+    # REAL regression flags the same query in every run after it landed.
+    # `persistent_flags` = flagged against the newest run AND against the
+    # previous run as latest — the set a judge actually needs to re-run.
+    if len(runs) > 2:
+        _, flagged_prev = flag_names(
+            [r["mins"] for r in runs[:-2]], runs[-2]["mins"])
+        persistent = sorted(flagged_now & flagged_prev)
+    else:
+        persistent = sorted(flagged_now) if len(runs) == 2 else []
     trend, flags = {}, []
     for q in queries:
         mins = [r["mins"].get(q) for r in runs]
@@ -98,8 +120,7 @@ def main(argv):
             if earlier:
                 prior_floor = min(earlier)
                 drift = (mins[-1] - prior_floor) / prior_floor
-                # flag EXCESS over the run's uniform drift, not raw drift
-                if mins[-1] > prior_floor * uniform * (1 + threshold):
+                if q in flagged_now:
                     flags.append({"query": q, "prior_floor": round(prior_floor, 4),
                                   "latest_min": round(mins[-1], 4),
                                   "drift_pct": round(100 * drift, 1),
@@ -115,6 +136,7 @@ def main(argv):
         "threshold_pct": round(100 * threshold, 1),
         "uniform_drift_ratio": round(uniform, 3),
         "n_queries": len(queries),
+        "persistent_flags": persistent,
         "flags": flags,
         "queries": trend,
     }
@@ -125,13 +147,15 @@ def main(argv):
           f"uniform drift x{uniform:.3f} -> {out_path}")
     if flags:
         print(f"{len(flags)} queries moved >{100*threshold:.0f}% above the "
-              f"uniform-drift-adjusted floor (re-run these on a quiet box):")
+              f"uniform-drift-adjusted floor in the NEWEST run:")
         for fl in flags[:15]:
             print(f"  {fl['query']}: {fl['prior_floor']}s -> {fl['latest_min']}s "
                   f"(+{fl['drift_pct']}% raw, +{fl['excess_pct']}% over the pack)")
     else:
         print("no query's newest min sits above the uniform-drift-adjusted floor "
               "by more than the threshold")
+    print(f"persistent flags (flagged in the last TWO runs — the set to "
+          f"actually re-run): {persistent or 'NONE'}")
     return 0
 
 

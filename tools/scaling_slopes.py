@@ -33,6 +33,13 @@ Reading rules (documented in SCALE.md "Per-query scaling slopes"):
 Usage:
   python3 tools/scaling_slopes.py OUT.json sf0.001=B1.json sf0.01=B2.json sf0.1=B3.json
           [--flag 1.3] [--floor 0.35]
+
+Each scale accepts a comma-separated LIST of artifacts
+(sf0.1=run1.json,run2.json): the per-query time is then the min across
+runs — the cross-run min-of-mins of the bench reading rule, which is the
+right anchor on a host-drifting box (any single run, including its mins,
+can be uniformly inflated by hypervisor neighbors the guest stamp cannot
+see).
 """
 import json
 import math
@@ -55,28 +62,36 @@ def main(argv):
         print(__doc__)
         return 2
     out_path, scale_args = pos[0], pos[1:]
-    scales = []  # (sf_label, sf_value, mins, env)
+    scales = []  # (sf_label, sf_value, mins, envs)
     stat_by_scale = {}
     for arg in scale_args:
-        label, path = arg.split("=", 1)
+        label, paths = arg.split("=", 1)
         sf = float(label.replace("sf", ""))
-        with open(path) as f:
-            doc = json.load(f)
-        det = doc.get("detail") or {}
-        mins = {q: d["min"] for q, d in det.items() if "min" in d}
-        if mins:
-            stat_by_scale[label] = "min"
-        else:
-            # detail-less (pre-round-16) artifact: only medians exist.
-            # Label it LOUDLY — medians carry contention, and a silently
-            # substituted median on the graded leg could mask a
-            # super-linear query behind a mislabeled statistic.
-            mins = dict(doc.get("queries") or {})
-            stat_by_scale[label] = "median (FALLBACK: artifact has no detail map)"
-            print(f"WARNING: {path} has no detail map — using MEDIANS for "
-                  f"{label}; slopes on this leg carry contention noise",
-                  file=sys.stderr)
-        scales.append((label, sf, mins, doc.get("env")))
+        merged, envs, stats = {}, [], []
+        for path in paths.split(","):
+            with open(path) as f:
+                doc = json.load(f)
+            det = doc.get("detail") or {}
+            mins = {q: d["min"] for q, d in det.items() if "min" in d}
+            if mins:
+                stats.append("min")
+            else:
+                # detail-less (pre-round-16) artifact: only medians exist.
+                # Label it LOUDLY — medians carry contention, and a silently
+                # substituted median on the graded leg could mask a
+                # super-linear query behind a mislabeled statistic.
+                mins = dict(doc.get("queries") or {})
+                stats.append("median (FALLBACK: artifact has no detail map)")
+                print(f"WARNING: {path} has no detail map — using MEDIANS for "
+                      f"{label}; slopes on this leg carry contention noise",
+                      file=sys.stderr)
+            for q, v in mins.items():
+                merged[q] = v if q not in merged else min(merged[q], v)
+            envs.append(doc.get("env"))
+        n = len(paths.split(","))
+        stat = stats[0] if len(set(stats)) == 1 else "MIXED: " + "; ".join(stats)
+        stat_by_scale[label] = stat if n == 1 else f"min-of-mins over {n} runs ({stat})"
+        scales.append((label, sf, merged, envs if n > 1 else envs[0]))
     scales.sort(key=lambda s: s[1])
     if len({s[1] for s in scales}) != len(scales):
         print("ERROR: two inputs share a scale factor — pass exactly one "
