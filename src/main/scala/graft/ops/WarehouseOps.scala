@@ -508,8 +508,11 @@ object WarehouseOps {
     * UPDATED dimension) — the join twin of `etl_ivm_rollup`'s aggregate
     * maintenance. Cost shape at 100 TB: ΔF⋈D_new is delta-×-dim (the
     * daily batch); F_old⋈ΔD probes the big historical fact against a
-    * TINY late-registered dim batch, so that leg rides a broadcast and
-    * never shuffles the fact (plan-pinned); and the view itself is
+    * TINY late-registered dim batch, so that leg rides a forced
+    * broadcast and never shuffles the fact — a DELTA-class side (the
+    * policy's CDC-delta case: O(day's registrations), not O(corpus)),
+    * and not plan-pinnable from outside because the returned plan is
+    * the MV read-back rollup, not the maintenance legs; and the view itself is
     * APPEND-ONLY parquet — no rewrite of V_old. Inner-join semantics make
     * the two legs disjoint by construction (V_old rows joined D_old only,
     * so no F_old⋈ΔD row can duplicate one). Oracled against the
