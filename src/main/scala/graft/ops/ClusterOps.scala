@@ -112,10 +112,16 @@ object ClusterOps {
                           checkpointer: Checkpointer = localCheckpointer): DataFrame = {
     val spark = edges.sparkSession
     val log = org.apache.log4j.Logger.getLogger(getClass)
-    // Symmetrized adjacency, cached: reused every round.
+    // Symmetrized adjacency, cached SRC-PARTITIONED and reused every
+    // round — the same discipline as pagerankPrepared/bfsHopsStaged:
+    // cached straight off distinct() the relation is partitioned on the
+    // (src, dst) pair, and every propagation round's join on src would
+    // re-exchange the full edge list; partitioned on src only the narrow
+    // label rows shuffle per round.
     val adj = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
+      .repartition(col("src"))
       .cache()
     var labels = checkpointer(
       adj.select(col("src").as("id")).distinct()
@@ -125,8 +131,11 @@ object ClusterOps {
     // it moves iff some node changed. One cheap scalar agg over the
     // just-checkpointed round replaces a join-and-compare against the
     // previous round.
+    // coalesce(…, 0): sum() over ZERO rows is SQL-null, and getLong on a
+    // null cell throws — an empty edge list (a snapshot with no dup
+    // pairs at all) must return an empty labeling, not crash
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).head.getLong(0)
+      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
     var prevSum = labelSum(labels)
     var round = 0
     var converged = false
@@ -318,15 +327,28 @@ object ClusterOps {
     // released before return, so no blocks outlive the run.
     val e = edgesWithDeg.select(col("src"), col("dst"), col("d"))
       .repartition(col("src")).cache()
+    // the node universe, cached node-partitioned for the per-round left
+    // join below (co-partitioned with the contribution rollup's output —
+    // no extra exchange per round)
+    val nodes = degrees.select(col("node")).repartition(col("node")).cache()
     var ranks = checkpointer(
       degrees.select(col("node"), lit(1000L).as("r")))
     (1 to iterations).foreach { _ =>
       val prev = ranks
+      // the contribution rollup only emits nodes with in-degree >= 1; a
+      // left join against the node universe restores sources (no in-
+      // edges) at their correct rank 150 + 850*0 — without it a source
+      // VANISHES from round 2 on and its out-contributions are silently
+      // lost (on symmetric graphs every node has in-edges, so the join
+      // matches everywhere and values are unchanged — which is why the
+      // co-purchase oracle needs no change)
+      val contrib = e.join(prev.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("r div d").as("contrib"))
+        .groupBy(col("node"))
+        .agg((lit(150L) + expr("850 * sum(contrib) div 1000")).as("r"))
       ranks = checkpointer(
-        e.join(prev.withColumnRenamed("node", "src"), "src")
-          .select(col("dst").as("node"), expr("r div d").as("contrib"))
-          .groupBy(col("node"))
-          .agg((lit(150L) + expr("850 * sum(contrib) div 1000")).as("r")))
+        nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"), coalesce(col("r"), lit(150L)).as("r")))
       releaseRound(prev) // superseded round: free its blocks eagerly
     }
     // materialize the final join BEFORE dropping the caches it reads —

@@ -39,9 +39,16 @@ object DedupOps {
     * the J=0.15 gap edge), absorbed by the exact-verify stage.
     */
   private[graft] val JaccardThreshold = 0.5
+  /** Signature width of the native `graft_minhash_sig64` expression (the
+    * 64 is baked into the codegen'd one-pass expression — this constant
+    * exists to make the banding-fits-signature invariant checkable, not
+    * to tune the width).
+    */
   private val MinhashK = 64
   private[graft] val Bands = 21
   private[graft] val RowsPerBand = 3
+  require(Bands * RowsPerBand <= MinhashK,
+    s"banding ($Bands x $RowsPerBand) must fit the $MinhashK-slot signature")
   // 60-bit hash, 2-of-12 block-pair bucketing → every pair within hamming
   // ≤ 10 is guaranteed a bucket collision. SimHash is the BOUNDED-RADIUS
   // secondary near-dup filter: its contract is "all true pairs within
@@ -60,6 +67,12 @@ object DedupOps {
   /** Documents plus injected exact duplicates (every 10th doc re-appears
     * under doc_id+1000000) — the raw corpus is duplicate-free, so the
     * fixture is what makes exact dedup observable. Oracle builds the same.
+    * FIXTURE CONTRACT: corpus ids must stay below the 1,000,000 offset
+    * (shipped corpora top out at 4,999) — on a denser id space the
+    * injected ids would collide with real documents, and the oracle
+    * replays the identical collision, so the harness could not catch it.
+    * This is fixture tooling, not an engine operator: a production
+    * pipeline has real duplicates and never injects any.
     */
   private[ops] def withExactDups(docs: DataFrame): DataFrame =
     docs.unionByName(
@@ -203,7 +216,11 @@ object DedupOps {
   private[graft] def dedupMinhashLshStaged(s: SparkSession, dir: String): Staged = {
     val sh = shingled(documents(s, dir)).cache()
     val st = minhashPairsStaged(documents(s, dir), sh)
-    Staged(st.plan, st.caches :+ sh: _*)
+    // deterministic output order belongs at the QUERY surface — the shared
+    // pair pipeline is unsorted because its other consumers (source
+    // matrix, the cluster pair memo) re-aggregate or re-shuffle
+    // immediately, and a range-sort exchange they discard is pure waste
+    Staged(st.plan.orderBy(col("a_id"), col("b_id")), st.caches :+ sh: _*)
   }
 
   /** The MinHash-LSH pair pipeline over an arbitrary doc set (reused by
@@ -412,13 +429,17 @@ object DedupOps {
     * Set ops run on 64-bit hashes, not strings — same cardinalities
     * (collision probability ~|sh|²/2⁶⁴ per pair), integer-speed compares.
     */
+  /** UNSORTED by design: four of its five consumers re-aggregate, join,
+    * or write the pairs (order-destroying), so the global range-sort
+    * exchange lives at the terminal query surfaces that need it, not
+    * here.
+    */
   private def verifyPairs(candidates: DataFrame, sh: DataFrame): DataFrame =
     candidates
       .join(sh.select(col("doc_id").as("a_id"), col("sh_hashes").as("a_sh")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh_hashes").as("b_sh")), "b_id")
       .select(col("a_id"), col("b_id"), jaccardSorted(col("a_sh"), col("b_sh")).as("j"))
       .where(col("j") >= JaccardThreshold)
-      .orderBy(col("a_id"), col("b_id"))
 
   /** Exact duplicated-SPAN detection — the substring-level member of the
     * dedup family (the document-level paths above treat a doc as one unit;
@@ -445,22 +466,33 @@ object DedupOps {
     * within-doc repeats are a quality signal (`ta_repetition`), not
     * duplication.
     */
-  def spanDedup(docs: DataFrame): DataFrame = {
+  def spanDedup(docs: DataFrame): DataFrame =
+    spanDedupStaged(docs).hygienic()
+
+  /** The lazy pipeline + its gram cache. `grams` feeds two plans whose
+    * exchanges differ (the duplicated-gram count-distinct rollup and the
+    * full posting probe join), so ReuseExchange cannot deduplicate them —
+    * uncached, the corpus-wide tokenize + 8-gram-hash explode would run
+    * twice per query (the exact double-explode hazard
+    * [[exactJaccardPairs]] caches its posting relation against).
+    */
+  private[graft] def spanDedupStaged(docs: DataFrame): Staged = {
     graft.functions.NativeText.register(docs.sparkSession)
     val grams = docs.select(col("doc_id"),
       posexplode(expr("graft_ngram8_pos_hashes(text)")).as(Seq("pos", "g")))
+      .cache()
     val dup = grams.groupBy(col("g"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2)
       .select(col("g"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    grams.join(dup, "g")
+    Staged(grams.join(dup, "g")
       .withColumn("grp", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).cast("long").as("span_start"),
         (max(col("pos")) - min(col("pos")) + lit(8)).cast("long").as("span_tokens"))
       .select(col("doc_id"), col("span_start"), col("span_tokens"))
-      .orderBy(col("doc_id"), col("span_start"))
+      .orderBy(col("doc_id"), col("span_start")), grams)
   }
 
   /** Documents plus planted 50-token EXCERPTS (every 25th long-enough doc
@@ -468,7 +500,8 @@ object DedupOps {
     * the corpus's natural cross-doc 8-gram repeats are sparse single
     * windows, so the fixture is what makes island MERGING observable: the
     * excerpt is one 43-gram island in both the copy and its source. Oracle
-    * builds the same fixture.
+    * builds the same fixture. Same fixture-id contract as
+    * [[withExactDups]]: corpus ids must stay below the 2,000,000 offset.
     */
   private[graft] def withSpanDups(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
