@@ -360,6 +360,7 @@ object ClusterOps {
         .select(col("node"), col("r"), col("d")))
     releaseRound(ranks)
     e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
     out
   }
 

@@ -219,6 +219,28 @@ class ClusterSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 628L, 1L), (2L, 1741L, 2L), (3L, 628L, 1L)))
   }
 
+  test("pagerank restores zero-in-degree sources and keeps their contributions flowing") {
+    // ASYMMETRIC fixture: A(1)→B(2), B(2)↔C(3). A has out-edges but NO
+    // in-edges — the contribution rollup never emits it, so without the
+    // source-restoration step A vanishes from round 2 on and B silently
+    // loses A's contribution. deg A=B=C=1; r0 = 1000.
+    // r1: A = 150 (no in-edges), B = 150 + 850·(1000+1000) div 1000 = 1850,
+    //     C = 150 + 850·1000 div 1000 = 1000
+    // r2: A = 150, B = 150 + 850·(150+1000) div 1000 = 1127,
+    //     C = 150 + 850·1850 div 1000 = 1722
+    // r3: A = 150, B = 150 + 850·(150+1722) div 1000 = 1741,
+    //     C = 150 + 850·1127 div 1000 = 1107
+    // (A buggy engine that drops A yields B = 1613 at r3 — the assert
+    // below distinguishes them, which the symmetric co-purchase oracle
+    // cannot.)
+    import SparkTestBase.spark
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val got = ops.ClusterOps.pagerank(edges, iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 150L, 1L), (2L, 1741L, 1L), (3L, 1107L, 1L)))
+  }
+
   test("pagerank ranks hubs above leaves on the co-purchase graph") {
     val pr = ops.ClusterOps.queries("graph_pagerank")(SparkTestBase.spark, SparkTestBase.Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
