@@ -27,8 +27,27 @@ Movement below the floor (a speedup) updates the anchor and is never
 flagged. Reading rule for a flag: it means "re-run this query on a quiet
 box" — a real plan regression reproduces; host drift does not.
 
+`persistent_flags` needs at least THREE runs: with two there is no "last
+two latest-runs" intersection to take, and promoting every first-time flag
+would overstate the re-run set — below three runs the list is empty and
+`persistent_note` says why.
+
+Flag-verify mode (--verify-with QUIET1.json[,QUIET2.json...]): before a
+persistent flag is committed as "re-run this", it must REPRODUCE on a
+quiet targeted re-run — a real plan regression does, host drift does not.
+Each quiet artifact is a bench capture (full or subset) of the flagged
+queries on an idle box; a persistent flag is KEPT only when its quiet min
+still exceeds min_of_mins x (1 + --verify-margin, default 0.2)
++ --verify-allow seconds (default 0.15 — subset runs carry ~0.1-0.5 s of
+per-query overhead a full sweep amortizes; raise the allowance when the
+verify artifact is a small subset, or use a full-sweep artifact and 0).
+Cleared and unmeasured queries are recorded under `verify` in the output;
+unmeasured flags stay (absence of evidence is not clearance).
+
 Usage:
   python3 tools/bench_trend.py OUT.json IN1.json IN2.json ... [--threshold 0.2]
+          [--verify-with QUIET.json[,MORE.json]] [--verify-margin 0.2]
+          [--verify-allow 0.15]
 
 Artifacts without a `detail` map (pre-round-16 driver captures) are
 skipped with a note rather than failing the fold.
@@ -52,6 +71,7 @@ def main(argv):
     # consume their value token (the filter-comprehension version left the
     # space-separated value behind as a phantom input path)
     threshold, args = 0.2, []
+    verify_with, verify_margin, verify_allow = [], 0.2, 0.15
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -59,6 +79,14 @@ def main(argv):
             threshold = float(argv[i + 1]); i += 2
         elif a.startswith("--threshold="):
             threshold = float(a.split("=", 1)[1]); i += 1
+        elif a == "--verify-with":
+            verify_with = argv[i + 1].split(","); i += 2
+        elif a.startswith("--verify-with="):
+            verify_with = a.split("=", 1)[1].split(","); i += 1
+        elif a == "--verify-margin":
+            verify_margin = float(argv[i + 1]); i += 2
+        elif a == "--verify-allow":
+            verify_allow = float(argv[i + 1]); i += 2
         else:
             args.append(a); i += 1
     if len(args) < 3:
@@ -81,16 +109,20 @@ def main(argv):
         """Queries whose `latest` min sits >threshold above the uniform-
         drift-adjusted floor of `history` (list of mins-maps)."""
         ratios, out = [], []
+        # `is not None`, not truthiness: a legitimate 0.0 timing is a
+        # measurement, not a gap — truthiness silently dropped such
+        # queries from the drift screen. (A 0.0 PRIOR floor can't be a
+        # ratio denominator; those queries still flag via the comparison.)
         for q in queries:
             lm = latest.get(q)
             earlier = [r[q] for r in history if q in r]
-            if lm and earlier:
+            if lm is not None and earlier and min(earlier) > 0:
                 ratios.append(lm / min(earlier))
         uni = statistics.median(ratios) if ratios else 1.0
         for q in queries:
             lm = latest.get(q)
             earlier = [r[q] for r in history if q in r]
-            if lm and earlier and lm > min(earlier) * uni * (1 + threshold):
+            if lm is not None and earlier and lm > min(earlier) * uni * (1 + threshold):
                 out.append(q)
         return uni, set(out)
 
@@ -107,8 +139,48 @@ def main(argv):
         _, flagged_prev = flag_names(
             [r["mins"] for r in runs[:-2]], runs[-2]["mins"])
         persistent = sorted(flagged_now & flagged_prev)
+        persistent_note = "flagged in the last TWO runs"
     else:
-        persistent = sorted(flagged_now) if len(runs) == 2 else []
+        # with <3 runs there is no two-consecutive-flags intersection to
+        # take; promoting first-time flags would overstate the re-run set
+        persistent = []
+        persistent_note = ("empty by construction: <3 runs folded, no "
+                           "two-consecutive-flags intersection exists — "
+                           "read `flags` as tentative single-comparison drift")
+    verify_report = None
+    if verify_with and persistent:
+        quiet = {}
+        for p in verify_with:
+            with open(p) as f:
+                vdoc = json.load(f)
+            vdet = vdoc.get("detail")
+            vmins = ({q: d["min"] for q, d in vdet.items()
+                      if isinstance(d, dict) and "min" in d}
+                     if isinstance(vdet, dict) else dict(vdoc.get("queries") or {}))
+            for q, v in vmins.items():
+                if v is not None:
+                    quiet[q] = v if q not in quiet else min(quiet[q], v)
+        kept, cleared, unmeasured = [], [], []
+        for q in persistent:
+            floor_q = min(r["mins"][q] for r in runs if q in r["mins"])
+            qm = quiet.get(q)
+            if qm is None:
+                unmeasured.append(q)  # not cleared: it simply wasn't re-run
+            elif qm > floor_q * (1 + verify_margin) + verify_allow:
+                kept.append({"query": q, "quiet_min": round(qm, 4),
+                             "floor": round(floor_q, 4)})
+            else:
+                cleared.append({"query": q, "quiet_min": round(qm, 4),
+                                "floor": round(floor_q, 4)})
+        verify_report = {
+            "files": verify_with, "margin": verify_margin,
+            "allow_sec": verify_allow,
+            "kept": kept, "cleared": cleared, "unmeasured": unmeasured,
+        }
+        persistent = sorted([k["query"] for k in kept] + unmeasured)
+        persistent_note = ("quiet-run verified (margin "
+                           f"{verify_margin:+.0%}, allow {verify_allow}s): "
+                           "reproduced or unmeasured flags only")
     trend, flags = {}, []
     for q in queries:
         mins = [r["mins"].get(q) for r in runs]
@@ -137,6 +209,8 @@ def main(argv):
         "uniform_drift_ratio": round(uniform, 3),
         "n_queries": len(queries),
         "persistent_flags": persistent,
+        "persistent_note": persistent_note,
+        "verify": verify_report,
         "flags": flags,
         "queries": trend,
     }
@@ -154,8 +228,12 @@ def main(argv):
     else:
         print("no query's newest min sits above the uniform-drift-adjusted floor "
               "by more than the threshold")
-    print(f"persistent flags (flagged in the last TWO runs — the set to "
-          f"actually re-run): {persistent or 'NONE'}")
+    print(f"persistent flags ({persistent_note}): {persistent or 'NONE'}")
+    if verify_report:
+        print(f"  verify: {len(verify_report['cleared'])} cleared, "
+              f"{len(verify_report['kept'])} reproduced, "
+              f"{len(verify_report['unmeasured'])} unmeasured "
+              f"(quiet runs: {', '.join(verify_report['files'])})")
     return 0
 
 

@@ -109,7 +109,11 @@ def main(argv):
         slopes = {}
         for (la, sa, ma, _ea), (lb, sb, mb, _eb) in zip(scales, scales[1:]):
             ta, tb = ma.get(q), mb.get(q)
-            if ta and tb and ta > 0 and tb > 0:
+            # explicit None checks (not truthiness) so a legitimate 0.0 is
+            # distinguished from a missing measurement; the > 0 guards are
+            # the log-domain requirement, which a 0.0 timing genuinely
+            # cannot satisfy (no slope is defined for it)
+            if ta is not None and tb is not None and ta > 0 and tb > 0:
                 slopes[f"{la}->{lb}"] = round(
                     math.log(tb / ta) / math.log(sb / sa), 3)
         graded_key = f"{top_pair[0]}->{top_pair[1]}"
