@@ -327,28 +327,48 @@ object ClusterOps {
     // released before return, so no blocks outlive the run.
     val e = edgesWithDeg.select(col("src"), col("dst"), col("d"))
       .repartition(col("src")).cache()
-    // the node universe, cached node-partitioned for the per-round left
-    // join below (co-partitioned with the contribution rollup's output —
-    // no extra exchange per round)
-    val nodes = degrees.select(col("node")).repartition(col("node")).cache()
+    // The contribution rollup only emits nodes with in-degree >= 1, so a
+    // SOURCE (out-edges, no in-edges) would vanish from round 2 on and
+    // its out-contributions would be silently lost. A source's rank is
+    // the CONSTANT 150 + 850*0 from round 1 on, so restoration only has
+    // to compute the source set once and union those constant rows into
+    // each round. Two plans were measured at sf0.1 before this one
+    // (SCALE.md "Source restoration"): a per-round |nodes| left join
+    // (round 17 — co-partitioned, but it re-joins the full universe
+    // every round: +~0.5 s/run) and a dst anti-join over the edge list
+    // (one |E|-row exchange: +~0.6 s/run, WORSE — the edge list is the
+    // one relation this loop must never re-exchange). This derivation is
+    // free of both: round 1's rollup output IS the in-degree >= 1 node
+    // set (|V|-sized, already node-partitioned), so the source set is a
+    // co-partitioned |V| anti-join against it, paid once. On symmetric
+    // graphs (the co-purchase registry) the set is EMPTY and the
+    // per-round union is a no-op — which is why the oracle needs no
+    // change.
+    var sourceRanks: DataFrame = null
     var ranks = checkpointer(
       degrees.select(col("node"), lit(1000L).as("r")))
-    (1 to iterations).foreach { _ =>
+    (1 to iterations).foreach { i =>
       val prev = ranks
-      // the contribution rollup only emits nodes with in-degree >= 1; a
-      // left join against the node universe restores sources (no in-
-      // edges) at their correct rank 150 + 850*0 — without it a source
-      // VANISHES from round 2 on and its out-contributions are silently
-      // lost (on symmetric graphs every node has in-edges, so the join
-      // matches everywhere and values are unchanged — which is why the
-      // co-purchase oracle needs no change)
+      // prev covers the FULL node universe every round (round 0 is all of
+      // `degrees`; later rounds re-add the in-degree-0 remainder via the
+      // union), so every edge's src finds its rank and no contribution is
+      // ever dropped — the invariant the asymmetric ClusterSpec fixture
+      // pins
       val contrib = e.join(prev.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("r div d").as("contrib"))
         .groupBy(col("node"))
         .agg((lit(150L) + expr("850 * sum(contrib) div 1000")).as("r"))
-      ranks = checkpointer(
-        nodes.join(contrib, Seq("node"), "left")
-          .select(col("node"), coalesce(col("r"), lit(150L)).as("r")))
+      if (i == 1) {
+        val c1 = checkpointer(contrib)
+        sourceRanks = checkpointer(
+          degrees.select(col("node"))
+            .join(c1.select(col("node")), Seq("node"), "left_anti")
+            .select(col("node"), lit(150L).as("r")))
+        ranks = checkpointer(c1.unionByName(sourceRanks))
+        releaseRound(c1) // folded into round 1's checkpoint; never read again
+      } else {
+        ranks = checkpointer(contrib.unionByName(sourceRanks))
+      }
       releaseRound(prev) // superseded round: free its blocks eagerly
     }
     // materialize the final join BEFORE dropping the caches it reads —
@@ -359,8 +379,8 @@ object ClusterOps {
           col("node") === col("deg_node"))
         .select(col("node"), col("r"), col("d")))
     releaseRound(ranks)
+    if (sourceRanks != null) releaseRound(sourceRanks)
     e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
     out
   }
 
