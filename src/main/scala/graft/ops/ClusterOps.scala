@@ -315,6 +315,14 @@ object ClusterOps {
     * no prep caches: each round scans the graph relation and shuffles
     * only (long, long) rank rows. Returns (node, r, d), materialized
     * through `checkpointer`.
+    *
+    * Restored-source contract: every node of `degrees` appears in EVERY
+    * round's rank relation — a zero-in-degree source holds its exact
+    * rank (150, the damping floor) from round 1 on and its
+    * out-contributions keep flowing (ClusterSpec's asymmetric fixture
+    * pins both). Restoration costs one co-partitioned |V| anti-join
+    * derived from round 1's rollup plus a per-round union of the
+    * constant source rows — empty, hence free, on symmetric graphs.
     */
   def pagerankPrepared(edgesWithDeg: DataFrame, degrees: DataFrame, iterations: Int,
                        checkpointer: Checkpointer = localCheckpointer): DataFrame = {
