@@ -84,6 +84,11 @@ object StateScaleBench {
     // default ladder: 64 -> 65536 in 16x steps; override via args
     val keyCounts: Seq[Long] =
       if (args.nonEmpty) args.map(_.toLong).toSeq else Seq(64L, 1024L, 16384L, 65536L)
+    // fail BEFORE the bench runs, not during JSON assembly afterwards
+    require(keyCounts.length >= 2,
+      s"need at least two key counts to grade a slope, got $keyCounts")
+    require(keyCounts == keyCounts.sorted && keyCounts.distinct == keyCounts,
+      s"key counts must be strictly increasing, got $keyCounts")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.session.timeZone", "UTC")
@@ -105,15 +110,9 @@ object StateScaleBench {
     keyedAggDrain(spark, sfDir, 16L)
     mgwsDrain(spark, sfDir, 16L)
 
-    // runToMemory awaits full drain termination, so the timed section is
-    // the stream's real work; the count on the drained memory table is
-    // the state-row census (Update mode can emit a key per micro-batch —
-    // distinct buckets, not raw emissions)
-    val shapes: Seq[(String, Long => Long)] = Seq(
-      "keyed_agg" -> (k => keyedAggDrain(spark, sfDir, k)
-        .select(col("bucket")).distinct().count()),
-      "mgws" -> (k => mgwsDrain(spark, sfDir, k)
-        .select(col("bucket")).distinct().count()))
+    val shapes: Seq[(String, Long => DataFrame)] = Seq(
+      "keyed_agg" -> (k => keyedAggDrain(spark, sfDir, k)),
+      "mgws" -> (k => mgwsDrain(spark, sfDir, k)))
     // interleave reps across the full ladder (rep-major order) so a host
     // contention episode inflates one REP, not one RUNG — the per-rung
     // min then survives it
@@ -122,10 +121,18 @@ object StateScaleBench {
     (1 to reps).foreach { _ =>
       shapes.foreach { case (shape, fn) =>
         keyCounts.foreach { k =>
+          // runToMemory awaits full drain termination, so the timed
+          // section is the stream's real work and ONLY that: the
+          // state-row census below runs OUTSIDE the window — it scales
+          // with the graded axis itself (distinct over up to |K| sink
+          // rows), and billing it to the drain would inflate exactly the
+          // slope this artifact grades
           val t0 = System.nanoTime()
-          val n = fn(k)
+          val drained = fn(k)
           val dt = (System.nanoTime() - t0) / 1e9
-          groups((shape, k)) = n
+          // census: distinct buckets, not raw emissions (Update mode can
+          // emit a key once per micro-batch)
+          groups((shape, k)) = drained.select(col("bucket")).distinct().count()
           val key = (shape, k)
           times(key) = times.get(key).fold(dt)(math.min(_, dt))
         }
@@ -140,16 +147,26 @@ object StateScaleBench {
       (groups((shape, kLo)), groups((shape, kHi)),
         times((shape, kLo)), times((shape, kHi)))
     }
-    def slope(shape: String): Double = {
+    // None when the top rungs SATURATE: on a small corpus every event
+    // already has its own bucket, so the measured row counts converge
+    // (e.g. 971 -> 992 at sf0.001) — a zero or tiny log(rHi/rLo)
+    // denominator turns timing noise into slopes of ±5 exactly where
+    // the artifact claims a graded number. Grade only when the pair
+    // carries at least 2x real row growth.
+    val MinRowGrowth = 2.0
+    def slope(shape: String): Option[Double] = {
       val (rLo, rHi, tLo, tHi) = topPair(shape)
-      math.log(tHi / tLo) / math.log(rHi.toDouble / rLo)
+      if (rHi >= rLo * MinRowGrowth && tLo > 0 && tHi > 0)
+        Some(math.log(tHi / tLo) / math.log(rHi.toDouble / rLo))
+      else None
     }
     /** Marginal drain seconds per additional state row on the top pair —
       * the number a capacity plan multiplies by expected key count.
       */
-    def marginalSecPerRow(shape: String): Double = {
+    def marginalSecPerRow(shape: String): Option[Double] = {
       val (rLo, rHi, tLo, tHi) = topPair(shape)
-      (tHi - tLo) / (rHi - rLo).toDouble
+      if (rHi >= rLo * MinRowGrowth) Some((tHi - tLo) / (rHi - rLo).toDouble)
+      else None
     }
 
     val loadAfter = osBean.getSystemLoadAverage
@@ -167,11 +184,16 @@ object StateScaleBench {
       keyCounts.foreach(k => t.put(k.toString, math.rint(times((shape, k)) * 1000) / 1000))
       val g = s.putObject("state_rows")
       keyCounts.foreach(k => g.put(k.toString, groups((shape, k))))
-      s.put("graded_slope", math.rint(slope(shape) * 1000) / 1000)
       val (rLo, rHi, _, _) = topPair(shape)
       s.put("graded_pair_state_rows", s"$rLo->$rHi")
-      s.put("marginal_usec_per_state_row",
-        math.rint(marginalSecPerRow(shape) * 1e6 * 100) / 100)
+      slope(shape) match {
+        case Some(v) => s.put("graded_slope", math.rint(v * 1000) / 1000)
+        case None => s.putNull("graded_slope")
+          s.put("graded_slope_note",
+            "top rungs saturated (under 2x state-row growth) — corpus too small to grade this pair")
+      }
+      marginalSecPerRow(shape).foreach(v =>
+        s.put("marginal_usec_per_state_row", math.rint(v * 1e6 * 100) / 100))
     }
     val env = root.putObject("env")
     env.put("load_avg_before", loadBefore)

@@ -72,21 +72,36 @@ def main(argv):
     # space-separated value behind as a phantom input path)
     threshold, args = 0.2, []
     verify_with, verify_margin, verify_allow = [], 0.2, 0.15
+    # every value-taking flag supports BOTH '--flag V' and '--flag=V', and
+    # a missing value is a usage error, not an IndexError — the
+    # space-separated form once left phantom input paths behind, and a
+    # half-supported '=' form reintroduces the same class
+    flag_names = ("--threshold", "--verify-with", "--verify-margin",
+                  "--verify-allow")
+
+    def take_value(i):
+        a = argv[i]
+        if "=" in a:
+            return a.split("=", 1)[1], i + 1
+        if i + 1 >= len(argv):
+            print(f"{a} needs a value\n{__doc__}", file=sys.stderr)
+            raise SystemExit(2)
+        return argv[i + 1], i + 2
+
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a == "--threshold":
-            threshold = float(argv[i + 1]); i += 2
-        elif a.startswith("--threshold="):
-            threshold = float(a.split("=", 1)[1]); i += 1
-        elif a == "--verify-with":
-            verify_with = argv[i + 1].split(","); i += 2
-        elif a.startswith("--verify-with="):
-            verify_with = a.split("=", 1)[1].split(","); i += 1
-        elif a == "--verify-margin":
-            verify_margin = float(argv[i + 1]); i += 2
-        elif a == "--verify-allow":
-            verify_allow = float(argv[i + 1]); i += 2
+        name = a.split("=", 1)[0]
+        if name in flag_names:
+            val, i = take_value(i)
+            if name == "--threshold":
+                threshold = float(val)
+            elif name == "--verify-with":
+                verify_with = val.split(",")
+            elif name == "--verify-margin":
+                verify_margin = float(val)
+            else:
+                verify_allow = float(val)
         else:
             args.append(a); i += 1
     if len(args) < 3:
