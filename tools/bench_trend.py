@@ -206,17 +206,27 @@ def main(argv):
             earlier = [m for m in mins[:-1] if m is not None]
             if earlier:
                 prior_floor = min(earlier)
-                drift = (mins[-1] - prior_floor) / prior_floor
+                # a 0.0 prior floor is a real measurement (the None-vs-0.0
+                # fix lets it through) but no ratio is defined against it:
+                # unchanged-at-zero reads 0% drift, movement off zero has
+                # no percentage (selftest.py pins this)
+                if prior_floor > 0:
+                    drift = (mins[-1] - prior_floor) / prior_floor
+                elif mins[-1] == prior_floor:
+                    drift = 0.0
                 if q in flagged_now:
                     flags.append({"query": q, "prior_floor": round(prior_floor, 4),
                                   "latest_min": round(mins[-1], 4),
-                                  "drift_pct": round(100 * drift, 1),
+                                  "drift_pct": None if drift is None
+                                  else round(100 * drift, 1),
                                   "excess_pct": round(
-                                      100 * (mins[-1] / (prior_floor * uniform) - 1), 1)})
+                                      100 * (mins[-1] / (prior_floor * uniform) - 1), 1)
+                                  if prior_floor > 0 else None})
         trend[q] = {"mins": [None if m is None else round(m, 4) for m in mins],
                     "min_of_mins": round(floor, 4),
                     "drift_pct": None if drift is None else round(100 * drift, 1)}
-    flags.sort(key=lambda f: -f["excess_pct"])
+    flags.sort(key=lambda f: -(f["excess_pct"] if f["excess_pct"] is not None
+                               else float("inf")))
     result = {
         "inputs": [r["file"] for r in runs],
         "skipped_no_detail": skipped,
@@ -239,7 +249,9 @@ def main(argv):
               f"uniform-drift-adjusted floor in the NEWEST run:")
         for fl in flags[:15]:
             print(f"  {fl['query']}: {fl['prior_floor']}s -> {fl['latest_min']}s "
-                  f"(+{fl['drift_pct']}% raw, +{fl['excess_pct']}% over the pack)")
+                  + (f"(+{fl['drift_pct']}% raw, +{fl['excess_pct']}% over the pack)"
+                     if fl["excess_pct"] is not None
+                     else "(moved off a 0.0 floor — no percentage defined)"))
     else:
         print("no query's newest min sits above the uniform-drift-adjusted floor "
               "by more than the threshold")
