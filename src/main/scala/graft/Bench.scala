@@ -170,7 +170,11 @@ object Bench {
         s""""available_processors":${Runtime.getRuntime.availableProcessors},""" +
         s""""scratch_root":"${esc(graft.util.TempDirs.rootDescription)}",""" +
         s""""mode":"${if (sweepMode) "sweep" else "median"}",""" +
-        s""""timed_runs":${if (sweepMode) 1 else timedRuns}}"""
+        s""""timed_runs":${if (sweepMode) 1 else timedRuns},""" +
+        // two artifacts with the same sha ran the same binary: per-query
+        // drift between them is host noise by construction, and
+        // bench_trend.py's same_tree_drift rule uses exactly this field
+        s""""git_sha":"${esc(graft.util.GitInfo.headSha())}"}"""
     val full = "{" + core + s""","detail":$det,"env":$env}"""
     // parse-back assertion: a malformed archive must fail HERE, loudly,
     // not in some later round's trend tooling (jackson ships with Spark)

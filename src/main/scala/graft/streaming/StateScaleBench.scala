@@ -200,6 +200,7 @@ object StateScaleBench {
     env.put("load_avg_after", loadAfter)
     env.put("shuffle_partitions", 8)
     env.put("reps", reps)
+    env.put("git_sha", graft.util.GitInfo.headSha())
     val json = mapper.writeValueAsString(root)
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "STREAM_SCALING.json")

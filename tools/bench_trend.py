@@ -32,6 +32,15 @@ two latest-runs" intersection to take, and promoting every first-time flag
 would overstate the re-run set — below three runs the list is empty and
 `persistent_note` says why.
 
+Same-tree adjudication (round 18): artifacts stamped with `env.git_sha`
+(every `graft.Bench` run since round 18) let the fold apply the cheapest
+possible discriminator BEFORE anyone re-runs anything — a flag whose
+prior floor was set by a run of the SAME sha as the newest run cannot be
+a plan regression (same binary, same data; the drift is host noise by
+construction). Such flags are recorded under `same_tree_drift`, excluded
+from `flags`/`persistent_flags`. Unknown or missing shas never match, so
+pre-round-18 artifacts keep the conservative behavior.
+
 Flag-verify mode (--verify-with QUIET1.json[,QUIET2.json...]): before a
 persistent flag is committed as "re-run this", it must REPRODUCE on a
 quiet targeted re-run — a real plan regression does, host drift does not.
@@ -141,11 +150,36 @@ def main(argv):
                 out.append(q)
         return uni, set(out)
 
+    def run_sha(run):
+        env = run.get("env") or {}
+        s = env.get("git_sha") if isinstance(env, dict) else None
+        return s if s and s != "unknown" else None
+
+    def split_same_tree(history_runs, latest_run, flagged):
+        """Two artifacts with the same git_sha ran the same binary against
+        the same data — a drift between them is host noise by
+        CONSTRUCTION, never a plan regression. A flag whose prior floor
+        was set by a same-sha run is therefore adjudicated without a
+        re-run. Unknown/absent shas never match (pre-round-18 artifacts
+        keep the old behavior)."""
+        ls = run_sha(latest_run)
+        real, same = set(), []
+        for q in flagged:
+            floor_run = min((r for r in history_runs if q in r["mins"]),
+                            key=lambda r: r["mins"][q])
+            if ls is not None and run_sha(floor_run) == ls:
+                same.append(q)
+            else:
+                real.add(q)
+        return real, sorted(same)
+
     if len(runs) > 1:
         uniform, flagged_now = flag_names(
             [r["mins"] for r in runs[:-1]], runs[-1]["mins"])
+        flagged_now, same_tree_drift = split_same_tree(
+            runs[:-1], runs[-1], flagged_now)
     else:
-        uniform, flagged_now = 1.0, set()
+        uniform, flagged_now, same_tree_drift = 1.0, set(), []
     # a contention EPISODE flags a different block of queries each run; a
     # REAL regression flags the same query in every run after it landed.
     # `persistent_flags` = flagged against the newest run AND against the
@@ -153,6 +187,7 @@ def main(argv):
     if len(runs) > 2:
         _, flagged_prev = flag_names(
             [r["mins"] for r in runs[:-2]], runs[-2]["mins"])
+        flagged_prev, _ = split_same_tree(runs[:-2], runs[-2], flagged_prev)
         persistent = sorted(flagged_now & flagged_prev)
         persistent_note = "flagged in the last TWO runs"
     else:
@@ -235,6 +270,7 @@ def main(argv):
         "n_queries": len(queries),
         "persistent_flags": persistent,
         "persistent_note": persistent_note,
+        "same_tree_drift": same_tree_drift,
         "verify": verify_report,
         "flags": flags,
         "queries": trend,
@@ -255,6 +291,10 @@ def main(argv):
     else:
         print("no query's newest min sits above the uniform-drift-adjusted floor "
               "by more than the threshold")
+    if same_tree_drift:
+        print(f"{len(same_tree_drift)} flag(s) auto-adjudicated as host noise — the "
+              f"prior floor was set by a run of the SAME git sha as the newest "
+              f"(same binary, same data): {same_tree_drift}")
     print(f"persistent flags ({persistent_note}): {persistent or 'NONE'}")
     if verify_report:
         print(f"  verify: {len(verify_report['cleared'])} cleared, "

@@ -14,9 +14,9 @@ Covered: min-of-mins folding, uniform-drift normalization, genuine-vs-
 drift regression flagging, persistent-flag intersection (and its empty-
 below-3-runs rule), quiet-run verification (cleared/kept/unmeasured),
 '=' and space flag forms + missing-value usage errors, 0.0-timing
-inclusion, slope recovery of a known exponent, the fixed-floor
-suppression, min-across-runs merging, and the duplicate-scale usage
-error.
+inclusion, same-tree (git-sha) drift adjudication, slope recovery of a
+known exponent, the fixed-floor suppression, min-across-runs merging,
+and the duplicate-scale usage error.
 """
 import json
 import os
@@ -35,13 +35,16 @@ def check(name, cond, detail=""):
         FAILS.append(name)
 
 
-def write_bench(path, mins):
+def write_bench(path, mins, sha=None):
     """BENCH_FULL.json-style artifact with a detail map of given mins."""
+    env = {"mode": "median", "synthetic": True}
+    if sha:
+        env["git_sha"] = sha
     doc = {
         "metric": "total", "value": sum(mins.values()), "unit": "sec",
         "queries": dict(mins),
         "detail": {q: {"min": v, "max": v, "warmup": v} for q, v in mins.items()},
-        "env": {"mode": "median", "synthetic": True},
+        "env": env,
     }
     with open(path, "w") as f:
         json.dump(doc, f)
@@ -129,6 +132,31 @@ def main():
     res = run("bench_trend.py", out, r1, r2, "--verify-with")
     check("trend: missing flag value is a usage error (exit 2)",
           res.returncode == 2 and "needs a value" in (res.stdout + res.stderr))
+
+    # same-tree adjudication: the floor-setting run and the flagged run
+    # share a git sha -> host noise by construction, no flag; a
+    # different-sha floor keeps the flag
+    g1 = write_bench(p("g1.json"), {**stable, "q_x": 1.0}, sha="oldsha")
+    g2 = write_bench(p("g2.json"), {**stable, "q_x": 0.5}, sha="newsha")
+    g3 = write_bench(p("g3.json"), {**stable, "q_x": 1.4}, sha="newsha")
+    run("bench_trend.py", out, g1, g2, g3)
+    doc = json.load(open(out))
+    check("trend: same-sha floor suppresses the flag as host noise",
+          doc["same_tree_drift"] == ["q_x"]
+          and "q_x" not in [f["query"] for f in doc["flags"]],
+          str((doc["same_tree_drift"], [f["query"] for f in doc["flags"]])))
+    g2b = write_bench(p("g2b.json"), {**stable, "q_x": 0.5}, sha="oldsha")
+    run("bench_trend.py", out, g1, g2b, g3)
+    doc = json.load(open(out))
+    check("trend: different-sha floor keeps the flag",
+          doc["same_tree_drift"] == []
+          and "q_x" in [f["query"] for f in doc["flags"]],
+          str((doc["same_tree_drift"], [f["query"] for f in doc["flags"]])))
+    run("bench_trend.py", out, r1, r2, r3)  # sha-less artifacts
+    doc = json.load(open(out))
+    check("trend: sha-less artifacts keep conservative flagging",
+          doc["same_tree_drift"] == []
+          and "q_slow" in [f["query"] for f in doc["flags"]])
 
     # --- scaling_slopes ---------------------------------------------------
     # q_lin ~ SF^1, q_quad ~ SF^2, q_floor below the 0.35 s floor at top
