@@ -323,6 +323,17 @@ object ClusterOps {
     * pins both). Restoration costs one co-partitioned |V| anti-join
     * derived from round 1's rollup plus a per-round union of the
     * constant source rows — empty, hence free, on symmetric graphs.
+    *
+    * Sink-node contract (iterations >= 1): a pure SINK (in-edges, no
+    * out-edges — so no `degrees` row) is ranked by every round's rollup
+    * and EMITTED in the output with `d = 0`; its rank mass is simply
+    * never redistributed (the standard dangling-mass-dropped PageRank
+    * simplification — the mirror image of the restored-source rule
+    * above, and pinned by the same asymmetric ClusterSpec fixture, which
+    * carries a sink the symmetric oracle cannot see). With
+    * `iterations = 0` the output is the initialization over the
+    * `degrees` universe only — no rollup has run, so no sink has ever
+    * been ranked and none is emitted.
     */
   def pagerankPrepared(edgesWithDeg: DataFrame, degrees: DataFrame, iterations: Int,
                        checkpointer: Checkpointer = localCheckpointer): DataFrame = {
@@ -381,11 +392,14 @@ object ClusterOps {
     }
     // materialize the final join BEFORE dropping the caches it reads —
     // returning it lazy would silently replay the edge build at the
-    // caller's first action
+    // caller's first action. LEFT join: `ranks` covers the full node
+    // universe (sinks included from round 1 on), `degrees` only the
+    // out-degree >= 1 nodes — an inner join here silently dropped pure
+    // sinks from the output (the sink-node contract above)
     val out = checkpointer(
       ranks.join(degrees.withColumnRenamed("node", "deg_node"),
-          col("node") === col("deg_node"))
-        .select(col("node"), col("r"), col("d")))
+          col("node") === col("deg_node"), "left_outer")
+        .select(col("node"), col("r"), coalesce(col("d"), lit(0L)).as("d")))
     releaseRound(ranks)
     if (sourceRanks != null) releaseRound(sourceRanks)
     e.unpersist(blocking = false)

@@ -241,6 +241,31 @@ class ClusterSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 150L, 1L), (2L, 1741L, 1L), (3L, 1107L, 1L)))
   }
 
+  test("pagerank emits pure-sink nodes with d = 0 instead of dropping them") {
+    // ASYMMETRIC fixture WITH A SINK: A(1)→B(2), B(2)↔C(3), B(2)→D(4).
+    // D has in-edges but NO out-edges — it is ranked by every round's
+    // contribution rollup, but it has no out-degree row, so a final
+    // materialization that inner-joins ranks against `degrees` silently
+    // drops it (the exact mirror of the dropped-source bug the previous
+    // fixture pins). Contract: sinks EMIT, with d = 0.
+    // deg A=1, B=2, C=1; r0 = 1000 over the degrees universe {A,B,C}.
+    // r1: A = 150; B = 150 + 850·(1000+1000) div 1000 = 1850;
+    //     C = 150 + 850·(1000 div 2) div 1000 = 575; D = 575
+    // r2: A = 150; B = 150 + 850·(150+575) div 1000 = 766;
+    //     C = 150 + 850·(1850 div 2) div 1000 = 936; D = 936
+    // r3: A = 150; B = 150 + 850·(150+936) div 1000 = 1073;
+    //     C = 150 + 850·(766 div 2) div 1000 = 475; D = 475
+    // (A buggy engine emits only A, B, C — the row-count assert alone
+    // distinguishes them, which the symmetric co-purchase oracle cannot.)
+    import SparkTestBase.spark
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L), (2L, 4L)).toDF("src", "dst")
+    val got = ops.ClusterOps.pagerank(edges, iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 150L, 1L), (2L, 1073L, 2L), (3L, 475L, 1L),
+      (4L, 475L, 0L)))
+  }
+
   test("pagerank ranks hubs above leaves on the co-purchase graph") {
     val pr = ops.ClusterOps.queries("graph_pagerank")(SparkTestBase.spark, SparkTestBase.Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
