@@ -148,6 +148,18 @@ object Bench {
     val core = s""""metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}","cpus":$cpus"""
     val line = "{" + core + "}"
     println(line)
+    // driver-proof summary: the big line above is ~15 kB and a log-tail
+    // capture truncates it mid-JSON (the round-16 driver artifact kept
+    // only the last ~56 of 307 timings and lost the total). Print the
+    // HEADLINE a second time as a separate compact line AFTER it, so any
+    // tail capture that keeps the sweep's last lines records the total,
+    // the ok/err counts, the slowest five, and the tree it ran on.
+    val slowest = timings.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val summary = s"""{"metric":"summary","total":$total,"n_ok":${timings.size},""" +
+      s""""n_err":${errors.size},"slowest":$slowest,""" +
+      s""""git_sha":"${esc(graft.util.GitInfo.headSha())}","sf":"${esc(sfDir)}"}"""
+    println(summary)
     // archive the complete per-query map to a repo file as well — log-tail
     // capture truncates long lines, and the full map is what makes
     // cross-round trending possible. The archive is a SUPERSET of the
@@ -171,15 +183,22 @@ object Bench {
         s""""scratch_root":"${esc(graft.util.TempDirs.rootDescription)}",""" +
         s""""mode":"${if (sweepMode) "sweep" else "median"}",""" +
         s""""timed_runs":${if (sweepMode) 1 else timedRuns},""" +
-        // two artifacts with the same sha ran the same binary: per-query
-        // drift between them is host noise by construction, and
-        // bench_trend.py's same_tree_drift rule uses exactly this field
-        s""""git_sha":"${esc(graft.util.GitInfo.headSha())}"}"""
+        // two artifacts with the same sha AND the same src-content stamp
+        // ran the same binary: per-query drift between them is host noise
+        // by construction, and bench_trend.py's same_tree_drift rule uses
+        // exactly these fields (src_hash closes the dirty-tree hole —
+        // uncommitted src/ edits change it while HEAD stays put)
+        s""""git_sha":"${esc(graft.util.GitInfo.headSha())}",""" +
+        s""""src_hash":"${esc(graft.util.GitInfo.srcHash())}"}"""
     val full = "{" + core + s""","detail":$det,"env":$env}"""
-    // parse-back assertion: a malformed archive must fail HERE, loudly,
-    // not in some later round's trend tooling (jackson ships with Spark)
-    try new com.fasterxml.jackson.databind.ObjectMapper().readTree(full)
-    catch { case e: Throwable =>
+    // parse-back assertion: a malformed archive OR summary line must fail
+    // HERE, loudly, not in some later round's trend tooling (jackson
+    // ships with Spark)
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      m.readTree(full)
+      m.readTree(summary)
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] archive JSON failed to parse back: ${e.getMessage}")
       throw e
     }

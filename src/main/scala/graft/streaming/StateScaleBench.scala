@@ -201,11 +201,23 @@ object StateScaleBench {
     env.put("shuffle_partitions", 8)
     env.put("reps", reps)
     env.put("git_sha", graft.util.GitInfo.headSha())
+    env.put("src_hash", graft.util.GitInfo.srcHash())
     val json = mapper.writeValueAsString(root)
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "STREAM_SCALING.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
-    catch { case _: Throwable => () }
+    // a failed write must be LOUD and fatal: this file is committed as
+    // evidence, and a silently-swallowed failure leaves a STALE artifact
+    // on disk masquerading as this run's output
+    val writeOk =
+      try {
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[state-scale] artifact write to $outFile FAILED " +
+          s"(any existing file there is STALE): $e")
+        false
+      }
     spark.stop()
+    if (!writeOk) sys.exit(1)
   }
 }

@@ -32,14 +32,20 @@ two latest-runs" intersection to take, and promoting every first-time flag
 would overstate the re-run set — below three runs the list is empty and
 `persistent_note` says why.
 
-Same-tree adjudication (round 18): artifacts stamped with `env.git_sha`
-(every `graft.Bench` run since round 18) let the fold apply the cheapest
-possible discriminator BEFORE anyone re-runs anything — a flag whose
-prior floor was set by a run of the SAME sha as the newest run cannot be
-a plan regression (same binary, same data; the drift is host noise by
-construction). Such flags are recorded under `same_tree_drift`, excluded
-from `flags`/`persistent_flags`. Unknown or missing shas never match, so
-pre-round-18 artifacts keep the conservative behavior.
+Same-tree adjudication (round 18; dirty-tree-hardened round 19):
+artifacts stamped with `env.git_sha` (every `graft.Bench` run since
+round 18) let the fold apply the cheapest possible discriminator BEFORE
+anyone re-runs anything — a flag whose prior floor was set by a run of
+the SAME tree as the newest run cannot be a plan regression (same
+binary, same data; the drift is host noise by construction). Such flags
+are recorded under `same_tree_drift`, excluded from
+`flags`/`persistent_flags`. Because HEAD alone misses uncommitted src/
+edits, artifacts since round 19 also stamp `env.src_hash` (content
+digest of src/main): two runs are "same tree" only when git_sha AND
+src_hash both agree — a stamped artifact never matches an unstamped
+one, `unknown` in either field never matches anything, and two
+pre-round-19 (unstamped) artifacts keep matching on sha alone, sound
+because every archived artifact came from a committed tree.
 
 Flag-verify mode (--verify-with QUIET1.json[,QUIET2.json...]): before a
 persistent flag is committed as "re-run this", it must REPRODUCE on a
@@ -92,7 +98,11 @@ def main(argv):
         a = argv[i]
         if "=" in a:
             return a.split("=", 1)[1], i + 1
-        if i + 1 >= len(argv):
+        # a following token that is itself a flag is a MISSING value, not a
+        # value: '--verify-with --verify-margin 0.3' once silently set
+        # verify_with=['--verify-margin'] and pushed '0.3' into the input
+        # paths, dying later with an opaque open() traceback
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
             print(f"{a} needs a value\n{__doc__}", file=sys.stderr)
             raise SystemExit(2)
         return argv[i + 1], i + 2
@@ -151,9 +161,26 @@ def main(argv):
         return uni, set(out)
 
     def run_sha(run):
+        """Tree identity of a run: (git_sha, src_hash).
+
+        git_sha alone has a dirty-tree hole — a bench run on uncommitted
+        src/ edits carries the pre-edit sha — so artifacts since round 19
+        also stamp env.src_hash (a content digest of src/main). Matching
+        requires BOTH components equal: two pre-round-19 artifacts match
+        on (sha, None) == (sha, None), sound because every archived
+        artifact came from a committed tree; a stamped artifact never
+        matches an unstamped one (conservative); an 'unknown' in either
+        field disables the rule for that run entirely."""
         env = run.get("env") or {}
-        s = env.get("git_sha") if isinstance(env, dict) else None
-        return s if s and s != "unknown" else None
+        if not isinstance(env, dict):
+            return None
+        s = env.get("git_sha")
+        if not s or s == "unknown":
+            return None
+        h = env.get("src_hash")
+        if h == "unknown":
+            return None
+        return (s, h)
 
     def split_same_tree(history_runs, latest_run, flagged):
         """Two artifacts with the same git_sha ran the same binary against

@@ -13,10 +13,13 @@ corrupting a committed artifact:
 Covered: min-of-mins folding, uniform-drift normalization, genuine-vs-
 drift regression flagging, persistent-flag intersection (and its empty-
 below-3-runs rule), quiet-run verification (cleared/kept/unmeasured),
-'=' and space flag forms + missing-value usage errors, 0.0-timing
-inclusion, same-tree (git-sha) drift adjudication, slope recovery of a
-known exponent, the fixed-floor suppression, min-across-runs merging,
-and the duplicate-scale usage error.
+'=' and space flag forms + missing-value/flag-as-value usage errors,
+0.0-timing inclusion, same-tree (git-sha + src-hash) drift adjudication
+including the dirty-tree and unstamped-artifact conservative paths,
+slope recovery of a known exponent, the fixed-floor suppression,
+min-across-runs merging, and the duplicate-scale usage error. The exact
+pinned-behavior count is printed by the run itself — cite that output,
+not a hand-maintained number.
 """
 import json
 import os
@@ -26,20 +29,25 @@ import tempfile
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 FAILS = []
+N_CHECKS = 0
 
 
 def check(name, cond, detail=""):
+    global N_CHECKS
+    N_CHECKS += 1
     tag = "ok" if cond else "FAIL"
     print(f"[{tag}] {name}" + (f" — {detail}" if detail and not cond else ""))
     if not cond:
         FAILS.append(name)
 
 
-def write_bench(path, mins, sha=None):
+def write_bench(path, mins, sha=None, srch=None):
     """BENCH_FULL.json-style artifact with a detail map of given mins."""
     env = {"mode": "median", "synthetic": True}
     if sha:
         env["git_sha"] = sha
+    if srch:
+        env["src_hash"] = srch
     doc = {
         "metric": "total", "value": sum(mins.values()), "unit": "sec",
         "queries": dict(mins),
@@ -158,6 +166,43 @@ def main():
           doc["same_tree_drift"] == []
           and "q_slow" in [f["query"] for f in doc["flags"]])
 
+    # dirty-tree hole (round 19): same git sha but DIFFERENT src_hash =
+    # uncommitted engine edits — the drift may be a real plan regression,
+    # so the flag must survive; same sha + same src_hash still adjudicates
+    d1 = write_bench(p("d1.json"), {**stable, "q_x": 1.0}, sha="samesha", srch="aaa")
+    d2 = write_bench(p("d2.json"), {**stable, "q_x": 0.5}, sha="samesha", srch="aaa")
+    d3 = write_bench(p("d3.json"), {**stable, "q_x": 1.4}, sha="samesha", srch="bbb")
+    run("bench_trend.py", out, d1, d2, d3)
+    doc = json.load(open(out))
+    check("trend: same sha but different src_hash keeps the flag (dirty tree)",
+          doc["same_tree_drift"] == []
+          and "q_x" in [f["query"] for f in doc["flags"]],
+          str((doc["same_tree_drift"], [f["query"] for f in doc["flags"]])))
+    d3b = write_bench(p("d3b.json"), {**stable, "q_x": 1.4}, sha="samesha", srch="aaa")
+    run("bench_trend.py", out, d1, d2, d3b)
+    doc = json.load(open(out))
+    check("trend: same sha AND same src_hash adjudicates as host noise",
+          doc["same_tree_drift"] == ["q_x"]
+          and "q_x" not in [f["query"] for f in doc["flags"]],
+          str((doc["same_tree_drift"], [f["query"] for f in doc["flags"]])))
+    # stamped vs unstamped never matches: floor run carries a src_hash the
+    # newest run lacks (or vice versa) -> conservative, flag survives
+    d3c = write_bench(p("d3c.json"), {**stable, "q_x": 1.4}, sha="samesha")
+    run("bench_trend.py", out, d1, d2, d3c)
+    doc = json.load(open(out))
+    check("trend: stamped floor vs unstamped newest keeps the flag",
+          doc["same_tree_drift"] == []
+          and "q_x" in [f["query"] for f in doc["flags"]],
+          str((doc["same_tree_drift"], [f["query"] for f in doc["flags"]])))
+
+    # a flag token where a value belongs is a usage error, not a silently
+    # mis-parsed fold ('--verify-with --verify-margin 0.3' once set
+    # verify_with=['--verify-margin'] and died on open('0.3') later)
+    res = run("bench_trend.py", out, r1, r2, "--verify-with", "--verify-margin", "0.3")
+    check("trend: flag token as a flag's value is a usage error (exit 2)",
+          res.returncode == 2 and "needs a value" in (res.stdout + res.stderr),
+          f"rc={res.returncode}")
+
     # --- scaling_slopes ---------------------------------------------------
     # q_lin ~ SF^1, q_quad ~ SF^2, q_floor below the 0.35 s floor at top
     def scaled(sf):
@@ -192,9 +237,9 @@ def main():
 
     print()
     if FAILS:
-        print(f"{len(FAILS)} contract(s) BROKEN: {FAILS}")
+        print(f"{len(FAILS)} of {N_CHECKS} contract(s) BROKEN: {FAILS}")
         return 1
-    print("all tool contracts hold")
+    print(f"all {N_CHECKS} tool contracts hold")
     return 0
 
 
