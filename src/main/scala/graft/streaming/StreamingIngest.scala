@@ -172,6 +172,8 @@ object StreamingIngest {
     * package namespace. Failure is ignored: this is hygiene, not
     * correctness, and must never fail a query over an internal rename.
     */
+  private[streaming] def unloadStateStoresForProfile(): Unit = unloadStateStores()
+
   private def unloadStateStores(): Unit =
     try {
       val cls = Class.forName("org.apache.spark.sql.execution.streaming.state.StateStore$")
@@ -183,12 +185,47 @@ object StreamingIngest {
     * count is a STATE knob, not a parallelism knob — size it to key
     * cardinality (users/windows here), not to cores. Every stateful drain
     * in this file runs under this wrapper; a real deployment tunes the
-    * number per query.
+    * number per query. Default 4 (round 19, was 8): the fixtures hold
+    * ~150 users / ~46 windows / ≤10 buckets of state, and DrainProfile
+    * measured each extra partition costing ~10-15 ms of store
+    * open/commit + task overhead per micro-batch with zero parallelism
+    * benefit at this state size (grain 8 → 4: keyed-agg drain
+    * 0.83 → 0.72 s, mgws 0.64 → 0.59 s; 4 → 2 was inside noise, so 4
+    * keeps headroom without paying for idle stores).
     */
-  private def withStateGrain[A](spark: SparkSession, partitions: Int = 8)(f: => A): A = {
+  private def withStateGrain[A](spark: SparkSession, partitions: Int = 4)(f: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Disable the trailing no-data micro-batch for drains whose OUTPUT is
+    * watermark-independent. An AvailableNow drain of a watermark-carrying
+    * stateful query runs one final zero-row batch after the data is
+    * exhausted, whose only jobs are (a) emitting rows the watermark
+    * finally proves complete — outer-join null rows, Append-mode window
+    * finals, expired timers — and (b) evicting dead state. For operators
+    * that emit EAGERLY (inner stream-stream joins: a match emits the
+    * moment both sides exist; dropDuplicatesWithinWatermark: the first
+    * occurrence emits on arrival) job (a) is vacuous, and (b) is
+    * irrelevant to a drain whose checkpoint is discarded — the batch is
+    * pure overhead, measured at 0.3-0.8 s per drain (DrainProfile;
+    * SCALE.md "Streaming drain floor"). ADMISSIBILITY RULE: never use
+    * this on outer joins, Append-mode windowed aggregations, or
+    * timer-based operators — their correctness depends on that final
+    * batch (the left/full outer joins and both session-timer ops keep
+    * it), and an always-on deployment (no AvailableNow end) needs no-data
+    * batches for timely emission regardless. The DuckDB oracle pins
+    * output equality for every query this wraps.
+    */
+  private def withoutFinalNoDataBatch[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** W3 as a *streaming* windowed aggregation: tumbling 1-day event-time
@@ -672,6 +709,10 @@ object StreamingIngest {
     * provably equals the batch DISTINCT and the DuckDB oracle can check it.
     */
   def streamDedupExact(spark: SparkSession, dir: String): DataFrame = withStateGrain(spark) {
+    withoutFinalNoDataBatch(spark) { streamDedupExactInner(spark, dir) }
+  }
+
+  private def streamDedupExactInner(spark: SparkSession, dir: String): DataFrame = {
     val deduped = eventsStream(spark, dir, copies = 2)
       .withWatermark("ts", "365 days")
       .dropDuplicatesWithinWatermark("event_id")
@@ -943,8 +984,13 @@ object StreamingIngest {
   def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
     // stream-stream joins allocate FOUR state stores per shuffle partition
     // (left/right × keyToNumValues/keyWithIndexToValue), so the grain
-    // matters here most of all
-    withStateGrain(spark, 4) { streamIntervalJoinInner(spark, dir) }
+    // matters here most of all. INNER join matches emit the moment both
+    // sides exist, so the trailing no-data batch (state eviction only —
+    // measured at 0.8 s, a third of this drain's floor) is elided; the
+    // OUTER twins below must keep theirs, it emits their null rows.
+    withStateGrain(spark, 4) {
+      withoutFinalNoDataBatch(spark) { streamIntervalJoinInner(spark, dir) }
+    }
   }
 
   private def streamIntervalJoinInner(spark: SparkSession, dir: String): DataFrame = {
