@@ -13,12 +13,13 @@ package graft.util
   * HEAD alone is not the whole tree: a bench run on a DIRTY tree (edit
   * `src/` → run bench → commit later — the iteration loop USAGE.md
   * describes) still carries the pre-edit sha, so two artifacts could
-  * share a sha while running different engine code. [[srcHash]] closes
-  * that hole: a content digest of every file under `src/main`, stamped
-  * beside the sha — the trend tool requires BOTH to match before
-  * adjudicating drift as host noise (artifacts from round 19 on carry
-  * it; for older pairs the sha-only rule applies, which is sound there
-  * because every archived artifact came from a committed tree).
+  * share a sha while running different engine code — and conversely a
+  * docs-only commit changes the sha while the binary is bit-identical.
+  * [[srcHash]] is therefore the identity the same-tree rule keys on: a
+  * content digest of `src/main` plus the build config, stamped beside
+  * the sha (which remains as provenance). Artifacts from round 19 on
+  * carry it; for older pairs the sha-only rule applies, sound there
+  * because every archived artifact came from a committed tree.
   *
   * Read from `.git` directly (HEAD → loose ref → packed-refs) — no
   * subprocess, so a bench run never forks `git` or depends on it being
@@ -78,17 +79,24 @@ object GitInfo {
       }
     } catch { case _: Throwable => noteUnknown("HEAD sha") }
 
-  /** Content digest (first 12 hex of SHA-1) over every regular file under
-    * `src/main`, path-sorted, (relative path + NUL + bytes) per file — the
-    * dirty-tree discriminator: it changes with any engine-source edit
-    * whether or not the edit is committed. Degrades to "unknown" when the
-    * tree has no `src/main` (e.g. a jar deployment), which the trend tool
-    * treats as non-matching against a known stamp.
+  /** Engine-content digest (first 12 hex of SHA-1): every regular file
+    * under `src/main`, path-sorted, (relative path + NUL + bytes) per
+    * file, then the build config (`build.sbt`,
+    * `project/build.properties` — they shape the binary as surely as
+    * source does, and a build-flag edit leaves `src/main` untouched).
+    * This is the identity the same-binary claim rests on: it changes
+    * with any engine edit whether or not the edit is committed (the
+    * dirty-tree discriminator), and it does NOT change across docs-only
+    * commits — which is why `bench_trend.py` keys its same-tree rule on
+    * this stamp and records the sha only as provenance. Degrades to
+    * "unknown" when the tree has no `src/main` (e.g. a jar deployment),
+    * which the trend tool treats as non-matching against a known stamp.
     */
   def srcHash(repoRoot: String = "."): String =
     try {
-      findRepoRoot(repoRoot).map(_.resolve("src").resolve("main")) match {
-        case Some(srcMain) if java.nio.file.Files.isDirectory(srcMain) =>
+      findRepoRoot(repoRoot) match {
+        case Some(root) if java.nio.file.Files.isDirectory(root.resolve("src").resolve("main")) =>
+          val srcMain = root.resolve("src").resolve("main")
           val md = java.security.MessageDigest.getInstance("SHA-1")
           val files = {
             val s = java.nio.file.Files.walk(srcMain)
@@ -102,6 +110,14 @@ object GitInfo {
             md.update(srcMain.relativize(f).toString.getBytes("UTF-8"))
             md.update(0.toByte)
             md.update(java.nio.file.Files.readAllBytes(f))
+          }
+          Seq("build.sbt", "project/build.properties").foreach { rel =>
+            val f = root.resolve(rel)
+            if (java.nio.file.Files.isRegularFile(f)) {
+              md.update(rel.getBytes("UTF-8"))
+              md.update(0.toByte)
+              md.update(java.nio.file.Files.readAllBytes(f))
+            }
           }
           files.length match {
             case 0 => noteUnknown("src hash (src/main empty)")

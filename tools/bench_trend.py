@@ -32,20 +32,21 @@ two latest-runs" intersection to take, and promoting every first-time flag
 would overstate the re-run set — below three runs the list is empty and
 `persistent_note` says why.
 
-Same-tree adjudication (round 18; dirty-tree-hardened round 19):
-artifacts stamped with `env.git_sha` (every `graft.Bench` run since
-round 18) let the fold apply the cheapest possible discriminator BEFORE
-anyone re-runs anything — a flag whose prior floor was set by a run of
-the SAME tree as the newest run cannot be a plan regression (same
-binary, same data; the drift is host noise by construction). Such flags
-are recorded under `same_tree_drift`, excluded from
-`flags`/`persistent_flags`. Because HEAD alone misses uncommitted src/
-edits, artifacts since round 19 also stamp `env.src_hash` (content
-digest of src/main): two runs are "same tree" only when git_sha AND
-src_hash both agree — a stamped artifact never matches an unstamped
-one, `unknown` in either field never matches anything, and two
-pre-round-19 (unstamped) artifacts keep matching on sha alone, sound
-because every archived artifact came from a committed tree.
+Same-tree adjudication (round 18; content-keyed since round 19): a flag
+whose prior floor was set by a run of the SAME tree as the newest run
+cannot be a plan regression (same binary, same data; the drift is host
+noise by construction). Such flags are recorded under
+`same_tree_drift`, excluded from `flags`/`persistent_flags`. The tree
+identity is the ENGINE CONTENT, not the commit pointer: artifacts since
+round 19 stamp `env.src_hash` (content digest of src/main + build
+config), and two runs match when those digests are equal — a sha match
+is neither necessary (a docs-only commit between runs changes the sha
+while the binary is bit-identical) nor sufficient (uncommitted src/
+edits keep the pre-edit sha — the dirty-tree hole). Pre-round-19
+artifacts (no src_hash) keep matching each other on `env.git_sha`
+alone, sound because every archived artifact came from a committed
+tree; a content-stamped artifact never matches a sha-only one, and
+`unknown` in the governing field never matches anything.
 
 Flag-verify mode (--verify-with QUIET1.json[,QUIET2.json...]): before a
 persistent flag is committed as "re-run this", it must REPRODUCE on a
@@ -161,34 +162,44 @@ def main(argv):
         return uni, set(out)
 
     def run_sha(run):
-        """Tree identity of a run: (git_sha, src_hash).
+        """Tree identity of a run — what the same-binary claim actually
+        rests on.
 
-        git_sha alone has a dirty-tree hole — a bench run on uncommitted
-        src/ edits carries the pre-edit sha — so artifacts since round 19
-        also stamp env.src_hash (a content digest of src/main). Matching
-        requires BOTH components equal: two pre-round-19 artifacts match
-        on (sha, None) == (sha, None), sound because every archived
-        artifact came from a committed tree; a stamped artifact never
-        matches an unstamped one (conservative); an 'unknown' in either
-        field disables the rule for that run entirely."""
+        The binary a bench run exercised is a function of the ENGINE
+        CONTENT (src/main + build config), not of the commit pointer:
+        git_sha alone has a dirty-tree hole (a run on uncommitted src/
+        edits carries the pre-edit sha), and conversely a docs-only
+        commit between two runs changes the sha while the binary is
+        bit-identical — requiring sha equality there throws away exactly
+        the quiet-run floors the adjudication needs. So when a run
+        carries env.src_hash (the engine-content digest, stamped since
+        round 19; build.sbt folded in since round 19's close), the
+        identity IS that digest — ('src', hash). Runs without it (pre-
+        round-19 archives) fall back to ('sha', git_sha), sound there
+        because every archived artifact came from a committed tree.
+        The tags keep stamped and unstamped artifacts from ever matching
+        each other, and 'unknown' in the governing field disables the
+        rule for that run entirely."""
         env = run.get("env") or {}
         if not isinstance(env, dict):
-            return None
-        s = env.get("git_sha")
-        if not s or s == "unknown":
             return None
         h = env.get("src_hash")
         if h == "unknown":
             return None
-        return (s, h)
+        if h:
+            return ("src", h)
+        s = env.get("git_sha")
+        if not s or s == "unknown":
+            return None
+        return ("sha", s)
 
     def split_same_tree(history_runs, latest_run, flagged):
-        """Two artifacts with the same git_sha ran the same binary against
-        the same data — a drift between them is host noise by
-        CONSTRUCTION, never a plan regression. A flag whose prior floor
-        was set by a same-sha run is therefore adjudicated without a
-        re-run. Unknown/absent shas never match (pre-round-18 artifacts
-        keep the old behavior)."""
+        """Two artifacts with the same tree identity (run_sha) ran the
+        same binary against the same data — a drift between them is host
+        noise by CONSTRUCTION, never a plan regression. A flag whose
+        prior floor was set by a same-tree run is therefore adjudicated
+        without a re-run. Unknown/absent stamps never match
+        (pre-round-18 artifacts keep the old behavior)."""
         ls = run_sha(latest_run)
         real, same = set(), []
         for q in flagged:
@@ -320,8 +331,9 @@ def main(argv):
               "by more than the threshold")
     if same_tree_drift:
         print(f"{len(same_tree_drift)} flag(s) auto-adjudicated as host noise — the "
-              f"prior floor was set by a run of the SAME git sha as the newest "
-              f"(same binary, same data): {same_tree_drift}")
+              f"prior floor was set by a run of the SAME tree as the newest "
+              f"(content-keyed: equal src_hash, or equal sha for pre-stamp "
+              f"artifacts — same binary, same data): {same_tree_drift}")
     print(f"persistent flags ({persistent_note}): {persistent or 'NONE'}")
     if verify_report:
         print(f"  verify: {len(verify_report['cleared'])} cleared, "

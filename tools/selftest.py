@@ -185,6 +185,17 @@ def main():
           doc["same_tree_drift"] == ["q_x"]
           and "q_x" not in [f["query"] for f in doc["flags"]],
           str((doc["same_tree_drift"], [f["query"] for f in doc["flags"]])))
+    # content-keyed identity (round 19 close): a docs-only commit between
+    # two runs changes the sha while the binary is bit-identical — the
+    # same-binary claim rests on src_hash, so DIFFERENT shas with the SAME
+    # src_hash still adjudicate as host noise
+    d3d = write_bench(p("d3d.json"), {**stable, "q_x": 1.4}, sha="docsha", srch="aaa")
+    run("bench_trend.py", out, d1, d2, d3d)
+    doc = json.load(open(out))
+    check("trend: different sha but same src_hash adjudicates (docs-only commit)",
+          doc["same_tree_drift"] == ["q_x"]
+          and "q_x" not in [f["query"] for f in doc["flags"]],
+          str((doc["same_tree_drift"], [f["query"] for f in doc["flags"]])))
     # stamped vs unstamped never matches: floor run carries a src_hash the
     # newest run lacks (or vice versa) -> conservative, flag survives
     d3c = write_bench(p("d3c.json"), {**stable, "q_x": 1.4}, sha="samesha")
