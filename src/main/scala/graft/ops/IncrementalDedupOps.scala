@@ -165,16 +165,63 @@ object IncrementalDedupOps {
     * same completeness argument as `dedup_minhash_lsh` (no corpus pair in
     * the (0.15, 0.8) Jaccard gap ⇒ the 21 × 3 banded LSH misses a
     * qualifying pair with p ≤ 2.9e-7, a ≥5σ bet — see DedupOps).
+    *
+    * Optimized path (round 17; guide §2.3 "shuffle/compute fewer bytes" +
+    * §3.2 semi-join reduction) — result identical to the public
+    * [[dedupAgainstIndex]] composition (pinned by IncrementalDedupSpec's
+    * equivalence test and the DuckDB oracle):
+    *  - the batch's band rows are computed ONCE and cached: the candidate
+    *    probe and the closing index append both read the cache, where the
+    *    lazy public path re-signatures the batch per consumer;
+    *  - the exact-Jaccard verify shingles only docs that appear in a
+    *    candidate pair (left-semi against the cached candidate ids),
+    *    instead of shingling the WHOLE standing corpus and letting the
+    *    candidate join discard ~all of it — verify input O(candidates),
+    *    not O(corpus). At cluster scale this is the difference between
+    *    touching the document store for the day's near-dup suspects and
+    *    re-reading 100 TB of text per batch.
     */
-  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame =
+    dedupIncrementalStaged(s, dir).hygienic()
+
+  private[graft] def dedupIncrementalStaged(s: SparkSession, dir: String): QueryHygiene.Staged = {
     val docs = documents(s, dir)
     val corpus = docs.where(s"NOT ($BatchPred)")
     val batch = docs.where(BatchPred)
     val indexPath = s"${graft.util.TempDirs.create("graft_dedup_idx_")}/index"
     appendToIndex(corpus, indexPath)
-    val pairs = dedupAgainstIndex(batch, corpus, indexPath)
-    appendToIndex(batch, indexPath)
-    pairs
+    val (pb, pr) = indexParams(s, indexPath).getOrElse(
+      throw new IllegalStateException(s"no params sidecar for index $indexPath"))
+    // listing captured here — the batch rows appended below stay invisible
+    // to this probe (same pinning contract as dedupAgainstIndex)
+    val index = s.read.parquet(indexPath)
+    val batchBands = bandRows(batch, pb, pr).cache()
+    val candidates = batchBands.as("n")
+      .join(index.as("i"),
+        col("n.band_idx") === col("i.band_idx") &&
+          col("n.band_hash") === col("i.band_hash"))
+      .select(col("n.doc_id").as("new_id"), col("i.doc_id").as("corpus_id"))
+      .distinct()
+      .cache()
+    val newSh = DedupOps.shingled(
+        batch.join(candidates.select(col("new_id").as("doc_id")),
+          Seq("doc_id"), "left_semi"))
+      .select(col("doc_id").as("new_id"), col("sh_hashes").as("n_sh"))
+    val corpusSh = DedupOps.shingled(
+        corpus.join(candidates.select(col("corpus_id").as("doc_id")),
+          Seq("doc_id"), "left_semi"))
+      .select(col("doc_id").as("corpus_id"), col("sh_hashes").as("c_sh"))
+    val pairs = candidates
+      .join(newSh, "new_id")
+      .join(corpusSh, "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        jaccardSorted(col("n_sh"), col("c_sh")).as("j"))
+      .where(col("j") >= DedupOps.JaccardThreshold)
+      .orderBy(col("new_id"), col("corpus_id"))
+    // the closing append writes the CACHED band rows — byte-identical to
+    // appendToIndex(batch, indexPath) because the sidecar pins (pb, pr)
+    batchBands.write.mode(SaveMode.Append).parquet(indexPath)
+    QueryHygiene.Staged(pairs, batchBands, candidates)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -194,8 +194,13 @@ object StreamingIngest {
     * keeps headroom without paying for idle stores).
     */
   private def withStateGrain[A](spark: SparkSession, partitions: Int = 4)(f: => A): A = {
+    // Measurement seam (GrainAB): a system property overrides the grain for
+    // the NEXT drain built under it, so an interleaved in-JVM A/B can vary
+    // the grain per invocation without recompiling. Unset in production;
+    // never read from query code directly.
+    val n = sys.props.get("graft.stateGrainOverride").map(_.toInt).getOrElse(partitions)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
     try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 

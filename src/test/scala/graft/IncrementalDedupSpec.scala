@@ -127,6 +127,24 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "negated decoys must never survive the exact verify")
   }
 
+  test("the registered query's optimized path equals the public composition") {
+    // round-17 optimization: dedup_incremental caches the batch band rows
+    // (probe + closing append share one computation) and restricts the
+    // exact-Jaccard verify to candidate docs via left-semi joins instead of
+    // shingling the whole corpus. Same rows, same index contents as the
+    // public appendToIndex/dedupAgainstIndex composition.
+    val viaQuery = ops.IncrementalDedupOps.queries("dedup_incremental")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val idx = s"${tmpDir("idx_eq_")}/index"
+    val corpus = docs.where(s"NOT (${ops.IncrementalDedupOps.BatchPred})")
+    val batch = docs.where(ops.IncrementalDedupOps.BatchPred)
+    ops.IncrementalDedupOps.appendToIndex(corpus, idx)
+    val viaPublic = ops.IncrementalDedupOps.dedupAgainstIndex(batch, corpus, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaQuery == viaPublic && viaPublic.nonEmpty,
+      s"optimized path diverged: query=$viaQuery public=$viaPublic")
+  }
+
   test("batch-vs-index dedup equals the exhaustive batch×corpus Jaccard join") {
     val idx = s"${tmpDir("idx_spec_")}/index"
     val corpus = docs.where(s"NOT (${ops.IncrementalDedupOps.BatchPred})")
