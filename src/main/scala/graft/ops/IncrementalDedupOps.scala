@@ -166,20 +166,18 @@ object IncrementalDedupOps {
     * the (0.15, 0.8) Jaccard gap ⇒ the 21 × 3 banded LSH misses a
     * qualifying pair with p ≤ 2.9e-7, a ≥5σ bet — see DedupOps).
     *
-    * Optimized path (round 17; guide §2.3 "shuffle/compute fewer bytes" +
-    * §3.2 semi-join reduction) — result identical to the public
-    * [[dedupAgainstIndex]] composition (pinned by IncrementalDedupSpec's
-    * equivalence test and the DuckDB oracle):
-    *  - the batch's band rows are computed ONCE and cached: the candidate
-    *    probe and the closing index append both read the cache, where the
-    *    lazy public path re-signatures the batch per consumer;
-    *  - the exact-Jaccard verify shingles only docs that appear in a
-    *    candidate pair (left-semi against the cached candidate ids),
-    *    instead of shingling the WHOLE standing corpus and letting the
-    *    candidate join discard ~all of it — verify input O(candidates),
-    *    not O(corpus). At cluster scale this is the difference between
-    *    touching the document store for the day's near-dup suspects and
-    *    re-reading 100 TB of text per batch.
+    * Optimized path (round 17; guide §2.3 "don't compute things twice"):
+    * the batch's band rows are computed ONCE and cached — the candidate
+    * probe and the closing index append both read the cache, where the
+    * lazy public [[dedupAgainstIndex]] + [[appendToIndex]] composition
+    * re-signatures the batch per consumer. Result identical (pinned by
+    * IncrementalDedupSpec's equivalence test and the DuckDB oracle);
+    * measured −11% at sf0.1 (interleaved in-JVM A/B, OPTIMIZATION_r17.md).
+    * A further restriction — left-semi-limiting the exact-Jaccard verify's
+    * shingling to candidate docs — was measured a net REGRESSION at bench
+    * SF (the candidate cache materialization + probes cost more than the
+    * corpus-wide native shingling they avoid) and deliberately NOT taken;
+    * see OPTIMIZATION_r17.md "dead ends" before re-trying it.
     */
   private def dedupIncremental(s: SparkSession, dir: String): DataFrame =
     dedupIncrementalStaged(s, dir).hygienic()
@@ -202,14 +200,9 @@ object IncrementalDedupOps {
           col("n.band_hash") === col("i.band_hash"))
       .select(col("n.doc_id").as("new_id"), col("i.doc_id").as("corpus_id"))
       .distinct()
-      .cache()
-    val newSh = DedupOps.shingled(
-        batch.join(candidates.select(col("new_id").as("doc_id")),
-          Seq("doc_id"), "left_semi"))
+    val newSh = DedupOps.shingled(batch)
       .select(col("doc_id").as("new_id"), col("sh_hashes").as("n_sh"))
-    val corpusSh = DedupOps.shingled(
-        corpus.join(candidates.select(col("corpus_id").as("doc_id")),
-          Seq("doc_id"), "left_semi"))
+    val corpusSh = DedupOps.shingled(corpus)
       .select(col("doc_id").as("corpus_id"), col("sh_hashes").as("c_sh"))
     val pairs = candidates
       .join(newSh, "new_id")
@@ -218,10 +211,11 @@ object IncrementalDedupOps {
         jaccardSorted(col("n_sh"), col("c_sh")).as("j"))
       .where(col("j") >= DedupOps.JaccardThreshold)
       .orderBy(col("new_id"), col("corpus_id"))
-    // the closing append writes the CACHED band rows — byte-identical to
+    // the closing append writes the CACHED band rows (this is also the
+    // action that fills the cache) — byte-identical to
     // appendToIndex(batch, indexPath) because the sidecar pins (pb, pr)
     batchBands.write.mode(SaveMode.Append).parquet(indexPath)
-    QueryHygiene.Staged(pairs, batchBands, candidates)
+    QueryHygiene.Staged(pairs, batchBands)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -129,10 +129,10 @@ class IncrementalDedupSpec extends AnyFunSuite {
 
   test("the registered query's optimized path equals the public composition") {
     // round-17 optimization: dedup_incremental caches the batch band rows
-    // (probe + closing append share one computation) and restricts the
-    // exact-Jaccard verify to candidate docs via left-semi joins instead of
-    // shingling the whole corpus. Same rows, same index contents as the
-    // public appendToIndex/dedupAgainstIndex composition.
+    // (probe + closing append share one computation). Same rows, same
+    // index contents as the public appendToIndex/dedupAgainstIndex
+    // composition. (A further left-semi verify restriction was measured a
+    // regression and reverted — OPTIMIZATION_r17.md §2b.)
     val viaQuery = ops.IncrementalDedupOps.queries("dedup_incremental")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val idx = s"${tmpDir("idx_eq_")}/index"
