@@ -158,6 +158,63 @@ object ProductAnalyticsOps {
     QueryHygiene.Staged(out, items)
   }
 
+  /** Per-order distinct part sets — the shared input of the V2 basket
+    * pair generators: ONE aggregation of the fact scan (map-side partial
+    * `collect_set` dedups before the exchange, guide §2.3), replacing the
+    * V1 shape's separate `distinct` shuffle + orderkey self-join. Sets are
+    * bounded by order size (same boundedness argument as the self-join's
+    * C(items,2) note); `sort_array` canonicalizes so pair order is
+    * deterministic downstream.
+    */
+  private[graft] def orderPartSets(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+
+  /** C(k,2) ordered pairs of each sorted set via array higher-order
+    * functions (codegen, no join): for element i, pair it with every
+    * element strictly after it — `part_a < part_b` holds by the sort.
+    */
+  private[graft] def explodePairs(sets: DataFrame): DataFrame =
+    sets.select(explode(flatten(transform(col("parts"), (x, i) =>
+        transform(slice(col("parts"), i + lit(2), size(col("parts"))), y =>
+          struct(x.as("part_a"), y.as("part_b")))))).as("pr"))
+      .select(col("pr.part_a"), col("pr.part_b"))
+
+  private[graft] def basketCopurchaseV2(s: SparkSession, dir: String): DataFrame =
+    explodePairs(orderPartSets(s, dir))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .where(col("n_orders") >= 2)
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+
+  private[graft] def basketLiftStagedV2(s: SparkSession, dir: String): QueryHygiene.Staged = {
+    // the per-order sets feed the pair explosion, the per-part counts, and
+    // the order total — three references, cached once (same role as V1's
+    // `items` cache, but |orders| rows instead of |distinct lineitems|)
+    val sets = orderPartSets(s, dir).cache()
+    val partN = sets.select(explode(col("parts")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val totalN = sets.agg(count(lit(1)).as("n_orders_total"))
+    val pairs = explodePairs(sets)
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 3)
+    val out = pairs
+      .join(partN.select(col("l_partkey").as("part_a"), col("n_part").as("n_a")), "part_a")
+      .join(partN.select(col("l_partkey").as("part_b"), col("n_part").as("n_b")), "part_b")
+      .crossJoin(broadcast(totalN)) // 1-row audit input: always broadcast
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("n_ab * 1000 div n_a").as("conf_a_to_b_milli"),
+        expr("n_ab * 1000 div n_b").as("conf_b_to_a_milli"),
+        expr("n_ab * n_orders_total * 1000 div (n_a * n_b)").as("lift_milli"),
+        (col("n_ab") * col("n_orders_total") > col("n_a") * col("n_b")).as("positive_assoc"))
+      .orderBy(col("lift_milli").desc, col("part_a"), col("part_b"))
+      .limit(20)
+    QueryHygiene.Staged(out, sets)
+  }
+
   /** Deterministic 50/50 experiment assignment: the last hex nibble of
     * `md5(user_id)` — '0'..'7' → A, else B — the same stable-hash idiom
     * the sampling family uses ([[SamplingOps]]), so assignment is a pure
